@@ -1,0 +1,180 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Declared queries derived from the reference's transform surface
+  * (SURVEY.md §2.1-2.2). Each mirrors a cited behavior of
+  * /root/reference/dags/bpi_etl/bpi_etl_bigquery.py, re-expressed as a
+  * declarative Spark plan over the driver test tables so Catalyst can
+  * push filters/projections into the parquet scan.
+  */
+object EtlQueries {
+
+  /** Explicit projection + derived column (reference projection step,
+    * bpi_etl_bigquery.py:201-212). Narrow, shuffle-free; the parquet scan
+    * reads only the 4 referenced columns.
+    */
+  private val scanProject = Q(
+    "scan_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+      |       l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Row filter by predicate — generalization of the reference's
+    * validation gating (SURVEY.md §2.2). Predicate is pushed to the scan.
+    */
+  private val filterPredicate = Q(
+    "filter_predicate",
+    """SELECT event_id, user_id, value
+      |FROM events
+      |WHERE event_type = 'purchase' AND value > 50.0
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .filter(col("event_type") === "purchase" && col("value") > 50.0)
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  /** camelCase→snake_case rename (bpi_etl_bigquery.py:216-219): alias to
+    * camelCase, then apply the SnakeCase utility; plan-time only.
+    */
+  private val colRenameSnake = Q(
+    "col_rename_snake",
+    """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      |       l_returnflag AS return_flag, l_quantity AS quantity_value
+      |FROM lineitem
+      |ORDER BY order_key, line_number""".stripMargin) { (s, dir) =>
+    val camel = Tables(s, dir).lineitem.select(
+      col("l_orderkey").as("orderKey"),
+      col("l_linenumber").as("lineNumber"),
+      col("l_returnflag").as("returnFlag"),
+      col("l_quantity").as("quantityValue"))
+    SnakeCase.renameAll(camel).orderBy("order_key", "line_number")
+  }
+
+  /** Nested-JSON flatten (pd.json_normalize, bpi_etl_bigquery.py:195):
+    * parse the events.props JSON string against a declared schema and
+    * surface the nested field as a top-level column.
+    */
+  private val flattenJson = Q(
+    "flatten_json",
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(
+        col("event_id"),
+        from_json(col("props"), "k INT").getField("k").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  /** Scalar enrichment (bpi_etl_bigquery.py:223-225): the reference's only
+    * "join" — a scalar USD→IDR rate applied to every row. General form:
+    * cross join against a broadcast 1-row dimension, so at 100 TB the fact
+    * side never shuffles.
+    */
+  private val enrichScalarRate = Q(
+    "enrich_scalar_rate",
+    """SELECT o_orderkey, rate_base,
+      |       o_totalprice * usd_idr AS totalprice_idr
+      |FROM orders
+      |CROSS JOIN (SELECT 'USD' AS rate_base, CAST(15602.5 AS DOUBLE) AS usd_idr)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // Fixture rate: FIXTURES.md A2 (rates.IDR = 15602.5).
+    val rate = Seq(("USD", 15602.5)).toDF("rate_base", "usd_idr")
+    Tables(s, dir).orders
+      .crossJoin(broadcast(rate))
+      .select(
+        col("o_orderkey"), col("rate_base"),
+        (col("o_totalprice") * col("usd_idr")).as("totalprice_idr"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Datetime parse + reformat to string (bpi_etl_bigquery.py:229-232).
+    * Output stays a *string* column, as in the reference (SURVEY.md §1.2).
+    */
+  private val datetimeFormat = Q(
+    "datetime_format",
+    """SELECT o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_dt,
+      |       strftime(o_orderdate, '%Y-%m') AS order_month
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_dt"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Hash-randomized object-store prefix (create_random_dt_prefix,
+    * bpi_etl_bigquery.py:8-23): md5 of a seed, first 6 hex chars, dash,
+    * timestamp formatted `yyyy-MM-dd-HH-mm-ss`. Spreads writes across
+    * object-store key ranges — the same trick that avoids hot prefixes
+    * on S3/GCS at cluster scale.
+    */
+  private val md5Prefix = Q(
+    "md5_prefix",
+    """SELECT o_orderkey,
+      |       substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) || '-' ||
+      |       strftime(o_orderdate, '%Y-%m-%d-%H-%M-%S') AS raw_prefix
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .select(
+        col("o_orderkey"),
+        concat(
+          substring(md5(col("o_orderkey").cast("string")), 1, 6),
+          lit("-"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd-HH-mm-ss"))
+          .as("raw_prefix"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Validation predicates (pydantic_models.py:22-70): declarative rules,
+    * violations returned as rows (the fail-fast variant wraps the same
+    * predicates in assert_true — see graft.etl.Validation).
+    * Rule 1 mirrors the literal-equality checks (`chartName == 'Bitcoin'`,
+    * pydantic_models.py:49); rule 2 mirrors numeric plausibility
+    * (pydantic_models.py:67-70).
+    */
+  private val validateConstraints = Q(
+    "validate_constraints",
+    """SELECT event_id, event_type, violation FROM (
+      |  SELECT event_id, event_type, 'event_type_not_allowed' AS violation
+      |  FROM events
+      |  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+      |  UNION ALL
+      |  SELECT event_id, event_type, 'value_out_of_range' AS violation
+      |  FROM events
+      |  WHERE value < 0.0 OR value > 1000000.0
+      |) ORDER BY event_id, violation""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val badType = ev
+      .filter(!col("event_type").isin("click", "view", "purchase", "signup"))
+      .select(col("event_id"), col("event_type"),
+        lit("event_type_not_allowed").as("violation"))
+    val badValue = ev
+      .filter(col("value") < 0.0 || col("value") > 1000000.0)
+      .select(col("event_id"), col("event_type"),
+        lit("value_out_of_range").as("violation"))
+    badType.unionAll(badValue).orderBy("event_id", "violation")
+  }
+
+  val queries: Seq[Q] = Seq(
+    scanProject, filterPredicate, colRenameSnake, flattenJson,
+    enrichScalarRate, datetimeFormat, md5Prefix, validateConstraints)
+}

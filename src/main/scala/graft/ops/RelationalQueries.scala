@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Det
+import graft.{Q, Tables}
+
+/** Relational [EXT] surface (SURVEY.md §2.3-2.4): joins, aggregates,
+  * windows, sort/limit, set ops. All built-in Spark operators — Catalyst
+  * picks the physical strategy; we only pin the strategic choices that
+  * matter at 100 TB (broadcast the small side, sort-merge the large-large
+  * join, partial aggregation before shuffle).
+  *
+  * Float determinism: all double SUM/AVG aggregates go through
+  * [[graft.util.Det]] (integerize-then-sum) so results are bit-identical
+  * to the DuckDB oracle regardless of partitioning / summation order.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped grouped aggregate. Map-side partial aggregation
+    * (HashAggregate → shuffle by group key → HashAggregate) means the
+    * shuffle carries one row per (key × partition), not per input row —
+    * the pattern that survives a 100× scale-up.
+    */
+  private val aggGroup = Q(
+    "agg_group",
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${Det.sqlDsum("l_quantity")} AS sum_qty,
+       |       ${Det.sqlDsum("l_extendedprice")} AS sum_base_price,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |       ${Det.sqlDavg("l_quantity")} AS avg_qty,
+       |       ${Det.sqlDavg("l_discount")} AS avg_disc,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Rollup over the Q1 grouping keys. NULL group markers are collapsed
+    * with coalesce to sidestep cross-engine NULL-ordering differences
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST by default).
+    */
+  private val aggRollup = Q(
+    "agg_rollup",
+    s"""SELECT coalesce(l_returnflag, '_all_') AS return_flag,
+       |       coalesce(l_linestatus, '_all_') AS line_status,
+       |       ${Det.sqlDsum("l_quantity")} AS sum_qty,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY return_flag, line_status""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all_")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("line_status"),
+        col("sum_qty"), col("count_order"))
+      .orderBy("return_flag", "line_status")
+  }
+
+  /** Broadcast hash join: the dimension side (customer) ships to every
+    * executor; the fact side (orders) never shuffles. This is the join
+    * shape for fact×dim at any scale — explicitly hinted so the plan
+    * does not degrade to SMJ if statistics mislead.
+    */
+  private val joinBroadcast = Q(
+    "join_broadcast",
+    """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  /** Sort-merge join for large×large (lineitem ⋈ orders): both sides
+    * shuffle on the join key once, then merge. Follow-up aggregation
+    * groups on a low-cardinality key, so the second shuffle is tiny.
+    */
+  private val joinSortmerge = Q(
+    "join_sortmerge",
+    s"""SELECT o_orderpriority,
+       |       count(*) AS line_count,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left anti join: customers with no orders (NOT EXISTS). */
+  private val joinAnti = Q(
+    "join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Exact distinct count per group (shuffle on (group, distinct-key)
+    * pairs — the expand+two-phase plan Spark generates survives skew
+    * better than a naive global distinct).
+    */
+  private val distinctUsers = Q(
+    "distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Approximate distinct via HLL++ — the 100 TB path where exact
+    * distinct would shuffle every pair. No DuckDB oracle (sketch
+    * internals differ across engines); ScalaTest checks relative error
+    * against the exact count.
+    */
+  private val approxDistinct = Q.noOracle("approx_distinct") { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy("event_type")
+  }
+
+  /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
+    * each partition keeps a k-heap, the driver merges k×partitions rows.
+    * No global sort materializes, which is why top-k stays cheap at any
+    * scale. Outer ORDER BY re-asserted for deterministic output order.
+    */
+  private val topk = Q(
+    "topk",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 100
+      |) ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** Set ops with DISTINCT semantics on both engines:
+    * (purchasers ∩ clickers) − errorers.
+    */
+  private val setOps = Q(
+    "set_ops",
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |) ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    users("purchase")
+      .intersect(users("click"))
+      .except(users("error"))
+      .orderBy("user_id")
+  }
+
+  /** Analytic window: per-user event sequence with lag-based delta.
+    * Partition by user_id (the natural shuffle key), order by event time
+    * with event_id tiebreak. DuckDB side casts ts to µs precision first —
+    * the parquet column is ns but Spark reads µs, and the window order
+    * must agree.
+    */
+  private val windowLagReturn = Q(
+    "window_lag_return",
+    """SELECT event_id, user_id, value,
+      |       row_number() OVER w AS rn,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       value - lag(value, 1) OVER w AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir).events
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling-window aggregate (batch twin of the streaming hourly
+    * pipeline, SURVEY.md §2.6). Spark's window() function; oracle uses
+    * date_trunc. Emitted as a formatted string to avoid timestamp
+    * precision mismatches.
+    */
+  private val windowTumbling = Q(
+    "window_tumbling",
+    s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+       |                '%Y-%m-%d %H:%M:%S') AS hour_start,
+       |       count(*) AS n_events,
+       |       ${Det.sqlDsum("value")} AS sum_value,
+       |       ${Det.sqlDavg("value")} AS avg_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY hour_start""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"),
+        Det.davg(col("value")).as("avg_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("hour_start")
+  }
+
+  val queries: Seq[Q] = Seq(
+    aggGroup, aggRollup, joinBroadcast, joinSortmerge, joinAnti,
+    distinctUsers, approxDistinct, topk, setOps, windowLagReturn,
+    windowTumbling)
+}

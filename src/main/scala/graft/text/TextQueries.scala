@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for an LLM training-data pipeline (north-star
+  * extensions, BASELINE.json): tokenization, token counting, quality
+  * scoring, language ID, document fingerprinting. All are narrow per-row
+  * transforms (plus one word-count aggregation) built from codegen'd
+  * built-ins + higher-order array functions — no UDFs — so they scale
+  * linearly with no shuffle except the final word-count groupBy.
+  */
+object TextQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** 32-bit token hash both engines can compute identically: first 8 hex
+    * chars of md5, parsed as an integer. */
+  private def tokHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+  private def sqlTokHash(t: String): String =
+    s"CAST(CAST('0x' || substr(md5($t), 1, 8) AS UBIGINT) AS BIGINT)"
+
+  /** Tokenize + corpus word count: explode is partition-local; only the
+    * per-word partial counts shuffle (map-side combine). */
+  private val textTokens = Q(
+    "text_tokens",
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |) GROUP BY word
+      |ORDER BY n DESC, word""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(explode(toks).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex scan. */
+  private val tokenCount = Q(
+    "token_count",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword-ratio heuristics. Ratios are
+    * int/int divisions — exact on both engines. */
+  private val textQuality = Q(
+    "text_quality",
+    """SELECT doc_id, n_chars,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       length(text) / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_span,
+      |       CAST(len(list_filter(string_split(text, ' '),
+      |                t -> t IN ('the', 'a'))) AS BIGINT)
+      |         / CAST(len(string_split(text, ' ')) AS BIGINT) AS stopword_ratio,
+      |       CASE WHEN len(string_split(text, ' ')) >= 20
+      |                 AND CAST(len(list_filter(string_split(text, ' '),
+      |                          t -> t IN ('the', 'a'))) AS BIGINT)
+      |                     / CAST(len(string_split(text, ' ')) AS BIGINT) <= 0.5
+      |            THEN 1 ELSE 0 END AS quality_pass
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val stopRatio = nStop / nTokens
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"), col("n_chars"),
+        nTokens.as("n_tokens"),
+        (length(col("text")) / nTokens).as("avg_token_span"),
+        stopRatio.as("stopword_ratio"),
+        when(nTokens >= 20 && stopRatio <= 0.5, 1).otherwise(0)
+          .as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by marker-word counts with a deterministic argmax
+    * (n-gram-heuristic family; marker lists kept tiny for oracle parity).
+    */
+  private val langId = Q(
+    "lang_id",
+    """SELECT doc_id, c_en, c_fr, c_es, c_de,
+      |       CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+      |            WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+      |            WHEN c_es >= c_de THEN 'es'
+      |            ELSE 'de' END AS pred_lang
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS c_en,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les'))) AS BIGINT) AS c_fr,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las'))) AS BIGINT) AS c_es,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS BIGINT) AS c_de
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def cnt(words: String*): Column =
+      size(filter(toks, t => t.isin(words: _*))).cast("long")
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        cnt("the", "a").as("c_en"),
+        cnt("le", "la", "les").as("c_fr"),
+        cnt("el", "los", "las").as("c_es"),
+        cnt("der", "die", "das").as("c_de"))
+      .withColumn(
+        "pred_lang",
+        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es")
+            && col("c_en") >= col("c_de"), "en")
+          .when(col("c_fr") >= col("c_es") && col("c_fr") >= col("c_de"), "fr")
+          .when(col("c_es") >= col("c_de"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whole-text md5, min-token-hash (1-function
+    * MinHash), and a rolling polynomial hash over tokens
+    * (h = (h*31 + tokHash) mod p) — the classic content-defined
+    * fingerprint, folded left-to-right on both engines. */
+  private val docFingerprint = Q(
+    "doc_fingerprint",
+    s"""SELECT doc_id,
+       |       md5(text) AS content_hash,
+       |       list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS min_token_hash,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ' '),
+       |                          t -> ${sqlTokHash("t")})),
+       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        array_min(transform(toks, t => md5(t))).as("min_token_hash"),
+        aggregate(toks, lit(0L),
+          (acc, t) => (acc * lit(31L) + tokHash(t)) % lit(1000000007L))
+          .as("rolling_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[Q] =
+    Seq(textTokens, tokenCount, textQuality, langId, docFingerprint)
+}
