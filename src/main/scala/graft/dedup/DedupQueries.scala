@@ -1,0 +1,210 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Hashes
+import graft.{Q, Tables}
+
+/** Deduplication operators for an LLM training-data pipeline (north-star
+  * extensions): exact dedup, MinHash+LSH candidate generation, SimHash
+  * fingerprints, and n-gram Jaccard verification.
+  *
+  * Scale posture: exact dedup is a hash groupBy (one shuffle on the
+  * content key). Near-dedup is band-bucketed — signatures are narrow
+  * per-row transforms, candidate pairs come from an equi-join on
+  * (band, band_hash), never an all-pairs comparison. At 100 TB the only
+  * shuffles are the band-bucket join and the final distinct; bucket skew
+  * (a degenerate band value) is bounded because NULL/short-doc signatures
+  * propagate to NULL band hashes, which never join.
+  */
+object DedupQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  // MinHash/LSH parameters: K signatures, B bands of R rows (K = B*R).
+  private val K = 12
+  private val R = 4
+  private val B = 3
+
+  /** 3-token shingles. `get` is 0-based and yields NULL out of range,
+    * matching DuckDB's out-of-bounds list index; a NULL token makes the
+    * whole shingle NULL on both engines (concat, not concat_ws — Spark's
+    * concat_ws would silently *skip* nulls and diverge).
+    */
+  private def shingles: Column =
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks), lit(3)) - 3),
+        i =>
+          concat(
+            get(toks, i), lit(" "),
+            get(toks, i + 1), lit(" "),
+            get(toks, i + 2))),
+      x => x.isNotNull)
+
+  private val sqlToks = "string_split(text, ' ')"
+  private val sqlShingles: String =
+    s"list_filter(list_transform(range(1, greatest(len($sqlToks), 3) - 1), " +
+      s"i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]), " +
+      "x -> x IS NOT NULL)"
+
+  /** Per-doc K-element MinHash signature (seeded md5-derived hashes). */
+  private def signatures(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id") +:
+        (0 until K).map(i =>
+          array_min(transform(shingles, s => Hashes.seededHash(i, s)))
+            .as(s"mh$i")): _*)
+
+  private def sqlSignature(i: Int): String =
+    s"list_min(list_transform($sqlShingles, t -> ${Hashes.sqlSeededHash(i, "t")})) AS mh$i"
+
+  /** md5 over the ':'-joined band signature; NULL if any row is NULL
+    * (short doc), so degenerate docs never collide. */
+  private def bandHash(b: Int): Column =
+    md5(concat(
+      (0 until R)
+        .flatMap(j => Seq(col(s"mh${R * b + j}").cast("string"), lit(":")))
+        .dropRight(1): _*))
+
+  private def sqlBandHash(b: Int): String =
+    "md5(" + (0 until R).map(j => s"CAST(mh${R * b + j} AS VARCHAR)")
+      .mkString(" || ':' || ") + ")"
+
+  /** (doc_id, band, band_hash) rows — B per doc. */
+  private def bands(t: Tables): DataFrame =
+    (0 until B)
+      .map(b =>
+        signatures(t).select(
+          col("doc_id"), lit(b).as("band"), bandHash(b).as("bh")))
+      .reduce(_ unionAll _)
+
+  private def sqlBandsCte: String = {
+    val sig = (0 until K).map(sqlSignature).mkString(",\n         ")
+    val union = (0 until B)
+      .map(b => s"SELECT doc_id, $b AS band, ${sqlBandHash(b)} AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |         $sig
+       |  FROM documents
+       |), bands AS (
+       |  $union
+       |)""".stripMargin
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, band_hash). */
+  private[dedup] def candidatePairs(t: Tables): DataFrame = {
+    val b = bands(t)
+    b.as("l")
+      .join(
+        b.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def sqlCandidatePairs: String =
+    s"""$sqlBandsCte
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id""".stripMargin
+
+  /** Exact dedup: one surviving row per distinct text, deterministic
+    * survivor (min doc_id) — groupBy, not dropDuplicates, because
+    * dropDuplicates keeps an arbitrary partition-order-dependent row. */
+  private val dedupExact = Q(
+    "dedup_exact",
+    """SELECT min(doc_id) AS doc_id, text
+      |FROM documents GROUP BY text
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup candidates (shingle → K min-hashes → B bands →
+    * bucket equi-join). */
+  private val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    s"""$sqlCandidatePairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    candidatePairs(Tables(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit): explode tokens → 32-bit token hash → per-bit
+    * majority vote per doc. The explode+groupBy shape gets map-side
+    * partial aggregation; the shuffle carries 17 longs per doc. */
+  private val dedupSimhash = Q(
+    "dedup_simhash", {
+      val bits = (0 until 16)
+        .map(i => s"sum((h >> $i) & 1) AS b$i").mkString(",\n       ")
+      val sim = (0 until 16)
+        .map(i => s"CASE WHEN b$i * 2 > n THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+         |FROM (
+         |  SELECT doc_id, count(*) AS n,
+         |       $bits
+         |  FROM (
+         |    SELECT doc_id, ${Hashes.sqlTokHash("t")} AS h
+         |    FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
+         |  ) GROUP BY doc_id
+         |) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val hashed = Tables(s, dir).documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"), Hashes.tokHash(col("t")).as("h"))
+    val agg = hashed
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        (0 until 16).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")): _*)
+    val sim = (0 until 16)
+      .map(i =>
+        when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.cast("long").as("simhash")).orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard verification over the LSH candidate pairs: exact
+    * shingle-set Jaccard computed only within buckets (the 100 TB-safe
+    * shape — verification cost scales with candidates, not pairs). */
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    s"""$sqlBandsCte, cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |), sh AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN sh a ON cand.doc_a = a.doc_id
+       |JOIN sh b ON cand.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val sh = t.documents.select(col("doc_id"), shingles.as("sh"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val uni = size(array_distinct(concat(col("a.sh"), col("b.sh"))))
+    candidatePairs(t)
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.cast("long").as("n_common"),
+        uni.cast("long").as("n_union"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Seq[Q] =
+    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+}

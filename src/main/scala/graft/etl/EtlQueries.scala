@@ -75,7 +75,8 @@ object EtlQueries {
     Tables(s, dir).events
       .select(
         col("event_id"),
-        from_json(col("props"), "k INT").getField("k").as("prop_k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("prop_k"))
       .orderBy("event_id")
   }
 

@@ -1,0 +1,185 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the embeddings table (north-star extensions):
+  * brute-force cosine top-k as the correctness baseline, sign-LSH
+  * (random-hyperplane) bucketing as the scale path, and an
+  * embedding-cosine near-dup pass over the LSH buckets.
+  *
+  * Determinism: every float is cast to double *before* arithmetic, all
+  * reductions are explicit left folds (`aggregate` over the array, in
+  * element order) so Spark and DuckDB produce bit-identical doubles, and
+  * similarities are integerized (`floor(cos*1e6+0.5)`) before ordering.
+  * No UDFs — higher-order array functions only.
+  *
+  * Scale posture: top-k is `orderBy+limit` → TakeOrderedAndProject (a
+  * per-partition k-heap, no global sort). The LSH variant prunes the
+  * candidate set with an equi-join on the bucket id, so at 100 TB the
+  * brute-force cross join is replaced by a hash join against the probed
+  * bucket; the hyperplanes are plan-time literal vectors (no second
+  * table, no shuffle to score them).
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val Planes = 8
+  private val TopK = 20
+
+  /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]:
+    * first 32 bits of md5("p:i"), mapped to (h mod 2001 - 1000)/1000.
+    * Computed once at plan-build time; embedded as a literal in both the
+    * Spark plan and the oracle SQL so the two engines share bits exactly.
+    */
+  private def planeCoef(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    ((h % 2001L) - 1000L) / 1000.0
+  }
+
+  private val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until Planes).map(p => (0 until Dim).map(i => planeCoef(p, i)))
+
+  /** Left-fold dot product of two array columns, doubles all the way. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cosine integerized to 1e-6 units (exact long on both engines). */
+  private def simE6(a: Column, b: Column): Column =
+    floor(dot(a, b) / (norm(a) * norm(b)) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Sign-LSH bucket id: bit p = [dot(v, plane_p) > 0]. */
+  private def bucket(e: Column): Column =
+    (0 until Planes)
+      .map(p =>
+        when(dot(e, typedLit(planes(p))) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  // ---- DuckDB mirrors (same folds, same literals) ----
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+      "(acc, x) -> acc + x))"
+
+  private def sqlSimE6(a: String, b: String): String =
+    s"CAST(floor(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) * 1000000.0 + 0.5) AS BIGINT)"
+
+  private def sqlPlane(p: Int): String =
+    planes(p).map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def sqlBucket(e: String): String =
+    (0 until Planes)
+      .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Embeddings with their LSH bucket (shared by the ANN + near-dup ops). */
+  private def bucketed(t: Tables): DataFrame =
+    t.embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      bucket(col("embedding")).as("bucket"))
+
+  /** The probe vector: lowest vec_id (deterministic choice). */
+  private def queryVec(t: Tables): DataFrame =
+    t.embeddings.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("q_emb"))
+
+  /** Brute-force cosine top-k against the probe vector — the exact
+    * baseline every ANN variant is measured against. */
+  private val similarityTopk = Q(
+    "similarity_topk",
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1)
+       |SELECT vec_id, label, ${sqlSimE6("embedding", "q_emb")} AS sim_e6
+       |FROM embeddings CROSS JOIN q
+       |ORDER BY sim_e6 DESC, vec_id
+       |LIMIT $TopK""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.embeddings
+      .crossJoin(broadcast(queryVec(t)))
+      .select(
+        col("vec_id"), col("label"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** Sign-LSH ANN: score only the probe vector's bucket. At scale this
+    * replaces the full scan with a bucket-pruned hash join; here the
+    * bucket filter is evaluated against a broadcast 1-row probe. */
+  private val similarityAnnLsh = Q(
+    "similarity_ann_lsh",
+    s"""WITH q AS (
+       |  SELECT embedding AS q_emb, ${sqlBucket("embedding")} AS q_bucket
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), b AS (
+       |  SELECT vec_id, label, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, label, bucket, ${sqlSimE6("embedding", "q_emb")} AS sim_e6
+       |FROM b CROSS JOIN q
+       |WHERE bucket = q_bucket
+       |ORDER BY sim_e6 DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val q = t.embeddings.orderBy("vec_id").limit(1)
+      .select(
+        col("embedding").as("q_emb"),
+        bucket(col("embedding")).as("q_bucket"))
+    bucketed(t)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("q_bucket"))
+      .select(
+        col("vec_id"), col("label"), col("bucket"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup: pairs inside the same LSH bucket with
+    * cosine ≥ 0.15 — bucketing keeps the pair space linear-ish; the
+    * threshold is tuned to the synthetic corpus so the result is
+    * non-trivial at test scale. */
+  private val embeddingNearDup = Q(
+    "embedding_near_dup",
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket,
+       |       ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE ${sqlSimE6("l.embedding", "r.embedding")} >= 150000
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    val b = bucketed(Tables(s, dir))
+    b.as("l")
+      .join(
+        b.as("r"),
+        col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("l.bucket").as("bucket"),
+        simE6(col("l.embedding"), col("r.embedding")).as("sim_e6"))
+      .filter(col("sim_e6") >= 150000L)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Seq[Q] =
+    Seq(similarityTopk, similarityAnnLsh, embeddingNearDup)
+}
