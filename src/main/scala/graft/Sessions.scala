@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory: every entry point (Verify, Bench, tests)
+  * runs with the same semantics-affecting configs.
+  *
+  *  - UTC session time zone (cross-engine datetime parity, SURVEY.md §2.7)
+  *  - nanosAsLong: the driver's events parquet is TIMESTAMP(NANOS), which
+  *    Spark has no type for; scan as LONG and convert in [[Tables.events]]
+  *  - shuffle.partitions sized to the local core count, not the 200
+  *    default — at cluster scale this is the knob sized to input volume
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Core count from the env the driver exports, default 32 (local[32]). */
+  def cpusFromEnv: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -20,7 +21,21 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = rd("part")
   def orders: DataFrame     = rd("orders")
   def lineitem: DataFrame   = rd("lineitem")
-  def events: DataFrame     = rd("events")
   def documents: DataFrame  = rd("documents")
   def embeddings: DataFrame = rd("embeddings")
+
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark has no
+    * native type for; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * (see [[Sessions]]) so it scans as nanos-since-epoch LONG, converted
+    * here to a µs timestamp with integer `div` (no double round-trip —
+    * epoch nanos exceed 2^53). Matches DuckDB's ns→µs cast truncation.
+    */
+  def events: DataFrame = {
+    val df = rd("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
 }

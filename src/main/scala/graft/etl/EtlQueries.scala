@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -147,32 +148,56 @@ object EtlQueries {
 
   /** Validation predicates (pydantic_models.py:22-70): declarative rules,
     * violations returned as rows (the fail-fast variant wraps the same
-    * predicates in assert_true — see graft.etl.Validation).
-    * Rule 1 mirrors the literal-equality checks (`chartName == 'Bitcoin'`,
-    * pydantic_models.py:49); rule 2 mirrors numeric plausibility
-    * (pydantic_models.py:67-70).
+    * predicates in assert_true — see [[Validation]]).
+    * Rule 1 mirrors the literal/enum equality checks (`chartName ==
+    * 'Bitcoin'`, pydantic_models.py:49); rule 2 mirrors numeric
+    * plausibility (pydantic_models.py:67-70); rule 3 mirrors the
+    * fixed-length trimmed-code constraint (`code`/`base` exactly 3 chars
+    * after strip, pydantic_models.py:37,64 — here 2-char lang codes);
+    * rule 4 mirrors the datetime-format assertions
+    * (pydantic_models.py:26-34) as a format-shape check.
     */
   private val validateConstraints = Q(
     "validate_constraints",
-    """SELECT event_id, event_type, violation FROM (
-      |  SELECT event_id, event_type, 'event_type_not_allowed' AS violation
+    """SELECT entity, entity_id, violation FROM (
+      |  SELECT 'events' AS entity, event_id AS entity_id,
+      |         'event_type_not_allowed' AS violation
       |  FROM events
       |  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
       |  UNION ALL
-      |  SELECT event_id, event_type, 'value_out_of_range' AS violation
+      |  SELECT 'events', event_id, 'value_out_of_range'
       |  FROM events
       |  WHERE value < 0.0 OR value > 1000000.0
-      |) ORDER BY event_id, violation""".stripMargin) { (s, dir) =>
-    val ev = Tables(s, dir).events
+      |  UNION ALL
+      |  SELECT 'documents', doc_id, 'lang_code_not_2char'
+      |  FROM documents
+      |  WHERE length(trim(lang)) <> 2
+      |  UNION ALL
+      |  SELECT 'events', event_id, 'ts_format_invalid'
+      |  FROM events
+      |  WHERE NOT regexp_matches(
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+      |    '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+      |) ORDER BY entity, entity_id, violation""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val ev = t.events
+    def v(entity: String, id: Column, rule: String) = Seq(
+      lit(entity).as("entity"), id.as("entity_id"), lit(rule).as("violation"))
     val badType = ev
       .filter(!col("event_type").isin("click", "view", "purchase", "signup"))
-      .select(col("event_id"), col("event_type"),
-        lit("event_type_not_allowed").as("violation"))
+      .select(v("events", col("event_id"), "event_type_not_allowed"): _*)
     val badValue = ev
       .filter(col("value") < 0.0 || col("value") > 1000000.0)
-      .select(col("event_id"), col("event_type"),
-        lit("value_out_of_range").as("violation"))
-    badType.unionAll(badValue).orderBy("event_id", "violation")
+      .select(v("events", col("event_id"), "value_out_of_range"): _*)
+    val badLang = t.documents
+      .filter(length(trim(col("lang"))) =!= 2)
+      .select(v("documents", col("doc_id"), "lang_code_not_2char"): _*)
+    val badTs = ev
+      .filter(!date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+        .rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"))
+      .select(v("events", col("event_id"), "ts_format_invalid"): _*)
+    badType.unionAll(badValue).unionAll(badLang).unionAll(badTs)
+      .orderBy("entity", "entity_id", "violation")
   }
 
   val queries: Seq[Q] = Seq(

@@ -1,0 +1,75 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sinks (SURVEY.md §2.1): parquet with pinned nullability, append
+  * table, and the reference's hash-randomized snapshot layout.
+  */
+object Sinks {
+
+  /** Re-apply exact nullability flags to a frame. Spark normalizes
+    * nullability through plans, but the reference's warehouse contract
+    * requires exact flags (`has_nulls=['disclaimer','chart_name']`,
+    * bpi_etl_bigquery.py:240-242 — BigQuery load fails on mismatch, see
+    * the comment at :238-239). Columns must match the target schema by
+    * name, order and type. */
+  def withPinnedSchema(df: DataFrame, schema: StructType): DataFrame = {
+    require(
+      df.schema.map(f => (f.name, f.dataType)) ==
+        schema.map(f => (f.name, f.dataType)),
+      s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
+    df.sparkSession.createDataFrame(df.rdd, schema)
+  }
+
+  /** Parquet write with pinned nullability. Spark's parquet writer marks
+    * every field optional for ecosystem compatibility, so the contract
+    * is enforced where it matters: a NULL in a required column fails the
+    * write (the engine-side analog of BigQuery rejecting a bad load,
+    * bpi_etl_bigquery.py:238-239), and the read-back re-applies the
+    * pinned flags. */
+  def pinnedParquet(df: DataFrame, schema: StructType, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, col, lit}
+    val required = schema.filterNot(_.nullable).map(_.name)
+    val checked = required.foldLeft(withPinnedSchema(df, schema))((d, c) =>
+      d.filter(
+        assert_true(col(c).isNotNull, lit(s"required column $c is NULL"))
+          .isNull))
+    checked.write.mode("overwrite").parquet(path)
+    // File reads force every field nullable (Spark's file-source rule);
+    // re-pin so the returned frame carries the warehouse contract.
+    withPinnedSchema(df.sparkSession.read.schema(schema).parquet(path), schema)
+  }
+
+  /** Append to a warehouse table directory (WRITE_APPEND + blocking,
+    * bpi_etl_bigquery.py:279-291 — Spark actions are synchronous, so
+    * "blocking on the load job" is implicit). */
+  def appendParquet(df: DataFrame, tableDir: String): Unit =
+    df.write.mode("append").parquet(tableDir)
+
+  /** `<md5(content)[0:6]>-<yyyy-MM-dd-HH-mm-ss>` — create_random_dt_prefix
+    * (bpi_etl_bigquery.py:8-23): md5 over the snapshot *content* spreads
+    * object-store keys across the keyspace so request autoscaling never
+    * hot-spots one prefix — exactly the trick that matters at 100 TB of
+    * raw snapshots. */
+  def snapshotPrefix(content: Array[Byte], ts: java.time.Instant): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(content).map("%02x".format(_)).mkString.substring(0, 6)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd-HH-mm-ss").withZone(java.time.ZoneOffset.UTC)
+    s"$md5-${fmt.format(ts)}"
+  }
+
+  /** Raw snapshot under `data/raw/<prefix>/<file>` (bpi_etl_bigquery
+    * .py:73-77): persists the exact payload for replay/debug. */
+  def snapshotRaw(
+      spark: SparkSession, content: String, baseDir: String,
+      fileName: String, ts: java.time.Instant): String = {
+    val dest = new java.io.File(
+      s"$baseDir/data/raw/${snapshotPrefix(content.getBytes("UTF-8"), ts)}")
+    dest.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dest, fileName).toPath, content)
+    dest.getAbsolutePath + "/" + fileName
+  }
+}

@@ -10,10 +10,13 @@ import org.apache.spark.sql.DataFrame
   * rewrites the projection), so this stays cheap at any scale.
   */
 object SnakeCase {
+  // Boundary is ([a-z])([A-Z]) exactly as the reference's regex — a
+  // digit→UPPER boundary does NOT get an underscore ('rate1Float' →
+  // 'rate1float'), matching bpi_etl_bigquery.py:218 semantics.
   def snake(name: String): String =
     name
       .replace(".", "_")
-      .replaceAll("(?<=[a-z0-9])(?=[A-Z])", "_")
+      .replaceAll("(?<=[a-z])(?=[A-Z])", "_")
       .toLowerCase
 
   /** Rename every column of `df` to snake_case. */

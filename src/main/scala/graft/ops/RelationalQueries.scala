@@ -115,16 +115,22 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
-  /** Left anti join: customers with no orders (NOT EXISTS). */
+  /** Left anti join (NOT EXISTS): customers with no urgent orders. The
+    * filter on the right side is pushed below the join, so the anti
+    * join's build side only carries matching keys. */
   private val joinAnti = Q(
     "join_anti",
     """SELECT c_custkey, c_name
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -177,24 +183,24 @@ object RelationalQueries {
   }
 
   /** Set ops with DISTINCT semantics on both engines:
-    * (purchasers ∩ clickers) − errorers.
+    * (high-value ∩ high-priority) − finished, over order keys.
     */
   private val setOps = Q(
     "set_ops",
-    """SELECT user_id FROM (
-      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+    """SELECT o_orderkey FROM (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
       |  INTERSECT
-      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |  EXCEPT
-      |  SELECT user_id FROM events WHERE event_type = 'error'
-      |) ORDER BY user_id""".stripMargin) { (s, dir) =>
-    val ev = Tables(s, dir).events
-    def users(t: String) =
-      ev.filter(col("event_type") === t).select("user_id")
-    users("purchase")
-      .intersect(users("click"))
-      .except(users("error"))
-      .orderBy("user_id")
+      |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      |) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    o.filter(col("o_totalprice") > 100000).select("o_orderkey")
+      .intersect(
+        o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select("o_orderkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select("o_orderkey"))
+      .orderBy("o_orderkey")
   }
 
   /** Analytic window: per-user event sequence with lag-based delta.

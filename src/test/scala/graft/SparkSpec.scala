@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (same semantics configs as the
+  * Verify/Bench entry points — see [[Sessions]]). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = Sessions.local("4")
+
+  def fixture(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  override def afterAll(): Unit = {
+    // One JVM-wide session across suites; do not stop between suites.
+    super.afterAll()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.dedup
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Behavioral tests for the dedup family on planted data: exact dup and
+  * a near-dup (one token changed) must be caught; an unrelated doc must
+  * not pair with anything. Runs the *declared* queries against a
+  * temp dir shaped like the driver tables. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = "spark catalyst shuffles partition data across executors " +
+      "for wide joins and aggregations at scale " * 3
+    val near = base.replaceFirst("catalyst", "tungsten") // 1 shingle-window change
+    val other = "completely different words about cooking pasta with " +
+      "tomatoes basil garlic olive oil and fresh bread " * 3
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),   // exact dup of 0
+      (2L, near, "en", "src2", near.length.toLong),   // near dup of 0
+      (3L, other, "en", "src3", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("dedup-docs")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dedup_exact keeps one survivor per text, lowest doc_id") {
+    val rows = SparkEntry.queries("dedup_exact")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 2L, 3L)) // doc 1 collapsed into doc 0
+  }
+
+  test("minhash LSH pairs exact and near dups, not unrelated docs") {
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must collide in every band")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near dup should share at least one band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs agree; unrelated docs differ") {
+    val sh = SparkEntry.queries("dedup_simhash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup close, ordered ahead of others") {
+    val j = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    j.get((0L, 2L)).foreach(v => assert(v > 0.7 && v < 1.0))
+  }
+}

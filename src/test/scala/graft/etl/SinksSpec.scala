@@ -1,0 +1,67 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.time.Instant
+
+/** Sink contracts (SURVEY.md §2.1): parquet nullability pinning survives
+  * a write/read round-trip (the BigQuery-motivated care at
+  * bpi_etl_bigquery.py:238-242), append accumulates, and the
+  * hash-randomized snapshot prefix matches the reference's layout
+  * (create_random_dt_prefix, :8-23). */
+class SinksSpec extends SparkSpec {
+
+  private lazy val out = BpiTransform(
+    Ingest.readBpi(spark, fixture("bpi-raw-data.json")),
+    Ingest.readXr(spark, fixture("rupiah-exchange-rate.json")),
+    "2022-12-18 11:00:00")
+
+  test("pinned nullability survives the parquet round-trip") {
+    val path = tmpDir("pinned") + "/t"
+    val back = Sinks.pinnedParquet(out, Schemas.bpiXrHourly, path)
+    // Spark's parquet writer marks all fields optional on disk; the
+    // pinned contract lives in the returned schema + write-time check.
+    val flags = back.schema.map(f => f.name -> f.nullable).toMap
+    assert(flags("disclaimer") && flags("chart_name"))
+    assert(Schemas.bpiXrHourly.map(_.name)
+      .filterNot(Set("disclaimer", "chart_name")).forall(!flags(_)))
+    assert(back.count() == 1)
+  }
+
+  test("a NULL in a required column fails the pinned write (BigQuery-load analog)") {
+    import org.apache.spark.sql.functions.{lit, when, col}
+    val withNull = out.withColumn("time_updated",
+      when(lit(true), lit(null: String)).otherwise(col("time_updated")))
+    intercept[Exception] {
+      Sinks.pinnedParquet(withNull, Schemas.bpiXrHourly, tmpDir("pinned-bad") + "/t")
+    }
+  }
+
+  test("schema mismatch is rejected, not silently coerced") {
+    intercept[IllegalArgumentException] {
+      Sinks.withPinnedSchema(out.drop("last_updated"), Schemas.bpiXrHourly)
+    }
+  }
+
+  test("append accumulates rows") {
+    val dir = tmpDir("append") + "/t"
+    Sinks.appendParquet(out, dir)
+    Sinks.appendParquet(out, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("snapshot prefix layout: <md5[0:6]>-<yyyy-MM-dd-HH-mm-ss>") {
+    val ts = Instant.parse("2022-12-18T10:30:05Z")
+    val p = Sinks.snapshotPrefix("hello".getBytes("UTF-8"), ts)
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592
+    assert(p == "5d4140-2022-12-18-10-30-05")
+  }
+
+  test("raw snapshot writes the exact payload under data/raw/<prefix>/") {
+    val base = tmpDir("snap")
+    val path = Sinks.snapshotRaw(
+      spark, """{"a":1}""", base, "bpi-raw-data.json",
+      Instant.parse("2022-12-18T10:00:00Z"))
+    assert(path.contains("/data/raw/"))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == """{"a":1}""")
+  }
+}

@@ -1,0 +1,25 @@
+package graft.ops
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Correctness cover for the no-oracle `approx_distinct` key (SURVEY.md
+  * §2.7): HLL++ estimates must sit within the configured relative error
+  * of the exact per-group distinct counts. */
+class ApproxDistinctSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 4x the 2% target rsd per group") {
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("distinct_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) <= math.max(1.0, 0.08 * ex),
+        s"group $k: approx $ap vs exact $ex")
+    }
+  }
+}

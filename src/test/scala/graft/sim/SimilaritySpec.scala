@@ -1,0 +1,43 @@
+package graft.sim
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Behavioral tests for similarity search: the probe vector must rank
+  * itself first with cosine 1.0; the LSH bucket must contain the probe;
+  * ANN results must be a subset of the brute-force ranking's candidate
+  * universe with consistent scores. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("brute-force top-k ranks the probe vector first at cosine 1.0") {
+    val rows = SparkEntry.queries("similarity_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Long]("sim_e6") == 1000000L)
+    // Scores are non-increasing (top-k really is ordered)
+    val sims = rows.map(_.getAs[Long]("sim_e6")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH ANN returns the probe's bucket, probe included, scores matching brute force") {
+    val ann = SparkEntry.queries("similarity_ann_lsh")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    assert(ann.map(_.getAs[Long]("vec_id")).contains(0L))
+    assert(ann.map(_.getAs[Long]("bucket")).distinct.length == 1)
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e6")).toMap
+    ann.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(s => assert(s == r.getAs[Long]("sim_e6")))
+    }
+  }
+
+  test("near-dup pairs are symmetric-free (a < b) and above threshold") {
+    val rows = SparkEntry.queries("embedding_near_dup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Long]("sim_e6") >= 150000L)
+    }
+  }
+}

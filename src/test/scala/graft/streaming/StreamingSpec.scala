@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming tests (SURVEY.md §2.6/§5): watermarked tumbling windows
+  * over a MemoryStream (manual event times only — never the wall
+  * clock), append-sink accumulation, and checkpoint restart without
+  * reprocessing. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2022-12-18 $hhmm:00")
+
+  test("watermark closes hour windows; append emits only finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = Streaming.hourlyTumbling(
+      input.toDF().toDF("ts", "value"), watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling").start()
+    try {
+      input.addData((ts("10:05"), 1.0), (ts("10:20"), 2.0), (ts("11:05"), 4.0))
+      q.processAllAvailable()
+      // Watermark after batch 1 = 11:05 - 10m = 10:55 < 11:00 → the
+      // 10:00 window is still open; append has emitted nothing.
+      assert(spark.table("tumbling").isEmpty)
+
+      input.addData((ts("12:30"), 8.0)) // watermark → 12:20, closes 10:00 + 11:00
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => r.getAs[Timestamp]("hour_start") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(rows(ts("10:00")) == ((2L, 3.0)))
+      assert(rows(ts("11:00")) == ((1L, 4.0)))
+      assert(!rows.contains(ts("12:00"))) // still open
+    } finally q.stop()
+  }
+
+  test("checkpointed append sink: restart does not reprocess") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val table = tmpDir("stream-table") + "/t"
+    val ckpt = tmpDir("stream-ckpt")
+    val df = input.toDF().toDF("ts", "value")
+
+    input.addData((ts("10:00"), 1.0), (ts("10:30"), 2.0))
+    val q1 = Streaming.startAppend(df, table, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+
+    // Restart from the same checkpoint with one new record: only the
+    // new record is appended (offsets recovered, no duplicates).
+    input.addData((ts("11:00"), 4.0))
+    val q2 = Streaming.startAppend(df, table, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val rows = spark.read.parquet(table)
+    assert(rows.count() == 3)
+    assert(rows.agg(sum("value")).collect().head.getDouble(0) == 7.0)
+  }
+}
