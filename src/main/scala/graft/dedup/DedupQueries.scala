@@ -30,21 +30,37 @@ object DedupQueries {
   private val R = 4
   private val B = 3
 
-  /** 3-token shingles. `get` is 0-based and yields NULL out of range,
-    * matching DuckDB's out-of-bounds list index; a NULL token makes the
-    * whole shingle NULL on both engines (concat, not concat_ws — Spark's
-    * concat_ws would silently *skip* nulls and diverge).
+  /** 3-token shingles over an ALREADY-MATERIALIZED token array column.
+    * The lambda must reference an attribute, not `split(text)` inline —
+    * a higher-order lambda re-evaluates its captured subtree per
+    * element, turning shingling O(tokens²) (measured 20×+ slower).
+    * `get` is 0-based and yields NULL out of range, matching DuckDB's
+    * out-of-bounds list index; a NULL token makes the whole shingle
+    * NULL on both engines (concat, not concat_ws — Spark's concat_ws
+    * would silently *skip* nulls and diverge).
     */
-  private def shingles: Column =
+  private def shinglesOf(tk: Column): Column =
     filter(
       transform(
-        sequence(lit(0), greatest(size(toks), lit(3)) - 3),
+        sequence(lit(0), greatest(size(tk), lit(3)) - 3),
         i =>
           concat(
-            get(toks, i), lit(" "),
-            get(toks, i + 1), lit(" "),
-            get(toks, i + 2))),
+            get(tk, i), lit(" "),
+            get(tk, i + 1), lit(" "),
+            get(tk, i + 2))),
       x => x.isNotNull)
+
+  /** documents → (doc_id, toks) with the split materialized below a
+    * repartition Exchange: the Exchange is an optimizer barrier, so
+    * CollapseProject cannot inline `split` back into the per-element
+    * lambdas above it; it also parallelizes the CPU-heavy shingle work
+    * when the input is one unsplittable file / row group. */
+  private def tokenized(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), toks.as("toks"))
+      .transform(d => d.repartition(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id")))
 
   private val sqlToks = "string_split(text, ' ')"
   private val sqlShingles: String =
@@ -52,20 +68,22 @@ object DedupQueries {
       s"i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]), " +
       "x -> x IS NOT NULL)"
 
-  /** Per-doc K-element MinHash signature: explode shingles once, K min
-    * aggregates in one codegen'd pass (the scan and the hash all stay
-    * inside whole-stage codegen; the shuffle carries K longs per doc). */
+  /** Per-doc K-element MinHash signature: explode shingles once, hash
+    * each shingle ONCE (md5), then K affine universal-hash transforms
+    * inside K min aggregates — one codegen'd pass, one md5 per shingle
+    * (K md5s per shingle measured ~5× slower end-to-end). */
   private def signatures(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), explode(shingles).as("sh"))
+    tokenized(t)
+      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
+      .select(col("doc_id"), Hashes.tokHash(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
-        min(Hashes.seededHash(0, col("sh"))).as("mh0"),
+        min(Hashes.affine(0, col("h"))).as("mh0"),
         (1 until K).map(i =>
-          min(Hashes.seededHash(i, col("sh"))).as(s"mh$i")): _*)
+          min(Hashes.affine(i, col("h"))).as(s"mh$i")): _*)
 
   private def sqlSignature(i: Int): String =
-    s"list_min(list_transform($sqlShingles, t -> ${Hashes.sqlSeededHash(i, "t")})) AS mh$i"
+    s"list_min(list_transform($sqlShingles, t -> ${Hashes.sqlAffine(i, Hashes.sqlTokHash("t"))})) AS mh$i"
 
   /** md5 over the ':'-joined band signature; NULL if any row is NULL
     * (short doc), so degenerate docs never collide. */
@@ -208,7 +226,8 @@ object DedupQueries {
        |JOIN sh b ON cand.doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val sh = t.documents.select(col("doc_id"), shingles.as("sh"))
+    val sh = tokenized(t)
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(array_distinct(concat(col("a.sh"), col("b.sh"))))
     candidatePairs(t)

@@ -21,12 +21,29 @@ object Hashes {
   def sqlTokHash(expr: String): String =
     s"CAST(CAST('0x' || substr(md5($expr), 1, 8) AS UBIGINT) AS BIGINT)"
 
-  /** Seeded variant: hash of "<seed>:<value>" — the cheap way to get k
-    * independent hash functions for MinHash without a real hash family. */
+  /** Seeded variant: hash of "<seed>:<value>" — k independent hashes by
+    * re-hashing. k×md5 cost; prefer [[affine]] over one [[tokHash]] when
+    * k functions are needed per value (MinHash). */
   def seededHash(seed: Int, c: Column): Column =
     tokHash(concat(lit(s"$seed:"), c))
 
   /** DuckDB SQL mirroring [[seededHash]]. */
   def sqlSeededHash(seed: Int, expr: String): String =
     sqlTokHash(s"'$seed:' || ($expr)")
+
+  /** Universal hash family over a 32-bit base hash: h_i = (a_i·h + b_i)
+    * mod p, p prime > 2^32. One md5 per value, k cheap affine
+    * transforms — exact int64 arithmetic, identical on both engines:
+    * a_i < 2^31 and h < 2^32 keep a_i·h ≤ (2^31-1)(2^32-1) < 2^63-2^32,
+    * and adding b_i < 2^33 stays under 2^63 (no signed overflow). */
+  val P: Long = 4294967311L
+  def a(i: Int): Long = (2654435761L * (i + 1) + 1) % 2147483647L + 1
+  def b(i: Int): Long = (2654435789L * (i + 1) + 17) % P
+
+  def affine(i: Int, h: Column): Column =
+    (lit(a(i)) * h + lit(b(i))) % lit(P)
+
+  /** DuckDB SQL mirroring [[affine]]. */
+  def sqlAffine(i: Int, expr: String): String =
+    s"(${a(i)} * ($expr) + ${b(i)}) % $P"
 }

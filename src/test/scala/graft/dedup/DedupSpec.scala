@@ -10,9 +10,9 @@ class DedupSpec extends SparkSpec {
 
   private lazy val dir: String = {
     import spark.implicits._
-    val base = "spark catalyst shuffles partition data across executors " +
-      "for wide joins and aggregations at scale " * 3
-    val near = base.replaceFirst("catalyst", "tungsten") // 1 shingle-window change
+    val base = ("spark catalyst shuffles partition data across executors " +
+      "for wide joins and aggregations at scale ") * 8
+    val near = base.replaceFirst("catalyst", "tungsten") // 1 token → ≤3 shingles change
     val other = "completely different words about cooking pasta with " +
       "tomatoes basil garlic olive oil and fresh bread " * 3
     val docs = Seq(
