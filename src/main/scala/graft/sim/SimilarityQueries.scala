@@ -44,16 +44,14 @@ object SimilarityQueries {
   private val planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until Planes).map(p => (0 until Dim).map(i => planeCoef(p, i)))
 
-  /** Left-fold dot product of two array columns, doubles all the way. */
+  /** Left-fold dot product, doubles all the way — the native codegen'd
+    * [[graft.functions.VectorDot]] (bit-identical to the zip_with +
+    * aggregate fold it replaces, which stayed on the interpreted HOF
+    * path and dominated every similarity operator's profile). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_vector_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine integerized to 1e-6 units (exact long on both engines). */
   private def simE6(a: Column, b: Column): Column =
@@ -180,6 +178,66 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN: labels act as the coarse quantizer's cells (stand-in
+    * for trained k-means — the search plumbing is the IVF part). Build
+    * per-cell centroids (deterministic integerized mean per dimension),
+    * rank cells by centroid similarity to the probe, then scan only the
+    * nprobe=2 best cells. At 100 TB the inverted lists are the
+    * label-partitioned table and the centroid table is broadcast —
+    * the full scan is replaced by partition-pruned reads. */
+  private val similarityIvf = Q(
+    "similarity_ivf", {
+      val probeSim = sqlSimE6("centroid", "q_emb")
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1),
+         |exp AS (
+         |  SELECT label, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN range(1, $Dim + 1) i
+         |), cdim AS (
+         |  SELECT label, pos,
+         |         (CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |            / 10000000.0) / count(*) AS c
+         |  FROM exp GROUP BY label, pos
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid FROM cdim GROUP BY label
+         |), probed AS (
+         |  SELECT label FROM cent CROSS JOIN q
+         |  ORDER BY $probeSim DESC, label LIMIT 2
+         |)
+         |SELECT vec_id, e.label AS label, ${sqlSimE6("embedding", "q_emb")} AS sim_e6
+         |FROM embeddings e JOIN probed p ON e.label = p.label CROSS JOIN q
+         |ORDER BY sim_e6 DESC, vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    // Per-(label, dim) deterministic mean: integerize-then-sum (exact
+    // int64, partition-order independent), then two deterministic ops.
+    val cdim = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(((sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5)))
+        / lit(1e7)) / count(lit(1))).as("c"))
+    val cent = cdim
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val q = queryVec(t)
+    val probed = cent
+      .crossJoin(broadcast(q))
+      .select(col("label"), simE6(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(2)
+      .select("label")
+    t.embeddings
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Q] =
-    Seq(similarityTopk, similarityAnnLsh, embeddingNearDup)
+    Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup)
 }
