@@ -57,4 +57,39 @@ object Streaming {
       checkpointDir: String,
       trigger: Trigger = HourlyTrigger): StreamingQuery =
     appendWriter(df, tableDir, checkpointDir, trigger).start()
+
+  /** The reference DAG as a stream: raw BPI JSON snapshots arriving in
+    * a directory (the GCS raw zone, bpi_etl_bigquery.py:76-84) are
+    * picked up per micro-batch, pushed through the full BpiTransform
+    * against the validated XR feed, and appended to the warehouse table
+    * with pinned nullability — `@hourly` + WRITE_APPEND, with exactly-
+    * once file tracking from the checkpoint instead of manual replay. */
+  def startBpiIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      rawDir: String,
+      xrJsonPath: String,
+      tableDir: String,
+      checkpointDir: String,
+      lastUpdated: String,
+      trigger: Trigger = HourlyTrigger): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(graft.etl.Schemas.bpi)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", "16")
+      .json(rawDir)
+    raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val xr = graft.etl.Ingest.readXr(batch.sparkSession, xrJsonPath)
+          val out = graft.etl.Sinks.withPinnedSchema(
+            graft.etl.BpiTransform(batch.toDF(), xr, lastUpdated),
+            graft.etl.Schemas.bpiXrHourly)
+          Sinks.appendParquet(out, tableDir)
+        }
+      }
+      .start()
+  }
 }
