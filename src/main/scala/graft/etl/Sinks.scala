@@ -47,6 +47,14 @@ object Sinks {
   def appendParquet(df: DataFrame, tableDir: String): Unit =
     df.write.mode("append").parquet(tableDir)
 
+  /** Time-partitioned warehouse layout (SURVEY.md §1.1: the hourly
+    * append table "at scale, a time-partitioned table"): one directory
+    * per partition value, so date-ranged queries prune at the file
+    * listing — the engine-side analog of the slides' BigQuery
+    * partitioning advice. */
+  def appendPartitioned(df: DataFrame, tableDir: String, partitionCol: String): Unit =
+    df.write.mode("append").partitionBy(partitionCol).parquet(tableDir)
+
   /** `<md5(content)[0:6]>-<yyyy-MM-dd-HH-mm-ss>` — create_random_dt_prefix
     * (bpi_etl_bigquery.py:8-23): md5 over the snapshot *content* spreads
     * object-store keys across the keyspace so request autoscaling never

@@ -75,6 +75,70 @@ object RelationalQueries {
       .orderBy("return_flag", "line_status")
   }
 
+  /** Cube over the Q1 grouping keys — the full grouping-set lattice
+    * (4 combinations), NULL markers collapsed like agg_rollup. */
+  private val aggCube = Q(
+    "agg_cube",
+    s"""SELECT coalesce(l_returnflag, '_all_') AS return_flag,
+       |       coalesce(l_linestatus, '_all_') AS line_status,
+       |       ${Det.sqlDsum("l_quantity")} AS sum_qty,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY return_flag, line_status""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all_")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("line_status"),
+        col("sum_qty"), col("count_order"))
+      .orderBy("return_flag", "line_status")
+  }
+
+  /** Composed analytical query (TPC-H Q3 shape, public-domain):
+    * dimension filter → broadcast ⋈ → large-large ⋈ → grouped revenue →
+    * top-10. The plan every warehouse query decomposes into: customer
+    * broadcasts, lineitem⋈orders shuffles once on the order key, the
+    * final top-k is a TakeOrderedAndProject, never a global sort. */
+  private val q3ShippingPriority = Q(
+    "q3_shipping_priority",
+    s"""SELECT l_orderkey,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |       o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(
+        t.orders.filter(
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(
+        col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Broadcast hash join: the dimension side (customer) ships to every
     * executor; the fact side (orders) never shuffles. This is the join
     * shape for fact×dim at any scale — explicitly hinted so the plan
@@ -259,7 +323,7 @@ object RelationalQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    aggGroup, aggRollup, joinBroadcast, joinSortmerge, joinAnti,
-    distinctUsers, approxDistinct, topk, setOps, windowLagReturn,
-    windowTumbling)
+    aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
+    joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
+    windowLagReturn, windowTumbling)
 }

@@ -49,6 +49,22 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("partitioned append: one directory per partition value, scan prunes") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val dir = tmpDir("part") + "/t"
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Sinks.appendPartitioned(orders, dir, "order_month")
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("order_month=")))
+    val pruned = spark.read.parquet(dir).filter(col("order_month") === "1995-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(plan.contains("PartitionFilters") || subdirs.size > 1)
+  }
+
   test("snapshot prefix layout: <md5[0:6]>-<yyyy-MM-dd-HH-mm-ss>") {
     val ts = Instant.parse("2022-12-18T10:30:05Z")
     val p = Sinks.snapshotPrefix("hello".getBytes("UTF-8"), ts)
