@@ -288,7 +288,7 @@ object RelationalQueries {
     Tables(s, dir).events
       .select(
         col("event_id"), col("user_id"), col("value"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         lag(col("value"), 1).over(w).as("prev_value"),
         (col("value") - lag(col("value"), 1).over(w)).as("delta"))
       .orderBy("event_id")

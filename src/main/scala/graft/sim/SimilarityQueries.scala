@@ -83,9 +83,9 @@ object SimilarityQueries {
     planes(p).map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
 
   private def sqlBucket(e: String): String =
-    (0 until Planes)
+    "CAST(" + (0 until Planes)
       .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+      .mkString("(", " + ", ")") + " AS BIGINT)"
 
   /** Embeddings with their LSH bucket (shared by the ANN + near-dup ops). */
   private def bucketed(t: Tables): DataFrame =

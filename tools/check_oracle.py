@@ -31,6 +31,10 @@ for name in sorted(os.listdir(out)):
     sdf = sdf[sorted(sdf.columns)]; odf = odf[sorted(odf.columns)]
     if list(sdf.columns) != list(odf.columns):
         print(f"!! {name}: SCHEMA cols spark={list(sdf.columns)} oracle={list(odf.columns)}"); fail += 1; continue
+    dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in sdf.columns
+          if str(sdf[c].dtype) != str(odf[c].dtype)]
+    if dt:
+        print(f"?? {name}: DTYPES differ (warn): {dt}")
     if len(sdf) != len(odf):
         print(f"!! {name}: ROWS spark={len(sdf)} oracle={len(odf)}"); fail += 1; continue
     bad = []
