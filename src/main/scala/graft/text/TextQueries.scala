@@ -15,12 +15,9 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** 32-bit token hash both engines can compute identically: first 8 hex
-    * chars of md5, parsed as an integer. */
-  private def tokHash(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-  private def sqlTokHash(t: String): String =
-    s"CAST(CAST('0x' || substr(md5($t), 1, 8) AS UBIGINT) AS BIGINT)"
+  // 32-bit cross-engine token hash — shared with dedup (graft.util.Hashes)
+  private def tokHash(t: Column): Column = graft.util.Hashes.tokHash(t)
+  private def sqlTokHash(t: String): String = graft.util.Hashes.sqlTokHash(t)
 
   /** Tokenize + corpus word count: explode is partition-local; only the
     * per-word partial counts shuffle (map-side combine). */
