@@ -56,11 +56,8 @@ object DedupQueries {
     * lambdas above it; it also parallelizes the CPU-heavy shingle work
     * when the input is one unsplittable file / row group. */
   private def tokenized(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), toks.as("toks"))
-      .transform(d => d.repartition(
-        d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("doc_id")))
+    graft.util.Par.byKey(
+      t.documents.select(col("doc_id"), toks.as("toks")), "doc_id")
 
   private val sqlToks = "string_split(text, ' ')"
   private val sqlShingles: String =

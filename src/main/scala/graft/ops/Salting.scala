@@ -18,18 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic-ish per-row salt in [0, salts): hash of the salt-by
-    * column (any row-level column works; using the value column spreads
-    * identical keys). Internal only — never part of an oracle-checked
-    * result. */
-  private def saltOf(c: Column, salts: Int): Column =
-    pmod(hash(c), lit(salts))
+  /** Rotating per-row salt in [0, salts): spreads even a key whose rows
+    * are byte-identical (a value-derived hash would be constant for
+    * those rows and leave the hot reducer hot). Internal only — never
+    * part of an oracle-checked result. */
+  private def rotatingSalt(salts: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
+      .cast("int")
 
   /** Skew-safe sum+count per key group: two-phase aggregate through a
     * salted intermediate. Result is exact for algebraic aggregates. */
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], value: String, salts: Int): DataFrame = {
-    val salted = df.withColumn("__salt", saltOf(col(value), salts))
+    val salted = df.withColumn("__salt", rotatingSalt(salts))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(value)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -46,11 +47,8 @@ object Salting {
       large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String, salts: Int): DataFrame = {
     // hash(key) is constant per key, so it would NOT spread a hot key;
-    // salt large rows by a rotating per-row expression instead.
-    val lSpread = large.withColumn(
-      "__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
-        .cast("int"))
+    // salt large rows by the rotating per-row expression instead.
+    val lSpread = large.withColumn("__salt", rotatingSalt(salts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     lSpread.join(s,

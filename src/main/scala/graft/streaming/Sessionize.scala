@@ -51,11 +51,20 @@ object Sessionize {
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       open match {
-        case Some(s) if t - s.lastMs <= gapMs =>
-          open = Some(Open(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
-        case Some(s) =>
+        // In-gap on either side (watermark admits bounded disorder
+        // across batches, so t can precede the open session): merge and
+        // widen BOTH bounds — a session must contain its events.
+        case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+          open = Some(Open(
+            math.min(s.startMs, t), math.max(s.lastMs, t),
+            s.n + 1, s.sum + e.value))
+        case Some(s) if t - s.lastMs > gapMs =>
           closed += toSession(uid, s)
           open = Some(Open(t, t, 1, e.value))
+        case Some(_) =>
+          // More than a gap BEFORE the open session: a stray event from
+          // an already-elapsed window; emit it as its own session.
+          closed += toSession(uid, Open(t, t, 1, e.value))
         case None =>
           open = Some(Open(t, t, 1, e.value))
       }

@@ -83,9 +83,14 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
+          // Same validation gate as the batch path (Ingest.readBpi) — a
+          // snapshot that would abort the batch pipeline must abort the
+          // micro-batch too, not slip NULLs past the pinned schema.
+          val checked = graft.etl.Validation.enforce(
+            batch.toDF(), graft.etl.Validation.bpiRules)
           val xr = graft.etl.Ingest.readXr(batch.sparkSession, xrJsonPath)
           val out = graft.etl.Sinks.withPinnedSchema(
-            graft.etl.BpiTransform(batch.toDF(), xr, lastUpdated),
+            graft.etl.BpiTransform(checked, xr, lastUpdated),
             graft.etl.Schemas.bpiXrHourly)
           Sinks.appendParquet(out, tableDir)
         }

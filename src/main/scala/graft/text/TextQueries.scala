@@ -135,12 +135,9 @@ object TextQueries {
        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        |FROM documents
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables(s, dir).documents
-      // per-token md5 folds are CPU-heavy interpreted HOFs: parallelize
-      // even off a single-row-group input (see DedupQueries.signatures)
-      .transform(d => d.repartition(
-        d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("doc_id")))
+    // per-token md5 folds are CPU-heavy interpreted HOFs: parallelize
+    // even off a single-row-group input (see DedupQueries.signatures)
+    graft.util.Par.byKey(Tables(s, dir).documents, "doc_id")
       .select(
         col("doc_id"),
         md5(col("text")).as("content_hash"),

@@ -21,16 +21,6 @@ object Hashes {
   def sqlTokHash(expr: String): String =
     s"CAST(CAST('0x' || substr(md5($expr), 1, 8) AS UBIGINT) AS BIGINT)"
 
-  /** Seeded variant: hash of "<seed>:<value>" — k independent hashes by
-    * re-hashing. k×md5 cost; prefer [[affine]] over one [[tokHash]] when
-    * k functions are needed per value (MinHash). */
-  def seededHash(seed: Int, c: Column): Column =
-    tokHash(concat(lit(s"$seed:"), c))
-
-  /** DuckDB SQL mirroring [[seededHash]]. */
-  def sqlSeededHash(seed: Int, expr: String): String =
-    sqlTokHash(s"'$seed:' || ($expr)")
-
   /** Universal hash family over a 32-bit base hash: h_i = (a_i·h + b_i)
     * mod p, p prime > 2^32. One md5 per value, k cheap affine
     * transforms — exact int64 arithmetic, identical on both engines:

@@ -42,4 +42,24 @@ class BpiIngestStreamSpec extends SparkSpec {
     assert(after2.count() == 2)
     assert(after2.select("last_updated").distinct().count() == 2)
   }
+
+  test("an invalid snapshot aborts the micro-batch (validation gate parity)") {
+    val rawDir = tmpDir("bpi-raw-bad")
+    val table = tmpDir("bpi-wh-bad") + "/t"
+    val bad = fixtureText("bpi-raw-data.json")
+      .replace("\"Bitcoin\"", "\"Ethereum\"")
+    Files.writeString(Paths.get(s"$rawDir/tick-1.json"), bad)
+    val q = Streaming.startBpiIngest(
+      spark, rawDir, fixture("rupiah-exchange-rate.json"),
+      table, tmpDir("bpi-ckpt-bad"), "2022-12-18 11:00:00",
+      Trigger.AvailableNow())
+    val e = intercept[Exception](q.awaitTermination())
+    assert(e.getMessage.contains("chartName_is_Bitcoin")
+      || Option(e.getCause).exists(_.getMessage.contains("chartName_is_Bitcoin")))
+    // The directory may exist (task-attempt temp files) but no data
+    // file was ever committed.
+    val committed = Option(new java.io.File(table).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(committed.isEmpty)
+  }
 }

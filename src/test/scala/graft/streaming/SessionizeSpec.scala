@@ -50,4 +50,31 @@ class SessionizeSpec extends SparkSpec {
       assert(u2.head.n_events == 1 && u2.head.sum_value == 5.0)
     } finally q.stop()
   }
+
+  test("cross-batch out-of-order event widens the session's start bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize(
+      input.toDS(), gapMs = 30 * 60 * 1000, watermarkDelay = "2 hours")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sessions").start()
+    try {
+      input.addData(Event(7L, ts("10:00"), 1.0))
+      q.processAllAvailable()
+      // Watermark lag is 2h, so a 09:45 event in the next batch is
+      // admitted; it must EXTEND the session backwards.
+      input.addData(Event(7L, ts("09:45"), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(7L, ts("14:00"), 0.0)) // closes the session
+      input.addData(Event(8L, ts("23:30"), 0.0)) // push watermark far along
+      q.processAllAvailable()
+      val u7 = spark.table("ooo_sessions").as[Sessionize.Session]
+        .collect().filter(s => s.user_id == 7L && s.n_events == 2)
+      assert(u7.length == 1)
+      assert(u7.head.session_start == ts("09:45"))
+      assert(u7.head.session_end == ts("10:00"))
+      assert(u7.head.sum_value == 3.0)
+    } finally q.stop()
+  }
 }
