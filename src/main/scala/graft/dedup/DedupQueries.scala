@@ -223,11 +223,22 @@ object DedupQueries {
        |JOIN sh b ON cand.doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
+    // Persisted: the pair list is tiny (candidates, not corpus) and is
+    // consumed twice below — without the cache each consumer re-runs
+    // the whole signature pipeline.
+    val cand = candidatePairs(t).persist()
+    // Shingle ONLY docs that appear in a candidate pair (left-semi
+    // prune): verification cost scales with candidates, not corpus —
+    // the property that keeps this shape viable at 100 TB.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val sh = tokenized(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(array_distinct(concat(col("a.sh"), col("b.sh"))))
-    candidatePairs(t)
+    cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
       .select(
