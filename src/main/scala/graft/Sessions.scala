@@ -12,6 +12,20 @@ import org.apache.spark.sql.SparkSession
   *    default — at cluster scale this is the knob sized to input volume
   */
 object Sessions {
+  // One warehouse per JVM (getOrCreate ignores static confs on reuse
+  // anyway), recursively removed on exit.
+  private lazy val warehouseDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,8 +33,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       // Per-JVM warehouse: the in-memory catalog starts empty each run,
       // so a reused on-disk location would collide with CREATE TABLE.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -223,10 +223,13 @@ object DedupQueries {
        |JOIN sh b ON cand.doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    // Persisted: the pair list is tiny (candidates, not corpus) and is
-    // consumed twice below — without the cache each consumer re-runs
-    // the whole signature pipeline.
-    val cand = candidatePairs(t).persist()
+    // localCheckpoint (eager), NOT persist: both frames are tiny
+    // (candidates, not corpus) and each is consumed twice below, so the
+    // signature pipeline and the pruned shingling run exactly once.
+    // persist() would leak into the session's CacheManager and turn any
+    // later identical plan (e.g. a benchmark's second run) into a
+    // silent cache hit; a localCheckpoint is scoped to this invocation.
+    val cand = candidatePairs(t).localCheckpoint()
     // Shingle ONLY docs that appear in a candidate pair (left-semi
     // prune): verification cost scales with candidates, not corpus —
     // the property that keeps this shape viable at 100 TB.
@@ -236,6 +239,7 @@ object DedupQueries {
     val sh = tokenized(t)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
+      .localCheckpoint()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(array_distinct(concat(col("a.sh"), col("b.sh"))))
     cand

@@ -10,9 +10,8 @@ class SqlSurfaceSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def registerViews(): Unit =
-    Seq("lineitem", "orders", "customer", "documents").foreach { t =>
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
-    }
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
 
   test("agg_group via spark.sql equals the DataFrame declaration") {
     registerViews()

@@ -40,8 +40,8 @@ class DetSpec extends SparkSpec {
     val ea = li.repartition(1).agg(Det.dsum(col("x"))).head().getDouble(0)
     val eb = li.repartition(32).agg(Det.dsum(col("x"))).head().getDouble(0)
     assert(ea == eb)
-    // dsum quantizes to cents, so it sits within n_rows × 0.005 of the
-    // true sum — a loose sanity bound, not a precision claim.
-    assert(math.abs(a - ea) < 30.0 && math.abs(b - eb) < 30.0)
+    // dsum quantizes to cents: worst case n_rows × 0.005 = 30 for the
+    // 6000-row fixture; assert at 2× so the sanity bound has headroom.
+    assert(math.abs(a - ea) <= 60.0 && math.abs(b - eb) <= 60.0)
   }
 }
