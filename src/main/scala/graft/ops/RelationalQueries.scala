@@ -322,8 +322,57 @@ object RelationalQueries {
       .orderBy("hour_start")
   }
 
+  /** Batch sessionization (the oracle-checkable twin of the streaming
+    * flatMapGroupsWithState Sessionize): gap-start flags via lag, then a
+    * running sum numbers the sessions — two window passes over ONE
+    * shuffle by user (both windows share the partitioning), then a
+    * grouped rollup per session. */
+  private val windowSession = Q(
+    "window_session",
+    """SELECT user_id, session_no,
+      |       count(*) AS n_events,
+      |       strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id
+      |                               ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |           CASE WHEN lag(epoch(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |                  OR epoch(CAST(ts AS TIMESTAMP))
+      |                     - lag(epoch(CAST(ts AS TIMESTAMP))) OVER w > 1800
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |  )
+      |)
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val epochS = unix_timestamp(col("ts"))
+    val newS = when(
+      lag(epochS, 1).over(w).isNull ||
+        epochS - lag(epochS, 1).over(w) > 1800L, 1L).otherwise(0L)
+    Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"), newS.as("new_s"))
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("session_no"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy("user_id", "session_no")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
-    windowLagReturn, windowTumbling)
+    windowLagReturn, windowTumbling, windowSession)
 }
