@@ -21,7 +21,7 @@ object Ingest {
     * by the caller (the XR auth params, :120-123, arrive via config —
     * secrets never live in code). */
   def httpGetJson(url: String, timeoutMs: Int = 30000): String = {
-    val conn = new java.net.URL(url).openConnection()
+    val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(timeoutMs)
     conn.setReadTimeout(timeoutMs)
@@ -31,6 +31,43 @@ object Ingest {
       try src.mkString finally src.close()
     } finally conn.disconnect()
   }
+
+  /** OER-style authenticated, date-templated fetch URL
+    * (bpi_etl_bigquery.py:118-128): the reference formats the run date
+    * into `historical/{date}.json` and passes auth as query params
+    * (`app_id` from an Airflow Variable, `symbols=IDR`). Here the
+    * template carries a `{date}` placeholder and params arrive from
+    * config — secrets never live in code. Params are URL-encoded and
+    * appended in the given order (requests.get param semantics). */
+  def templatedUrl(
+      template: String,
+      date: java.time.LocalDate,
+      params: Seq[(String, String)]): String = {
+    val base = template.replace(
+      "{date}",
+      date.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE))
+    if (params.isEmpty) base
+    else {
+      def enc(s: String): String =
+        java.net.URLEncoder.encode(s, "UTF-8")
+      val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+        .mkString("&")
+      base + (if (base.contains("?")) "&" else "?") + qs
+    }
+  }
+
+  /** Fetch one day of the OER historical feed (the extract_xr task,
+    * bpi_etl_bigquery.py:127-130): template the date in, authenticate
+    * via params, GET. */
+  def fetchHistoricalXr(
+      template: String,
+      date: java.time.LocalDate,
+      apiKey: String,
+      symbols: String = "IDR",
+      timeoutMs: Int = 30000): String =
+    httpGetJson(
+      templatedUrl(template, date, Seq("app_id" -> apiKey, "symbols" -> symbols)),
+      timeoutMs)
 
   /** Parse in-memory JSON documents against a declared schema.
     * FAILFAST mode: a malformed document raises at parse time

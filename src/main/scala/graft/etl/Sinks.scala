@@ -13,29 +13,39 @@ object Sinks {
     * requires exact flags (`has_nulls=['disclaimer','chart_name']`,
     * bpi_etl_bigquery.py:240-242 — BigQuery load fails on mismatch, see
     * the comment at :238-239). Columns must match the target schema by
-    * name, order and type. */
+    * name, order and type.
+    *
+    * Pinning happens at PLAN level (no RDD round-trip, so whole-stage
+    * codegen and the columnar scan path survive — this runs per
+    * micro-batch in the streaming ingest): required columns are wrapped
+    * in `AssertNotNull`, which is statically non-nullable AND fails the
+    * job on a runtime NULL (the BigQuery-rejects-bad-load semantic),
+    * then `df.to(schema)` reconciles the remaining flags (it can only
+    * widen nullability, which is why the required side needs the
+    * assert). */
   def withPinnedSchema(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
     require(
       df.schema.map(f => (f.name, f.dataType)) ==
         schema.map(f => (f.name, f.dataType)),
       s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
-    df.sparkSession.createDataFrame(df.rdd, schema)
+    val pinned = df.select(schema.map { f =>
+      val c = col(f.name)
+      if (f.nullable) c
+      else org.apache.spark.sql.graft.ColumnOps
+        .assertNotNull(c, Seq(s"required column ${f.name}")).as(f.name)
+    }: _*)
+    pinned.to(schema)
   }
 
   /** Parquet write with pinned nullability. Spark's parquet writer marks
     * every field optional for ecosystem compatibility, so the contract
     * is enforced where it matters: a NULL in a required column fails the
-    * write (the engine-side analog of BigQuery rejecting a bad load,
-    * bpi_etl_bigquery.py:238-239), and the read-back re-applies the
-    * pinned flags. */
+    * write (AssertNotNull in [[withPinnedSchema]] — the engine-side
+    * analog of BigQuery rejecting a bad load, bpi_etl_bigquery
+    * .py:238-239), and the read-back re-applies the pinned flags. */
   def pinnedParquet(df: DataFrame, schema: StructType, path: String): DataFrame = {
-    import org.apache.spark.sql.functions.{assert_true, col, lit}
-    val required = schema.filterNot(_.nullable).map(_.name)
-    val checked = required.foldLeft(withPinnedSchema(df, schema))((d, c) =>
-      d.filter(
-        assert_true(col(c).isNotNull, lit(s"required column $c is NULL"))
-          .isNull))
-    checked.write.mode("overwrite").parquet(path)
+    withPinnedSchema(df, schema).write.mode("overwrite").parquet(path)
     // File reads force every field nullable (Spark's file-source rule);
     // re-pin so the returned frame carries the warehouse contract.
     withPinnedSchema(df.sparkSession.read.schema(schema).parquet(path), schema)

@@ -1,0 +1,21 @@
+// Hosted under org.apache.spark.sql because Expression↔Column bridging
+// (classic.ExpressionUtils) is private[sql] — same packaging pattern as
+// VectorDot.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column-level helpers needing catalyst internals. */
+object ColumnOps {
+
+  /** Wrap a column in [[AssertNotNull]]: the output is statically
+    * non-nullable (so downstream schemas carry `nullable = false` at
+    * PLAN level — no RDD round-trip) and a NULL at runtime fails the
+    * job, which is the warehouse-contract semantic
+    * (bpi_etl_bigquery.py:238-242: BigQuery rejects a load whose data
+    * violates REQUIRED). */
+  def assertNotNull(c: Column, path: Seq[String]): Column =
+    ExpressionUtils.column(AssertNotNull(ExpressionUtils.expression(c), path))
+}
