@@ -23,9 +23,13 @@ object Bench {
     Tables(spark, sfDir).lineitem
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    // Best-of-2 per query: a single-JVM local[32] run shares the host
-    // with whatever else is bursting; the min of two runs measures the
-    // plan, not the interference.
+    // Best-of-2 per query, attempts DECORRELATED: two full passes over
+    // the query list, per-query min across passes. The virtualized host
+    // degrades in multi-minute windows (measured: thread-wakeup
+    // roundtrips swing 60→250µs and the whole JVM slows 5-30× while
+    // pure CPU stays flat — see BASELINE.md), so two back-to-back
+    // attempts of one query land in the same window and both inflate;
+    // attempts minutes apart give each query a shot at a clean window.
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -35,8 +39,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(name, fn)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      val a = pass1(name)
       val b = if (a >= 0) once(name, fn) else -1.0
       name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
     }

@@ -30,25 +30,18 @@ object DedupQueries {
   private val R = 4
   private val B = 3
 
-  /** 3-token shingles over an ALREADY-MATERIALIZED token array column.
-    * The lambda must reference an attribute, not `split(text)` inline —
-    * a higher-order lambda re-evaluates its captured subtree per
-    * element, turning shingling O(tokens²) (measured 20×+ slower).
-    * `get` is 0-based and yields NULL out of range, matching DuckDB's
-    * out-of-bounds list index; a NULL token makes the whole shingle
-    * NULL on both engines (concat, not concat_ws — Spark's concat_ws
-    * would silently *skip* nulls and diverge).
+  /** 3-token shingles over an ALREADY-MATERIALIZED token array column,
+    * via the native codegen'd [[org.apache.spark.sql.graft.Shingles]]
+    * expression — one tight loop per row instead of the interpreted
+    * higher-order-function pipeline (sequence + transform + filter +
+    * five-way concat per window), which was the allocation-heavy hot
+    * loop of every near-dedup signature pass. Bit-identical semantics
+    * (window count, NULL-token windows dropped, single-space join) —
+    * proven by the unchanged DuckDB oracle and by ShinglesSpec's
+    * equivalence property against the HOF formulation.
     */
   private def shinglesOf(tk: Column): Column =
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(tk), lit(3)) - 3),
-        i =>
-          concat(
-            get(tk, i), lit(" "),
-            get(tk, i + 1), lit(" "),
-            get(tk, i + 2))),
-      x => x.isNotNull)
+    org.apache.spark.sql.graft.ColumnOps.shingles(tk, 3)
 
   /** documents → (doc_id, toks) with the split materialized below a
     * repartition Exchange: the Exchange is an optimizer barrier, so

@@ -18,4 +18,10 @@ object ColumnOps {
     * violates REQUIRED). */
   def assertNotNull(c: Column, path: Seq[String]): Column =
     ExpressionUtils.column(AssertNotNull(ExpressionUtils.expression(c), path))
+
+  /** Word n-gram shingles over a token-array column via the native
+    * codegen'd [[Shingles]] expression (no session registration
+    * needed — builds the Column directly). */
+  def shingles(c: Column, n: Int): Column =
+    ExpressionUtils.column(Shingles(ExpressionUtils.expression(c), n))
 }
