@@ -18,8 +18,10 @@ import graft.{Q, Tables}
   * grouping by (band, band_hash) and pairing within buckets — never a
   * self-join (which would recompute signatures per side) and never an
   * all-pairs comparison. At 100 TB the only shuffles are the signature
-  * aggregate and the bucket groupBy; a degenerate bucket still costs
-  * quadratic pairs, which is inherent to LSH and bounded by band width.
+  * aggregate and the bucket groupBy; degenerate buckets (one hot band
+  * hash) are bounded by [[candidatePairs]]' rank cap — all-pairs only up
+  * to [[MaxBucketPairDocs]] docs per bucket, star edges beyond — so the
+  * worst case is linear in bucket size, not quadratic.
   */
 object DedupQueries {
 
@@ -113,21 +115,52 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** Degenerate-bucket bound: buckets up to this many docs get exact
+    * all-pairs expansion (classic LSH semantics, and what the DuckDB
+    * self-join oracle computes — no driver-SF bucket comes near this);
+    * docs beyond it connect by star edges instead. */
+  private[dedup] val MaxBucketPairDocs = 64
+
   /** Candidate near-dup pairs: group by (band, band_hash), pair within
-    * buckets. Bucket members are sorted so every pair is (low, high);
-    * multi-band collisions dedup via distinct. */
+    * buckets. Bucket members are ranked so every pair is (low, high);
+    * multi-band collisions dedup via distinct.
+    *
+    * Degenerate buckets are bounded two ways (one hot band hash — e.g.
+    * an all-identical corpus slice — would otherwise cost O(m²) pairs
+    * AND an O(m) collect_list buffer):
+    *  - docs ranked ≤ [[MaxBucketPairDocs]] within their bucket expand
+    *    all-pairs, exactly as before — every sane bucket is untouched;
+    *  - docs ranked above it emit ONE star edge to the bucket minimum,
+    *    keeping the near-dup cluster connected (survivor selection via
+    *    connected components sees the same component) at O(m) pairs,
+    *    without ever materializing the bucket in an aggregation buffer.
+    * Ranking, bucket size and bucket min come from window functions
+    * over the same (band, bh) partitioning — still exactly one shuffle.
+    */
   private[dedup] def candidatePairs(t: Tables): DataFrame = {
-    val buckets = bands(t)
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val ranked = bands(t)
+      .select(
+        col("doc_id"), col("band"), col("bh"),
+        row_number().over(byBucket.orderBy(col("doc_id"))).as("rk"),
+        count(lit(1)).over(byBucket).as("m"),
+        min(col("doc_id")).over(byBucket).as("bmin"))
+      .filter(col("m") > 1)
+    val headPairs = ranked
+      .filter(col("rk") <= MaxBucketPairDocs)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    buckets
       .select(explode(
         flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val tailStarEdges = ranked
+      .filter(col("rk") > MaxBucketPairDocs)
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    headPairs.union(tailStarEdges).distinct()
   }
 
   private def sqlCandidatePairs: String =

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed tables for co-located joins (SURVEY.md §4 / the 100 TB
   * design bullet): pre-partition both join sides into the same number
@@ -12,11 +13,21 @@ import org.apache.spark.sql.DataFrame
 object Bucketing {
 
   /** Write `df` as a bucketed (and in-bucket sorted) managed table.
-    * Sorting by the key additionally lets sort-merge join skip its
-    * sort. */
+    *
+    * The repartition on the bucket key before the write is load-bearing
+    * twice over: bucketing hashes with the same Murmur3-mod-N as
+    * HashPartitioning, so each write task holds exactly one bucket's
+    * rows and emits exactly ONE file per bucket. (a) Without it, every
+    * task writes a file into every bucket it touches — tasks × buckets
+    * small files at cluster scale; (b) Spark only trusts the written
+    * sort order when a bucket is a single file
+    * (`bucketsContainSingleFile`), and only then can sort-merge join
+    * skip its Sort. StorageQueriesSpec asserts the resulting join plan
+    * has zero Exchange and zero Sort. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")

@@ -371,8 +371,34 @@ object RelationalQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** Skew-safe grouped aggregate through [[Salting.saltedSumCount]]:
+    * each key's rows spread over 8 salted sub-keys, partially
+    * aggregated on (key, salt), finished on key — the shape that keeps
+    * one pathological hot key from flooding a single reducer at 100 TB.
+    * Sum/count are algebraic, so the salted two-phase result is EXACTLY
+    * the direct aggregate — which is what the plain-GROUP-BY oracle
+    * proves. Summed in Det integer units (order-independent), divided
+    * back once at the end. */
+  private val aggSalted = Q(
+    "agg_salted",
+    s"""SELECT event_type,
+       |       CAST(sum(${Det.sqlUnits("value", 100)}) AS BIGINT) / 100.0 AS sum_value,
+       |       count(*) AS n_rows
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+      .select(col("event_type"), Det.toUnits(col("value"), 100).as("vu"))
+    Salting.saltedSumCount(ev, Seq("event_type"), "vu", salts = 8)
+      .select(
+        col("event_type"),
+        (col("sum_vu") / lit(100.0)).as("sum_value"),
+        col("n_rows"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
-    windowLagReturn, windowTumbling, windowSession)
+    windowLagReturn, windowTumbling, windowSession, aggSalted)
 }

@@ -148,6 +148,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction — a first-class pass in any LLM training-data
+    * pipeline: regexp-scrub emails and phone-shaped digit runs before
+    * anything downstream sees the text. Pure regexp_replace (narrow,
+    * codegen'd, no shuffle), with patterns restricted to the regex
+    * subset Java and RE2 interpret identically so the DuckDB oracle
+    * checks the transform bit-exactly. Counts are emitted per doc so a
+    * pipeline can audit redaction volume. */
+  private[text] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+
+  private val textPiiRedact = Q(
+    "text_pii_redact",
+    s"""SELECT doc_id,
+       |       regexp_replace(
+       |         regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(textTokens, tokenCount, textQuality, langId, docFingerprint)
+    Seq(textTokens, tokenCount, textQuality, langId, docFingerprint,
+      textPiiRedact)
+}
+
+/** Spec fixture surface for [[TextQueries]]: the redaction expression
+  * applied to an arbitrary column, so tests can plant PII. */
+object PiiRedact {
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(c, TextQueries.EmailRe, "<EMAIL>"),
+      TextQueries.PhoneRe, "<PHONE>")
 }

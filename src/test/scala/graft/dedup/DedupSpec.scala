@@ -55,4 +55,31 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 1L)) == 1.0)
     j.get((0L, 2L)).foreach(v => assert(v > 0.7 && v < 1.0))
   }
+
+  test("degenerate LSH bucket: pair count bounded linear, cluster stays connected") {
+    import spark.implicits._
+    // 2000 byte-identical docs — every band hashes them into ONE bucket.
+    // Unbounded all-pairs would emit ~2.0M pairs; the rank cap must keep
+    // it to T*(T-1)/2 all-pairs + (m-T) star edges.
+    val m = 2000
+    val text = "all these documents carry exactly the same tokens " * 4
+    val docs = (0 until m).map(i =>
+      (i.toLong, text, "en", s"s$i", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("dedup-degenerate")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val t = DedupQueries.MaxBucketPairDocs
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == t * (t - 1) / 2 + (m - t),
+      s"expected bounded pair count, got ${pairs.length}")
+    // Connectivity: every doc appears in some pair, and each pair chains
+    // (directly or transitively through head all-pairs) to doc 0 — the
+    // property survivor selection by connected components needs.
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered == (0L until m.toLong).toSet)
+    assert(pairs.count(_._1 == 0L) == (m - t) + (t - 1),
+      "tail docs connect by star edges to the bucket minimum (doc 0)")
+  }
 }

