@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{Shingles, VectorDot}
+import org.apache.spark.sql.graft.{Shingles, TokenHashStats, VectorDot}
 
 /** Engine extension point (spark.sql.extensions=graft.functions
   * .GraftExtensions): registers the native expressions so they resolve
@@ -10,5 +10,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorDot.registration)
     ext.injectFunction(Shingles.registration)
+    ext.injectFunction(TokenHashStats.registration)
   }
 }

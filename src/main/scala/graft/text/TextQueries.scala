@@ -135,16 +135,19 @@ object TextQueries {
        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        |FROM documents
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // per-token md5 folds are CPU-heavy interpreted HOFs: parallelize
-    // even off a single-row-group input (see DedupQueries.signatures)
+    // One native MD5 pass per token (TokenHashStats) instead of the
+    // interpreted array_min(transform(md5)) + aggregate-fold pair that
+    // digested every token twice through closure dispatch — the slowest
+    // operator of the 10× scale stress before this (BASELINE.md). The
+    // repartition still spreads the CPU across cores when the input is
+    // one unsplittable row group (see DedupQueries.signatures).
+    val stats = org.apache.spark.sql.graft.ColumnOps.tokenHashStats(toks)
     graft.util.Par.byKey(Tables(s, dir).documents, "doc_id")
       .select(
         col("doc_id"),
         md5(col("text")).as("content_hash"),
-        array_min(transform(toks, t => md5(t))).as("min_token_hash"),
-        aggregate(toks, lit(0L),
-          (acc, t) => (acc * lit(31L) + tokHash(t)) % lit(1000000007L))
-          .as("rolling_hash"))
+        stats.getField("min_token_hash").as("min_token_hash"),
+        stats.getField("rolling_hash").as("rolling_hash"))
       .orderBy("doc_id")
   }
 

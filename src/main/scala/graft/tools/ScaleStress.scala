@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Sessions, SparkEntry}
+
+/** 10× scale stress for the dedup / similarity / text families
+  * (BASELINE.md scaling note): replicate the sf0.1 documents and
+  * embeddings tables 10× under /tmp with per-copy perturbations, run
+  * the corpus-bound queries at both scales, and print per-query
+  * (t_1x, t_10x, ratio). Near-linear ratios (≈10× work on 10× data on
+  * fixed cores) mean no super-linear term is hiding in the pipelines.
+  *
+  * Perturbation design: copies must NOT be near-dups of their original
+  * (that would multiply the candidate-pair volume quadratically in the
+  * copy count and measure an unrealistic 100%-dup corpus instead of
+  * scan/signature throughput), so every 5th token is rewritten with a
+  * copy-unique marker — shingle sets diverge, LSH buckets stay
+  * realistic. Embeddings get a copy-scaled offset, keeping vector
+  * geometry (and bucket occupancy) comparable.
+  */
+object ScaleStress {
+
+  private val DocQueries = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "token_count", "text_quality", "lang_id",
+    "doc_fingerprint", "text_pii_redact", "text_tokens")
+  private val EmbQueries = Seq(
+    "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
+    "embedding_near_dup")
+
+  private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+
+    docs.select(col("*"), k)
+      .select(
+        (col("doc_id") * copies + col("k")).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), (t, i) =>
+            when(i % 5 === pmod(col("k"), lit(5)),
+              concat(lit("v"), col("k"), t)).otherwise(t)),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    emb.select(col("*"), k)
+      .select(
+        (col("vec_id") * copies + col("k")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("k").cast("float") * lit(0.001f)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress10x"
+    val spark = Sessions.local(Sessions.cpusFromEnv)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
+      replicate(spark, sfDir, out, copies = 10)
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"[stress] corpus: $nDocs docs, $nEmb embeddings (10x $sfDir)")
+
+    (DocQueries ++ EmbQueries).foreach { q =>
+      val t1 = time(spark, q, sfDir)
+      val t10 = time(spark, q, out)
+      println(f"[stress] $q%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}

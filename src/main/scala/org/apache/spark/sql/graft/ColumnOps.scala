@@ -24,4 +24,9 @@ object ColumnOps {
     * needed — builds the Column directly). */
   def shingles(c: Column, n: Int): Column =
     ExpressionUtils.column(Shingles(ExpressionUtils.expression(c), n))
+
+  /** Single-MD5-pass token hash statistics (min token hash + rolling
+    * hash) via the native [[TokenHashStats]] expression. */
+  def tokenHashStats(c: Column): Column =
+    ExpressionUtils.column(TokenHashStats(ExpressionUtils.expression(c)))
 }
