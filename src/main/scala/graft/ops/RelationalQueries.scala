@@ -397,8 +397,85 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Exact interpolated quantiles (R-7, the definition both engines'
+    * exact percentile implements) per group. Values go through Det
+    * integer units first: with integer-valued doubles and dyadic
+    * quantile fractions (.25/.5/.75) every interpolation step
+    * (pos = p·(n−1), a + (b−a)·frac) is exact in IEEE-754, so the
+    * result is bit-identical across engines — the same trick that makes
+    * the sums deterministic. At scale this is the sort-based exact
+    * path; the sketch-based alternative is approx_distinct's cousin
+    * percentile_approx (declared no-oracle territory, not needed
+    * here). */
+  private val aggQuantiles = Q(
+    "agg_quantiles",
+    s"""SELECT event_type,
+       |       count(*) AS n,
+       |       quantile_cont(${Det.sqlUnits("value", 100)}, 0.25) / 100.0 AS p25,
+       |       quantile_cont(${Det.sqlUnits("value", 100)}, 0.5) / 100.0 AS p50,
+       |       quantile_cont(${Det.sqlUnits("value", 100)}, 0.75) / 100.0 AS p75
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(col("event_type"), Det.toUnits(col("value"), 100).as("vu"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (expr("percentile(vu, 0.25)") / 100.0).as("p25"),
+        (expr("percentile(vu, 0.5)") / 100.0).as("p50"),
+        (expr("percentile(vu, 0.75)") / 100.0).as("p75"))
+      .orderBy("event_type")
+  }
+
+  /** Range join, composed scale-safe (preference (a) of the custom-op
+    * ladder): events ⋈ 30 one-hour "audit windows" (daily 11:45-12:45)
+    * on `ts ∈ [start, end)`. A naive theta join is a
+    * BroadcastNestedLoopJoin — fine for 30 windows, a cluster-killer
+    * when both sides are large. This formulation bins both sides to the
+    * hour: each window explodes to the (two) hour buckets it overlaps,
+    * the join becomes an EQUI-join on the bucket plus a residual range
+    * filter — broadcastable here, shuffle-partitionable when the window
+    * side grows, never a cartesian loop. */
+  private val joinRange = Q(
+    "join_range",
+    s"""SELECT window_id,
+       |       count(*) AS n_events,
+       |       ${Det.sqlDsum("value")} AS sum_value
+       |FROM events
+       |JOIN (
+       |  SELECT i AS window_id,
+       |         TIMESTAMP '2024-01-01 11:45:00' + INTERVAL 1 DAY * (i - 1) AS ws
+       |  FROM range(1, 31) t(i)
+       |) w ON ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+       |GROUP BY window_id
+       |ORDER BY window_id""".stripMargin) { (s, dir) =>
+    val wins = s.range(1, 31).select(
+      col("id").as("window_id"),
+      expr("timestampadd(DAY, CAST(id - 1 AS INT), timestamp'2024-01-01 11:45:00')")
+        .as("ws"))
+    // Explode each window into the hour buckets it overlaps (a 60-min
+    // window crossing :45 covers exactly two), equi-join on the bucket.
+    val winBuckets = wins.select(
+      col("window_id"), col("ws"),
+      expr("timestampadd(MINUTE, 60, ws)").as("we"),
+      explode(array(
+        date_trunc("hour", col("ws")),
+        date_trunc("hour", expr("timestampadd(MINUTE, 60, ws)")))).as("bucket"))
+    Tables(s, dir).events
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .join(broadcast(winBuckets), Seq("bucket"))
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy("window_id")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
-    windowLagReturn, windowTumbling, windowSession, aggSalted)
+    windowLagReturn, windowTumbling, windowSession, aggSalted,
+    aggQuantiles, joinRange)
 }

@@ -34,6 +34,23 @@ object Streaming {
   /** Hourly micro-batch cadence (the `@hourly` schedule, :27). */
   val HourlyTrigger: Trigger = Trigger.ProcessingTime("1 hour")
 
+  /** Streaming exact dedup on an id key: duplicates arriving within the
+    * watermark horizon are dropped across micro-batches — the streaming
+    * twin of `dedup_exact`, and the idempotence layer an at-least-once
+    * upstream (retried fetches, replayed snapshots — the reference's
+    * manual-replay story, :80-84) needs before the append sink. State is
+    * bounded: `dropDuplicatesWithinWatermark` evicts ids once the
+    * watermark passes them, so the store holds one horizon's worth of
+    * keys, not the stream's history — the property that keeps this
+    * viable at 100 TB/day. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Append sink with checkpointed recovery: foreachBatch → parquet
     * append (the WRITE_APPEND load, :279-291), checkpoint directory for
     * restart-without-reprocessing (the raw-snapshot replay story made

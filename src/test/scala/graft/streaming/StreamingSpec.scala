@@ -63,4 +63,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() == 3)
     assert(rows.agg(sum("value")).collect().head.getDouble(0) == 7.0)
   }
+
+  test("dedupWithinWatermark drops repeats across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = Streaming.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "value"),
+      Seq("event_id"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // Batch 1: two events, one internal duplicate.
+      input.addData((1L, ts("10:00"), 1.0), (1L, ts("10:00"), 1.0),
+        (2L, ts("10:01"), 2.0))
+      q.processAllAvailable()
+      // Batch 2: id 1 retried (at-least-once upstream) within the
+      // watermark → dropped; id 3 is new.
+      input.addData((1L, ts("10:02"), 1.0), (3L, ts("10:03"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"retries must dedup: $ids")
+
+      // Advance the watermark far past id 1's horizon; its state is
+      // evicted, so a very-late replay of id 1 is admitted again —
+      // bounded state trades unbounded-history dedup for a horizon,
+      // which is the 100 TB contract.
+      input.addData((9L, ts("11:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("11:01"), 1.0))
+      q.processAllAvailable()
+      val after = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(after == Seq(1L, 1L, 2L, 3L, 9L),
+        s"post-horizon replay re-admitted (state evicted): $after")
+    } finally q.stop()
+  }
 }
