@@ -279,6 +279,73 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the LSH candidate-pair graph — the
+    * survivor-selection step of a near-dedup pipeline (every doc maps to
+    * its cluster representative = the component's min doc_id).
+    *
+    * Implementation is min-label propagation: per round, every node
+    * takes the min label among itself and its neighbors; converged when
+    * no label changes. Each round is one distributed join + groupBy;
+    * the driver loop only counts changes (a scalar) and is bounded by
+    * the graph diameter — near-dup clusters are shallow (the bucket
+    * graph is cliques + stars, see [[candidatePairs]]), so this
+    * converges in a handful of rounds where a 100 TB corpus would use
+    * the same loop (the large-star/small-star refinement halves rounds
+    * but not the per-round shape). Per-round localCheckpoint keeps the
+    * lineage flat (an unbroken loop lineage grows exponentially).
+    *
+    * The DuckDB oracle computes components independently via a
+    * recursive-CTE transitive closure over the same bucket graph — and
+    * the rank cap in [[candidatePairs]] preserves components exactly
+    * (cap graph = clique head + star tail over the same node set), so
+    * both sides agree even on degenerate buckets. */
+  private val dedupComponents = Q(
+    "dedup_components",
+    s"""WITH RECURSIVE ${sqlBandsCte.stripPrefix("WITH ")}, cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |), nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL SELECT doc_b FROM cand)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand
+       |), reach(s, t) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |)
+       |SELECT s AS doc_id, min(t) AS component
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val edges = candidatePairs(Tables(s, dir)).localCheckpoint()
+    val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbr = bi
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
+      dedupComponents)
 }

@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     j.get((0L, 2L)).foreach(v => assert(v > 0.7 && v < 1.0))
   }
 
+  test("dedup_components: dup cluster maps to one representative, loners absent") {
+    val comp = SparkEntry.queries("dedup_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0,1 (exact dups) are one component with min-id representative 0;
+    // the near-dup 2 joins it iff LSH paired it (either way, consistent).
+    assert(comp(0L) == 0L && comp(1L) == 0L)
+    comp.get(2L).foreach(c => assert(c == 0L))
+    assert(!comp.contains(3L), "unpaired docs have no component row")
+  }
+
   test("degenerate LSH bucket: pair count bounded linear, cluster stays connected") {
     import spark.implicits._
     // 2000 byte-identical docs — every band hashes them into ONE bucket.
