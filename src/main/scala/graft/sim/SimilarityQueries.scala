@@ -238,6 +238,59 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Symmetric int8 quantization per embedding — the compression step a
+    * 100 TB embedding store runs before anything else (4× smaller than
+    * f32, SIMD-friendly int dot products downstream). Per vector:
+    * scale m = max|x|, q_i = floor(x_i·127/m + 0.5) (all-zero vectors
+    * quantize to zeros). Emitted as audit scalars, not arrays: the
+    * scale, a position-weighted checksum of the full code vector (so
+    * the oracle proves every element), and the total reconstruction
+    * error in 1e-6 units. Every step is float→double cast, then
+    * identical IEEE op order on both engines — bit-exact, like the
+    * similarity folds above. Narrow per-row transform: no shuffle, no
+    * UDF. */
+  private val simQuantizeInt8 = Q(
+    "sim_quantize_int8", {
+      val m = s"list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+      val qi = s"CASE WHEN $m = 0.0 THEN 0.0 ELSE floor(CAST(x AS DOUBLE) * 127.0 / $m + 0.5) END"
+      s"""SELECT vec_id,
+         |       CAST(floor($m * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
+         |       CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+         |           p -> (CASE WHEN $m = 0.0 THEN 0.0
+         |                 ELSE floor(CAST(p[1] AS DOUBLE) * 127.0 / $m + 0.5) END)
+         |                * CAST(p[2] AS DOUBLE))),
+         |         (acc, x) -> acc + x) AS BIGINT) AS q_checksum,
+         |       CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(embedding,
+         |           x -> abs(CAST(x AS DOUBLE) - ($qi) * $m / 127.0))),
+         |         (acc, x) -> acc + x) * 1000000.0 + 0.5) AS BIGINT) AS err_e6
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    def qi(x: Column): Column =
+      when(col("m") === 0.0, lit(0.0))
+        .otherwise(floor(x.cast("double") * lit(127.0) / col("m") + lit(0.5)))
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), m.as("m"))
+      .select(
+        col("vec_id"),
+        floor(col("m") * lit(1e6) + lit(0.5)).cast("long").as("scale_e6"),
+        aggregate(
+          zip_with(col("embedding"),
+            sequence(lit(1), size(col("embedding"))),
+            (x, i) => qi(x) * i.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("q_checksum"),
+        floor(aggregate(
+          transform(col("embedding"),
+            x => abs(x.cast("double") - qi(x) * col("m") / lit(127.0))),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5))
+          .cast("long").as("err_e6"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup)
+    Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
+      simQuantizeInt8)
 }
