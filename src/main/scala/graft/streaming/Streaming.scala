@@ -34,6 +34,29 @@ object Streaming {
   /** Hourly micro-batch cadence (the `@hourly` schedule, :27). */
   val HourlyTrigger: Trigger = Trigger.ProcessingTime("1 hour")
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same key whose timestamps land within
+    * [left.ts, left.ts + `horizon`] — the streaming form of
+    * `join_range`'s bin-composed batch join (click→purchase
+    * attribution, request→response correlation). Both sides carry
+    * watermarks, and the time-bound join condition is what lets Spark
+    * evict buffered rows once the watermark passes the interval — the
+    * state-boundedness contract that keeps a stream-stream join viable
+    * at 100 TB/day; an unbounded-condition join would buffer both
+    * streams forever. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, horizon: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("ts", watermark)
+    l.as("l").join(
+      r.as("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Streaming exact dedup on an id key: duplicates arriving within the
     * watermark horizon are dropped across micro-batches — the streaming
     * twin of `dedup_exact`, and the idempotence layer an at-least-once

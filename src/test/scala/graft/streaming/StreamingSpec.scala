@@ -64,6 +64,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.agg(sum("value")).collect().head.getDouble(0) == 7.0)
   }
 
+  test("stream-stream interval join pairs within the horizon, drops outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("user_id", "ts").withColumnRenamed("ts", "ts"),
+      key = "user_id", horizon = "15 MINUTE")
+      .select(col("l.user_id"), col("l.ts").as("click_ts"), col("r.ts").as("buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attribution").start()
+    try {
+      clicks.addData((1L, ts("10:00")), (2L, ts("10:00")))
+      buys.addData((1L, ts("10:10")),  // within 15m of user 1's click
+        (2L, ts("10:30")),             // outside user 2's horizon
+        (3L, ts("10:05")))             // no click at all
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts("10:10"))),
+        s"only the in-horizon same-key pair joins: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeats across micro-batches, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
