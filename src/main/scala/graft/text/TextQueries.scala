@@ -184,9 +184,76 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Document chunking into overlapping token windows (size 50, stride
+    * 40) — the context-window preprocessing every LLM training pipeline
+    * runs. Chunk i covers tokens [i·S, i·S + C); a doc with n tokens
+    * yields ceil(max(n−C, 0)/S) + 1 chunks, so short docs yield exactly
+    * one and every token lands in ≥1 chunk. Narrow explode — rows grow
+    * by the chunk factor, bytes by the overlap factor, no shuffle. */
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  private val textChunk = Q(
+    "text_chunk", {
+      val n = "len(string_split(text, ' '))"
+      val nch = s"CAST((greatest($n - $ChunkSize, 0) + $ChunkStride - 1) // $ChunkStride + 1 AS BIGINT)"
+      s"""SELECT doc_id, chunk_id,
+         |       array_to_string(list_slice(toks,
+         |         chunk_id * $ChunkStride + 1,
+         |         chunk_id * $ChunkStride + $ChunkSize), ' ') AS chunk_text,
+         |       CAST(len(list_slice(toks,
+         |         chunk_id * $ChunkStride + 1,
+         |         chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_chunk_tokens
+         |FROM (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         unnest(range(0, $nch)) AS chunk_id
+         |  FROM documents
+         |)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    }) { (s, dir) =>
+    val n = size(col("toks"))
+    val nch = (greatest(n - ChunkSize, lit(0)) + (ChunkStride - 1))
+      .divide(ChunkStride).cast("int") + 1
+    val chunk = slice(col("toks"),
+      col("chunk_id").cast("int") * ChunkStride + 1, lit(ChunkSize))
+    Tables(s, dir).documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nch.cast("long") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic train/val/test assignment by content-independent
+    * hash of the doc id (90/5/5): the split a training pipeline needs
+    * to be stable across runs, partitions and engines — no rand(), no
+    * row order dependence. */
+  private val splitAssign = Q(
+    "split_assign", {
+      val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
+      s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
+         |       CASE WHEN $bucket < 90 THEN 'train'
+         |            WHEN $bucket < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, tokenCount, textQuality, langId, docFingerprint,
-      textPiiRedact)
+      textPiiRedact, textChunk, splitAssign)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression
