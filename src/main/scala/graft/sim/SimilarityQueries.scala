@@ -290,7 +290,56 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Top-k retrieval over the int8-quantized codes — proving the
+    * quantized store is queryable, not just writable. Score =
+    * m_v·m_q·⟨q_v,q_q⟩/127² (the dequantized dot product): the code dot
+    * is EXACT integer arithmetic (|q|≤127, 64 dims → ≤ 2²⁰, exact in
+    * doubles), so the only float ops are two scale multiplies in fixed
+    * order — deterministic on both engines, integerized for ranking.
+    * At 100 TB this is the memory-bound phase ANN engines run over
+    * int8 codes at 4× the f32 scan rate; recall vs the exact
+    * `similarity_topk` is checked in SimilaritySpec. */
+  private val similarityTopkInt8 = Q(
+    "similarity_topk_int8", {
+      def m(e: String) = s"list_max(list_transform($e, x -> abs(CAST(x AS DOUBLE))))"
+      def codes(e: String, mexp: String) =
+        s"list_transform($e, x -> CASE WHEN $mexp = 0.0 THEN 0.0 " +
+          s"ELSE floor(CAST(x AS DOUBLE) * 127.0 / $mexp + 0.5) END)"
+      val idot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip(${codes("embedding", m("embedding"))}, " +
+        s"${codes("q_emb", m("q_emb"))}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1)
+         |SELECT vec_id, label,
+         |       CAST(floor(${m("embedding")} * ${m("q_emb")} * $idot / 16129.0
+         |                  * 1000000.0 + 0.5) AS BIGINT) AS adot_e6
+         |FROM embeddings CROSS JOIN q
+         |ORDER BY adot_e6 DESC, vec_id
+         |LIMIT $TopK""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    def m(e: Column): Column =
+      array_max(transform(e, x => abs(x.cast("double"))))
+    def codes(e: Column, mc: Column): Column =
+      transform(e, x =>
+        when(mc === 0.0, lit(0.0))
+          .otherwise(floor(x.cast("double") * lit(127.0) / mc + lit(0.5))))
+    val base = t.embeddings.select(
+      col("vec_id"), col("label"),
+      m(col("embedding")).as("mv"),
+      codes(col("embedding"), m(col("embedding"))).as("cv"))
+    val qv = queryVec(t).select(
+      m(col("q_emb")).as("mq"),
+      codes(col("q_emb"), m(col("q_emb"))).as("cq"))
+    base.crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"), col("label"),
+        floor(col("mv") * col("mq") * dot(col("cv"), col("cq")) / lit(16129.0)
+          * lit(1e6) + lit(0.5)).cast("long").as("adot_e6"))
+      .orderBy(col("adot_e6").desc, col("vec_id"))
+      .limit(TopK)
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
-      simQuantizeInt8)
+      simQuantizeInt8, similarityTopkInt8)
 }

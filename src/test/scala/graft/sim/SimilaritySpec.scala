@@ -40,4 +40,19 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("sim_e6") >= 150000L)
     }
   }
+
+  test("int8 top-k: probe ranks first, high recall vs the exact top-k") {
+    val exact = SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val coarse = SparkEntry.queries("similarity_topk_int8")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // The probe is its own nearest neighbor even after quantization.
+    assert(coarse.head == SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().head.getAs[Long]("vec_id"))
+    // int8 scores are ~2 decimal digits of the f32 dot: recall@20
+    // should stay high (≥ 60% overlap on the tiny sf0.001 corpus).
+    val overlap = coarse.count(exact.contains)
+    assert(overlap >= (exact.size * 6) / 10,
+      s"int8 recall too low: $overlap of ${exact.size}")
+  }
 }
