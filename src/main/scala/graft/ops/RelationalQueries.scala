@@ -473,9 +473,59 @@ object RelationalQueries {
       .orderBy("window_id")
   }
 
+  /** As-of join — the time-series operator Spark lacks natively (the
+    * (a)-tier compose-existing-ops rung of the custom-op ladder): for
+    * each event, the user's most recent order at or before the event
+    * time. Composed as union → one window pass: both sides tagged and
+    * unioned, sorted within each key by (time, side) with the right
+    * side first at ties (as-of is ≤), then `last(_, ignoreNulls)` over
+    * an unbounded-preceding frame carries the latest order attributes
+    * forward onto every event row. ONE shuffle on the key for both
+    * inputs combined — the shape that beats a per-event range join at
+    * any scale, and exactly how a 1000-executor run would partition.
+    * Right side is pre-aggregated to one row per (key, time) so the
+    * carried row is deterministic. Oracle: DuckDB's native ASOF JOIN.
+    */
+  private val joinAsof = Q(
+    "join_asof",
+    """WITH r AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS rt,
+      |         max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT event_id, user_id, o_orderkey,
+      |       strftime(rt, '%Y-%m-%d %H:%M:%S') AS order_ts
+      |FROM events e
+      |ASOF JOIN r ON e.user_id = r.k AND CAST(e.ts AS TIMESTAMP) >= r.rt
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val rhs = t.orders
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("rt"))
+      .agg(max(col("o_orderkey")).as("ro"))
+      .select(
+        col("k"), col("rt").as("t"), lit(null).cast("long").as("event_id"),
+        lit(0).as("side"), col("ro"), col("rt"))
+    val lhs = t.events.select(
+      col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+      lit(1).as("side"), lit(null).cast("long").as("ro"),
+      lit(null).cast("timestamp").as("rt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rhs.union(lhs)
+      .select(
+        col("k"), col("event_id"), col("side"),
+        last(col("ro"), ignoreNulls = true).over(w).as("o_orderkey"),
+        last(col("rt"), ignoreNulls = true).over(w).as("carried_rt"))
+      .filter(col("side") === 1 && col("o_orderkey").isNotNull)
+      .select(
+        col("event_id"), col("k").as("user_id"), col("o_orderkey"),
+        date_format(col("carried_rt"), "yyyy-MM-dd HH:mm:ss").as("order_ts"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
     windowLagReturn, windowTumbling, windowSession, aggSalted,
-    aggQuantiles, joinRange)
+    aggQuantiles, joinRange, joinAsof)
 }
