@@ -480,12 +480,13 @@ object RelationalQueries {
     * unioned, sorted within each key by (time, side) with the right
     * side first at ties (as-of is ≤), then `last(_, ignoreNulls)` over
     * an unbounded-preceding frame carries the latest order attributes
-    * forward onto every event row. ONE shuffle on the key for both
-    * inputs combined — the shape that beats a per-event range join at
-    * any scale, and exactly how a 1000-executor run would partition.
-    * Right side is pre-aggregated to one row per (key, time) so the
-    * carried row is deterministic. Oracle: DuckDB's native ASOF JOIN.
-    */
+    * forward onto every event row. The combined union crosses ONE
+    * shuffle (the window's partition-by-key exchange; the right side's
+    * small (key, time) pre-aggregation — which also makes the carried
+    * row deterministic — adds its own map-side-combined shuffle of
+    * order-side rows only). That beats a per-event range join at any
+    * scale, and is exactly how a 1000-executor run would partition.
+    * Oracle: DuckDB's native ASOF JOIN. */
   private val joinAsof = Q(
     "join_asof",
     """WITH r AS (
