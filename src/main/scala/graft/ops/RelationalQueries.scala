@@ -524,9 +524,36 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Equi-width histogram over order totals (width_bucket semantics:
+    * bucket 0 below range, n+1 above, else floor(x·n/(hi−lo))+1) — the
+    * binning aggregate dashboards and data-quality monitors run
+    * constantly. The bucket expression is written out explicitly with
+    * the SAME op order on both engines (DuckDB 1.0 has no
+    * width_bucket), so assignment is bit-deterministic even at bin
+    * edges; counts are integers. Same two-phase partial-agg shape as
+    * every groupBy. */
+  private val aggHistogram = Q(
+    "agg_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+      |            WHEN o_totalprice >= 400000.0 THEN 21
+      |            ELSE floor(o_totalprice * 20.0 / 400000.0) + 1 END AS BIGINT) AS bucket,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val x = col("o_totalprice")
+    val bucket = when(x < 0.0, lit(0))
+      .when(x >= 400000.0, lit(21))
+      .otherwise(floor(x * lit(20.0) / lit(400000.0)) + 1)
+    Tables(s, dir).orders
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
     windowLagReturn, windowTumbling, windowSession, aggSalted,
-    aggQuantiles, joinRange, joinAsof)
+    aggQuantiles, joinRange, joinAsof, aggHistogram)
 }
