@@ -163,11 +163,29 @@ object DedupQueries {
     headPairs.union(tailStarEdges).distinct()
   }
 
-  private def sqlCandidatePairs: String =
-    s"""$sqlBandsCte
-       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id""".stripMargin
+  /** CTE chain ending in `cand(doc_a, doc_b)` — the DuckDB mirror of
+    * [[candidatePairs]] INCLUDING the degenerate-bucket cap (head docs
+    * ranked ≤ [[MaxBucketPairDocs]] expand all-pairs, tail docs emit a
+    * star edge to the bucket min), so the contract holds on ANY corpus,
+    * not just ones where no bucket reaches the cap. */
+  private def sqlCandCte: String =
+    s"""$sqlBandsCte, ranked AS (
+       |  SELECT doc_id, band, bh,
+       |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY band, bh) AS m,
+       |         min(doc_id) OVER (PARTITION BY band, bh) AS bmin
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |    FROM ranked l JOIN ranked r
+       |      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |    WHERE l.rk <= $MaxBucketPairDocs AND r.rk <= $MaxBucketPairDocs
+       |    UNION ALL
+       |    SELECT bmin AS doc_a, doc_id AS doc_b
+       |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
+       |  )
+       |)""".stripMargin
 
   /** Exact dedup: one surviving row per distinct text, deterministic
     * survivor (min doc_id) — groupBy, not dropDuplicates, because
@@ -188,7 +206,8 @@ object DedupQueries {
     * bucket grouping). */
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
-    s"""$sqlCandidatePairs
+    s"""$sqlCandCte
+       |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     candidatePairs(Tables(s, dir)).orderBy("doc_a", "doc_b")
   }
@@ -234,11 +253,7 @@ object DedupQueries {
     * shape — verification cost scales with candidates, not pairs). */
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
-    s"""$sqlBandsCte, cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-       |), sh AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+    s"""$sqlCandCte, sh AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
        |SELECT doc_a, doc_b,
        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
        |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
@@ -301,11 +316,7 @@ object DedupQueries {
     * both sides agree even on degenerate buckets. */
   private val dedupComponents = Q(
     "dedup_components",
-    s"""WITH RECURSIVE ${sqlBandsCte.stripPrefix("WITH ")}, cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-       |), nodes AS (
+    s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM cand
        |    UNION ALL SELECT doc_b FROM cand)
@@ -326,21 +337,34 @@ object DedupQueries {
     var labels = bi.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    val compType = labels.schema("comp").dataType
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
+      // One heavy action per round: the old label rides through the
+      // groupBy (every id has exactly one labels row, so max(old) IS its
+      // previous label), and the convergence count then only re-scans the
+      // checkpointed partitions — no second join+shuffle over live plans,
+      // which used to cost as much driver-gap time as the round itself.
       val nbr = bi
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(nbr)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("dst").as("id"), col("comp"),
+          lit(null).cast(compType).as("old"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+        .union(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select(col("id"), col("comp"))
       rounds += 1
     }
+    // Non-convergence must fail loudly: the oracle computes the full
+    // transitive closure, so returning partially-propagated labels would
+    // surface only as an unexplained hash mismatch. Candidate graphs are
+    // cliques + stars (see candidatePairs), so 20 rounds >> any real
+    // diameter; hitting this means the graph shape changed.
+    require(changed == 0, s"components not converged after $rounds rounds")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
