@@ -25,8 +25,33 @@ import graft.{Q, Tables}
 object SimilarityQueries {
 
   private val Dim = 64
-  private val Planes = 8
   private val TopK = 20
+
+  /** Plane count for the DECLARED queries. Pinned (not derived from a
+    * runtime count) because each declared Q carries a STATIC DuckDB
+    * oracle — a data-dependent plane count would silently diverge from
+    * it on any other corpus, the exact latent-contract-break pattern
+    * round-3 advice flagged on the dedup cap. It equals
+    * [[planesFor]](n) at every driver scale (n=500 at sf0.01, n=2000
+    * at sf0.1); scale-sensitive callers (ScaleStress, production use)
+    * go through [[planesFor]] + [[nearDupPairs]] instead. */
+  private[sim] val DefaultPlanes = 8
+
+  /** Degenerate-bucket bound for [[nearDupPairs]], same policy as
+    * [[graft.dedup.DedupQueries.MaxBucketPairDocs]]: all-pairs within a
+    * bucket only up to this many vectors, star edges to the bucket min
+    * beyond — worst case O(m) pairs per bucket, never O(m²). */
+  private[sim] val MaxBucketPairVecs = 64
+
+  /** Corpus-scaled plane count: enough hyperplanes that expected bucket
+    * occupancy ≈ `targetBucketSize` (buckets = 2^planes ≈ n/target), so
+    * the within-bucket pair space stays linear as the corpus grows —
+    * the round-3 10× stress measured 5.4× growth with the plane count
+    * frozen at 8. Floored at [[DefaultPlanes]]. */
+  def planesFor(n: Long, targetBucketSize: Int = 8): Int =
+    math.max(DefaultPlanes,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucketSize)
+        / math.log(2.0)).toInt)
 
   /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]:
     * first 32 bits of md5("p:i"), mapped to (h mod 2001 - 1000)/1000.
@@ -41,8 +66,14 @@ object SimilarityQueries {
     ((h % 2001L) - 1000L) / 1000.0
   }
 
-  private val planes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until Planes).map(p => (0 until Dim).map(i => planeCoef(p, i)))
+  /** Hyperplane p's coefficient vector — a fixed deterministic family,
+    * so using the first P of them is consistent across any plane count
+    * (scaling P refines buckets without re-randomizing them). Memoized:
+    * plan-build cost only. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[Double]]()
+  private def plane(p: Int): IndexedSeq[Double] =
+    planeCache.computeIfAbsent(p, p => (0 until Dim).map(i => planeCoef(p, i)))
 
   /** Left-fold dot product, doubles all the way — the native codegen'd
     * [[graft.functions.VectorDot]] (bit-identical to the zip_with +
@@ -58,10 +89,10 @@ object SimilarityQueries {
     floor(dot(a, b) / (norm(a) * norm(b)) * lit(1e6) + lit(0.5)).cast("long")
 
   /** Sign-LSH bucket id: bit p = [dot(v, plane_p) > 0]. */
-  private def bucket(e: Column): Column =
-    (0 until Planes)
+  private def bucket(e: Column, nPlanes: Int = DefaultPlanes): Column =
+    (0 until nPlanes)
       .map(p =>
-        when(dot(e, typedLit(planes(p))) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+        when(dot(e, typedLit(plane(p))) > 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   // ---- DuckDB mirrors (same folds, same literals) ----
@@ -80,10 +111,10 @@ object SimilarityQueries {
     s"CAST(floor(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) * 1000000.0 + 0.5) AS BIGINT)"
 
   private def sqlPlane(p: Int): String =
-    planes(p).map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
+    plane(p).map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
 
-  private def sqlBucket(e: String): String =
-    "CAST(" + (0 until Planes)
+  private def sqlBucket(e: String, nPlanes: Int = DefaultPlanes): String =
+    "CAST(" + (0 until nPlanes)
       .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")") + " AS BIGINT)"
 
@@ -149,32 +180,90 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup: pairs inside the same LSH bucket with
-    * cosine ≥ 0.15 — bucketing keeps the pair space linear-ish; the
-    * threshold is tuned to the synthetic corpus so the result is
-    * non-trivial at test scale. */
-  private val embeddingNearDup = Q(
-    "embedding_near_dup",
-    s"""WITH b AS (
-       |  SELECT vec_id, label, embedding, ${sqlBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |)
-       |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket,
-       |       ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
-       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |WHERE ${sqlSimE6("l.embedding", "r.embedding")} >= 150000
-       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-    val b = bucketed(Tables(s, dir))
-    b.as("l")
-      .join(
-        b.as("r"),
+  /** Similarity threshold for near-dup pairs (1e-6 units): tuned to the
+    * synthetic corpus so the result is non-trivial at test scale. */
+  private val NearDupSimE6 = 150000L
+
+  /** Embedding-cosine near-dup pairs inside LSH buckets, with the
+    * degenerate-bucket bound from the dedup family: vectors are ranked
+    * within their bucket (one window shuffle), ranks ≤ `cap` expand
+    * all-pairs, ranks beyond emit a single star edge to the bucket-min
+    * vector — so a pathological bucket (all-near-dup corpus slice)
+    * costs O(m) pairs instead of O(m²), and every member still surfaces
+    * with its similarity to the bucket representative. Pair space is
+    * bounded buckets·(cap²/2 + m); `nPlanes` from [[planesFor]] keeps
+    * expected occupancy flat as the corpus grows. */
+  private[sim] def nearDupPairs(
+      t: Tables, nPlanes: Int, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("bucket"))
+    val ranked = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        bucket(col("embedding"), nPlanes).as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        row_number().over(byBucket.orderBy(col("vec_id"))).as("rk"),
+        count(lit(1)).over(byBucket).as("m"))
+      .filter(col("m") > 1)
+    val head = ranked.filter(col("rk") <= cap)
+    val headPairs = head.as("l")
+      .join(head.as("r"),
         col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(
         col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         col("l.bucket").as("bucket"),
         simE6(col("l.embedding"), col("r.embedding")).as("sim_e6"))
-      .filter(col("sim_e6") >= 150000L)
+    val tailPairs = ranked.filter(col("rk") > cap).as("t")
+      .join(ranked.filter(col("rk") === 1).as("h"),
+        col("t.bucket") === col("h.bucket"))
+      .select(
+        col("h.vec_id").as("vec_a"), col("t.vec_id").as("vec_b"),
+        col("t.bucket").as("bucket"),
+        simE6(col("h.embedding"), col("t.embedding")).as("sim_e6"))
+    headPairs.union(tailPairs).filter(col("sim_e6") >= NearDupSimE6)
+  }
+
+  /** Corpus-scaled near-dup entry point (ScaleStress / production):
+    * counts the corpus (parquet-footer metadata, no data scan) and
+    * derives the plane count. The declared query below pins
+    * [[DefaultPlanes]] instead — see its note. */
+  def nearDupScaled(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    nearDupPairs(t, planesFor(t.embeddings.count()), MaxBucketPairVecs)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-dup: pairs inside the same LSH bucket with
+    * cosine ≥ 0.15, degenerate buckets capped (mirrored in the oracle:
+    * same rank windows, same star edges, so the contract holds even on
+    * a corpus where a bucket exceeds the cap). */
+  private val embeddingNearDup = Q(
+    "embedding_near_dup",
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), ranked AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM b
+       |), pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM ranked l JOIN ranked r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id, t.bucket,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM ranked t JOIN ranked h
+       |    ON t.bucket = h.bucket AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |)
+       |SELECT vec_a, vec_b, bucket, sim_e6 FROM pairs
+       |WHERE sim_e6 >= $NearDupSimE6
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    nearDupPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -1,0 +1,37 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import graft.{Sessions, SparkEntry}
+
+/** Single-query correctness dump for the local iteration loop: same
+  * output contract as [[graft.Verify]] (result parquet + oracle_sql.json
+  * holding just this query), so `tools/check_oracle.py` can compare one
+  * query in seconds instead of re-running all of them.
+  *
+  * Usage: runMain graft.tools.VerifyOne <name>[,<name>...] <sfDir> <outDir>
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(names, sfDir, outDir) = args
+    val spark = Sessions.local(Sessions.cpusFromEnv)
+    new java.io.File(outDir).mkdirs()
+    val picked = names.split(',').toSeq
+    picked.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(picked.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -41,6 +41,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair expansion is bounded on a pathological all-near-dup corpus") {
+    import org.apache.spark.sql.functions._
+    // 400 vectors that are all tiny perturbations of one direction: every
+    // vector lands in ONE bucket and every pair clears the similarity
+    // threshold — the uncapped self-join would emit 400·399/2 = 79,800
+    // pairs; the cap must bound it to cap·(cap−1)/2 all-pairs + one star
+    // edge per tail vector.
+    val n = 400
+    val dir = tmpDir("neardup-patho")
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (lit(1.0f) + col("id").cast("float") * lit(1e-6f) * i.cast("float"))
+          .cast("float")).as("embedding"),
+      lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cap = SimilarityQueries.MaxBucketPairVecs
+    val pairs = SimilarityQueries.nearDupPairs(
+      graft.Tables(spark, dir), SimilarityQueries.DefaultPlanes, cap).collect()
+    val expected = cap * (cap - 1) / 2 + (n - cap)
+    assert(pairs.length == expected,
+      s"expected bounded $expected pairs, got ${pairs.length}")
+    // Star edges keep every vector attached to the bucket representative.
+    val covered = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(covered.size == n)
+  }
+
   test("int8 top-k: probe ranks first, high recall vs the exact top-k") {
     val exact = SparkEntry.queries("similarity_topk")(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
