@@ -267,61 +267,126 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF-style ANN: labels act as the coarse quantizer's cells (stand-in
-    * for trained k-means — the search plumbing is the IVF part). Build
-    * per-cell centroids (deterministic integerized mean per dimension),
-    * rank cells by centroid similarity to the probe, then scan only the
-    * nprobe=2 best cells. At 100 TB the inverted lists are the
-    * label-partitioned table and the centroid table is broadcast —
-    * the full scan is replaced by partition-pruned reads. */
+  // IVF parameters: cells in the coarse quantizer, probed cells at
+  // query time, Lloyd refinement rounds (unrolled in the oracle SQL).
+  private val NCells = 8
+  private val NProbe = 2
+
+  /** One Lloyd assignment: every vector takes the cell of its most
+    * similar centroid (integerized cosine, ties to the lowest cell).
+    * Centroids are broadcast; the per-vector argmax is a map-side
+    * partial `max_by` groupBy, so the shuffle carries ONE row per
+    * vector — the shape a 100 TB assign step needs. `first(embedding)`
+    * is value-deterministic: every row in a vec_id group carries the
+    * same embedding. */
+  private def lloydAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        simE6(col("embedding"), col("centroid")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc")))
+          .as("cell"),
+        first(col("embedding")).as("embedding"))
+
+  /** Integerized per-cell mean (exact int64 partial sums, so the mean is
+    * partition-order independent — same dance as the similarity folds). */
+  private def lloydReaverage(assign: DataFrame): DataFrame =
+    assign
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(((sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5)))
+        / lit(1e7)) / count(lit(1))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  private def sqlSeedOrder = s"md5(CAST(vec_id AS VARCHAR)), vec_id"
+
+  /** SQL for one Lloyd round: assign to `prevCent`, then re-average.
+    * Emits CTEs s$i / assign$i / d$i / cd$i / cent$i. */
+  private def sqlLloydRound(i: Int, prevCent: String): String =
+    s"""s$i AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         ${sqlSimE6("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN $prevCent c
+       |), assign$i AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cell) AS rk
+       |    FROM s$i) WHERE rk = 1
+       |), d$i AS (
+       |  SELECT cell, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS v
+       |  FROM assign$i CROSS JOIN range(1, $Dim + 1) i
+       |), cd$i AS (
+       |  SELECT cell, pos,
+       |         (CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |            / 10000000.0) / count(*) AS c
+       |  FROM d$i GROUP BY cell, pos
+       |), cent$i AS (
+       |  SELECT cell, list(c ORDER BY pos) AS centroid FROM cd$i GROUP BY cell
+       |)""".stripMargin
+
+  /** IVF ANN with a TRAINED coarse quantizer: seeded deterministic
+    * k-means (2 Lloyd rounds) over the corpus, then probe the nprobe
+    * most query-similar cells and scan only their members.
+    *
+    * Seeding: the [[NCells]] vectors with the lexicographically
+    * smallest md5(vec_id) — pseudo-random spread, engine-identical.
+    * Each round: broadcast centroids → map-side argmax assignment →
+    * integerized re-average (every float op is in fixed order, so both
+    * engines converge to bit-identical centroids). At 100 TB the
+    * inverted lists are the cell-partitioned table, the centroid table
+    * is broadcast, and a query reads nprobe/ncells of the data; the
+    * training passes are each one scan + two tiny aggregations. */
   private val similarityIvf = Q(
     "similarity_ivf", {
-      val probeSim = sqlSimE6("centroid", "q_emb")
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1),
-         |exp AS (
-         |  SELECT label, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS v
-         |  FROM embeddings CROSS JOIN range(1, $Dim + 1) i
-         |), cdim AS (
-         |  SELECT label, pos,
-         |         (CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-         |            / 10000000.0) / count(*) AS c
-         |  FROM exp GROUP BY label, pos
-         |), cent AS (
-         |  SELECT label, list(c ORDER BY pos) AS centroid FROM cdim GROUP BY label
-         |), probed AS (
-         |  SELECT label FROM cent CROSS JOIN q
-         |  ORDER BY $probeSim DESC, label LIMIT 2
+         |seeds AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY $sqlSeedOrder LIMIT $NCells
+         |), cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY $sqlSeedOrder) - 1 AS INTEGER) AS cell,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM seeds
+         |), ${sqlLloydRound(1, "cent0")},
+         |${sqlLloydRound(2, "cent1")},
+         |probed AS (
+         |  SELECT cell FROM cent2 CROSS JOIN q
+         |  ORDER BY ${sqlSimE6("centroid", "q_emb")} DESC, cell LIMIT $NProbe
          |)
-         |SELECT vec_id, e.label AS label, ${sqlSimE6("embedding", "q_emb")} AS sim_e6
-         |FROM embeddings e JOIN probed p ON e.label = p.label CROSS JOIN q
+         |SELECT a.vec_id, a.cell, ${sqlSimE6("a.embedding", "q_emb")} AS sim_e6
+         |FROM assign2 a JOIN probed p ON a.cell = p.cell CROSS JOIN q
          |ORDER BY sim_e6 DESC, vec_id
          |LIMIT 10""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    // Per-(label, dim) deterministic mean: integerize-then-sum (exact
-    // int64, partition-order independent), then two deterministic ops.
-    val cdim = t.embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(((sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5)))
-        / lit(1e7)) / count(lit(1))).as("c"))
-    val cent = cdim
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("centroid"))
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val cent0 = emb.orderBy(seedOrd: _*).limit(NCells)
+      .select(
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(seedOrd: _*)) - 1)
+          .as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val assign1 = lloydAssign(emb, cent0)
+    val cent1 = lloydReaverage(assign1)
+    val assign2 = lloydAssign(emb, cent1)
+    val cent2 = lloydReaverage(assign2)
     val q = queryVec(t)
-    val probed = cent
+    val probed = cent2
       .crossJoin(broadcast(q))
-      .select(col("label"), simE6(col("centroid"), col("q_emb")).as("csim"))
-      .orderBy(col("csim").desc, col("label"))
-      .limit(2)
-      .select("label")
-    t.embeddings
-      .join(broadcast(probed), "label")
+      .select(col("cell"), simE6(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(NProbe)
+      .select("cell")
+    assign2
+      .join(broadcast(probed), "cell")
       .crossJoin(broadcast(q))
       .select(
-        col("vec_id"), col("label"),
+        col("vec_id"), col("cell"),
         simE6(col("embedding"), col("q_emb")).as("sim_e6"))
       .orderBy(col("sim_e6").desc, col("vec_id"))
       .limit(10)

@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     assert(covered.size == n)
   }
 
+  test("trained IVF: probe ranks first, recall@10 vs the exact top-10") {
+    val exact10 = SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().take(10).map(_.getAs[Long]("vec_id"))
+    val ivf = SparkEntry.queries("similarity_ivf")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // The probe vector is a member of its own cell's inverted list and
+    // is its own nearest neighbor, so it must rank first.
+    assert(ivf.head == exact10.head)
+    // nprobe=2 of 8 trained cells: the probed cells must hold most of
+    // the true top-10 (the clustered synthetic corpus concentrates true
+    // neighbors in the probe's cell).
+    val overlap = ivf.count(exact10.toSet.contains)
+    assert(overlap >= 6, s"IVF recall@10 too low: $overlap of 10")
+  }
+
   test("int8 top-k: probe ranks first, high recall vs the exact top-k") {
     val exact = SparkEntry.queries("similarity_topk")(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
