@@ -55,6 +55,13 @@ object Tables {
   private def cached(spark: SparkSession, path: String): DataFrame =
     handles.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
 
-  /** Drop cached handles (tests that rewrite a path between reads). */
+  /** Drop cached handles. MUST be called by any path that rewrites
+    * parquet under a previously-read directory — the eagerly-resolved
+    * file listing otherwise serves deleted splits (FileNotFound) or
+    * stale data. [[graft.ops.Compaction.compactPartitions]] calls this
+    * after rewriting; tests that overwrite fixtures do the same. Growth
+    * is bounded in practice by the process's session count (one or two)
+    * × nine relations; a long-lived multi-session service would key off
+    * weak session refs instead. */
   private[graft] def invalidate(): Unit = handles.clear()
 }

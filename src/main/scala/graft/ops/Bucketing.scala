@@ -14,16 +14,18 @@ object Bucketing {
 
   /** Write `df` as a bucketed (and in-bucket sorted) managed table.
     *
-    * The repartition on the bucket key before the write is load-bearing
-    * twice over: bucketing hashes with the same Murmur3-mod-N as
-    * HashPartitioning, so each write task holds exactly one bucket's
-    * rows and emits exactly ONE file per bucket. (a) Without it, every
-    * task writes a file into every bucket it touches — tasks × buckets
-    * small files at cluster scale; (b) Spark only trusts the written
-    * sort order when a bucket is a single file
-    * (`bucketsContainSingleFile`), and only then can sort-merge join
-    * skip its Sort. StorageQueriesSpec asserts the resulting join plan
-    * has zero Exchange and zero Sort. */
+    * The repartition on the bucket key before the write is load-bearing:
+    * bucketing hashes with the same Murmur3-mod-N as HashPartitioning,
+    * so each write task holds exactly one bucket's rows and emits
+    * exactly ONE file per bucket — without it, every task writes a file
+    * into every bucket it touches (tasks × buckets small files at
+    * cluster scale). The single-file-per-bucket layout guarantees the
+    * join plans with zero Exchange; a Sort remains above each scan,
+    * since Spark 3+ no longer propagates the written per-bucket sort
+    * order by default (`spark.sql.legacy.bucketedTableScan.
+    * outputOrdering`). The sorted write is retained anyway for
+    * compression and row-group pruning. StorageQueriesSpec asserts the
+    * Exchange-free plan. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.repartition(buckets, col(key))

@@ -56,8 +56,11 @@ object StorageQueries {
   /** The bucketed join itself, exposed for the plan-shape spec. The
     * merge hint pins sort-merge (at tiny SF the broadcast threshold
     * would otherwise pick BHJ and hide the bucket alignment being
-    * demonstrated); with bucketed+sorted sides SMJ plans with zero
-    * Exchange and zero Sort. */
+    * demonstrated); with bucket-aligned sides SMJ plans with zero
+    * Exchange. A Sort remains above each scan — Spark 3+ no longer
+    * propagates the written per-bucket sort order (see
+    * [[Bucketing.writeBucketed]]); eliminating the Exchange is the
+    * at-scale win being demonstrated. */
   private[ops] def bucketedJoin(t: Tables): org.apache.spark.sql.DataFrame = {
     val (li, os) = bucketedTables(t)
     t.spark.table(li).hint("merge")
@@ -90,17 +93,22 @@ object StorageQueries {
   // ---------------------------------------------------------------
 
   /** Create (once) the date-partitioned twin of events; returns its
-    * root path. */
+    * root path. Existence is checked through the Hadoop FileSystem of
+    * the path (not java.io.File), so the layout root could just as well
+    * be an hdfs:// or object-store URI — the write and the pruned read
+    * already go through the same abstraction. */
   private[ops] def partitionedEvents(t: Tables): String = {
-    val root = new java.io.File(
+    val root = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
-      s"graft_part_events_${digest(t.sfDir)}").getAbsolutePath
-    if (!new java.io.File(root, "_SUCCESS").exists()) {
+      s"graft_part_events_${digest(t.sfDir)}")
+    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
       t.events
         .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-        .write.partitionBy("event_date").mode("overwrite").parquet(root)
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(root.toString)
     }
-    root
+    root.toString
   }
 
   /** The pruned scan, exposed for the plan-shape spec. */
