@@ -397,6 +397,33 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Skew-safe equi-join through [[Salting.saltedJoin]] — the join twin
+    * of agg_salted: lineitem's rows get a rotating salt, the small
+    * supplier side is replicated once per salt, and the join key becomes
+    * (suppkey, salt) — so one pathological hot supplier key spreads over
+    * 8 reducers instead of flooding one. Join semantics are EXACTLY the
+    * plain inner equi-join, which is what the unsalted oracle proves;
+    * the aggregate on top collapses the result to a stable, totally
+    * ordered shape. */
+  private val joinSalted = Q(
+    "join_salted",
+    s"""SELECT s_nationkey,
+       |       count(*) AS n_items,
+       |       ${Det.sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    Salting.saltedJoin(
+      t.lineitem, t.supplier, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
   /** Exact interpolated quantiles (R-7, the definition both engines'
     * exact percentile implements) per group. Values go through Det
     * integer units first: with integer-valued doubles and dyadic
@@ -554,6 +581,6 @@ object RelationalQueries {
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
     joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
-    windowLagReturn, windowTumbling, windowSession, aggSalted,
+    windowLagReturn, windowTumbling, windowSession, aggSalted, joinSalted,
     aggQuantiles, joinRange, joinAsof, aggHistogram)
 }
