@@ -55,10 +55,11 @@ object DedupQueries {
       t.documents.select(col("doc_id"), toks.as("toks")), "doc_id")
 
   private val sqlToks = "string_split(text, ' ')"
-  private val sqlShingles: String =
-    s"list_filter(list_transform(range(1, greatest(len($sqlToks), 3) - 1), " +
-      s"i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]), " +
+  private def sqlShinglesOf(toks: String): String =
+    s"list_filter(list_transform(range(1, greatest(len($toks), 3) - 1), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]), " +
       "x -> x IS NOT NULL)"
+  private val sqlShingles: String = sqlShinglesOf(sqlToks)
 
   /** Per-doc K-element MinHash signature: explode shingles once, hash
     * each shingle ONCE (md5), then K affine universal-hash transforms
@@ -74,8 +75,10 @@ object DedupQueries {
         (1 until K).map(i =>
           min(Hashes.affine(i, col("h"))).as(s"mh$i")): _*)
 
-  private def sqlSignature(i: Int): String =
-    s"list_min(list_transform($sqlShingles, t -> ${Hashes.sqlAffine(i, Hashes.sqlTokHash("t"))})) AS mh$i"
+  private def sqlSignatureOf(i: Int, sh: String): String =
+    s"list_min(list_transform($sh, t -> ${Hashes.sqlAffine(i, Hashes.sqlTokHash("t"))})) AS mh$i"
+
+  private def sqlSignature(i: Int): String = sqlSignatureOf(i, sqlShingles)
 
   /** md5 over the ':'-joined band signature; NULL if any row is NULL
     * (short doc), so degenerate docs never collide. */
@@ -369,7 +372,122 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Chunk-level near-dedup: the MinHash pipeline applied at the
+    * granularity LLM training pipelines actually dedup at — overlapping
+    * token windows ([[graft.text.TextQueries.ChunkSize]]/
+    * [[graft.text.TextQueries.ChunkStride]], the same chunker as
+    * text_chunk), so a paragraph duplicated across otherwise-different
+    * documents still surfaces. Same bucketed shape as doc-level LSH:
+    * one signature pass over exploded chunk shingles, bucket groupBy on
+    * (band, band_hash), capped all-pairs + star edges to the bucket's
+    * first chunk for degenerate buckets; keys are (doc_id, chunk_id)
+    * pairs ordered lexicographically. Rows grow by the chunk factor,
+    * shuffles stay K longs per chunk — linear in corpus bytes. */
+  private val dedupChunkLsh = Q(
+    "dedup_chunk_lsh", {
+      import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+      val nch = s"CAST((greatest(len($sqlToks) - $CS, 0) + $ST - 1) // $ST + 1 AS BIGINT)"
+      val ctoks = s"list_slice(toks, chunk_id * $ST + 1, chunk_id * $ST + $CS)"
+      val sig = (0 until K)
+        .map(i => sqlSignatureOf(i, sqlShinglesOf(ctoks)))
+        .mkString(",\n         ")
+      val bandUnion = (0 until B)
+        .map(b => s"SELECT doc_id, chunk_id, $b AS band, ${sqlBandHash(b)} AS bh FROM csig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ch AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         unnest(range(0, $nch)) AS chunk_id
+         |  FROM documents
+         |), csig AS (
+         |  SELECT doc_id, chunk_id,
+         |         $sig
+         |  FROM ch
+         |), cbands AS (
+         |  SELECT * FROM ($bandUnion) WHERE bh IS NOT NULL
+         |), ranked AS (
+         |  SELECT doc_id, chunk_id, band, bh,
+         |         row_number() OVER (PARTITION BY band, bh
+         |                            ORDER BY doc_id, chunk_id) AS rk,
+         |         count(*) OVER (PARTITION BY band, bh) AS m,
+         |         first_value(doc_id) OVER (PARTITION BY band, bh
+         |                                   ORDER BY doc_id, chunk_id) AS adoc,
+         |         first_value(chunk_id) OVER (PARTITION BY band, bh
+         |                                     ORDER BY doc_id, chunk_id) AS achunk
+         |  FROM cbands
+         |), cand AS (
+         |  SELECT DISTINCT doc_a, chunk_a, doc_b, chunk_b FROM (
+         |    SELECT l.doc_id AS doc_a, l.chunk_id AS chunk_a,
+         |           r.doc_id AS doc_b, r.chunk_id AS chunk_b
+         |    FROM ranked l JOIN ranked r
+         |      ON l.band = r.band AND l.bh = r.bh
+         |     AND (l.doc_id < r.doc_id
+         |          OR (l.doc_id = r.doc_id AND l.chunk_id < r.chunk_id))
+         |    WHERE l.rk <= $MaxBucketPairDocs AND r.rk <= $MaxBucketPairDocs
+         |    UNION ALL
+         |    SELECT adoc, achunk, doc_id, chunk_id
+         |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
+         |  )
+         |)
+         |SELECT doc_a, chunk_a, doc_b, chunk_b FROM cand
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+    }) { (s, dir) =>
+    import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val n = size(col("toks"))
+    val nch = (greatest(n - CS, lit(0)) + (ST - 1)).divide(ST).cast("int") + 1
+    val chunks = tokenized(t)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nch.cast("long") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id").cast("int") * ST + 1, lit(CS))
+          .as("ctoks"))
+    val sig = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(shinglesOf(col("ctoks"))).as("sh"))
+      .select(col("doc_id"), col("chunk_id"), Hashes.tokHash(col("sh")).as("h"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        min(Hashes.affine(0, col("h"))).as("mh0"),
+        (1 until K).map(i => min(Hashes.affine(i, col("h"))).as(s"mh$i")): _*)
+    val bands = sig
+      .select(col("doc_id"), col("chunk_id"),
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .filter(col("bh").isNotNull)
+    val byBucket = Window.partitionBy(col("band"), col("bh"))
+    val ord = byBucket.orderBy(col("doc_id"), col("chunk_id"))
+    val ranked = bands
+      .select(col("doc_id"), col("chunk_id"), col("band"), col("bh"),
+        row_number().over(ord).as("rk"),
+        count(lit(1)).over(byBucket).as("m"),
+        first(col("doc_id")).over(ord).as("adoc"),
+        first(col("chunk_id")).over(ord).as("achunk"))
+    val headPairs = ranked
+      .filter(col("rk") <= MaxBucketPairDocs)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("chunk_id")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(
+        col("p.a.doc_id").as("doc_a"), col("p.a.chunk_id").as("chunk_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.chunk_id").as("chunk_b"))
+    val tailStarEdges = ranked
+      .filter(col("m") > 1 && col("rk") > MaxBucketPairDocs)
+      .select(
+        col("adoc").as("doc_a"), col("achunk").as("chunk_a"),
+        col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
+    headPairs.union(tailStarEdges).distinct()
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
-      dedupComponents)
+      dedupComponents, dedupChunkLsh)
 }

@@ -190,8 +190,8 @@ object TextQueries {
     * yields ceil(max(n−C, 0)/S) + 1 chunks, so short docs yield exactly
     * one and every token lands in ≥1 chunk. Narrow explode — rows grow
     * by the chunk factor, bytes by the overlap factor, no shuffle. */
-  private val ChunkSize = 50
-  private val ChunkStride = 40
+  private[graft] val ChunkSize = 50
+  private[graft] val ChunkStride = 40
 
   private val textChunk = Q(
     "text_chunk", {
