@@ -333,34 +333,47 @@ object DedupQueries {
        |)
        |SELECT s AS doc_id, min(t) AS component
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val edges = candidatePairs(Tables(s, dir)).localCheckpoint()
+    // The loop's fixed cost is DRIVER actions, not executor work (the
+    // frames are candidate-sized): every eager action pays scheduling +
+    // optimization gaps that round-3 measured at ~half the query's wall
+    // time. So the loop runs ONE action per TWO propagation rounds:
+    //  - checkpoints are LAZY — round r's partitions materialize inside
+    //    round r+1's (or the count's) job, each still cutting lineage;
+    //  - the first min-over-neighbors round is fused into label init
+    //    (an aggregate over the edge list — no join needed from
+    //    identity labels);
+    //  - the previous label rides through the groupBy (every id has
+    //    exactly one labels row, so max(old) IS its prior label) and
+    //    convergence is read off the same materialized result, two
+    //    rounds at a time. Min-label propagation is monotone, so "no
+    //    change across a step" is exactly the fixpoint test.
+    val edges = candidatePairs(Tables(s, dir)).localCheckpoint(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = bi.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    val compType = labels.schema("comp").dataType
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      // One heavy action per round: the old label rides through the
-      // groupBy (every id has exactly one labels row, so max(old) IS its
-      // previous label), and the convergence count then only re-scans the
-      // checkpointed partitions — no second join+shuffle over live plans,
-      // which used to cost as much driver-gap time as the round itself.
+    val compType = bi.schema("src").dataType
+    var labels = bi.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+      .localCheckpoint(false)
+    def step(prev: DataFrame): DataFrame = {
       val nbr = bi
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(prev.select(col("id").as("src"), col("comp")), "src")
         .select(col("dst").as("id"), col("comp"),
           lit(null).cast(compType).as("old"))
-      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+      prev.select(col("id"), col("comp"), col("comp").as("old"))
         .union(nbr)
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+    }
+    var changed = 1L
+    var rounds = 1
+    while (changed > 0 && rounds < 20) {
+      val next = step(step(labels))
       changed = next.filter(col("comp") =!= col("old")).count()
-      labels = next.select(col("id"), col("comp"))
-      rounds += 1
+      labels = next
+      rounds += 2
     }
     // Non-convergence must fail loudly: the oracle computes the full
     // transitive closure, so returning partially-propagated labels would
