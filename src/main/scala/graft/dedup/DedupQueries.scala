@@ -55,10 +55,18 @@ object DedupQueries {
       t.documents.select(col("doc_id"), toks.as("toks")), "doc_id")
 
   private val sqlToks = "string_split(text, ' ')"
-  private def sqlShinglesOf(toks: String): String =
-    s"list_filter(list_transform(range(1, greatest(len($toks), 3) - 1), " +
-      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]), " +
-      "x -> x IS NOT NULL)"
+  /** DuckDB n-gram windows over a token-list expression, mirroring the
+    * native [[org.apache.spark.sql.graft.Shingles]] exactly (window
+    * count max(len−n+1, 0), NULL-token windows dropped, single-space
+    * join) — shared with the text family (repetition / decontamination
+    * operators). */
+  private[graft] def sqlNgramsOf(toks: String, n: Int): String = {
+    val join = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"list_filter(list_transform(range(1, greatest(len($toks), $n) - ${n - 2}), " +
+      s"i -> $join), x -> x IS NOT NULL)"
+  }
+
+  private def sqlShinglesOf(toks: String): String = sqlNgramsOf(toks, 3)
   private val sqlShingles: String = sqlShinglesOf(sqlToks)
 
   /** Per-doc K-element MinHash signature: explode shingles once, hash

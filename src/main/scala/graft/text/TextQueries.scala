@@ -251,9 +251,162 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality filter (the Gopher/C4-family rule a
+    * training pipeline runs next to [[textQuality]]): the fraction of
+    * duplicated 2-gram windows per document. Boilerplate/spam repeats
+    * itself; high dup_ratio docs get flagged. Narrow per-row transform
+    * over the native Shingles windows — no shuffle, no UDF; the ratio
+    * is int-derived and division-guarded, so both engines agree
+    * bit-exactly. */
+  private val textRepetition = Q(
+    "text_repetition", {
+      val grams = graft.dedup.DedupQueries.sqlNgramsOf("string_split(text, ' ')", 2)
+      s"""SELECT doc_id,
+         |       CAST(len($grams) AS BIGINT) AS n_bigrams,
+         |       CAST(len(list_distinct($grams)) AS BIGINT) AS n_distinct,
+         |       (CAST(len($grams) AS BIGINT) - CAST(len(list_distinct($grams)) AS BIGINT))
+         |         / greatest(CAST(len($grams) AS BIGINT), 1) AS dup_ratio,
+         |       CASE WHEN (CAST(len($grams) AS BIGINT) - CAST(len(list_distinct($grams)) AS BIGINT))
+         |                 / greatest(CAST(len($grams) AS BIGINT), 1) > 0.2
+         |            THEN 1 ELSE 0 END AS repetition_flag
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val grams = org.apache.spark.sql.graft.ColumnOps.shingles(toks, 2)
+    val n = size(grams).cast("long")
+    val d = size(array_distinct(grams)).cast("long")
+    val ratio = (n - d) / greatest(n, lit(1L))
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        n.as("n_bigrams"),
+        d.as("n_distinct"),
+        ratio.as("dup_ratio"),
+        when(ratio > 0.2, 1).otherwise(0).as("repetition_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling — per-source keep rates, decided
+    * by a content-independent hash of (source, doc_id). The downsampling
+    * step every corpus-mixing pipeline runs (e.g. web-heavy corpora
+    * thinned against curated ones), made engine- and run-stable: no
+    * rand(), no row-order dependence, and a doc's fate never changes
+    * when other docs appear. Narrow scan, no shuffle; the hash is salted
+    * with the source so strata draw independently. */
+  private val sampleStratified = Q(
+    "sample_stratified", {
+      val bucket = s"${sqlTokHash("source || ':' || CAST(doc_id AS VARCHAR)")} % 100"
+      val rate = "CASE WHEN source IN ('src0', 'src1') THEN 90 " +
+        "WHEN source IN ('src2', 'src3', 'src4') THEN 50 ELSE 20 END"
+      s"""SELECT doc_id, source, CAST($bucket AS BIGINT) AS bucket
+         |FROM documents
+         |WHERE $bucket < $rate
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val bucket = pmod(
+      tokHash(concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+      lit(100L))
+    val rate = when(col("source").isin("src0", "src1"), 90)
+      .when(col("source").isin("src2", "src3", "src4"), 50)
+      .otherwise(20)
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("r"))
+      .filter(col("bucket") < col("r"))
+      .drop("r")
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing — map each document onto the fixed-length token
+    * stream a trainer consumes: docs are concatenated in doc_id order
+    * within their train/val/test split, and every doc reports its start
+    * offset and the [[SeqLen]]-token sequences it lands in. One window
+    * shuffle partitioned by split (the packing unit), cumulative sums of
+    * exact int64 token counts — at 100 TB each split packs
+    * independently and in parallel, and re-runs are byte-stable because
+    * the order key is the doc id, not arrival order. */
+  private val SeqLen = 2048
+
+  private val packSequences = Q(
+    "pack_sequences", {
+      val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
+      val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $nTok AS n_tokens,
+         |         CASE WHEN $bucket < 90 THEN 'train'
+         |              WHEN $bucket < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, split, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) - n_tokens AS start_offset
+         |  FROM d
+         |)
+         |SELECT doc_id, split, n_tokens, start_offset,
+         |       CAST(start_offset // $SeqLen AS BIGINT) AS seq_first,
+         |       CAST((start_offset + n_tokens - 1) // $SeqLen AS BIGINT) AS seq_last
+         |FROM w
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("split"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / SeqLen).cast("long").as("seq_first"),
+        floor((col("start_offset") + col("n_tokens") - 1) / SeqLen)
+          .cast("long").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination — flag training docs sharing any 3-gram
+    * with a held-out corpus (here: source src0 stands in for the eval
+    * set). The n-gram-overlap check every serious pretraining pipeline
+    * runs before training. Shape: the benchmark's DISTINCT shingle set
+    * is small relative to the corpus → broadcast hash join against the
+    * candidates' per-doc distinct shingles, count shared grams per doc.
+    * Cost scales with corpus shingle volume (one scan, one broadcast),
+    * never corpus × benchmark. */
+  private val textDecontaminate = Q(
+    "text_decontaminate", {
+      val grams = graft.dedup.DedupQueries.sqlNgramsOf("string_split(text, ' ')", 3)
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest($grams) AS sh
+         |  FROM documents WHERE source = 'src0'
+         |), cand AS (
+         |  SELECT doc_id, unnest(list_distinct($grams)) AS sh
+         |  FROM documents WHERE source <> 'src0'
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cand JOIN bench USING (sh)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val grams = org.apache.spark.sql.graft.ColumnOps.shingles(toks, 3)
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(grams).as("sh")).distinct()
+    val cand = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+    cand.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, tokenCount, textQuality, langId, docFingerprint,
-      textPiiRedact, textChunk, splitAssign)
+      textPiiRedact, textChunk, splitAssign, textRepetition,
+      sampleStratified, packSequences, textDecontaminate)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression
