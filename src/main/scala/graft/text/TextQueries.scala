@@ -321,9 +321,16 @@ object TextQueries {
     * within their train/val/test split, and every doc reports its start
     * offset and the [[SeqLen]]-token sequences it lands in. One window
     * shuffle partitioned by split (the packing unit), cumulative sums of
-    * exact int64 token counts — at 100 TB each split packs
-    * independently and in parallel, and re-runs are byte-stable because
-    * the order key is the doc id, not arrival order. */
+    * exact int64 token counts; re-runs are byte-stable because the
+    * order key is the doc id, not arrival order. Scale ceiling, stated
+    * honestly: a per-split running offset is a prefix sum, so the
+    * ordered window funnels each split through one task. At true 100 TB
+    * the same result comes from the classic two-phase form — range-sort
+    * by doc_id, per-range subtotals (tiny), broadcast the exclusive
+    * scan of subtotals back as per-range base offsets — identical
+    * output, fully parallel; the windowed form is the declared query
+    * because its single shuffle is the right shape up to the scales the
+    * driver measures (10× stress ratio 1.5). */
   private val SeqLen = 2048
 
   private val packSequences = Q(

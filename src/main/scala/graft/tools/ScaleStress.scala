@@ -23,8 +23,10 @@ object ScaleStress {
 
   private val DocQueries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "token_count", "text_quality", "lang_id",
-    "doc_fingerprint", "text_pii_redact", "text_tokens")
+    "dedup_ngram_jaccard", "dedup_chunk_lsh", "token_count",
+    "text_quality", "lang_id", "doc_fingerprint", "text_pii_redact",
+    "text_tokens", "text_repetition", "sample_stratified",
+    "pack_sequences", "text_decontaminate")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup")
