@@ -404,8 +404,10 @@ object DedupQueries {
     * first chunk for degenerate buckets; keys are (doc_id, chunk_id)
     * pairs ordered lexicographically. Rows grow by the chunk factor,
     * shuffles stay K longs per chunk — linear in corpus bytes. */
-  private val dedupChunkLsh = Q(
-    "dedup_chunk_lsh", {
+  /** DuckDB CTE chain ending in `cand(doc_a, chunk_a, doc_b, chunk_b)`
+    * — the chunk-level twin of [[sqlCandCte]], shared by
+    * dedup_chunk_lsh and the doc-edge projection. */
+  private def sqlChunkCandCte: String = {
       import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
       val nch = s"CAST((greatest(len($sqlToks) - $CS, 0) + $ST - 1) // $ST + 1 AS BIGINT)"
       val ctoks = s"list_slice(toks, chunk_id * $ST + 1, chunk_id * $ST + $CS)"
@@ -448,24 +450,29 @@ object DedupQueries {
          |    SELECT adoc, achunk, doc_id, chunk_id
          |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
          |  )
-         |)
-         |SELECT doc_a, chunk_a, doc_b, chunk_b FROM cand
-         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
-    }) { (s, dir) =>
+         |)""".stripMargin
+  }
+
+  /** Chunk-level candidate pairs (the Spark twin of [[sqlChunkCandCte]]),
+    * unordered — shared by dedup_chunk_lsh and the doc-edge projection. */
+  private[dedup] def chunkCandidatePairs(t: Tables): DataFrame = {
     import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
     import org.apache.spark.sql.expressions.Window
-    val t = Tables(s, dir)
     val n = size(col("toks"))
     val nch = (greatest(n - CS, lit(0)) + (ST - 1)).divide(ST).cast("int") + 1
-    val chunks = tokenized(t)
-      .select(col("doc_id"), col("toks"),
+    // Chunk tokens are CONTIGUOUS doc tokens, so a chunk's 3-gram set is
+    // exactly a slice of the doc's shingle array: chunk c covers tokens
+    // [c·ST, c·ST+CS) → shingles [c·ST, c·ST+CS−2) (the last partial
+    // chunk truncates automatically — slice stops at the array end, and
+    // split() never yields NULL tokens, so no window is dropped). One
+    // native Shingles pass per DOC instead of one per chunk: no ctoks
+    // array materialization, no re-shingling of the 10-token overlaps.
+    val sig = tokenized(t)
+      .select(col("doc_id"), shinglesOf(col("toks")).as("dsh"),
         explode(sequence(lit(0L), nch.cast("long") - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
-        slice(col("toks"), col("chunk_id").cast("int") * ST + 1, lit(CS))
-          .as("ctoks"))
-    val sig = chunks
-      .select(col("doc_id"), col("chunk_id"),
-        explode(shinglesOf(col("ctoks"))).as("sh"))
+        explode(slice(col("dsh"), col("chunk_id").cast("int") * ST + 1,
+          lit(CS - 2))).as("sh"))
       .select(col("doc_id"), col("chunk_id"), Hashes.tokHash(col("sh")).as("h"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(
@@ -505,10 +512,41 @@ object DedupQueries {
         col("adoc").as("doc_a"), col("achunk").as("chunk_a"),
         col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
     headPairs.union(tailStarEdges).distinct()
+  }
+
+  private val dedupChunkLsh = Q(
+    "dedup_chunk_lsh",
+    s"""$sqlChunkCandCte
+       |SELECT doc_a, chunk_a, doc_b, chunk_b FROM cand
+       |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin) { (s, dir) =>
+    chunkCandidatePairs(Tables(s, dir))
       .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
+  /** Doc-level near-dup edges from chunk evidence — the projection step
+    * between chunk-granularity detection and doc-granularity survivor
+    * selection: distinct cross-document chunk pairs collapse to
+    * (doc_a, doc_b) edges weighted by how many chunk pairs support
+    * them (same-doc pairs — overlapping windows of one document — are
+    * evidence of nothing and are dropped). Feeds the same connected-
+    * components machinery as the doc-level LSH graph. One groupBy on
+    * top of the shared chunk-candidate frame. */
+  private val dedupChunkDocEdges = Q(
+    "dedup_chunk_doc_edges",
+    s"""$sqlChunkCandCte
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_chunk_pairs
+       |FROM cand
+       |WHERE doc_a < doc_b
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    chunkCandidatePairs(Tables(s, dir))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"))
+      .orderBy("doc_a", "doc_b")
   }
 
   val queries: Seq[Q] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
-      dedupComponents, dedupChunkLsh)
+      dedupComponents, dedupChunkLsh, dedupChunkDocEdges)
 }
