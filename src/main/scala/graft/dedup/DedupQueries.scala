@@ -223,27 +223,10 @@ object DedupQueries {
     candidatePairs(Tables(s, dir)).orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash (16-bit): explode tokens → 32-bit token hash → per-bit
-    * majority vote per doc. The explode+groupBy shape gets map-side
-    * partial aggregation; the shuffle carries 17 longs per doc. */
-  private val dedupSimhash = Q(
-    "dedup_simhash", {
-      val bits = (0 until 16)
-        .map(i => s"sum((h >> $i) & 1) AS b$i").mkString(",\n       ")
-      val sim = (0 until 16)
-        .map(i => s"CASE WHEN b$i * 2 > n THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash
-         |FROM (
-         |  SELECT doc_id, count(*) AS n,
-         |       $bits
-         |  FROM (
-         |    SELECT doc_id, ${Hashes.sqlTokHash("t")} AS h
-         |    FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
-         |  ) GROUP BY doc_id
-         |) ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-    val hashed = Tables(s, dir).documents
+  /** Per-doc 16-bit SimHash (per-bit majority vote over token hashes),
+    * shared by the fingerprint query and the hamming-pair query. */
+  private def simhashOf(t: Tables): DataFrame = {
+    val hashed = t.documents
       .select(col("doc_id"), explode(toks).as("t"))
       .select(col("doc_id"), Hashes.tokHash(col("t")).as("h"))
     val agg = hashed
@@ -256,7 +239,115 @@ object DedupQueries {
       .map(i =>
         when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    agg.select(col("doc_id"), sim.cast("long").as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sim.cast("long").as("simhash"))
+  }
+
+  /** CTE chain ending in `sh(doc_id, simhash)` — DuckDB twin of
+    * [[simhashOf]]. */
+  private def sqlSimhashCte: String = {
+    val bits = (0 until 16)
+      .map(i => s"sum((h >> $i) & 1) AS b$i").mkString(",\n       ")
+    val sim = (0 until 16)
+      .map(i => s"CASE WHEN b$i * 2 > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id, count(*) AS n,
+       |         $bits
+       |    FROM (
+       |      SELECT doc_id, ${Hashes.sqlTokHash("t")} AS h
+       |      FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
+       |    ) GROUP BY doc_id
+       |  )
+       |)""".stripMargin
+  }
+
+  /** SimHash (16-bit): explode tokens → 32-bit token hash → per-bit
+    * majority vote per doc. The explode+groupBy shape gets map-side
+    * partial aggregation; the shuffle carries 17 longs per doc. */
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    s"""$sqlSimhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin) {
+    (s, dir) => simhashOf(Tables(s, dir)).orderBy("doc_id")
+  }
+
+  /** SimHash hamming pairing — the step that turns fingerprints into a
+    * dedup decision: pairs of docs whose 16-bit simhashes differ by at
+    * most 1 bit, found WITHOUT an all-pairs comparison via the classic
+    * byte-band trick (hamming ≤ 1 leaves at least one of the two bytes
+    * identical, by pigeonhole — exact recall, no misses). Same capped
+    * bucket machinery as the LSH families: rank within (band, byte)
+    * buckets, all-pairs up to the cap, star edges to the bucket's
+    * first doc beyond it; the hamming predicate then verifies every
+    * candidate with two codegen'd bit ops. Shuffle = one window pass
+    * over 2 rows per doc. */
+  private val dedupSimhashPairs = Q(
+    "dedup_simhash_pairs",
+    s"""$sqlSimhashCte, bands AS (
+       |  SELECT doc_id, simhash, b.range AS band,
+       |         (simhash >> (8 * b.range)) & 255 AS key
+       |  FROM sh CROSS JOIN range(0, 2) b
+       |), ranked AS (
+       |  SELECT doc_id, simhash, band, key,
+       |         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY band, key) AS m,
+       |         first_value(doc_id) OVER (PARTITION BY band, key ORDER BY doc_id) AS adoc,
+       |         first_value(simhash) OVER (PARTITION BY band, key ORDER BY doc_id) AS ahash
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+       |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |    FROM ranked l JOIN ranked r
+       |      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |    WHERE l.rk <= $MaxBucketPairDocs AND r.rk <= $MaxBucketPairDocs
+       |    UNION ALL
+       |    SELECT adoc, doc_id,
+       |           CAST(bit_count(xor(ahash, simhash)) AS BIGINT)
+       |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
+       |  )
+       |)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = simhashOf(Tables(s, dir))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(1))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftright(simhash, band * 8)")
+          .bitwiseAND(lit(255L)).as("key"))
+    val byBucket = Window.partitionBy(col("band"), col("key"))
+    val ord = byBucket.orderBy(col("doc_id"))
+    val ranked = bands.select(
+      col("doc_id"), col("simhash"), col("band"), col("key"),
+      row_number().over(ord).as("rk"),
+      count(lit(1)).over(byBucket).as("m"),
+      first(col("doc_id")).over(ord).as("adoc"),
+      first(col("simhash")).over(ord).as("ahash"))
+    def hamming(a: Column, b: Column): Column =
+      bit_count(a.bitwiseXOR(b)).cast("long")
+    val headPairs = ranked
+      .filter(col("rk") <= MaxBucketPairDocs)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        hamming(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
+    val tailStarEdges = ranked
+      .filter(col("m") > 1 && col("rk") > MaxBucketPairDocs)
+      .select(col("adoc").as("doc_a"), col("doc_id").as("doc_b"),
+        hamming(col("ahash"), col("simhash")).as("hamming"))
+    headPairs.union(tailStarEdges).distinct()
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** n-gram Jaccard verification over the LSH candidate pairs: exact
@@ -547,6 +638,7 @@ object DedupQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
-      dedupComponents, dedupChunkLsh, dedupChunkDocEdges)
+    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+      dedupNgramJaccard, dedupComponents, dedupChunkLsh,
+      dedupChunkDocEdges)
 }
