@@ -61,6 +61,7 @@ object DedupQueries {
     * join) — shared with the text family (repetition / decontamination
     * operators). */
   private[graft] def sqlNgramsOf(toks: String, n: Int): String = {
+    require(n >= 2, s"n-gram windows need n >= 2, got $n")
     val join = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
     s"list_filter(list_transform(range(1, greatest(len($toks), $n) - ${n - 2}), " +
       s"i -> $join), x -> x IS NOT NULL)"

@@ -79,15 +79,21 @@ object Sinks {
   }
 
   /** Raw snapshot under `data/raw/<prefix>/<file>` (bpi_etl_bigquery
-    * .py:73-77): persists the exact payload for replay/debug. */
+    * .py:73-77): persists the exact payload for replay/debug. Writes
+    * through the path's Hadoop FileSystem, so `baseDir` can be a local
+    * dir, hdfs://, or an object-store URI — matching the reference's
+    * GCS snapshot target (`bpi_etl_bigquery.py:80-84`). */
   def snapshotRaw(
       spark: SparkSession, content: String, baseDir: String,
       fileName: String, ts: java.time.Instant): String = {
-    val dest = new java.io.File(
+    val dir = new org.apache.hadoop.fs.Path(
       s"$baseDir/data/raw/${snapshotPrefix(content.getBytes("UTF-8"), ts)}")
-    dest.mkdirs()
-    java.nio.file.Files.writeString(
-      new java.io.File(dest, fileName).toPath, content)
-    dest.getAbsolutePath + "/" + fileName
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val dest = new org.apache.hadoop.fs.Path(dir, fileName)
+    val out = fs.create(dest, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    dest.toString
   }
 }
