@@ -23,7 +23,8 @@ object ScaleStress {
 
   private val DocQueries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_chunk_lsh", "token_count",
+    "dedup_ngram_jaccard", "dedup_chunk_lsh", "dedup_chunk_doc_edges",
+    "dedup_simhash_pairs", "token_count",
     "text_quality", "lang_id", "doc_fingerprint", "text_pii_redact",
     "text_tokens", "text_repetition", "sample_stratified",
     "pack_sequences", "text_decontaminate")
