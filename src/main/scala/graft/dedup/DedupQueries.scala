@@ -130,7 +130,17 @@ object DedupQueries {
   /** Degenerate-bucket bound: buckets up to this many docs get exact
     * all-pairs expansion (classic LSH semantics, and what the DuckDB
     * self-join oracle computes — no driver-SF bucket comes near this);
-    * docs beyond it connect by star edges instead. */
+    * docs beyond it connect by star edges instead.
+    *
+    * Four capped-pair implementations share this policy —
+    * [[candidatePairs]], [[chunkCandidatePairs]], dedup_simhash_pairs,
+    * and [[graft.sim.SimilarityQueries]]'s nearDupPairs. Their
+    * expansion strategies deliberately differ with payload size
+    * (scalar/struct collect_list for key-only pairs, a head join where
+    * the payload is an embedding that must not sit in an aggregation
+    * buffer), so they are not folded into one helper; a change to the
+    * cap SEMANTICS must touch all four plus their SQL mirrors — each
+    * is pinned by its own oracle, so a missed site fails loudly. */
   private[dedup] val MaxBucketPairDocs = 64
 
   /** Candidate near-dup pairs: group by (band, band_hash), pair within
@@ -278,11 +288,16 @@ object DedupQueries {
     * dedup decision: pairs of docs whose 16-bit simhashes differ by at
     * most 1 bit, found WITHOUT an all-pairs comparison via the classic
     * byte-band trick (hamming ≤ 1 leaves at least one of the two bytes
-    * identical, by pigeonhole — exact recall, no misses). Same capped
-    * bucket machinery as the LSH families: rank within (band, byte)
-    * buckets, all-pairs up to the cap, star edges to the bucket's
-    * first doc beyond it; the hamming predicate then verifies every
-    * candidate with two codegen'd bit ops. Shuffle = one window pass
+    * identical, by pigeonhole — so banding itself misses nothing).
+    * Same capped bucket machinery as the LSH families: rank within
+    * (band, byte) buckets, all-pairs up to the cap, star edges to the
+    * bucket's first doc beyond it; the hamming predicate then verifies
+    * every candidate with two codegen'd bit ops. Recall is exact for
+    * docs within the cap; beyond-cap tail docs connect only through
+    * their star edge, so a tail-tail pair whose members are both far
+    * from the bucket head is the deliberate approximation the cap
+    * trades for O(m) worst-case buckets (same trade as every capped
+    * family here, mirrored in the oracle). Shuffle = one window pass
     * over 2 rows per doc. */
   private val dedupSimhashPairs = Q(
     "dedup_simhash_pairs",

@@ -94,6 +94,11 @@ object Sinks {
     val out = fs.create(dest, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    dest.toString
+    // Contract: schemeless (local) bases keep returning an ABSOLUTE
+    // plain path, as before the FileSystem port; URI bases return the
+    // URI form.
+    if (dest.toUri.getScheme == null)
+      new java.io.File(dest.toString).getAbsolutePath
+    else dest.toString
   }
 }

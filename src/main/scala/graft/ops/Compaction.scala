@@ -76,6 +76,9 @@ object Compaction {
       spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
     val rootPath = new Path(root)
     val hfs = fs(spark, rootPath)
+    // A not-yet-written table is vacuously compact (callers monitor
+    // roots before first load) — never a listing error.
+    if (!hfs.exists(rootPath)) return 0
     recoverStaging(hfs, rootPath)
     val parts = hfs.listStatus(rootPath)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
@@ -104,6 +107,7 @@ object Compaction {
   def fileCounts(spark: SparkSession, root: String): Map[String, Int] = {
     val rootPath = new Path(root)
     val hfs = fs(spark, rootPath)
+    if (!hfs.exists(rootPath)) return Map.empty
     hfs.listStatus(rootPath)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(st => st.getPath.getName -> dataFiles(hfs, st.getPath).length)

@@ -189,10 +189,14 @@ object SimilarityQueries {
     * within their bucket (one window shuffle), ranks ≤ `cap` expand
     * all-pairs, ranks beyond emit a single star edge to the bucket-min
     * vector — so a pathological bucket (all-near-dup corpus slice)
-    * costs O(m) pairs instead of O(m²), and every member still surfaces
-    * with its similarity to the bucket representative. Pair space is
-    * bounded buckets·(cap²/2 + m); `nPlanes` from [[planesFor]] keeps
-    * expected occupancy flat as the corpus grows. */
+    * costs O(m) pairs instead of O(m²). Every beyond-cap member is
+    * scored against the bucket representative and surfaces only if
+    * that score clears the threshold — a tail vector near some OTHER
+    * tail vector but far from the representative is the deliberate
+    * recall trade the cap makes (same as the dedup family, mirrored in
+    * the oracle). Pair space is bounded buckets·(cap²/2 + m);
+    * `nPlanes` from [[planesFor]] keeps expected occupancy flat as the
+    * corpus grows. */
   private[sim] def nearDupPairs(
       t: Tables, nPlanes: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -42,11 +42,19 @@ object PackSequences {
       spark: SparkSession, docs: DataFrame,
       seqLen: Int, partitions: Int = 32): DataFrame = {
     import spark.implicits._
+    // localCheckpoint PINS the partition layout: RangePartitioner's
+    // boundaries come from reservoir sampling whose seed varies per
+    // job, so without materializing once, the subtotal job and the
+    // output job could range-partition the SAME rows differently — and
+    // phase 3 would apply partition p's base offset to rows that were
+    // counted in partition p±1. Checkpointing makes both passes read
+    // the one materialized layout.
     val ranged = docs
       .select(col("doc_id"), col("split"), col("n_tokens"))
       .as[DocTok]
       .repartitionByRange(partitions, col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
+      .localCheckpoint()
 
     // Phase 1+2: per-(partition, split) token subtotals, driver-side
     // exclusive scan in global (split, doc_id) order. P·splits rows —
