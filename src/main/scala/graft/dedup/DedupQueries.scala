@@ -113,6 +113,13 @@ object DedupQueries {
       .filter(col("bh").isNotNull)
   }
 
+  /** The `bh IS NOT NULL` filter mirrors [[bands]]' isNotNull and is
+    * LOAD-BEARING since the cap: the uncapped oracle was immune (NULL
+    * never equi-joins), but the ranked window would bucket NULL band
+    * hashes together and star-edge-pair unrelated degenerate docs that
+    * the Spark side drops — divergence on any corpus with > cap short
+    * docs (proven by the /tmp/sfdeg counter-test: oracle 368 vs spark
+    * 352 rows without this filter). */
   private def sqlBandsCte: String = {
     val sig = (0 until K).map(sqlSignature).mkString(",\n         ")
     val union = (0 until B)
@@ -123,7 +130,9 @@ object DedupQueries {
        |         $sig
        |  FROM documents
        |), bands AS (
+       |  SELECT * FROM (
        |  $union
+       |  ) WHERE bh IS NOT NULL
        |)""".stripMargin
   }
 

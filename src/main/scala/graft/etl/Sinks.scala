@@ -88,7 +88,13 @@ object Sinks {
       fileName: String, ts: java.time.Instant): String = {
     val dir = new org.apache.hadoop.fs.Path(
       s"$baseDir/data/raw/${snapshotPrefix(content.getBytes("UTF-8"), ts)}")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // Local paths resolve to ChecksumFileSystem, which would add a
+    // hidden .<file>.crc sidecar per snapshot — use the raw layer so a
+    // snapshot dir holds exactly the payload, as before the FS port.
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
     fs.mkdirs(dir)
     val dest = new org.apache.hadoop.fs.Path(dir, fileName)
     val out = fs.create(dest, true)

@@ -1,7 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-import graft.{Sessions, SparkEntry}
+import graft.{Sessions, SparkEntry, Verify}
 
 /** Single-query correctness dump for the local iteration loop: same
   * output contract as [[graft.Verify]] (result parquet + oracle_sql.json
@@ -20,18 +19,8 @@ object VerifyOne {
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(picked.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.writeOracleSql(
+      outDir, SparkEntry.oracleSql.view.filterKeys(picked.contains).toMap)
     spark.stop()
   }
 }
