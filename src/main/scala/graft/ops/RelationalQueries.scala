@@ -199,6 +199,54 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Left semi join — the EXISTS twin of [[joinAnti]], declared in its
+    * own right because its plan shape matters at scale: the probe side
+    * streams, the build side deduplicates on the key before/while
+    * joining, and no payload from the right side is ever carried. */
+  private val joinSemi = Q(
+    "join_semi",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Per-group top-k (each customer's 2 largest orders) — the windowed
+    * top-k whose plan differs fundamentally from the global [[topk]]:
+    * one shuffle on the group key, then a rank filter evaluated
+    * per-partition — no global ordering, no driver-side limit, the
+    * shape that holds when "top k per key" spans billions of keys.
+    * Ties broken by order key so both engines rank identically. */
+  private val topkPerGroup = Q(
+    "topk_per_group",
+    """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders
+      |) WHERE rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 2)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Exact distinct count per group (shuffle on (group, distinct-key)
     * pairs — the expand+two-phase plan Spark generates survives skew
     * better than a naive global distinct).
@@ -580,7 +628,8 @@ object RelationalQueries {
 
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
-    joinSortmerge, joinAnti, distinctUsers, approxDistinct, topk, setOps,
+    joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
+    approxDistinct, topk, setOps,
     windowLagReturn, windowTumbling, windowSession, aggSalted, joinSalted,
     aggQuantiles, joinRange, joinAsof, aggHistogram)
 }
