@@ -139,6 +139,53 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Composed 6-table analytical query (TPC-H Q5 shape, public domain):
+    * revenue from orders where customer and supplier share a nation in
+    * one region. The plan worth demonstrating at 100 TB: exactly ONE
+    * big-big shuffle (lineitem ⋈ orders on the order key, the fact
+    * spine), every other relation broadcast — region prunes nation,
+    * nation prunes supplier, and the customer⋈supplier nation equality
+    * rides the broadcast as a residual condition instead of a second
+    * shuffle. Date filter pushed to the orders scan. */
+  private val q5LocalSupplierVolume = Q(
+    "q5_local_supplier_volume",
+    s"""SELECT n_name,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val asiaSuppliers = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t.lineitem
+      .join(
+        t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(t.customer),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Broadcast hash join: the dimension side (customer) ships to every
     * executor; the fact side (orders) never shuffles. This is the join
     * shape for fact×dim at any scale — explicitly hinted so the plan
@@ -627,7 +674,8 @@ object RelationalQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    aggGroup, aggRollup, aggCube, q3ShippingPriority, joinBroadcast,
+    aggGroup, aggRollup, aggCube, q3ShippingPriority,
+    q5LocalSupplierVolume, joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, topk, setOps,
     windowLagReturn, windowTumbling, windowSession, aggSalted, joinSalted,
