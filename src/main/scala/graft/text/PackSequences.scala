@@ -48,7 +48,12 @@ object PackSequences {
     // output job could range-partition the SAME rows differently — and
     // phase 3 would apply partition p's base offset to rows that were
     // counted in partition p±1. Checkpointing makes both passes read
-    // the one materialized layout.
+    // the one materialized layout. Failure mode beyond local mode:
+    // localCheckpoint blocks are NOT replicated, so losing an executor
+    // discards them and fails both passes (fail-loud, never wrong
+    // offsets). On a real cluster, swap in a reliable checkpoint or
+    // persist(StorageLevel.DISK_ONLY_2) for fault tolerance at the cost
+    // of one extra copy.
     val ranged = docs
       .select(col("doc_id"), col("split"), col("n_tokens"))
       .as[DocTok]

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -319,19 +319,29 @@ object TextQueries {
   /** Sequence packing — map each document onto the fixed-length token
     * stream a trainer consumes: docs are concatenated in doc_id order
     * within their train/val/test split, and every doc reports its start
-    * offset and the [[SeqLen]]-token sequences it lands in. One window
-    * shuffle partitioned by split (the packing unit), cumulative sums of
-    * exact int64 token counts; re-runs are byte-stable because the
-    * order key is the doc id, not arrival order. Scale ceiling, stated
-    * honestly: a per-split running offset is a prefix sum, so the
-    * ordered window funnels each split through one task. At true 100 TB
-    * the same result comes from the classic two-phase form — range-sort
-    * by doc_id, per-range subtotals (tiny), broadcast the exclusive
-    * scan of subtotals back as per-range base offsets — identical
-    * output, fully parallel; the windowed form is the declared query
-    * because its single shuffle is the right shape up to the scales the
-    * driver measures (10× stress ratio 1.5). */
+    * offset and the [[SeqLen]]-token sequences it lands in. A per-split
+    * running offset is a prefix sum, so the obvious ordered window
+    * (`PARTITION BY split`, 3 distinct values) would funnel the whole
+    * corpus through 3 tasks at scale. The declared query therefore runs
+    * [[PackSequences.twoPhase]] — range-sort by (split, doc_id),
+    * per-range token subtotals (metadata-sized), broadcast the exclusive
+    * scan of subtotals back as per-range base offsets — which
+    * PackSequencesSpec proves row-identical to the windowed reference at
+    * any partition count. The DuckDB oracle keeps the windowed SQL form
+    * (single-node, where the funnel is irrelevant); both sides describe
+    * the same global (split, doc_id) concatenation order. */
   private val SeqLen = 2048
+
+  /** The (doc_id, split, n_tokens) frame both packer forms consume. */
+  private[text] def packInput(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+  }
 
   private val packSequences = Q(
     "pack_sequences", {
@@ -356,22 +366,9 @@ object TextQueries {
          |FROM w
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
-    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir).documents
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(
-        col("doc_id"), col("split"), col("n_tokens"), col("start_offset"),
-        floor(col("start_offset") / SeqLen).cast("long").as("seq_first"),
-        floor((col("start_offset") + col("n_tokens") - 1) / SeqLen)
-          .cast("long").as("seq_last"))
+    PackSequences.twoPhase(s, packInput(s, dir), SeqLen)
+      .select("doc_id", "split", "n_tokens", "start_offset",
+        "seq_first", "seq_last")
       .orderBy("doc_id")
   }
 
