@@ -1,21 +1,37 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 /** Typed multimodal plumbing: opaque binary payloads + typed metadata
   * flowing through per-partition decode kernels.
   *
-  * The actual image/audio codecs are NOT present in this environment, so
-  * the decode kernels are STUBBED with deterministic fakes (clearly
-  * marked below). Everything around them is real and tested: the typed
-  * schemas (case-class Encoders → Tungsten rows), the per-partition
-  * batch iteration (`mapPartitions` — the Scala analog of Python's
+  * The IMAGE path is real: payloads are decoded with the JDK's
+  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship in
+  * java.desktop — zero extra dependencies), producing true pixel
+  * dimensions, channel counts, and a Rec.601 luma histogram; resize
+  * really resamples pixels and re-encodes PNG. The AUDIO path remains a
+  * disclosed deterministic stub (no audio codec ships in the JDK beyond
+  * javax.sound's WAV, and the fixture corpus has no real audio); its
+  * signature, schema and call sites are the production shape.
+  *
+  * Everything around the kernels is the real engine surface: typed
+  * schemas (case-class Encoders → Tungsten rows), per-partition batch
+  * iteration (`mapPartitions` — the Scala analog of Python's
   * `mapInPandas`: one kernel instantiation per partition, streaming
   * rows through it), and the partitioning contract (payloads never
   * shuffle unless the caller repartitions; feature rows are small and
   * shuffle freely).
   */
 object Multimodal {
+
+  // ImageIO defaults to spooling ImageInputStreams through temp FILES;
+  // payloads here are in-memory byte arrays, so the disk cache is pure
+  // overhead (and temp-dir churn across 32 executor threads).
+  ImageIO.setUseCache(false)
 
   /** One media item: modality tag + opaque bytes + open metadata. */
   final case class MediaItem(
@@ -49,29 +65,107 @@ object Multimodal {
   implicit val videoFrameEnc: Encoder[VideoFrame] = Encoders.product[VideoFrame]
 
   // ------------------------------------------------------------------
-  // STUB KERNELS — deterministic fakes standing in for real codecs.
-  // A production build swaps the bodies for javax.imageio / ffmpeg
-  // bindings; signatures, schemas and call sites stay identical.
+  // Image kernels — REAL JDK ImageIO codecs.
   // ------------------------------------------------------------------
 
-  /** STUB image decode: derives dimensions and a 16-bin "luminance
-    * histogram" from the payload bytes deterministically. */
+  /** Integer Rec.601 luma in [0, 255] from a packed ARGB pixel —
+    * integer arithmetic so the histogram is bit-deterministic across
+    * JVMs (no float rounding in the hot loop). */
+  @inline private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Real image decode: parse the payload with ImageIO, emit true
+    * dimensions, channel count (gray=1, RGB=3, RGBA=4 — the color
+    * model's component count), mean luma, and a 16-bin luma histogram
+    * whose mass equals the pixel count. Fail-loud on undecodable
+    * payloads (validation posture: a corrupt image aborts the batch
+    * rather than producing silent garbage rows). */
   def decodeImage(item: MediaItem): ImageFeatures = {
-    val bs = item.payload
-    val w = 1 + (math.abs(bs.headOption.getOrElse(0: Byte).toInt) % 64)
-    val h = 1 + (math.abs(bs.lift(1).getOrElse(0: Byte).toInt) % 64)
+    val img = ImageIO.read(new ByteArrayInputStream(item.payload))
+    require(img != null,
+      s"item ${item.item_id}: payload is not a decodable image " +
+        s"(${item.payload.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    // One bulk getRGB: ImageIO converts any source layout (palette,
+    // gray, 16-bit) to packed sRGB ARGB, so the luma path is uniform.
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     val hist = new Array[Long](16)
     var sum = 0L
-    bs.foreach { b =>
-      val v = b & 0xff
+    var i = 0
+    while (i < px.length) {
+      val v = luma(px(i))
       hist(v >> 4) += 1
       sum += v
+      i += 1
     }
     ImageFeatures(
-      item.item_id, w, h, channels = 3,
-      mean_intensity = if (bs.isEmpty) 0.0 else sum.toDouble / bs.length,
+      item.item_id, w, h,
+      channels = img.getColorModel.getNumComponents,
+      mean_intensity = if (px.isEmpty) 0.0 else sum.toDouble / px.length,
       histogram = hist)
   }
+
+  /** Real resize: decode, resample onto a canvas whose longest side is
+    * `maxSide` (aspect preserved, bilinear), re-encode as PNG. Identity
+    * when the image already fits — re-encoding a byte-identical payload
+    * would only churn. */
+  def resizeImage(item: MediaItem, maxSide: Int): MediaItem = {
+    val img = ImageIO.read(new ByteArrayInputStream(item.payload))
+    require(img != null, s"item ${item.item_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= maxSide && h <= maxSide) item
+    else {
+      val scale = maxSide.toDouble / math.max(w, h)
+      val nw = math.max(1, math.round(w * scale).toInt)
+      val nh = math.max(1, math.round(h * scale).toInt)
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      item.copy(payload = encodePng(out))
+    }
+  }
+
+  /** PNG-encode a buffered image (PNG writer ships in the JDK). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image: gray gradient + seed-striped
+    * pattern, real PNG bytes. The fixture generator for corpora without
+    * actual media columns — every downstream step decodes it with the
+    * REAL codec path. */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * 7 + y * 13 + (seed % 251).toInt) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  // ------------------------------------------------------------------
+  // STUB KERNEL — audio only. Disclosed deterministic fake standing in
+  // for a real codec (ffmpeg bindings in production); signature, schema
+  // and call sites are the production shape.
+  // ------------------------------------------------------------------
 
   /** STUB audio decode: payload bytes as 8-bit "samples". */
   def decodeAudio(item: MediaItem): AudioFeatures = {
@@ -82,15 +176,8 @@ object Multimodal {
     AudioFeatures(item.item_id, sample_rate = 16000, n_samples = bs.length.toLong, rms = rms)
   }
 
-  /** STUB resize: re-derive features at a clamped size (a real kernel
-    * would resample pixels; the fake clamps the fake dimensions). */
-  def resize(f: ImageFeatures, maxSide: Int): ImageFeatures =
-    f.copy(
-      width = math.min(f.width, maxSide),
-      height = math.min(f.height, maxSide))
-
   // ------------------------------------------------------------------
-  // Real Spark plumbing (schema, batching, partition behavior).
+  // Spark plumbing (schema, batching, partition behavior).
   // ------------------------------------------------------------------
 
   /** Per-partition image decode — one kernel per partition, rows
@@ -101,6 +188,10 @@ object Multimodal {
 
   def decodeAudios(items: Dataset[MediaItem]): Dataset[AudioFeatures] =
     items.mapPartitions(it => it.map(decodeAudio))
+
+  /** Per-partition resize — narrow, payload-in/payload-out. */
+  def resizeImages(items: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] =
+    items.mapPartitions(it => it.map(resizeImage(_, maxSide)))
 
   /** Frame sampling: every `stride`-th chunk of `frameSize` bytes
     * becomes a frame row (one-to-many, still narrow). */
@@ -114,9 +205,12 @@ object Multimodal {
       }
     }
 
-  /** Deterministic fake corpus off the documents table: payload = the
-    * UTF-8 text bytes (stands in for decoded media bytes), modality by
-    * id. Lets the plumbing run at any scale factor without codecs. */
+  /** Deterministic media corpus off the documents table. Image items
+    * carry REAL PNG payloads (synthesized per doc, decoded downstream
+    * by the real ImageIO kernel); audio/video items carry the UTF-8
+    * text bytes (stand-ins for decoded sample/frame buffers, matching
+    * the stubbed audio kernel). Lets the full pipeline run at any scale
+    * factor without a media-bearing source table. */
   def fakeMediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables(spark, sfDir).documents
@@ -128,7 +222,11 @@ object Multimodal {
           case 1 => "audio"
           case _ => "video"
         }
-        MediaItem(id, modality, text.getBytes("UTF-8"), Map("source" -> source))
+        val payload =
+          if (modality == "image")
+            syntheticPng(id, width = 4 + (id % 29).toInt, height = 4 + (id % 17).toInt)
+          else text.getBytes("UTF-8")
+        MediaItem(id, modality, payload, Map("source" -> source))
       }
   }
 }

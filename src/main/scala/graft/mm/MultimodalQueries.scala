@@ -7,14 +7,16 @@ import graft.util.Det
 import graft.{Q, Tables}
 
 /** Multimodal-column operators (north-star extensions): treat non-text
-  * modalities as opaque binary + typed metadata, with the decode step
-  * deterministic-faked (no image/audio codecs in this environment — see
-  * [[Multimodal]] for the stub contract) while the Spark-side plumbing
-  * (schemas, binary columns, batch shapes) is real and oracle-checked.
+  * modalities as opaque binary + typed metadata. The IMAGE decode is
+  * real JDK ImageIO (see [[Multimodal.decodeImage]] and the
+  * `mm_image_decode` query below, whose oracle recomputes the expected
+  * pixel statistics from the fixture's generative formula — so a codec
+  * bug, not just a plumbing bug, breaks the hash match). Audio decode
+  * remains a disclosed deterministic stub ([[Multimodal.decodeAudio]]).
   *
-  * Scale posture: all three ops are narrow per-row transforms plus one
-  * low-cardinality groupBy — no shuffle beyond the final 3-group
-  * aggregate, and binary payloads never leave the executor (only scalar
+  * Scale posture: all ops are narrow per-row transforms plus one
+  * low-cardinality groupBy — no shuffle beyond the final small
+  * aggregates, and binary payloads never leave the executor (only scalar
   * metadata is aggregated or sorted).
   */
 object MultimodalQueries {
@@ -103,6 +105,58 @@ object MultimodalQueries {
       .orderBy("vec_id")
   }
 
+  /** Real image decode as a declared, oracle-checked query. Spark
+    * synthesizes a true PNG per image item ([[Multimodal.syntheticPng]]:
+    * gray pixel v = (7x + 13y + seed) mod 256), then decodes the BYTES
+    * with the JDK ImageIO codec and reduces to pixel statistics. The
+    * DuckDB oracle never sees the PNG — it recomputes the same
+    * statistics from the generative formula over a range() pixel grid.
+    * The hash match therefore proves the encode→decode roundtrip is
+    * pixel-exact (PNG is lossless), not merely that two copies of one
+    * formula agree. Narrow: one per-row kernel, no shuffle; the
+    * histogram travels as a canonical comma-joined string because the
+    * driver's hash compare is defined over scalar columns. */
+  private val mmImageDecode = Q(
+    "mm_image_decode",
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+      |         CAST(4 + doc_id % 17 AS INTEGER) AS height,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), px AS (
+      |  SELECT item_id, (x*7 + y*13 + seed) % 256 AS v
+      |  FROM d, range(0, 32) tx(x), range(0, 20) ty(y)
+      |  WHERE x < width AND y < height
+      |), stats AS (
+      |  SELECT item_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean_intensity
+      |  FROM px GROUP BY item_id
+      |), bins AS (
+      |  SELECT item_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c
+      |  FROM px GROUP BY 1, 2
+      |), fullbins AS (
+      |  SELECT d.item_id, rb.bin, coalesce(b.c, 0) AS c
+      |  FROM d CROSS JOIN range(0, 16) rb(bin)
+      |  LEFT JOIN bins b ON b.item_id = d.item_id AND b.bin = rb.bin
+      |), hist AS (
+      |  SELECT item_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
+      |  FROM fullbins GROUP BY item_id
+      |)
+      |SELECT d.item_id, d.width, d.height, CAST(3 AS INTEGER) AS channels,
+      |       s.mean_intensity, h.hist
+      |FROM d JOIN stats s USING (item_id) JOIN hist h USING (item_id)
+      |ORDER BY item_id""".stripMargin) { (s, dir) =>
+    val feats = Multimodal.decodeImages(
+      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+    feats.toDF()
+      .select(
+        col("item_id"), col("width"), col("height"), col("channels"),
+        col("mean_intensity"),
+        array_join(transform(col("histogram"), _.cast("string")), ",")
+          .as("hist"))
+      .orderBy("item_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample)
+    Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode)
 }

@@ -1,11 +1,15 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+
 import graft.SparkSpec
 import Multimodal._
 
-/** Multimodal plumbing tests: the decode kernels are deterministic
-  * stubs, but the schemas, per-partition batching, one-to-many frame
-  * sampling and partitioning behavior under test are the real thing. */
+/** Multimodal kernel + plumbing tests. The image path decodes REAL PNG
+  * bytes with the JDK ImageIO codec (fixture corpus synthesizes true
+  * PNGs per doc); audio remains the disclosed deterministic stub. The
+  * schemas, per-partition batching, one-to-many frame sampling and
+  * partitioning behavior under test are the production shapes. */
 class MultimodalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -20,19 +24,53 @@ class MultimodalSpec extends SparkSpec {
     assert(first.meta.contains("source"))
   }
 
-  test("image decode: schema, determinism, histogram mass = payload bytes") {
+  test("image payloads are real PNGs: magic bytes + ImageIO decode") {
+    val img = media.filter(_.modality == "image").head()
+    // PNG signature: 0x89 'P' 'N' 'G'
+    assert((img.payload(0) & 0xff) == 0x89 && img.payload(1) == 'P'.toByte &&
+      img.payload(2) == 'N'.toByte && img.payload(3) == 'G'.toByte)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(img.payload))
+    assert(decoded != null && decoded.getWidth >= 4 && decoded.getHeight >= 4)
+  }
+
+  test("image decode: true dimensions, histogram mass = pixel count, determinism") {
     val imgs = decodeImages(media.filter(_.modality == "image"))
     val rows = imgs.collect()
     assert(rows.nonEmpty)
     rows.foreach { f =>
+      // Dimensions must equal what the fixture generator drew.
+      assert(f.width == 4 + (f.item_id % 29).toInt)
+      assert(f.height == 4 + (f.item_id % 17).toInt)
+      assert(f.channels == 3)
       assert(f.histogram.length == 16)
-      assert(f.histogram.sum == media.filter(_.item_id == f.item_id)
-        .head().payload.length.toLong)
-      assert(f.width >= 1 && f.height >= 1 && f.channels == 3)
+      assert(f.histogram.sum == f.width.toLong * f.height)
+      assert(f.mean_intensity >= 0.0 && f.mean_intensity <= 255.0)
     }
-    // Determinism: same input → bit-identical features
     val again = decodeImages(media.filter(_.modality == "image")).collect()
     assert(rows.map(_.mean_intensity).toSeq == again.map(_.mean_intensity).toSeq)
+  }
+
+  test("decode of a hand-built PNG yields exact pixel statistics") {
+    // 2×2 gray image: luma of (v,v,v) is exactly v, so bins and mean
+    // are known in closed form: 0,15 → bin 0; 16 → bin 1; 255 → bin 15.
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(0)); img.setRGB(1, 0, gray(15))
+    img.setRGB(0, 1, gray(16)); img.setRGB(1, 1, gray(255))
+    val item = MediaItem(42L, "image", encodePng(img), Map.empty)
+    val f = decodeImage(item)
+    assert(f.width == 2 && f.height == 2 && f.channels == 3)
+    assert(f.mean_intensity == (0 + 15 + 16 + 255) / 4.0)
+    val expected = new Array[Long](16)
+    expected(0) = 2; expected(1) = 1; expected(15) = 1
+    assert(f.histogram.toSeq == expected.toSeq)
+  }
+
+  test("undecodable payload fails loud with the item id") {
+    val bad = MediaItem(7L, "image", Array[Byte](1, 2, 3), Map.empty)
+    val e = intercept[IllegalArgumentException](decodeImage(bad))
+    assert(e.getMessage.contains("item 7"))
   }
 
   test("decode is narrow: partition count is preserved (no shuffle)") {
@@ -59,9 +97,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize clamps dimensions, keeps identity") {
-    val f = decodeImages(media.filter(_.modality == "image")).head()
-    val r = resize(f, 16)
-    assert(r.width <= 16 && r.height <= 16 && r.item_id == f.item_id)
+  test("resize really resamples: decoded output dims shrink, aspect kept") {
+    val big = media.filter(m => m.modality == "image")
+      .collect().find(m => decodeImage(m).width > 16).get
+    val before = decodeImage(big)
+    val after = decodeImage(resizeImage(big, 16))
+    assert(after.item_id == before.item_id)
+    assert(math.max(after.width, after.height) == 16)
+    val aspectBefore = before.width.toDouble / before.height
+    val aspectAfter = after.width.toDouble / after.height
+    assert(math.abs(aspectBefore - aspectAfter) < 0.2,
+      s"aspect drifted: $aspectBefore -> $aspectAfter")
+    // Identity when the image already fits.
+    val small = resizeImage(resizeImage(big, 16), 16)
+    assert(small.payload.sameElements(resizeImage(big, 16).payload))
+  }
+
+  test("distributed resize is narrow and keeps the dataset typed") {
+    val resized = resizeImages(media.filter(_.modality == "image"), 8)
+    val feats = decodeImages(resized).collect()
+    assert(feats.nonEmpty)
+    feats.foreach(f => assert(f.width <= 8 && f.height <= 8))
   }
 }
