@@ -457,6 +457,14 @@ object DedupQueries {
        |)
        |SELECT s AS doc_id, min(t) AS component
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    componentLabels(Tables(s, dir)).orderBy("doc_id")
+  }
+
+  /** Min-label propagation over the candidate graph → (doc_id,
+    * component) for every doc that appears in a candidate pair. Shared
+    * by dedup_components (the labels themselves) and dedup_survivors
+    * (labels composed back onto the corpus). */
+  private[dedup] def componentLabels(t: Tables): DataFrame = {
     // The loop's fixed cost is DRIVER actions, not executor work (the
     // frames are candidate-sized): every eager action pays scheduling +
     // optimization gaps that round-3 measured at ~half the query's wall
@@ -471,7 +479,7 @@ object DedupQueries {
     //    convergence is read off the same materialized result, two
     //    rounds at a time. Min-label propagation is monotone, so "no
     //    change across a step" is exactly the fixpoint test.
-    val edges = candidatePairs(Tables(s, dir)).localCheckpoint(false)
+    val edges = candidatePairs(t).localCheckpoint(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -506,6 +514,54 @@ object DedupQueries {
     // diameter; hitting this means the graph shape changed.
     require(changed == 0, s"components not converged after $rounds rounds")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Survivor selection — the step that closes the near-dedup pipeline
+    * (candidates → components → deduped corpus): every component keeps
+    * its min-doc_id representative, docs outside any candidate pair
+    * survive unchanged, and each survivor reports its cluster size
+    * (1 for singletons). The corpus never shuffles: labels and sizes
+    * are candidate-sized frames joined among themselves, then ONE
+    * broadcast left join annotates the corpus scan and the filter
+    * `component IS NULL OR component = doc_id` keeps survivors — at
+    * 100 TB the only wide op is the determinism-contract ORDER BY. */
+  private val dedupSurvivors = Q(
+    "dedup_survivors",
+    s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL SELECT doc_b FROM cand)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand
+       |), reach(s, t) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+       |), sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT d.doc_id, d.source,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |WHERE c.doc_id IS NULL OR c.component = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = componentLabels(t)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels.join(sizes, "component") // candidate-sized
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(annotated), Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .orderBy("doc_id")
   }
 
@@ -664,6 +720,6 @@ object DedupQueries {
 
   val queries: Seq[Q] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard, dedupComponents, dedupChunkLsh,
+      dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)
 }
