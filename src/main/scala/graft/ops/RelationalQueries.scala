@@ -186,6 +186,61 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Correlated-subquery analytical shape (TPC-H Q17 family, public
+    * domain): line items whose quantity is below 0.2 × their own part's
+    * average quantity — "small orders" per part. Written DECORRELATED,
+    * the plan a per-row subquery must become at scale: filter part →
+    * broadcast-prune lineitem ONCE (the pruned slice is localCheckpointed
+    * so aggregate and probe share one scan) → per-part scalar aggregate
+    * (one groupBy on the pruned slice) → broadcast the tiny aggregate
+    * back onto the same slice. One aggregation + one join; no per-row
+    * re-evaluation, no second fact scan. Cross-engine determinism:
+    * quantities are integral, so sum/count is an exact-integer division
+    * both engines compute bit-identically (Det only needed for the
+    * price sum). */
+  private val q17SmallQuantity = Q(
+    "q17_small_quantity",
+    s"""WITH p AS (
+       |  SELECT p_partkey FROM part
+       |  WHERE p_brand = 'Brand#23' AND p_size <= 25
+       |), li AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN p ON l_partkey = p_partkey
+       |), a AS (
+       |  SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+       |  FROM li GROUP BY l_partkey
+       |)
+       |SELECT li.l_partkey AS p_partkey,
+       |       min(a.avg_qty) AS avg_qty,
+       |       CAST(count(*) AS BIGINT) AS n_small,
+       |       ${Det.sqlDsum("l_extendedprice")} AS small_revenue
+       |FROM li JOIN a ON li.l_partkey = a.l_partkey
+       |WHERE li.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty
+       |GROUP BY li.l_partkey
+       |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val parts = t.part
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val li = t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint()
+    val avgs = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      .withColumnRenamed("l_partkey", "pk")
+    li.join(broadcast(avgs), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        min(col("avg_qty")).as("avg_qty"),
+        count(lit(1)).as("n_small"),
+        Det.dsum(col("l_extendedprice")).as("small_revenue"))
+      .select(col("l_partkey").as("p_partkey"), col("avg_qty"),
+        col("n_small"), col("small_revenue"))
+      .orderBy("p_partkey")
+  }
+
   /** Broadcast hash join: the dimension side (customer) ships to every
     * executor; the fact side (orders) never shuffles. This is the join
     * shape for fact×dim at any scale — explicitly hinted so the plan
@@ -675,7 +730,7 @@ object RelationalQueries {
 
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
-    q5LocalSupplierVolume, joinBroadcast,
+    q5LocalSupplierVolume, q17SmallQuantity, joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, topk, setOps,
     windowLagReturn, windowTumbling, windowSession, aggSalted, joinSalted,
