@@ -373,22 +373,29 @@ object TextQueries {
   }
 
   /** Benchmark decontamination — flag training docs sharing any 3-gram
-    * with a held-out corpus (here: source src0 stands in for the eval
-    * set). The n-gram-overlap check every serious pretraining pipeline
-    * runs before training. Shape: the benchmark's DISTINCT shingle set
-    * is small relative to the corpus → broadcast hash join against the
-    * candidates' per-doc distinct shingles, count shared grams per doc.
-    * Cost scales with corpus shingle volume (one scan, one broadcast),
+    * with a held-out corpus. The n-gram-overlap check every serious
+    * pretraining pipeline runs before training. The benchmark is a
+    * PINNED fixture — src0 docs with doc_id < [[BenchmarkMaxDocId]],
+    * exactly 25 docs at every driver SF — matching the real deployment
+    * shape: the eval set is fixed while the training corpus grows, so
+    * the broadcast gram set is constant-size no matter how far the
+    * corpus scales (a corpus-fraction benchmark would quietly grow the
+    * broadcast past executor memory at 100 TB). Shape: broadcast hash
+    * join of the benchmark's distinct shingles against the candidates'
+    * per-doc distinct shingles, count shared grams per doc. Cost scales
+    * with corpus shingle volume (one scan, one constant broadcast),
     * never corpus × benchmark. */
+  private val BenchmarkMaxDocId = 500L
+
   private val textDecontaminate = Q(
     "text_decontaminate", {
       val grams = graft.dedup.DedupQueries.sqlNgramsOf("string_split(text, ' ')", 3)
       s"""WITH bench AS (
          |  SELECT DISTINCT unnest($grams) AS sh
-         |  FROM documents WHERE source = 'src0'
+         |  FROM documents WHERE source = 'src0' AND doc_id < $BenchmarkMaxDocId
          |), cand AS (
          |  SELECT doc_id, unnest(list_distinct($grams)) AS sh
-         |  FROM documents WHERE source <> 'src0'
+         |  FROM documents WHERE NOT (source = 'src0' AND doc_id < $BenchmarkMaxDocId)
          |)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM cand JOIN bench USING (sh)
@@ -397,9 +404,10 @@ object TextQueries {
     }) { (s, dir) =>
     val docs = Tables(s, dir).documents
     val grams = org.apache.spark.sql.graft.ColumnOps.shingles(toks, 3)
-    val bench = docs.filter(col("source") === "src0")
+    val inBench = col("source") === "src0" && col("doc_id") < BenchmarkMaxDocId
+    val bench = docs.filter(inBench)
       .select(explode(grams).as("sh")).distinct()
-    val cand = docs.filter(col("source") =!= "src0")
+    val cand = docs.filter(!inBench)
       .select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
     cand.join(broadcast(bench), "sh")
       .groupBy(col("doc_id"))
