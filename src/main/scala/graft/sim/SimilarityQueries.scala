@@ -201,6 +201,12 @@ object SimilarityQueries {
       t: Tables, nPlanes: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("bucket"))
+    // localCheckpoint: `ranked` feeds all four join branches below
+    // (head l/r, tail t/h), and without materializing once, each branch
+    // re-evaluates the hyperplane bucketing and the ranking window —
+    // the same "compute the candidate frame exactly once" pattern as
+    // dedup_ngram_jaccard. The frame is bucket-pruned (m > 1 only), so
+    // the pinned copy is candidate-sized, not corpus-sized.
     val ranked = t.embeddings
       .select(col("vec_id"), col("embedding"),
         bucket(col("embedding"), nPlanes).as("bucket"))
@@ -208,6 +214,7 @@ object SimilarityQueries {
         row_number().over(byBucket.orderBy(col("vec_id"))).as("rk"),
         count(lit(1)).over(byBucket).as("m"))
       .filter(col("m") > 1)
+      .localCheckpoint()
     val head = ranked.filter(col("rk") <= cap)
     val headPairs = head.as("l")
       .join(head.as("r"),
