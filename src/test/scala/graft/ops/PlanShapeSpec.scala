@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression specs for the flagship queries: the ANSWER is
+  * pinned by the DuckDB oracle, but the 100 TB story lives in the plan,
+  * and a refactor (or an AQE/statistics change) can silently degrade it
+  * while every value still matches. At sf0.001 Catalyst auto-broadcasts
+  * everything, which hides the intended shapes — so these specs disable
+  * autoBroadcastJoinThreshold: explicit broadcast() hints survive (the
+  * dimensions we INTEND to broadcast), while unhinted spine joins
+  * revert to shuffled joins, reproducing the plan a 100 TB input would
+  * produce where only the hinted sides fit in memory. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  private def planOf(query: String): String = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SparkEntry.queries(query)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("q5_local_supplier_volume: exactly one shuffled join (the fact spine), all dims broadcast") {
+    val plan = planOf("q5_local_supplier_volume")
+    val shuffled =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffled == 1,
+      s"expected exactly one shuffled join (lineitem ⋈ orders), got $shuffled:\n$plan")
+    // 5 joins total: the spine + 4 broadcast (region→nation→supplier
+    // chain collapses to 2 broadcasts feeding the asiaSuppliers frame,
+    // plus asiaSuppliers and customer onto the spine).
+    assert(countOf(plan, "BroadcastHashJoin") == 4,
+      s"expected 4 broadcast joins:\n$plan")
+    // The customer⋈supplier nation equality must ride the broadcast as
+    // a residual, not become its own join.
+    assert(plan.contains("c_nationkey"), s"nation residual missing:\n$plan")
+  }
+
+  test("join_salted: the salt is part of the join keys") {
+    val plan = planOf("join_salted")
+    assert(plan.contains("__salt"),
+      s"salt column missing from the join plan:\n$plan")
+    // The salt must appear in the equi-join keys themselves (spreading
+    // a hot supplier key across reducers), not merely as a column.
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("__salt"))
+    assert(joinLine.isDefined,
+      s"expected a join keyed on (suppkey, __salt):\n$plan")
+  }
+
+  test("q17_small_quantity: decorrelated — one broadcast join back, no subquery, no shuffled join") {
+    val plan = planOf("q17_small_quantity")
+    assert(countOf(plan, "BroadcastHashJoin") == 1,
+      s"expected exactly the aggregate-probe broadcast join:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"q17 must not shuffle-join:\n$plan")
+    assert(!plan.contains("Subquery"),
+      s"q17 must be decorrelated, not a per-row subquery:\n$plan")
+  }
+
+  test("embedding_near_dup: bucketing window computed once, branches read the checkpoint") {
+    val plan = planOf("embedding_near_dup")
+    // The ranked frame is localCheckpointed inside nearDupPairs, so the
+    // final plan must contain NO Window node (the window ran exactly
+    // once, in the checkpoint job) and multiple scans of the pinned RDD.
+    assert(countOf(plan, "Window") == 0,
+      s"bucketing window recomputed per join branch:\n$plan")
+    assert(countOf(plan, "Scan ExistingRDD") >= 2,
+      s"expected join branches to read the checkpointed frame:\n$plan")
+  }
+}
