@@ -71,7 +71,16 @@ object Compaction {
   }
 
   /** Compact every `key=value` partition under `root`. Returns the
-    * number of partitions rewritten. */
+    * number of partitions rewritten.
+    *
+    * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS of the
+    * partitions being rewritten. The two-rename swap is crash-safe for
+    * the writer (recoverStaging reconstructs either way) but leaves a
+    * window where a reader listing the root sees the partition absent
+    * and silently returns partial results. Serving readers during
+    * compaction requires a manifest/table-format commit (Iceberg/Delta
+    * style) instead of directory renames — the same caveat as the
+    * object-store note above. */
   def compactPartitions(
       spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
     val rootPath = new Path(root)

@@ -33,9 +33,12 @@ object StorageQueries {
 
   // ---------------------------------------------------------------
   // join_bucketed: lineitem ⋈ orders with both sides bucketed on the
-  // join key at write time → sort-merge join with NO Exchange and NO
-  // Sort (buckets are written sorted). At 100 TB this removes the
-  // dominant cost of every recurring large-large join on the key.
+  // join key at write time → sort-merge join with NO Exchange on
+  // either side. A Sort remains above each scan on Spark 3+ (one
+  // bucket = many files, so sortBy order is per-file, not per-bucket
+  // — see bucketedJoin / Bucketing.writeBucketed); eliminating the
+  // two Exchanges is what matters at 100 TB, where shuffle of the
+  // fact table dominates every recurring large-large join.
   // ---------------------------------------------------------------
 
   private val Buckets = 16
