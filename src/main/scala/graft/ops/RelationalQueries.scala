@@ -728,11 +728,169 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** Sliding-frame window aggregates: per-user 3-row moving average plus
+    * a running cumulative sum over the event stream — the smoothing /
+    * running-total family the lag/rank windows don't cover. One shuffle
+    * on user_id (the same partitioning every per-user window reuses);
+    * frames are evaluated within a partition with no further exchange.
+    * Cross-engine determinism: DuckDB computes sliding SUMs with a
+    * segment tree (different addition order than Spark's incremental
+    * frame walk), so double sums are NOT safe here — both sides sum
+    * exact integer units ([[Det.toUnits]]) and divide once at the end. */
+  private val windowMovingAvg = Q(
+    "window_moving_avg",
+    s"""SELECT event_id, user_id, value,
+       |       CAST(count(*) OVER w3 AS BIGINT) AS mov_n,
+       |       CAST(sum(${Det.sqlUnits("value", 1000000L)}) OVER w3 AS BIGINT)
+       |         / 1000000.0 / count(*) OVER w3 AS mov_avg_3,
+       |       CAST(sum(${Det.sqlUnits("value", 1000000L)}) OVER wcum AS BIGINT)
+       |         / 1000000.0 AS cum_sum
+       |FROM events
+       |WINDOW w3 AS (PARTITION BY user_id
+       |              ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |       wcum AS (PARTITION BY user_id
+       |              ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val units = Det.toUnits(col("value"), 1000000L)
+    Tables(s, dir).events
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        count(lit(1)).over(w3).as("mov_n"),
+        (sum(units).over(w3) / lit(1000000.0) / count(lit(1)).over(w3))
+          .as("mov_avg_3"),
+        (sum(units).over(wcum) / lit(1000000.0)).as("cum_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot (long → wide): quantity totals by return flag, one column per
+    * line status. Values are enumerated explicitly
+    * (`pivot(col, Seq("F","O"))`), so Spark skips the extra
+    * distinct-values job and plans a single two-phase aggregate whose
+    * shuffle carries one row per return flag — the conditional-
+    * aggregation plan the oracle spells out by hand. A missing
+    * (flag, status) cell is NULL on both engines (SUM over zero rows). */
+  private val aggPivot = Q(
+    "agg_pivot",
+    s"""SELECT l_returnflag,
+       |       CAST(sum(CASE WHEN l_linestatus = 'F'
+       |                     THEN ${Det.sqlUnits("l_quantity", 100L)} END) AS BIGINT)
+       |         / 100.0 AS qty_f,
+       |       CAST(sum(CASE WHEN l_linestatus = 'O'
+       |                     THEN ${Det.sqlUnits("l_quantity", 100L)} END) AS BIGINT)
+       |         / 100.0 AS qty_o,
+       |       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+       |       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Det.dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        col("F_qty").as("qty_f"), col("O_qty").as("qty_o"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q18 shape (public domain): customers whose orders exceed a
+    * total-quantity threshold — the HAVING + IN-subquery pattern,
+    * decorrelated by hand into the plan a 100 TB run needs: ONE shuffle
+    * (the lineitem group-by on order key); the HAVING filter then
+    * shrinks the key set by ~100× before it re-joins, so the join back
+    * to orders and the customer lookup are both broadcasts, and the
+    * fact table is never re-scanned or re-shuffled. Quantities are
+    * integral doubles (< 2^53), so their sum is exact on both engines
+    * without unit scaling. */
+  private val q18LargeOrders = Q(
+    "q18_large_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o_totalprice,
+      |       CAST(big.total_qty AS BIGINT) AS total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+      |) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    t.orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        col("total_qty").cast("long").as("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Latest-wins merge/upsert (the warehouse CDC shape): a change batch
+    * overlays a base snapshot, keyed rows resolved to the highest
+    * version. Here the change batch is derived deterministically from
+    * orders (every 7th key re-priced) so the oracle can rebuild it.
+    * Plan: union is partition-local; the only shuffle is the window on
+    * the merge key. At scale the base side of that shuffle is the whole
+    * table — with a bucketed base (see [[StorageQueries]] /
+    * [[Bucketing]]) the exchange drops to the delta only, which is the
+    * standard MERGE layout; this query demonstrates the semantics on
+    * plain parquet. Per-row `price * 1.1` is a single IEEE multiply on
+    * identical inputs — bit-identical across engines, no Det needed. */
+  private val mergeUpsert = Q(
+    "merge_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS src_version
+      |  FROM orders
+      |), updates AS (
+      |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+      |         'U' AS o_orderstatus, 2 AS src_version
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY src_version DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+      |)
+      |SELECT o_orderkey, o_totalprice, o_orderstatus,
+      |       CAST(src_version AS INTEGER) AS src_version
+      |FROM merged WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables(s, dir).orders
+    val base = orders.select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+      lit(1).as("src_version"))
+    val updates = orders.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey"),
+      (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+      lit("U").as("o_orderstatus"),
+      lit(2).as("src_version"))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("src_version").desc)
+    base.unionAll(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "src_version")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
-    q5LocalSupplierVolume, q17SmallQuantity, joinBroadcast,
+    q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders, joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, topk, setOps,
-    windowLagReturn, windowTumbling, windowSession, aggSalted, joinSalted,
-    aggQuantiles, joinRange, joinAsof, aggHistogram)
+    windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
+    aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
+    aggHistogram, mergeUpsert)
 }

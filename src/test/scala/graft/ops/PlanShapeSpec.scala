@@ -63,6 +63,50 @@ class PlanShapeSpec extends SparkSpec {
       s"q17 must be decorrelated, not a per-row subquery:\n$plan")
   }
 
+  test("q18_large_orders: one fact shuffle (the group-by), both joins broadcast") {
+    val plan = planOf("q18_large_orders")
+    assert(countOf(plan, "BroadcastHashJoin") == 2,
+      s"expected the HAVING-shrunk keys and customer to broadcast:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"q18 must never shuffle-join the fact table:\n$plan")
+  }
+
+  test("window_moving_avg: both frames share one Window pass / one shuffle") {
+    val plan = planOf("window_moving_avg")
+    assert(countOf(plan, "Window") == 1,
+      s"sliding + cumulative frames must fuse into one Window node:\n$plan")
+    assert(countOf(plan, "hashpartitioning") == 1,
+      s"expected exactly the user_id exchange:\n$plan")
+  }
+
+  test("agg_pivot: explicit values keep the pivot a pure aggregate pipeline") {
+    val plan = planOf("agg_pivot")
+    // Spark's pivot-with-explicit-values plan: two-phase agg on
+    // (flag, status) feeding a two-phase pivotfirst agg on flag — four
+    // HashAggregates, two exchanges, both map-side combined. What must
+    // NOT appear: a distinct-values scan or any join/window (the cost
+    // `pivot(col)` without values would add).
+    assert(countOf(plan, "HashAggregate") == 4,
+      s"expected the two-level two-phase pivot aggregate:\n$plan")
+    assert(countOf(plan, "hashpartitioning") == 2,
+      s"expected exactly two agg exchanges:\n$plan")
+    assert(countOf(plan, "Join") == 0 && countOf(plan, "Window [") == 0,
+      s"pivot must not add joins or windows:\n$plan")
+  }
+
+  test("merge_upsert: map-side WindowGroupLimit prune before the single merge-key shuffle") {
+    val plan = planOf("merge_upsert")
+    assert(countOf(plan, "Union") == 1, s"expected one union:\n$plan")
+    assert(countOf(plan, "Window [") == 1, s"expected one window pass:\n$plan")
+    assert(countOf(plan, "hashpartitioning(o_orderkey") == 1,
+      s"expected exactly the merge-key exchange:\n$plan")
+    // row_number()=1 must push a partial WindowGroupLimit below the
+    // exchange: the shuffle then carries at most one row per
+    // (key, map partition), not the whole base table.
+    assert(plan.contains("row_number(), 1, Partial"),
+      s"expected the map-side rank-limit prune below the shuffle:\n$plan")
+  }
+
   test("embedding_near_dup: bucketing window computed once, branches read the checkpoint") {
     val plan = planOf("embedding_near_dup")
     // The ranked frame is localCheckpointed inside nearDupPairs, so the
