@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -415,10 +416,169 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate ("line") dedup, CCNet-family: segment
+    * every document, count how many distinct documents each exact
+    * segment appears in, drop segments above a document-frequency
+    * threshold (navigation chrome, license headers, templated footers),
+    * and reassemble the survivors in order. The driver corpus has no
+    * newlines, so a "line" here is a deterministic 5-token segment —
+    * the segmentation both engines compute identically; on real data
+    * the splitter would be `split(text, '\n')` and nothing downstream
+    * changes. Scale: segments shuffle once to count (map-side
+    * combined), the boilerplate set is matched with a left ANTI join on
+    * the segment key — no broadcast assumption, works even when the
+    * boilerplate set is huge — and reassembly is one groupBy on doc_id. */
+  private val textLineDedup = Q(
+    "text_line_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), segs AS (
+      |  SELECT doc_id, i AS pos, array_to_string(toks[i*5+1 : i*5+5], ' ') AS seg
+      |  FROM t, range(0, 200) r(i) WHERE i*5 < len(toks)
+      |), boiler AS (
+      |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+      |), kept AS (
+      |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+      |), re AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST((len(string_split(d.text, ' ')) - 1) // 5 + 1 AS BIGINT) AS n_segs,
+      |       coalesce(re.n_kept, 0) AS n_kept,
+      |       coalesce(re.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr("(size(toks) - 1) div 5")),
+          i => array_join(slice(col("toks"), i * 5 + 1, lit(5)), " "))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "seg"))
+    val boiler = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("seg"))
+    val reassembled = segs
+      .join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+    docs
+      .select(
+        col("doc_id"),
+        expr("CAST((size(split(text, ' ')) - 1) div 5 + 1 AS BIGINT)")
+          .as("n_segs"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-3 salient terms by a tf·idf-family score. The
+    * textbook score multiplies tf by ln(N/df), but ln() is libm-
+    * dependent — the two engines can disagree in the last ulp and flip
+    * a ranking — so the score here is the log-free exact-integer
+    * variant `tf * 1e6 // df` (monotone in tf and in 1/df, computed
+    * identically everywhere). Scale: tf is one (doc, term) groupBy; df
+    * is a second groupBy on the already-tiny tf frame; the df side is
+    * vocabulary-sized (Zipf: millions of terms at 100 TB, not
+    * trillions) and is broadcast back onto tf; top-3 is a per-doc rank
+    * window after the one doc-key shuffle. */
+  private val textTfidf = Q(
+    "text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), sc AS (
+      |  SELECT doc_id, term, tf, df,
+      |         CAST(tf * 1000000 // df AS BIGINT) AS score_ppm
+      |  FROM tf JOIN df USING (term)
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_ppm DESC, term) AS rnk
+      |  FROM sc
+      |)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score_ppm
+      |FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    val tf = Tables(s, dir).documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score_ppm", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Vocabulary building: corpus term frequencies ranked with a running
+    * coverage fraction — the "how many types cover 95% of tokens" table
+    * every tokenizer-training run starts from. Scale: the only
+    * full-corpus work is the map-side-combined term count; ranking and
+    * the cumulative sum then run over the vocabulary, which is small
+    * relative to the corpus (Zipf), so the single-task global window is
+    * metadata-sized by construction — same argument as the two-phase
+    * packer's subtotal pass ([[PackSequences]]). Coverage is one
+    * division of exact integer counts — bit-identical cross-engine. */
+  private val textVocab = Q(
+    "text_vocab",
+    """WITH vc AS (
+      |  SELECT term, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |  ) GROUP BY term
+      |)
+      |SELECT CAST(row_number() OVER wr AS BIGINT) AS rank,
+      |       term, n,
+      |       CAST(sum(n) OVER (wr ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                     AND CURRENT ROW) AS BIGINT) AS cum_n,
+      |       CAST(sum(n) OVER (wr ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                     AND CURRENT ROW) AS BIGINT)
+      |         / CAST(sum(n) OVER () AS BIGINT) AS coverage
+      |FROM vc
+      |WINDOW wr AS (ORDER BY n DESC, term)
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir).documents
+      .select(explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        row_number().over(w).cast("long").as("rank"),
+        col("term"), col("n"),
+        sum(col("n")).over(wcum).as("cum_n"),
+        (sum(col("n")).over(wcum).cast("double") /
+          sum(col("n")).over(wall).cast("double")).as("coverage"))
+      .orderBy("rank")
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
-      sampleStratified, packSequences, textDecontaminate)
+      sampleStratified, packSequences, textDecontaminate,
+      textLineDedup, textTfidf, textVocab)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

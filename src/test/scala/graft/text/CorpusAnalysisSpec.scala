@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Behavioral invariants for the round-5 corpus-analysis operators:
+  * cross-document boilerplate removal, tf-idf term salience, and
+  * vocabulary coverage. (Value-level correctness is the DuckDB oracle's
+  * job; these pin the semantic contracts the oracle can't express.) */
+class CorpusAnalysisSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_line_dedup: survivors are an in-order segment subsequence; boilerplate actually drops") {
+    val rows = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    var totalSegs = 0L
+    var totalKept = 0L
+    rows.foreach { r =>
+      val nSegs = r.getAs[Long]("n_segs")
+      val nKept = r.getAs[Long]("n_kept")
+      assert(nKept >= 0 && nKept <= nSegs)
+      totalSegs += nSegs; totalKept += nKept
+      // Reassembly preserves order: clean_text must be the original
+      // segment sequence with zero or more segments excised.
+      val orig = docs(r.getAs[Long]("doc_id")).split(" ")
+      val origSegs = orig.grouped(5).map(_.mkString(" ")).toList
+      assert(origSegs.length == nSegs)
+      val clean = r.getAs[String]("clean_text")
+      val keptSegs =
+        if (clean.isEmpty) List.empty[String]
+        else {
+          // Segments are 5 tokens except a possibly-short final one —
+          // recover them by walking the original segment list.
+          var rest = clean
+          origSegs.filter { seg =>
+            val hit = rest == seg || rest.startsWith(seg + " ")
+            if (hit) rest = rest.stripPrefix(seg).stripPrefix(" ")
+            hit
+          }
+        }
+      assert(keptSegs.length == nKept,
+        s"doc ${r.getAs[Long]("doc_id")}: clean_text is not an in-order segment subsequence")
+    }
+    // The fixture corpus must actually exercise the drop path.
+    assert(totalKept < totalSegs, "no boilerplate dropped — threshold dead")
+  }
+
+  test("text_tfidf: per-doc top-3 with exact integer scores, non-increasing") {
+    val rows = SparkEntry.queries("text_tfidf")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_ppm") ==
+        r.getAs[Long]("tf") * 1000000L / r.getAs[Long]("df"))
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.length <= 3)
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Long]("score_ppm")).toSeq
+      assert(scores == scores.sorted.reverse, "scores must be non-increasing")
+    }
+  }
+
+  test("text_vocab: consecutive ranks, exact running sum, coverage ends at 1.0") {
+    val rows = SparkEntry.queries("text_vocab")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length).toSeq)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.toSeq == ns.sorted.reverse.toSeq, "counts must be non-increasing")
+    var cum = 0L
+    val total = ns.sum
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n")
+      assert(r.getAs[Long]("cum_n") == cum)
+      assert(math.abs(r.getAs[Double]("coverage") - cum.toDouble / total) == 0.0)
+    }
+    assert(rows.last.getAs[Double]("coverage") == 1.0)
+  }
+}
