@@ -84,6 +84,33 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"IVF recall@10 too low: $overlap of 10")
   }
 
+  test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
+    val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
+    assert(rerank.length == 10)
+    // The probe vector survives multiprobe retrieval (it shares its own
+    // bucket) and the exact rerank puts it first at cosine 1.0.
+    assert(rerank.head.getAs[Long]("vec_id") == 0L)
+    assert(rerank.head.getAs[Long]("sim_e6") == 1000000L)
+    // Stage-1 ranks are a valid candidate cut.
+    rerank.foreach { r =>
+      val cr = r.getAs[Long]("cand_rank")
+      assert(cr >= 1L && cr <= 50L)
+    }
+    // Stage-2 scores are the EXACT f32 cosine — identical to brute force
+    // for every vec the two rankings share, and recall@10 is high: the
+    // multiprobe (Hamming ≤ 1) retrieval must not lose the neighborhood.
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf).collect()
+    val bruteSim = brute.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e6")).toMap
+    rerank.foreach { r =>
+      bruteSim.get(r.getAs[Long]("vec_id"))
+        .foreach(s => assert(s == r.getAs[Long]("sim_e6")))
+    }
+    val exact10 = brute.take(10).map(_.getAs[Long]("vec_id")).toSet
+    val overlap = rerank.count(r => exact10.contains(r.getAs[Long]("vec_id")))
+    assert(overlap >= 6, s"rerank recall@10 too low: $overlap of 10")
+  }
+
   test("int8 top-k: probe ranks first, high recall vs the exact top-k") {
     val exact = SparkEntry.queries("similarity_topk")(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
