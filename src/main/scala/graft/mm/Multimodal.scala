@@ -59,7 +59,14 @@ object Multimodal {
       frame_index: Int,
       frame_payload: Array[Byte])
 
+  /** 8×8 block-average perceptual hash, as 8 byte-band values (band j =
+    * grid row j, bit i = grid column i) — banded for LSH-style pairing
+    * without ever materializing a single 64-bit value (bit 63 would
+    * collide with the sign bit in both engines). */
+  final case class ImageHash(item_id: Long, bands: Array[Long])
+
   implicit val mediaItemEnc: Encoder[MediaItem] = Encoders.product[MediaItem]
+  implicit val imageHashEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
   implicit val imageFeaturesEnc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
   implicit val audioFeaturesEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
   implicit val videoFrameEnc: Encoder[VideoFrame] = Encoders.product[VideoFrame]
@@ -108,6 +115,51 @@ object Multimodal {
       channels = img.getColorModel.getNumComponents,
       mean_intensity = if (px.isEmpty) 0.0 else sum.toDouble / px.length,
       histogram = hist)
+  }
+
+  /** Perceptual hash (aHash family) over the REAL decode path: decode
+    * the payload, map each pixel to grid block (⌊8x/W⌋, ⌊8y/H⌋), and
+    * set block bit = "block mean luma > image mean luma" — compared by
+    * integer cross-multiplication (blockSum·totalCount > totalSum·
+    * blockCount), so there is NO division and NO float anywhere: the
+    * hash is bit-deterministic across JVMs and exactly recomputable by
+    * the DuckDB oracle from the fixture's generative pixel formula.
+    * Empty blocks (images narrower/shorter than 8px leave grid gaps)
+    * hash to 0. Robust to uniform rescaling by construction — the grid
+    * is relative to the dimensions. */
+  def imageAHash(item: MediaItem): ImageHash = {
+    val img = ImageIO.read(new ByteArrayInputStream(item.payload))
+    require(img != null,
+      s"item ${item.item_id}: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val bSum = new Array[Long](64) // index bj*8 + bi
+    val bCnt = new Array[Long](64)
+    var tSum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = luma(px(i))
+      val x = i % w
+      val y = i / w
+      val b = (y * 8 / h) * 8 + (x * 8 / w)
+      bSum(b) += v
+      bCnt(b) += 1
+      tSum += v
+      i += 1
+    }
+    val tCnt = px.length.toLong
+    val bands = Array.tabulate(8) { bj =>
+      var band = 0L
+      var bi = 0
+      while (bi < 8) {
+        val b = bj * 8 + bi
+        if (bSum(b) * tCnt > tSum * bCnt(b)) band |= (1L << bi)
+        bi += 1
+      }
+      band
+    }
+    ImageHash(item.item_id, bands)
   }
 
   /** Real resize: decode, resample onto a canvas whose longest side is
@@ -188,6 +240,11 @@ object Multimodal {
 
   def decodeAudios(items: Dataset[MediaItem]): Dataset[AudioFeatures] =
     items.mapPartitions(it => it.map(decodeAudio))
+
+  /** Per-partition perceptual hashing — narrow; payloads never move,
+    * only the 8-band hash (64 bytes/item) flows downstream. */
+  def imageAHashes(items: Dataset[MediaItem]): Dataset[ImageHash] =
+    items.mapPartitions(it => it.map(imageAHash))
 
   /** Per-partition resize — narrow, payload-in/payload-out. */
   def resizeImages(items: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] =

@@ -157,6 +157,162 @@ object MultimodalQueries {
       .orderBy("item_id")
   }
 
+  /** Degenerate-bucket bound for [[mmImageDedup]] — same policy (and
+    * same value) as `DedupQueries.MaxBucketPairDocs`: all-pairs within
+    * a band bucket up to the cap, star edges to the bucket head beyond,
+    * so worst-case pair expansion is O(m) per bucket. */
+  private val MaxBucketPairItems = 64
+
+  /** CTE chain recomputing the 8×8 block-average perceptual hash from
+    * the fixture's generative pixel formula, ending in
+    * `allbands(item_id, band, key)` — the DuckDB twin of
+    * [[Multimodal.imageAHash]]. Block bit = block mean luma > image
+    * mean luma, compared by integer cross-multiplication (no division,
+    * no floats — exact on both engines); grid blocks left empty by
+    * sub-8px dimensions hash to 0 via the `coalesce` backfill. */
+  private def sqlBandsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+      |         CAST(4 + doc_id % 17 AS INTEGER) AS height,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), px AS (
+      |  SELECT item_id, width, height,
+      |         (x*8) // width AS bi, (y*8) // height AS bj,
+      |         (x*7 + y*13 + seed) % 256 AS v
+      |  FROM d, range(0, 32) tx(x), range(0, 20) ty(y)
+      |  WHERE x < width AND y < height
+      |), tot AS (
+      |  SELECT item_id, sum(v) AS tsum, count(*) AS tcnt FROM px GROUP BY item_id
+      |), blk AS (
+      |  SELECT item_id, bi, bj, sum(v) AS bsum, count(*) AS bcnt
+      |  FROM px GROUP BY item_id, bi, bj
+      |), bits AS (
+      |  SELECT b.item_id, b.bi, b.bj,
+      |         CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN tot t USING (item_id)
+      |), bands AS (
+      |  SELECT item_id, bj AS band, CAST(sum(bit * (1 << bi)) AS BIGINT) AS key
+      |  FROM bits GROUP BY item_id, bj
+      |), allbands AS (
+      |  SELECT d.item_id, CAST(r.band AS INTEGER) AS band, coalesce(b.key, 0) AS key
+      |  FROM d CROSS JOIN range(0, 8) r(band)
+      |  LEFT JOIN bands b ON b.item_id = d.item_id AND b.band = r.band
+      |)""".stripMargin
+
+  /** Perceptual hash per image, over the REAL decode path: Spark
+    * synthesizes true PNGs, decodes them with JDK ImageIO, and block-
+    * averages the decoded pixels into an aHash ([[Multimodal
+    * .imageAHash]]); the oracle recomputes the hash from the generative
+    * formula without ever seeing a PNG — so the hash match proves the
+    * codec roundtrip AND the integer hashing, end to end. Narrow: one
+    * per-row kernel, payloads never shuffle, 8 longs per item emerge. */
+  private val mmImagePhash = Q(
+    "mm_image_phash",
+    s"""$sqlBandsCte
+       |SELECT item_id,
+       |       string_agg(printf('%02x', key), '' ORDER BY band) AS phash
+       |FROM allbands GROUP BY item_id ORDER BY item_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.imageAHashes(
+      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+      .toDF()
+      .select(
+        col("item_id"),
+        array_join(transform(col("bands"),
+          b => format_string("%02x", b)), "").as("phash"))
+      .orderBy("item_id")
+  }
+
+  /** Near-duplicate images by perceptual hash: pairs whose aHashes
+    * differ by ≤ 2 of 64 bits, found WITHOUT an all-pairs scan via
+    * byte-band bucketing (8 bands; by pigeonhole any pair at hamming
+    * ≤ 7 shares at least one full band, so banding misses nothing at
+    * this threshold). Same capped-bucket machinery as the simhash/LSH
+    * dedup families: all-pairs within a (band, key) bucket up to
+    * [[MaxBucketPairItems]], star edges to the bucket head beyond,
+    * both mirrored in the oracle. Collecting `(item_id, bands)` into
+    * the bucket buffer is safe here — bands are 8 longs (64 B/item),
+    * unlike the embedding payloads the near-dup family deliberately
+    * keeps out of aggregation buffers. At 100 TB: decode+hash is
+    * narrow, the pairing shuffles 8 band rows × ~72 B per image —
+    * pair discovery over a billion images moves ~0.5 TB, not the
+    * images. */
+  private val mmImageDedup = Q(
+    "mm_image_dedup", {
+      def ham(a: String, b: String) =
+        "CAST(" + (1 to 8).map(i => s"bit_count(xor($a[$i], $b[$i]))")
+          .mkString(" + ") + " AS BIGINT)"
+      s"""$sqlBandsCte, h AS (
+         |  SELECT item_id, list(key ORDER BY band) AS ks
+         |  FROM allbands GROUP BY item_id
+         |), ranked AS (
+         |  SELECT a.item_id, h.ks, a.band, a.key,
+         |         row_number() OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS rk,
+         |         count(*) OVER (PARTITION BY a.band, a.key) AS m,
+         |         first_value(a.item_id) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aitem,
+         |         first_value(h.ks) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aks
+         |  FROM allbands a JOIN h USING (item_id)
+         |), cand AS (
+         |  SELECT DISTINCT item_a, item_b, hamming FROM (
+         |    SELECT l.item_id AS item_a, r.item_id AS item_b,
+         |           ${ham("l.ks", "r.ks")} AS hamming
+         |    FROM ranked l JOIN ranked r
+         |      ON l.band = r.band AND l.key = r.key AND l.item_id < r.item_id
+         |    WHERE l.rk <= $MaxBucketPairItems AND r.rk <= $MaxBucketPairItems
+         |    UNION ALL
+         |    SELECT aitem, item_id, ${ham("aks", "ks")}
+         |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairItems
+         |  )
+         |)
+         |SELECT item_a, item_b, hamming FROM cand
+         |WHERE hamming <= 2
+         |ORDER BY item_a, item_b""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Multimodal.imageAHashes(
+      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+      .toDF()
+    val bandRows = hashes.select(
+      col("item_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val byBucket = Window.partitionBy(col("band"), col("key"))
+    val ord = byBucket.orderBy(col("item_id"))
+    val ranked = bandRows.select(
+      col("item_id"), col("bands"), col("band"), col("key"),
+      row_number().over(ord).as("rk"),
+      count(lit(1)).over(byBucket).as("m"),
+      first(col("item_id")).over(ord).as("aitem"),
+      first(col("bands")).over(ord).as("abands"))
+    def hamming(a: Column, b: Column): Column =
+      (0 until 8)
+        .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
+        .reduce(_ + _)
+    val headPairs = ranked
+      .filter(col("rk") <= MaxBucketPairItems)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(
+        struct(col("item_id"), col("bands")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(
+        col("p.a.item_id").as("item_a"), col("p.b.item_id").as("item_b"),
+        hamming(col("p.a.bands"), col("p.b.bands")).as("hamming"))
+    val tailStarEdges = ranked
+      .filter(col("m") > 1 && col("rk") > MaxBucketPairItems)
+      .select(
+        col("aitem").as("item_a"), col("item_id").as("item_b"),
+        hamming(col("abands"), col("bands")).as("hamming"))
+    headPairs.union(tailStarEdges).distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy("item_a", "item_b")
+  }
+
   val queries: Seq[Q] =
-    Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode)
+    Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
+      mmImagePhash, mmImageDedup)
 }

@@ -119,4 +119,51 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.nonEmpty)
     feats.foreach(f => assert(f.width <= 8 && f.height <= 8))
   }
+
+  /** Half-dark/half-bright w×h PNG: left half gray 0, right half 255. */
+  private def halfBright(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0 else 0xffffff)
+    encodePng(img)
+  }
+
+  test("aHash of a half-bright image is f0 per band, at any resolution") {
+    // Bright pixels (255) exceed the mean (127.5); with the split on the
+    // grid midline every band is exactly 0b11110000 = 0xf0 — and because
+    // the grid is relative to the dimensions, the 8×8 and 16×16 and
+    // 32×16 renderings all hash identically (scale robustness).
+    for ((w, h) <- Seq((8, 8), (16, 16), (32, 16))) {
+      val hash = imageAHash(MediaItem(1L, "image", halfBright(w, h), Map()))
+      assert(hash.bands.toSeq == Seq.fill(8)(0xf0L), s"dims ${w}x$h")
+    }
+  }
+
+  test("aHash of a uniform image is all zero bands (no block exceeds the mean)") {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val hash = imageAHash(MediaItem(2L, "image", encodePng(img), Map()))
+    assert(hash.bands.toSeq == Seq.fill(8)(0L))
+  }
+
+  test("image near-dup pairs equal the brute-force hamming<=2 set") {
+    // sf0.001's largest band bucket (57) is under the 64 cap, so the
+    // banded pairing must have EXACT recall at hamming <= 2 (pigeonhole
+    // guarantees it up to hamming 7 with 8 bands).
+    val hashes = imageAHashes(media.filter(_.modality == "image"))
+      .collect().sortBy(_.item_id)
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      d = ham(hashes(i).bands, hashes(j).bands) if d <= 2
+    } yield (hashes(i).item_id, hashes(j).item_id, d)).toSet
+    val queried = graft.SparkEntry.queries("mm_image_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(queried == brute,
+      s"banded=${queried.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+  }
 }
