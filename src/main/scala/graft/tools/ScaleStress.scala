@@ -27,10 +27,12 @@ object ScaleStress {
     "dedup_simhash_pairs", "token_count",
     "text_quality", "lang_id", "doc_fingerprint", "text_pii_redact",
     "text_tokens", "text_repetition", "sample_stratified",
-    "pack_sequences", "text_decontaminate")
+    "pack_sequences", "text_decontaminate",
+    "text_line_dedup", "text_tfidf", "text_vocab",
+    "mm_image_phash", "mm_image_dedup")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
-    "embedding_near_dup")
+    "embedding_near_dup", "similarity_rerank")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -107,6 +107,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the map-side rank-limit prune below the shuffle:\n$plan")
   }
 
+  test("similarity_rerank: candidate cut is TakeOrderedAndProject, rank window after the limit") {
+    val plan = planOf("similarity_rerank")
+    // Stage-2 cut: top-RerankCands by the coarse score must plan as
+    // TakeOrderedAndProject (per-partition k-heaps), never a global
+    // sort or a corpus-wide rank window.
+    assert(countOf(plan, "TakeOrderedAndProject") >= 1,
+      s"candidate cut lost its TakeOrderedAndProject:\n$plan")
+    // The one unpartitioned Window (cand_rank) must sit ABOVE a limit,
+    // i.e. see only the ~50 cut survivors: in the plan string the
+    // window's child chain contains the TakeOrderedAndProject.
+    val wIdx = plan.indexOf("Window [")
+    assert(wIdx >= 0, s"cand_rank window missing:\n$plan")
+    assert(plan.indexOf("TakeOrderedAndProject", wIdx) > wIdx,
+      s"rank window runs below the cut (corpus-sized input):\n$plan")
+  }
+
   test("embedding_near_dup: bucketing window computed once, branches read the checkpoint") {
     val plan = planOf("embedding_near_dup")
     // The ranked frame is localCheckpointed inside nearDupPairs, so the
