@@ -146,6 +146,31 @@ class MultimodalSpec extends SparkSpec {
     assert(hash.bands.toSeq == Seq.fill(8)(0L))
   }
 
+  test("image dedup pair expansion is bounded on a pathological all-identical corpus") {
+    import org.apache.spark.sql.functions._
+    // doc_ids that are multiples of 3·lcm(29,17,251) = 371229 are all
+    // image items with IDENTICAL dimensions and seed — byte-identical
+    // PNGs, identical aHashes, one over-cap bucket per band. The
+    // uncapped pairing would emit C(100,2) = 4950 pairs; the cap must
+    // bound it to C(64,2) all-pairs + one star edge per tail item,
+    // with every item still attached (so components stay connected).
+    val n = 100
+    val dir = tmpDir("imgdedup-patho")
+    spark.range(n).select(
+      (col("id") * 371229L).as("doc_id"),
+      lit("x").as("text"), lit("en").as("lang"),
+      lit("src0").as("source"), lit(1).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("mm_image_dedup")(spark, dir).collect()
+    val cap = 64
+    assert(pairs.length == cap * (cap - 1) / 2 + (n - cap),
+      s"expected bounded ${cap * (cap - 1) / 2 + (n - cap)} pairs, got ${pairs.length}")
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") == 0L))
+    val covered = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("item_a"), r.getAs[Long]("item_b"))).toSet
+    assert(covered.size == n)
+  }
+
   test("image near-dup pairs equal the brute-force hamming<=2 set") {
     // sf0.001's largest band bucket (57) is under the 64 cap, so the
     // banded pairing must have EXACT recall at hamming <= 2 (pigeonhole
