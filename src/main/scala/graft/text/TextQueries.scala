@@ -432,9 +432,11 @@ object TextQueries {
     "text_line_dedup",
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), segs0 AS (
+      |  SELECT doc_id, toks, unnest(range(0, (len(toks)-1)//5 + 1)) AS pos FROM t
       |), segs AS (
-      |  SELECT doc_id, i AS pos, array_to_string(toks[i*5+1 : i*5+5], ' ') AS seg
-      |  FROM t, range(0, 200) r(i) WHERE i*5 < len(toks)
+      |  SELECT doc_id, pos, array_to_string(toks[pos*5+1 : pos*5+5], ' ') AS seg
+      |  FROM segs0
       |), boiler AS (
       |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
       |), kept AS (

@@ -87,8 +87,8 @@ class SimilaritySpec extends SparkSpec {
   test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
     val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
     assert(rerank.length == 10)
-    // The probe vector survives multiprobe retrieval (it shares its own
-    // bucket) and the exact rerank puts it first at cosine 1.0.
+    // The probe vector survives IVF retrieval (its own cell is always
+    // probed) and the exact rerank puts it first at cosine 1.0.
     assert(rerank.head.getAs[Long]("vec_id") == 0L)
     assert(rerank.head.getAs[Long]("sim_e6") == 1000000L)
     // Stage-1 ranks are a valid candidate cut.
@@ -98,7 +98,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // Stage-2 scores are the EXACT f32 cosine — identical to brute force
     // for every vec the two rankings share, and recall@10 is high: the
-    // multiprobe (Hamming ≤ 1) retrieval must not lose the neighborhood.
+    // trained-IVF nprobe cell retrieval must not lose the neighborhood.
     val brute = SparkEntry.queries("similarity_topk")(spark, sf).collect()
     val bruteSim = brute.map(r =>
       r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e6")).toMap
