@@ -3,20 +3,25 @@ package graft.mm
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 /** Typed multimodal plumbing: opaque binary payloads + typed metadata
   * flowing through per-partition decode kernels.
   *
-  * The IMAGE path is real: payloads are decoded with the JDK's
-  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship in
-  * java.desktop — zero extra dependencies), producing true pixel
-  * dimensions, channel counts, and a Rec.601 luma histogram; resize
-  * really resamples pixels and re-encodes PNG. The AUDIO path remains a
-  * disclosed deterministic stub (no audio codec ships in the JDK beyond
-  * javax.sound's WAV, and the fixture corpus has no real audio); its
-  * signature, schema and call sites are the production shape.
+  * BOTH media paths are real JDK codecs, zero extra dependencies:
+  * images are decoded with `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP
+  * readers in java.desktop), producing true pixel dimensions, channel
+  * counts, and a Rec.601 luma histogram, and resize really resamples
+  * pixels and re-encodes PNG; audio is decoded with
+  * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU readers, same
+  * module) — the fixture corpus synthesizes true RIFF/WAVE payloads
+  * through the JDK *encoder* and the kernel parses the container
+  * header and PCM frames back with the JDK *decoder*, so a codec bug
+  * on either side breaks the oracle match, exactly like the PNG path.
+  * Formats outside 16-bit PCM (µ-law, float WAV, compressed) would
+  * need an ffmpeg-style bridge in production and fail loud here.
   *
   * Everything around the kernels is the real engine surface: typed
   * schemas (case-class Encoders → Tungsten rows), per-partition batch
@@ -48,11 +53,20 @@ object Multimodal {
       mean_intensity: Double,
       histogram: Array[Long]) // 16 luminance bins
 
+  /** Audio features as exact integers (peak/|sum|/energy instead of a
+    * float RMS) so the DuckDB oracle can recompute them bit-for-bit
+    * from the fixture's generative sample formula — the same
+    * determinism posture as the image histogram. RMS is
+    * `sqrt(energy / n_samples)` when a caller wants it; the sqrt stays
+    * OUT of the declared query. */
   final case class AudioFeatures(
       item_id: Long,
       sample_rate: Int,
+      channels: Int,
       n_samples: Long,
-      rms: Double)
+      peak: Long,
+      sum_abs: Long,
+      energy: Long)
 
   final case class VideoFrame(
       item_id: Long,
@@ -214,18 +228,71 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // STUB KERNEL — audio only. Disclosed deterministic fake standing in
-  // for a real codec (ffmpeg bindings in production); signature, schema
-  // and call sites are the production shape.
+  // Audio kernels — REAL JDK javax.sound codecs (WAV container).
   // ------------------------------------------------------------------
 
-  /** STUB audio decode: payload bytes as 8-bit "samples". */
+  /** Real audio decode: parse the payload with the JDK's
+    * `AudioSystem` (RIFF/WAVE container + format chunk), then reduce
+    * the PCM frames to exact integer statistics — peak amplitude,
+    * summed |amplitude|, and energy (Σ v²) — all in Long arithmetic
+    * (16-bit samples: energy ≤ 2³⁰ per sample, so >10⁹ samples fit
+    * without overflow). Fail-loud on anything but 16-bit signed PCM:
+    * a production deployment would route other encodings to a
+    * transcode step, not silently misread them. */
   def decodeAudio(item: MediaItem): AudioFeatures = {
-    val bs = item.payload
-    val rms =
-      if (bs.isEmpty) 0.0
-      else math.sqrt(bs.map(b => { val v = (b & 0xff) - 128.0; v * v }).sum / bs.length)
-    AudioFeatures(item.item_id, sample_rate = 16000, n_samples = bs.length.toLong, rms = rms)
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(item.payload))
+    val fmt = ais.getFormat
+    require(
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+      s"item ${item.item_id}: unsupported audio format $fmt (need 16-bit signed PCM)")
+    val bytes =
+      try ais.readAllBytes()
+      finally ais.close()
+    val channels = fmt.getChannels
+    val total = bytes.length / 2
+    var peak = 0L
+    var sumAbs = 0L
+    var energy = 0L
+    var i = 0
+    while (i < total) {
+      // 16-bit sample; hi byte sign-extends through Byte→Int.
+      val v =
+        if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+        else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      val a = math.abs(v.toLong)
+      if (a > peak) peak = a
+      sumAbs += a
+      energy += v.toLong * v
+      i += 1
+    }
+    AudioFeatures(
+      item.item_id,
+      sample_rate = math.round(fmt.getSampleRate),
+      channels = channels,
+      n_samples = total.toLong / channels,
+      peak = peak, sum_abs = sumAbs, energy = energy)
+  }
+
+  /** Deterministic synthetic audio: 16-bit signed PCM mono whose
+    * sample i is `((2731·i + 17·seed) mod 65536) − 32768`, encoded
+    * into a true RIFF/WAVE container by the JDK's own encoder
+    * (`AudioSystem.write`) — every downstream step decodes it with
+    * the real codec path, mirroring [[syntheticPng]]. */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((i.toLong * 2731 + seed * 17) % 65536) - 32768).toInt
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   // ------------------------------------------------------------------
@@ -263,10 +330,11 @@ object Multimodal {
     }
 
   /** Deterministic media corpus off the documents table. Image items
-    * carry REAL PNG payloads (synthesized per doc, decoded downstream
-    * by the real ImageIO kernel); audio/video items carry the UTF-8
-    * text bytes (stand-ins for decoded sample/frame buffers, matching
-    * the stubbed audio kernel). Lets the full pipeline run at any scale
+    * carry REAL PNG payloads and audio items REAL RIFF/WAVE payloads
+    * (synthesized per doc through the JDK encoders, decoded downstream
+    * by the real ImageIO / AudioSystem kernels); video items carry the
+    * UTF-8 text bytes (stand-ins for decoded frame buffers — no video
+    * codec ships in the JDK). Lets the full pipeline run at any scale
     * factor without a media-bearing source table. */
   def fakeMediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
     import spark.implicits._
@@ -274,15 +342,20 @@ object Multimodal {
       .select("doc_id", "text", "source")
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            syntheticPng(id, width = 4 + (id % 29).toInt, height = 4 + (id % 17).toInt)
+          case 1 =>
+            // audio ids are ≡1 (mod 3), so (id%9)/3 cycles 0,1,2
+            syntheticWav(id % 251, nSamples = 64 + (id % 97).toInt,
+              sampleRate = 8000 + ((id % 9) / 3).toInt * 4000)
+          case _ => text.getBytes("UTF-8")
+        }
         val modality = (id % 3) match {
           case 0 => "image"
           case 1 => "audio"
           case _ => "video"
         }
-        val payload =
-          if (modality == "image")
-            syntheticPng(id, width = 4 + (id % 29).toInt, height = 4 + (id % 17).toInt)
-          else text.getBytes("UTF-8")
         MediaItem(id, modality, payload, Map("source" -> source))
       }
   }

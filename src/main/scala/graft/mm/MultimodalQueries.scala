@@ -12,7 +12,11 @@ import graft.{Q, Tables}
   * `mm_image_decode` query below, whose oracle recomputes the expected
   * pixel statistics from the fixture's generative formula — so a codec
   * bug, not just a plumbing bug, breaks the hash match). Audio decode
-  * remains a disclosed deterministic stub ([[Multimodal.decodeAudio]]).
+  * is real JDK javax.sound ([[Multimodal.decodeAudio]]) with the same
+  * oracle construction (`mm_audio_decode`): the oracle never sees a
+  * WAV byte, it recomputes the PCM statistics from the generative
+  * sample formula, so the hash match proves the encode→decode
+  * container roundtrip.
   *
   * Scale posture: all ops are narrow per-row transforms plus one
   * low-cardinality groupBy — no shuffle beyond the final small
@@ -154,6 +158,48 @@ object MultimodalQueries {
         col("mean_intensity"),
         array_join(transform(col("histogram"), _.cast("string")), ",")
           .as("hist"))
+      .orderBy("item_id")
+  }
+
+  /** Real audio decode as a declared, oracle-checked query — the WAV
+    * twin of [[mmImageDecode]]. Spark synthesizes a true RIFF/WAVE
+    * payload per audio item through the JDK *encoder*
+    * ([[Multimodal.syntheticWav]]: 16-bit PCM sample
+    * v(i) = ((2731·i + 17·seed) mod 65536) − 32768), decodes the BYTES
+    * back with the JDK AudioSystem codec, and reduces the frames to
+    * exact integer statistics. The DuckDB oracle recomputes those
+    * statistics from the generative formula over an unnested range —
+    * it never parses a WAV — so a container-header or endianness bug
+    * anywhere in the roundtrip breaks the match. Narrow: one per-row
+    * kernel, payloads never shuffle, 7 scalars per item emerge. */
+  private val mmAudioDecode = Q(
+    "mm_audio_decode",
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(8000 + ((doc_id % 9) // 3) * 4000 AS INTEGER) AS sample_rate,
+      |         64 + doc_id % 97 AS n,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), s0 AS (
+      |  SELECT item_id, seed, unnest(range(0, n)) AS i FROM d
+      |), smp AS (
+      |  SELECT item_id, ((i * 2731 + seed * 17) % 65536) - 32768 AS v FROM s0
+      |), st AS (
+      |  SELECT item_id, max(abs(v)) AS peak, sum(abs(v)) AS sum_abs, sum(v * v) AS energy
+      |  FROM smp GROUP BY item_id
+      |)
+      |SELECT d.item_id, d.sample_rate, CAST(1 AS INTEGER) AS channels,
+      |       CAST(d.n AS BIGINT) AS n_samples,
+      |       CAST(st.peak AS BIGINT) AS peak,
+      |       CAST(st.sum_abs AS BIGINT) AS sum_abs,
+      |       CAST(st.energy AS BIGINT) AS energy
+      |FROM d JOIN st USING (item_id)
+      |ORDER BY item_id""".stripMargin) { (s, dir) =>
+    Multimodal.decodeAudios(
+      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "audio"))
+      .toDF()
+      .select("item_id", "sample_rate", "channels", "n_samples",
+        "peak", "sum_abs", "energy")
       .orderBy("item_id")
   }
 
@@ -314,5 +360,5 @@ object MultimodalQueries {
 
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
-      mmImagePhash, mmImageDedup)
+      mmImagePhash, mmImageDedup, mmAudioDecode)
 }

@@ -6,10 +6,11 @@ import graft.SparkSpec
 import Multimodal._
 
 /** Multimodal kernel + plumbing tests. The image path decodes REAL PNG
-  * bytes with the JDK ImageIO codec (fixture corpus synthesizes true
-  * PNGs per doc); audio remains the disclosed deterministic stub. The
-  * schemas, per-partition batching, one-to-many frame sampling and
-  * partitioning behavior under test are the production shapes. */
+  * bytes with the JDK ImageIO codec and the audio path REAL RIFF/WAVE
+  * bytes with the JDK AudioSystem codec (fixture corpus synthesizes
+  * true payloads per doc through the JDK encoders). The schemas,
+  * per-partition batching, one-to-many frame sampling and partitioning
+  * behavior under test are the production shapes. */
 class MultimodalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -78,11 +79,33 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeImages(p).rdd.getNumPartitions == 7)
   }
 
-  test("audio decode: rms positive for non-silent payloads") {
+  test("audio payloads are real WAVs: RIFF magic + AudioSystem decode") {
+    val aud = media.filter(_.modality == "audio").head()
+    assert(new String(aud.payload.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(aud.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = decodeAudio(aud)
+    assert(f.item_id == aud.item_id && f.channels == 1 && f.n_samples > 0)
+  }
+
+  test("audio decode: JDK codec roundtrip is sample-exact vs the formula") {
     val auds = decodeAudios(media.filter(_.modality == "audio")).collect()
     assert(auds.nonEmpty)
     auds.foreach { a =>
-      assert(a.n_samples > 0 && a.rms > 0.0 && a.sample_rate == 16000)
+      val id = a.item_id
+      assert(a.sample_rate == 8000 + ((id % 9) / 3).toInt * 4000)
+      assert(a.n_samples == 64 + id % 97)
+      val seed = id % 251
+      // Recompute the integer stats straight from the generative
+      // formula — must match what came back through the WAV container.
+      var peak = 0L; var sumAbs = 0L; var energy = 0L
+      (0L until a.n_samples).foreach { i =>
+        val v = ((i * 2731 + seed * 17) % 65536) - 32768
+        val ab = math.abs(v)
+        if (ab > peak) peak = ab
+        sumAbs += ab
+        energy += v * v
+      }
+      assert(a.peak == peak && a.sum_abs == sumAbs && a.energy == energy)
     }
   }
 
