@@ -838,6 +838,121 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q20 shape (public domain), adapted to the tables at hand
+    * (no partsupp in the corpus): suppliers who DOMINATE a promo
+    * part's shipments — shipped more than 30% of that part's total
+    * volume in a 3-year window. The textbook form is two nested IN
+    * subqueries (parts by attribute → per-supplier-per-part shipped
+    * quantity vs a per-part total → supplier names); written here
+    * DECORRELATED as the plan those subqueries must lower to at scale:
+    * the part filter broadcast-prunes the fact scan, ONE fact
+    * aggregation on (suppkey, partkey), the per-part total is a
+    * re-aggregation of that already-tiny result (never a second fact
+    * scan), and the qualifying supplier set broadcast-semi-joins the
+    * supplier dimension. Dominance compares integer-valued quantity
+    * sums cross-multiplied by 10/3 — exact in doubles, no division. */
+  private val q20ExcessSuppliers = Q(
+    "q20_excess_suppliers",
+    """WITH p AS (
+      |  SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+      |), ship AS (
+      |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1999-01-01'
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT l_partkey, sum(qty) AS tqty FROM ship GROUP BY 1
+      |), excess AS (
+      |  SELECT DISTINCT l_suppkey FROM ship JOIN tot USING (l_partkey)
+      |  WHERE ship.qty * 10 > tot.tqty * 3
+      |)
+      |SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      |FROM supplier s JOIN excess e ON s.s_suppkey = e.l_suppkey
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val promoParts = t.part.filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val ship = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val tot = ship.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("tqty"))
+      .withColumnRenamed("l_partkey", "pk")
+    val excess = ship
+      .join(broadcast(tot), col("l_partkey") === col("pk"))
+      .filter(col("qty") * 10 > col("tqty") * 3)
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** Explicit GROUPING SETS — the general form rollup/cube are sugar
+    * for, with `grouping()` indicators so downstream consumers can
+    * tell a real NULL from a rolled-up level. One shuffle: Spark
+    * expands the sets map-side (Expand node) and aggregates once; at
+    * scale that beats unioning three separate aggregates, which would
+    * scan the fact three times. NULL-vs-value ordering differs across
+    * engines, so the total order coalesces the rolled-up keys to a
+    * sentinel above the value domain on BOTH sides. */
+  private val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+      |       l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, coalesce(l_returnflag, chr(126)),
+      |         coalesce(l_linestatus, chr(126))""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        floor(sum(col("l_quantity")) + lit(0.5)).cast("long").as("sum_qty"))
+      .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+      .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+  }
+
+  /** Unpivot/melt — wide metric columns to long (metric, value) rows,
+    * the inverse of [[aggPivot]] and the standard reshape feeding
+    * metric stores and per-metric aggregation. Purely narrow: each
+    * input row expands to 4 output rows map-side (Spark's Expand
+    * node), no shuffle until the caller aggregates. The oracle mirrors
+    * it with UNION ALL of per-metric projections — semantically the
+    * identical reshape. */
+  private val unpivotLong = Q(
+    "unpivot_long",
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      |)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
   /** Latest-wins merge/upsert (the warehouse CDC shape): a change batch
     * overlays a base snapshot, keyed rows resolved to the highest
     * version. Here the change batch is derived deterministically from
@@ -887,7 +1002,8 @@ object RelationalQueries {
 
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
-    q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders, joinBroadcast,
+    q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders,
+    q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
