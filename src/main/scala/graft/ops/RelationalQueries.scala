@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det
@@ -838,6 +839,113 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Ordered-funnel analysis (signup → view → purchase with 2-day
+    * conversion windows): the product-analytics sequence-matching
+    * shape. Semantics: t1 = earliest signup; t2 = earliest view
+    * strictly after t1 within the window; t3 = earliest purchase
+    * strictly after t2 within the window; stage = furthest step
+    * reached. Strict `>` comparisons make equal-timestamp ties
+    * order-independent, so no secondary sort is needed. Plan: ONE
+    * shuffle — three stacked Window passes over the same user_id
+    * partitioning (each step's conditional min references the
+    * previous step's column), then a per-user aggregate that reuses
+    * the partitioning. The naive form (three self-joins through
+    * per-step subqueries, as the oracle writes it) would scan the
+    * fact three times at scale. */
+  private val funnelSteps = Q(
+    "funnel_steps",
+    """WITH su AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), vw AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > su.t1
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(su.t1) <= 172800000000
+      |  GROUP BY e.user_id
+      |), pu AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN vw ON e.user_id = vw.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > vw.t2
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(vw.t2) <= 172800000000
+      |  GROUP BY e.user_id
+      |)
+      |SELECT su.user_id,
+      |       strftime(su.t1, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+      |       coalesce(strftime(vw.t2, '%Y-%m-%d %H:%M:%S'), '') AS view_ts,
+      |       coalesce(strftime(pu.t3, '%Y-%m-%d %H:%M:%S'), '') AS purchase_ts,
+      |       CAST(CASE WHEN pu.t3 IS NOT NULL THEN 3
+      |                 WHEN vw.t2 IS NOT NULL THEN 2
+      |                 ELSE 1 END AS INTEGER) AS stage
+      |FROM su LEFT JOIN vw ON su.user_id = vw.user_id
+      |        LEFT JOIN pu ON su.user_id = pu.user_id
+      |ORDER BY su.user_id""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    val winUs = 172800000000L // 2 days in µs
+    def stepMin(cond: Column): Column = min(when(cond, col("ts"))).over(byUser)
+    val staged = Tables(s, dir).events
+      .withColumn("t1", stepMin(col("event_type") === "signup"))
+      .withColumn("t2", stepMin(
+        col("event_type") === "view" && col("ts") > col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= winUs))
+      .withColumn("t3", stepMin(
+        col("event_type") === "purchase" && col("ts") > col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t2")) <= winUs))
+    staged.filter(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+      .select(
+        col("user_id"),
+        date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        coalesce(date_format(col("t2"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("view_ts"),
+        coalesce(date_format(col("t3"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("purchase_ts"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1).cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention: users bucketed by first-touch week, activity
+    * counted per (cohort, weeks-since-first-touch). Week indices are
+    * exact integer division of microsecond epochs (`div`, not float
+    * `/` — a boundary timestamp must land in the same week on both
+    * engines). Plan: first-touch is a window min over the user_id
+    * partitioning (no join back, no second scan), the retention matrix
+    * is one map-side-combinable aggregate over (cohort, week) — tiny
+    * output at any scale since cohorts × weeks is bounded by the
+    * calendar, with the distinct-user count the only shuffle-heavy
+    * term (partial distinct on user within each cell). */
+  private val retentionCohorts = Q(
+    "retention_cohorts",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ft
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT cohort_week, week_no, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT e.user_id,
+      |         (epoch_us(f.ft) - epoch_us(TIMESTAMP '2024-01-01')) // 604800000000 AS cohort_week,
+      |         (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(f.ft)) // 604800000000 AS week_no
+      |  FROM events e JOIN f USING (user_id))
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables(s, dir).events
+      .withColumn("ft", min(col("ts")).over(byUser))
+      .select(
+        col("user_id"),
+        expr("(unix_micros(ft) - unix_micros(to_timestamp('2024-01-01'))) div 604800000000")
+          .as("cohort_week"),
+        expr("(unix_micros(ts) - unix_micros(ft)) div 604800000000")
+          .as("week_no"))
+      .groupBy(col("cohort_week"), col("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_no")
+  }
+
   /** TPC-H Q20 shape (public domain), adapted to the tables at hand
     * (no partsupp in the corpus): suppliers who DOMINATE a promo
     * part's shipments — shipped more than 30% of that part's total
@@ -1008,5 +1116,5 @@ object RelationalQueries {
     approxDistinct, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
-    aggHistogram, mergeUpsert)
+    aggHistogram, mergeUpsert, funnelSteps, retentionCohorts)
 }
