@@ -1000,6 +1000,43 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Semi-join reduction (the runtime-filter shape, done by hand): a
+    * selective dimension predicate yields a COMPACT key set; broadcast
+    * that key set and left-semi-prune the fact BEFORE the real join,
+    * so the fact shuffle carries only matching rows. This is the move
+    * when the dimension is too wide to broadcast but its filtered key
+    * set is small: at 100 TB it turns "shuffle the whole fact into a
+    * sort-merge join" into "shuffle the ~1% that survives". Spark's
+    * own runtime row-group filtering can inject this plan under AQE;
+    * declaring it explicitly makes the reduction a contract, not an
+    * optimizer maybe. The oracle is the plain join — the reduction
+    * must not change the answer, only the plan. */
+  private val joinSemireduced = Q(
+    "join_semireduced",
+    s"""SELECT o_orderkey, o_totalprice,
+       |       count(*) AS n_lines,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+       |GROUP BY o_orderkey, o_totalprice
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val sel = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+    val keys = sel.select(col("o_orderkey").as("k")).distinct()
+    val pruned = t.lineitem
+      .join(broadcast(keys), col("l_orderkey") === col("k"), "left_semi")
+    pruned
+      .join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube are sugar
     * for, with `grouping()` indicators so downstream consumers can
     * tell a real NULL from a rolled-up level. One shuffle: Spark
@@ -1111,7 +1148,8 @@ object RelationalQueries {
   val queries: Seq[Q] = Seq(
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
     q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders,
-    q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinBroadcast,
+    q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinSemireduced,
+    joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,

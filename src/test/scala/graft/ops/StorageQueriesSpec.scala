@@ -67,4 +67,47 @@ class StorageQueriesSpec extends SparkSpec {
     StorageQueries.partitionedEvents(t)
     assert(new java.io.File(root, "_SUCCESS").lastModified() == m1)
   }
+
+  test("z-order clusters BOTH dimensions; a plain sort clusters only one") {
+    // Chunk the z-sorted (and, for contrast, x-sorted) row sequence
+    // into 16 contiguous "files" and measure each chunk's span in x
+    // and y. Under z-order both spans shrink toward domain/sqrt(16);
+    // under the x sort, x is perfectly clustered but y's span stays at
+    // the full domain — the reason min/max footer stats can't prune a
+    // y-filter on an x-sorted layout.
+    // High-entropy 10-bit dims even at sf0.001 (partkey/suppkey — the
+    // declared query's dims — have tiny domains at this SF, which
+    // would make every span trivially small).
+    val t = Tables(spark, sf)
+    val base = t.lineitem.select(
+      (col("l_orderkey") % 1024).cast("long").as("x"),
+      (floor(col("l_extendedprice")).cast("long") % 1024).as("y"))
+    val n = base.count()
+    def chunkSpans(sorted: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val rn = row_number().over(
+        Window.orderBy(col("s1"), col("x"), col("y"))) - 1
+      sorted
+        .withColumn("chunk", (rn * 16 / n).cast("int"))
+        .groupBy("chunk")
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .collect()
+        .map(r => (r.getAs[Long]("sx"), r.getAs[Long]("sy"))).toSeq
+    }
+    val zSpans = chunkSpans(base.withColumn(
+      "s1", StorageQueries.morton10(col("x"), col("y"))))
+    val xSpans = chunkSpans(base.withColumn("s1", col("x")))
+    val zAvgX = zSpans.map(_._1).sum / zSpans.size
+    val zAvgY = zSpans.map(_._2).sum / zSpans.size
+    val xAvgY = xSpans.map(_._2).sum / xSpans.size
+    // z-order: every chunk bounded in BOTH dims (16 chunks of a 2-dim
+    // z-curve confine each dim to 1/4 of the domain, modulo edge rows).
+    assert(zAvgX <= 512 && zAvgY <= 512,
+      s"z-order chunks not clustered: avg x-span $zAvgX, y-span $zAvgY")
+    // the single-column sort leaves y unclustered (span ~ full domain).
+    assert(xAvgY > 900, s"x-sorted y-span unexpectedly small: $xAvgY")
+    assert(zAvgY < xAvgY / 2,
+      s"z-order must at least halve the y-span: $zAvgY vs $xAvgY")
+  }
 }
