@@ -718,8 +718,45 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Train/test leakage audit: near-dup candidate pairs whose two docs
+    * land in DIFFERENT splits — the contamination a content-level
+    * decontamination pass must catch before training. Because splits
+    * are a pure content-independent hash of doc_id (the same rule as
+    * `split_assign`), the split of each pair member is computed INLINE
+    * on the pair columns: no join against the corpus, no extra
+    * shuffle — the query is a narrow projection over the shared LSH
+    * candidate frame. At 100 TB the pair list is the (tiny) LSH
+    * output, so leakage auditing costs one scan of the pairs, not of
+    * the corpus. */
+  private val splitLeakage = Q(
+    "split_leakage", {
+      def sqlSplit(c: String) = {
+        val b = s"${graft.util.Hashes.sqlTokHash(s"CAST($c AS VARCHAR)")} % 100"
+        s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+      }
+      s"""$sqlCandCte
+         |SELECT doc_a, doc_b,
+         |       ${sqlSplit("doc_a")} AS split_a,
+         |       ${sqlSplit("doc_b")} AS split_b
+         |FROM cand
+         |WHERE ${sqlSplit("doc_a")} <> ${sqlSplit("doc_b")}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    def splitOf(c: Column): Column = {
+      val b = pmod(graft.util.Hashes.tokHash(c.cast("string")), lit(100L))
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    candidatePairs(Tables(s, dir))
+      .select(
+        col("doc_a"), col("doc_b"),
+        splitOf(col("doc_a")).as("split_a"),
+        splitOf(col("doc_b")).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Q] =
-    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+    Seq(splitLeakage, dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)
 }

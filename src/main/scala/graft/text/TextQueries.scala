@@ -576,8 +576,51 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Deterministic text normalization (casefold → strip non-alnum →
+    * collapse whitespace → trim), the canonical pre-dedup cleanup
+    * pass. The driver corpus is already clean, which would make the
+    * query vacuous — so BOTH engines first apply the same
+    * deterministic perturbation (uppercase, comma injection, framing
+    * junk) and then normalize it away; the `restored` flag (norm ==
+    * original) proves the normalizer exactly inverts the perturbation
+    * rather than both sides agreeing on a no-op. Purely narrow: four
+    * codegen'd string expressions per row, no shuffle but the final
+    * declared-order sort. Regex is shared-dialect ([a-z0-9 ], ' +'),
+    * identical under Java regex and DuckDB RE2. */
+  private val textNormalize = Q(
+    "text_normalize",
+    """WITH raw AS (
+      |  SELECT doc_id, text,
+      |         '  ' || regexp_replace(upper(text), ' ', ' , ', 'g') || ' !!' AS raw_text
+      |  FROM documents
+      |), norm AS (
+      |  SELECT doc_id, text, raw_text,
+      |         trim(regexp_replace(regexp_replace(lower(raw_text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+      |  FROM raw
+      |)
+      |SELECT doc_id, norm_text,
+      |       CAST(length(raw_text) AS BIGINT) AS n_raw,
+      |       CAST(length(norm_text) AS BIGINT) AS n_norm,
+      |       CAST(CASE WHEN norm_text = text THEN 1 ELSE 0 END AS INTEGER) AS restored
+      |FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val rawText = concat(lit("  "),
+      regexp_replace(upper(col("text")), " ", " , "), lit(" !!"))
+    val normText = trim(regexp_replace(
+      regexp_replace(lower(col("raw_text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables(s, dir).documents
+      .withColumn("raw_text", rawText)
+      .withColumn("norm_text", normText)
+      .select(
+        col("doc_id"), col("norm_text"),
+        length(col("raw_text")).cast("long").as("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"),
+        when(col("norm_text") === col("text"), 1).otherwise(0)
+          .cast("int").as("restored"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(textTokens, tokenCount, textQuality, langId, docFingerprint,
+    Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, packSequences, textDecontaminate,
       textLineDedup, textTfidf, textVocab)
