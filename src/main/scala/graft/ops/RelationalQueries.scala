@@ -1098,6 +1098,68 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber", "metric")
   }
 
+  /** Fixed-iteration PageRank over the part↔supplier supply network
+    * (bipartite graph off distinct lineitem (partkey, suppkey) pairs,
+    * node ids disambiguated even/odd) — iterative graph analytics
+    * beyond the connectivity the dedup family already does. Fully
+    * integerized so both engines replay it bit-identically: ranks are
+    * e6-scaled longs, each neighbor contribution is exact floor
+    * division by out-degree, damping is (85·Σ) div 100 — no floats
+    * anywhere, so no accumulation-order sensitivity. Plan: the
+    * (src, dst, deg) contribution frame is built once and
+    * localCheckpointed (three iterations must not re-derive the
+    * distinct-pairs scan), then each iteration is exactly one join on
+    * src + one aggregate on dst — the partition-by-node shape a
+    * 1000-executor Pregel step has; 3 iterations = 3 chained
+    * shuffles, no driver-side state, one action at the end. */
+  private val graphPagerank = Q(
+    "graph_pagerank", {
+      def it(k: Int) =
+        s""", r$k AS (
+           |  SELECT e.dst AS node_id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+           |  FROM edges e JOIN r${k - 1} r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst
+           |)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS pnode, l_suppkey * 2 + 1 AS snode FROM lineitem
+         |), edges AS (
+         |  SELECT pnode AS src, snode AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT snode, pnode FROM pairs
+         |), deg AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), r0 AS (
+         |  SELECT src AS node_id, CAST(1000000 AS BIGINT) AS r FROM deg
+         |)${it(1)}${it(2)}${it(3)}
+         |SELECT d.src AS node_id, CAST(d.deg AS BIGINT) AS degree,
+         |       CAST(r3.r AS BIGINT) AS rank_e6
+         |FROM deg d JOIN r3 ON d.src = r3.node_id
+         |ORDER BY node_id""".stripMargin
+    }) { (s, dir) =>
+    val pairs = Tables(s, dir).lineitem
+      .select((col("l_partkey") * 2).as("pnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("pnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("pnode").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contrib = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = contrib
+        .join(ranks, col("src") === col("node_id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node_id"),
+          expr("150000 + (85 * sc) div 100").as("r"))
+    }
+    deg.join(ranks, col("src") === col("node_id"))
+      .select(col("node_id"), col("deg").cast("long").as("degree"),
+        col("r").cast("long").as("rank_e6"))
+      .orderBy("node_id")
+  }
+
   /** Latest-wins merge/upsert (the warehouse CDC shape): a change batch
     * overlays a base snapshot, keyed rows resolved to the highest
     * version. Here the change batch is derived deterministically from
@@ -1154,5 +1216,6 @@ object RelationalQueries {
     approxDistinct, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
-    aggHistogram, mergeUpsert, funnelSteps, retentionCohorts)
+    aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
+    graphPagerank)
 }
