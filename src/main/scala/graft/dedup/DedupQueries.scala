@@ -718,6 +718,67 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash Jaccard ESTIMATION against ground truth, per candidate
+    * pair: the estimator is signature agreement (matching minhashes /
+    * K — the textbook unbiased Jaccard estimate), the truth is the
+    * exact shingle-set overlap, both e6-scaled integers so the
+    * comparison is engine-exact. This is the quality gauge for the
+    * whole LSH family: it quantifies, per pair, how far the K=12
+    * sketch is from the exact similarity the sketch exists to avoid
+    * computing. Scale shape mirrors dedup_ngram_jaccard: signatures
+    * and shingles are computed only for docs appearing in a candidate
+    * pair (left-semi prune), so cost follows candidates, not corpus. */
+  private val dedupJaccardEst = Q(
+    "dedup_jaccard_est", {
+      val agree = (0 until K)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$sqlCandCte, sh AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+         |SELECT doc_a, doc_b,
+         |       CAST($agree AS BIGINT) AS n_agree,
+         |       CAST(($agree) * 1000000 // $K AS BIGINT) AS est_e6,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+         |            // len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS exact_e6
+         |FROM cand
+         |JOIN sig a ON cand.doc_a = a.doc_id
+         |JOIN sig b ON cand.doc_b = b.doc_id
+         |JOIN sh sa ON cand.doc_a = sa.doc_id
+         |JOIN sh sb ON cand.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val cand = candidatePairs(t).localCheckpoint()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sig = signatures(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sh = tokenized(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
+      .localCheckpoint()
+    val agree = (0 until K)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long")
+    val uni = size(array_distinct(concat(col("sa.sh"), col("sb.sh"))))
+      .cast("long")
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        agree.as("n_agree"), inter.as("c_inter"), uni.as("c_union"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_agree"),
+        expr(s"n_agree * 1000000 div $K").as("est_e6"),
+        expr("c_inter * 1000000 div c_union").as("exact_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Train/test leakage audit: near-dup candidate pairs whose two docs
     * land in DIFFERENT splits — the contamination a content-level
     * decontamination pass must catch before training. Because splits
@@ -756,7 +817,8 @@ object DedupQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(splitLeakage, dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+    Seq(splitLeakage, dedupJaccardEst, dedupExact, dedupMinhashLsh,
+      dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)
 }

@@ -1098,6 +1098,40 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber", "metric")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build: each
+    * customer's order history becomes versioned rows with
+    * [valid_from, valid_to) ranges — valid_to is the NEXT version's
+    * start via lead(), open versions get the sentinel date and an
+    * is_current flag. The standard warehouse dimension-history shape
+    * (the reference's BigQuery target would express this as a MERGE +
+    * window view). One shuffle: the lead() window partitioned by the
+    * (high-cardinality) dimension key; ties broken by the version key
+    * so the interval chain is total-ordered and engine-independent. */
+  private val scd2Intervals = Q(
+    "scd2_intervals",
+    """SELECT o_custkey AS custkey, o_orderkey AS version_key,
+      |       o_totalprice,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |       coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+      |       CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY custkey, valid_from, version_key""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val nxt = lead(col("o_orderdate"), 1).over(w)
+    Tables(s, dir).orders
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("version_key"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(nxt, "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        when(nxt.isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy("custkey", "valid_from", "version_key")
+  }
+
   /** Fixed-iteration PageRank over the part↔supplier supply network
     * (bipartite graph off distinct lineitem (partkey, suppkey) pairs,
     * node ids disambiguated even/odd) — iterative graph analytics
@@ -1142,8 +1176,13 @@ object RelationalQueries {
       .distinct()
     val edges = pairs.select(col("pnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("pnode").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = edges.join(deg, "src").localCheckpoint()
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contrib = edges.join(deg0, "src").localCheckpoint()
+    // Everything after this line reads the checkpointed frame: degrees
+    // and the rank seed are re-derived from contrib (tiny), NOT from
+    // deg0 — whose lineage would re-scan lineitem and re-run the
+    // distinct once per consumer.
+    val deg = contrib.select(col("src"), col("deg")).distinct()
     var ranks = deg.select(col("src").as("node_id"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       ranks = contrib
@@ -1217,5 +1256,5 @@ object RelationalQueries {
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
-    graphPagerank)
+    graphPagerank, scd2Intervals)
 }

@@ -125,4 +125,29 @@ class StreamingSpec extends SparkSpec {
         s"post-horizon replay re-admitted (state evicted): $after")
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins per batch with no state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val enriched = Streaming.enrichWithStatic(
+      input.toDF().toDF("user_id", "ts", "value"), dim, "user_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_stream").start()
+    try {
+      input.addData((1L, ts("10:00"), 5.0), (3L, ts("10:01"), 7.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("10:02"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+      // inner join: user 3 (no dimension row) is dropped; both batches
+      // enrich against the same broadcast dimension.
+      assert(rows == Set((1L, "gold"), (2L, "basic")), rows.toString)
+      // No stateful operator: the progress metrics carry no state rows.
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate a state store")
+    } finally q.stop()
+  }
 }
