@@ -30,7 +30,8 @@ object ScaleStress {
     "pack_sequences", "text_decontaminate",
     "text_line_dedup", "text_tfidf", "text_vocab",
     "mm_image_phash", "mm_image_dedup",
-    "text_normalize", "split_leakage", "mm_audio_decode")
+    "text_normalize", "split_leakage", "mm_audio_decode",
+    "dedup_jaccard_est")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank")

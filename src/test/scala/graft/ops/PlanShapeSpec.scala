@@ -133,4 +133,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Scan ExistingRDD") >= 2,
       s"expected join branches to read the checkpointed frame:\n$plan")
   }
+
+  test("q20_excess_suppliers: one fact aggregation, every join broadcast or semi") {
+    val plan = planOf("q20_excess_suppliers")
+    // The decorrelated nested-IN: part prune, per-part total, and the
+    // final supplier lookup are ALL broadcast-side joins — the only
+    // shuffles are the two aggregations ((supp, part) and per-part).
+    val shuffled =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffled == 0,
+      s"nested-IN decorrelation must not shuffle a join:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"supplier lookup must be a semi join:\n$plan")
+  }
+
+  test("join_semireduced: broadcast keyset prunes the fact below the shuffled join") {
+    val plan = planOf("join_semireduced")
+    // Exactly one shuffled join (the reduced fact ⋈ selected orders) …
+    val shuffled =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffled == 1, s"expected one shuffled join, got $shuffled:\n$plan")
+    // … and below it, the broadcast LeftSemi keyset filter on lineitem.
+    val semiIdx = plan.indexOf("BroadcastHashJoin")
+    assert(semiIdx >= 0 && plan.substring(semiIdx).take(200).contains("LeftSemi"),
+      s"semi-join reduction missing or not broadcast:\n$plan")
+    val smjIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
+    assert(semiIdx > smjIdx,
+      s"the semi prefilter must sit BELOW the shuffled join:\n$plan")
+  }
+
+  test("funnel_steps: one user-partitioning exchange feeds all three step windows") {
+    val plan = planOf("funnel_steps")
+    // Three stacked Window nodes (t1, t2, t3) + the final per-user
+    // aggregate must share ONE hashpartitioning(user_id) exchange: the
+    // whole funnel is a single shuffle of the fact.
+    assert(countOf(plan, "Window") == 3,
+      s"expected the three step windows:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"funnel must shuffle the fact exactly once:\n$plan")
+  }
+
+  test("graph_pagerank: iterations read the checkpointed contribution frame") {
+    val plan = planOf("graph_pagerank")
+    // Degrees and the rank seed re-derive from the localCheckpoint, so
+    // the lineitem scan + distinct must NOT appear in the final plan —
+    // every branch reads the pinned RDD.
+    assert(!plan.contains("lineitem"),
+      s"an iteration branch re-scans lineitem past the checkpoint:\n$plan")
+    assert(countOf(plan, "Scan ExistingRDD") >= 4,
+      s"iterations must read the checkpointed contribution frame:\n$plan")
+  }
 }
