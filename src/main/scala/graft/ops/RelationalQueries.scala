@@ -1098,6 +1098,114 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber", "metric")
   }
 
+  /** TPC-H Q10 shape (public domain): returned-item revenue per
+    * customer, top 20 — the classic "who returned the most value"
+    * report. One fact shuffle (the per-customer aggregate); customer
+    * and nation are broadcast; the returnflag filter lands in
+    * PushedFilters so the scan skips non-returned rows at the parquet
+    * level; the top-20 cut is TakeOrderedAndProject (no global sort
+    * materialized). Revenue through Det on both sides, ties broken by
+    * custkey so the DESC cut is engine-independent. */
+  private val q10ReturnedItems = Q(
+    "q10_returned_items",
+    s"""SELECT c_custkey, c_name, n_name,
+       |       CAST(count(*) AS BIGINT) AS n_items,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t.nation), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Distribution-rank window suite — ntile / percent_rank / cume_dist
+    * in one pass, e6-integerized so both engines agree bit-for-bit
+    * (the float forms differ only by division; the integer forms are
+    * (rank−1)·1e6 div (n−1) and rn·1e6 div n). The window ordering
+    * includes the unique order key, so there are no rank peers and
+    * cume_dist degenerates to row_number/n — which is exactly what
+    * makes it integerizable. One shuffle: all three functions plus the
+    * partition count share a single (priority)-partitioned sort. */
+  private val windowRankSuite = Q(
+    "window_rank_suite",
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       CAST((rank() OVER w - 1) * 1000000 // (count(*) OVER win - 1) AS BIGINT) AS prank_e6,
+      |       CAST(row_number() OVER w * 1000000 // count(*) OVER win AS BIGINT) AS cume_e6
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |       win AS (PARTITION BY o_orderpriority)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val win = Window.partitionBy(col("o_orderpriority"))
+    Tables(s, dir).orders
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        col("o_totalprice"),
+        (rank().over(w) - 1).cast("long").as("rk0"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(win).cast("long").as("n"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("quartile"),
+        expr("rk0 * 1000000 div (n - 1)").as("prank_e6"),
+        expr("rn * 1000000 div n").as("cume_e6"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Full outer join with both-side nulls: users with high-value
+    * purchases ⟗ users with high-value errors — the reconciliation
+    * shape (two partial aggregates stitched over a sparse key space,
+    * unmatched keys surviving from EITHER side). Both inputs are
+    * already aggregated (tiny), so at scale this is a join of two
+    * aggregate outputs, never of facts; coalesce() restores the key
+    * and zero-fills the missing side. */
+  private val joinOuterFull = Q(
+    "join_outer_full",
+    """WITH p AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+      |  FROM events WHERE event_type = 'purchase' AND value > 190
+      |  GROUP BY user_id
+      |), e AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_err
+      |  FROM events WHERE event_type = 'error' AND value > 190
+      |  GROUP BY user_id
+      |)
+      |SELECT coalesce(p.user_id, e.user_id) AS user_id,
+      |       coalesce(p.n_purch, 0) AS n_purch,
+      |       coalesce(e.n_err, 0) AS n_err
+      |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    def side(kind: String, out: String) = ev
+      .filter(col("event_type") === kind && col("value") > 190)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as(out))
+    val p = side("purchase", "n_purch").withColumnRenamed("user_id", "pu")
+    val e = side("error", "n_err").withColumnRenamed("user_id", "eu")
+    p.join(e, col("pu") === col("eu"), "full_outer")
+      .select(
+        coalesce(col("pu"), col("eu")).as("user_id"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"))
+      .orderBy("user_id")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval build: each
     * customer's order history becomes versioned rows with
     * [valid_from, valid_to) ranges — valid_to is the NEXT version's
@@ -1256,5 +1364,6 @@ object RelationalQueries {
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
-    graphPagerank, scd2Intervals)
+    graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
+    joinOuterFull)
 }
