@@ -226,6 +226,64 @@ object StorageQueries {
       .orderBy("col_name")
   }
 
+  // ---------------------------------------------------------------
+  // csv_roundtrip / orc_roundtrip: source-format fidelity as declared
+  // queries. Spark writes the documents table to a CSV / ORC twin
+  // (once, idempotent like the other layouts), reads it back through
+  // the format's full parse path (CSV with explicit schema + FAILFAST,
+  // ORC with its native vectorized reader), and reduces to per-source
+  // counts + an md5-derived content checksum. The oracle computes the
+  // same aggregates from the ORIGINAL parquet — a hash match proves
+  // the format encode→decode roundtrip preserved every row and every
+  // text byte, the same construction as the PNG/WAV codec proofs.
+  // ---------------------------------------------------------------
+
+  private def formatTwin(t: Tables, fmt: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${fmt}_documents_${digest(t.sfDir)}")
+    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      val w = t.documents.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w)
+        .format(fmt).save(root.toString)
+    }
+    root.toString
+  }
+
+  /** documents schema for the CSV read-back — CSV carries no types, so
+    * the scan declares them (FAILFAST: a mis-parse aborts, never
+    * silently nulls). */
+  private val docsDdl =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  private def roundtripAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(graft.util.Hashes.tokHash(col("text"))).cast("long").as("checksum"))
+      .orderBy("source")
+
+  private val roundtripOracle: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(${graft.util.Hashes.sqlTokHash("text")}) AS BIGINT) AS checksum
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  private val csvRoundtrip = Q("csv_roundtrip", roundtripOracle) { (s, dir) =>
+    val t = Tables(s, dir)
+    roundtripAgg(s.read
+      .schema(docsDdl)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(formatTwin(t, "csv")))
+  }
+
+  private val orcRoundtrip = Q("orc_roundtrip", roundtripOracle) { (s, dir) =>
+    roundtripAgg(s.read.orc(formatTwin(Tables(s, dir), "orc")))
+  }
+
   /** Build both storage layouts if absent (idempotent). Bench calls
     * this in warmup so the one-time layout write — amortized over every
     * later query in a real deployment — is not billed to the first
@@ -235,9 +293,12 @@ object StorageQueries {
     val t = Tables(s, dir)
     bucketedTables(t)
     partitionedEvents(t)
+    formatTwin(t, "csv")
+    formatTwin(t, "orc")
     ()
   }
 
   val queries: Seq[Q] =
-    Seq(joinBucketed, partitionPrune, storageZorder, tableProfile)
+    Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
+      csvRoundtrip, orcRoundtrip)
 }

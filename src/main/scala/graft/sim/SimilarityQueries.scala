@@ -606,7 +606,44 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Per-label centroid of the embedding space, exact-integer form:
+    * each element is e6-quantized FIRST (float→double cast is exact,
+    * one multiply + floor — bit-identical on both engines), then
+    * summed as longs, so the reduction is order-independent — the
+    * float-sum version would be partition-order dependent and
+    * unhashable. The mean uses integer `div` (Spark) / `//` (DuckDB),
+    * which agree including on negative sums (both truncate toward
+    * zero). Plan: posexplode to (label, dim) and ONE map-side-combined
+    * aggregate — 64 rows per label emerge regardless of corpus size;
+    * this is the class-prototype / k-means-init primitive at 100 TB. */
+  private val embeddingCentroids = Q(
+    "embedding_centroids",
+    """WITH e AS (
+      |  SELECT label, unnest(range(0, len(embedding))) AS dim, embedding FROM embeddings
+      |), v AS (
+      |  SELECT label, dim,
+      |         CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_e6
+      |  FROM e
+      |)
+      |SELECT label, CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(x_e6) AS BIGINT) AS sum_e6,
+      |       CAST(sum(x_e6) // count(*) AS BIGINT) AS mean_e6
+      |FROM v GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, dir) =>
+    Tables(s, dir).embeddings
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1000000 + lit(0.5)).cast("long")
+          .as("x_e6"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sum_e6"))
+      .select(col("label"), col("dim").cast("int").as("dim"), col("n"),
+        col("sum_e6"), expr("sum_e6 div n").as("mean_e6"))
+      .orderBy("label", "dim")
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
-      simQuantizeInt8, similarityTopkInt8, similarityRerank)
+      simQuantizeInt8, similarityTopkInt8, similarityRerank,
+      embeddingCentroids)
 }
