@@ -1206,6 +1206,50 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Volume-anomaly detection on hourly event counts, EXACT-integer
+    * z-score: flag hours where (n·N − S)² > k²·(N·Q − S²) with k=2 —
+    * the algebraic form of |n − mean| > k·σ cleared of every division
+    * and square root, so counts-based anomaly detection is
+    * bit-reproducible across engines (a float mean/stddev pipeline
+    * diverges in the last ulp and flips boundary hours). Terms stay in
+    * int64: n ≤ 1e6 events/hour and N ≤ 1e4 hours keep (nN−S)² under
+    * 2⁶³. Plan: one fact aggregate to hourly counts, a 1-row global
+    * stats aggregate of THAT (tiny), broadcast back over the hours —
+    * the same broadcast-scalar enrichment shape as
+    * `enrich_scalar_rate`; the fact is scanned once. */
+  private val eventsAnomalyHours = Q(
+    "events_anomaly_hours",
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nh, CAST(sum(n) AS BIGINT) AS sn,
+      |         CAST(sum(n * n) AS BIGINT) AS qn
+      |  FROM h
+      |)
+      |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+      |       CAST((n * s.nh - s.sn) * (n * s.nh - s.sn) AS BIGINT) AS dev2_num,
+      |       CAST(4 * (s.nh * s.qn - s.sn * s.sn) AS BIGINT) AS thresh
+      |FROM h, s
+      |WHERE (n * s.nh - s.sn) * (n * s.nh - s.sn) > 4 * (s.nh * s.qn - s.sn * s.sn)
+      |ORDER BY hour""".stripMargin) { (s, dir) =>
+    val hours = Tables(s, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hours.agg(
+      count(lit(1)).as("nh"), sum(col("n")).as("sn"),
+      sum(col("n") * col("n")).as("qn"))
+    val dev = col("n") * col("nh") - col("sn")
+    val thresh = lit(4L) * (col("nh") * col("qn") - col("sn") * col("sn"))
+    hours.crossJoin(broadcast(stats))
+      .filter(dev * dev > thresh)
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), (dev * dev).as("dev2_num"), thresh.as("thresh"))
+      .orderBy("hour")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval build: each
     * customer's order history becomes versioned rows with
     * [valid_from, valid_to) ranges — valid_to is the NEXT version's
@@ -1365,5 +1409,5 @@ object RelationalQueries {
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
-    joinOuterFull)
+    joinOuterFull, eventsAnomalyHours)
 }
