@@ -779,6 +779,54 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL near-dup candidates: a small "new batch" (here every
+    * 20th doc — the daily-ingest slice) deduped AGAINST the existing
+    * corpus, not within it. This is the production shape after the
+    * first full dedup: day N+1's batch must only be compared to the
+    * standing index. The plan inverts the batch pipeline's economics:
+    * the new batch's band rows are tiny and BROADCAST onto the
+    * corpus's bucketed band index, so the corpus is never self-joined,
+    * never reshuffled — at 100 TB the standing band index is a
+    * bucketed table and the daily dedup touches only colliding
+    * buckets. The corpus side keeps the family's degenerate-bucket
+    * rank cap ([[MaxBucketPairDocs]]): a pathological bucket
+    * contributes its first 64 docs per new doc, O(m) not O(m²),
+    * mirrored in the oracle. */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    s"""$sqlBandsCte, side AS (
+       |  SELECT bands.*, (doc_id % 20 = 0) AS is_new FROM bands
+       |), rankedc AS (
+       |  SELECT doc_id, band, bh,
+       |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+       |  FROM side WHERE NOT is_new
+       |), cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+       |  FROM side n JOIN rankedc c ON n.band = c.band AND n.bh = c.bh
+       |  WHERE n.is_new AND c.rk <= $MaxBucketPairDocs
+       |)
+       |SELECT new_doc, corpus_doc FROM cand
+       |ORDER BY new_doc, corpus_doc""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = bands(Tables(s, dir))
+    val isNew = col("doc_id") % 20 === 0
+    val newSide = b.filter(isNew)
+      .select(col("doc_id").as("new_doc"), col("band").as("nband"),
+        col("bh").as("nbh"))
+    val corpusRanked = b.filter(!isNew)
+      .select(col("doc_id"), col("band"), col("bh"),
+        row_number().over(
+          Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id")))
+          .as("rk"))
+      .filter(col("rk") <= MaxBucketPairDocs)
+    corpusRanked
+      .join(broadcast(newSide),
+        col("band") === col("nband") && col("bh") === col("nbh"))
+      .select(col("new_doc"), col("doc_id").as("corpus_doc"))
+      .distinct()
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** Train/test leakage audit: near-dup candidate pairs whose two docs
     * land in DIFFERENT splits — the contamination a content-level
     * decontamination pass must catch before training. Because splits
@@ -817,8 +865,8 @@ object DedupQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(splitLeakage, dedupJaccardEst, dedupExact, dedupMinhashLsh,
-      dedupSimhash, dedupSimhashPairs,
+    Seq(splitLeakage, dedupJaccardEst, dedupIncremental, dedupExact,
+      dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)
 }
