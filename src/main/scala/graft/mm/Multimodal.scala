@@ -208,6 +208,111 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Video kernels — REAL JDK codec over an animated-GIF container.
+  // GIF is the one multi-frame format the JDK can both write and read
+  // (javax.imageio's GIF plugin supports writeToSequence), so "video"
+  // items carry true multi-frame payloads: a container a real decoder
+  // must parse frame-by-frame — not a byte buffer pretending. Frames
+  // with ≤256 distinct colors (our gray fixtures) round-trip
+  // losslessly through the palette.
+  // ------------------------------------------------------------------
+
+  final case class VideoFrameStats(
+      item_id: Long,
+      frame_index: Int,
+      width: Int,
+      height: Int,
+      sum_luma: Long)
+
+  implicit val videoFrameStatsEnc: Encoder[VideoFrameStats] =
+    Encoders.product[VideoFrameStats]
+
+  /** Deterministic synthetic "video": an animated GIF whose frame f has
+    * gray pixel v = (7x + 13y + seed + 11f) mod 256, written through
+    * the JDK's own GIF sequence writer. Frames are TYPE_BYTE_INDEXED
+    * over an explicit 256-level gray palette: handing the writer an
+    * already-indexed image makes the encoding lossless by construction
+    * (an RGB frame would go through the writer's own quantizer, which
+    * degrades some gray levels — measured as sum_luma drift on
+    * sampled frames). */
+  def syntheticGif(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // No interlacing: the JDK writer's default may emit progressive
+      // (interlaced) frames, which reorders rows on decode for readers
+      // honoring the flag differently per frame height — measured as
+      // row-permuted pixels on short frames.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(
+          width, height, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = ((x * 7 + y * 13 + (seed % 251) + 11L * f) % 256).toInt
+            raster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Real video frame sampling: parse the container with the JDK GIF
+    * reader, decode every `stride`-th frame (frames the sampler skips
+    * are never pixel-decoded — the point of sampling), and reduce each
+    * to integer luma statistics. Fail-loud on undecodable payloads. */
+  def sampleVideoFrames(item: MediaItem, stride: Int): Seq[VideoFrameStats] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(item.payload))
+    try {
+      // NOT seek-forward-only: getNumImages(allowSearch=true) must
+      // scan the stream, and sampling then seeks to every stride-th
+      // frame.
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, s"item ${item.item_id}: payload is not a decodable video container")
+      (0 until n by stride).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += luma(px(i)); i += 1 }
+        VideoFrameStats(item.item_id, f, w, h, sum)
+      }
+    } finally {
+      iis.close()
+      reader.dispose()
+    }
+  }
+
+  /** Per-partition video frame sampling — narrow one-to-many, payloads
+    * never shuffle, only small per-frame stat rows emerge. */
+  def sampleVideos(items: Dataset[MediaItem], stride: Int): Dataset[VideoFrameStats] =
+    items.flatMap(sampleVideoFrames(_, stride))
+
   /** Deterministic synthetic image: gray gradient + seed-striped
     * pattern, real PNG bytes. The fixture generator for corpora without
     * actual media columns — every downstream step decodes it with the
@@ -329,13 +434,12 @@ object Multimodal {
       }
     }
 
-  /** Deterministic media corpus off the documents table. Image items
-    * carry REAL PNG payloads and audio items REAL RIFF/WAVE payloads
-    * (synthesized per doc through the JDK encoders, decoded downstream
-    * by the real ImageIO / AudioSystem kernels); video items carry the
-    * UTF-8 text bytes (stand-ins for decoded frame buffers — no video
-    * codec ships in the JDK). Lets the full pipeline run at any scale
-    * factor without a media-bearing source table. */
+  /** Deterministic media corpus off the documents table — every
+    * modality now carries a REAL container: PNG for images, RIFF/WAVE
+    * for audio, animated GIF for video, all synthesized through the
+    * JDK encoders and decoded downstream by the JDK codec kernels.
+    * Lets the full pipeline run at any scale factor without a
+    * media-bearing source table. */
   def fakeMediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables(spark, sfDir).documents
@@ -349,7 +453,9 @@ object Multimodal {
             // audio ids are ≡1 (mod 3), so (id%9)/3 cycles 0,1,2
             syntheticWav(id % 251, nSamples = 64 + (id % 97).toInt,
               sampleRate = 8000 + ((id % 9) / 3).toInt * 4000)
-          case _ => text.getBytes("UTF-8")
+          case _ =>
+            syntheticGif(id % 251, width = 4 + (id % 13).toInt,
+              height = 4 + (id % 11).toInt, nFrames = 4 + (id % 9).toInt)
         }
         val modality = (id % 3) match {
           case 0 => "image"

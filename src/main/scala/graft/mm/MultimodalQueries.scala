@@ -203,6 +203,48 @@ object MultimodalQueries {
       .orderBy("item_id")
   }
 
+  /** Real video frame sampling as a declared, oracle-checked query —
+    * the multi-frame twin of [[mmImageDecode]]/[[mmAudioDecode]].
+    * Spark synthesizes a true animated-GIF container per video item
+    * ([[Multimodal.syntheticGif]]: frame f has gray pixel
+    * v = (7x + 13y + seed + 11f) mod 256), parses it back with the JDK
+    * GIF reader, pixel-decodes every 4th frame ONLY (sampling means
+    * the skipped frames are never decoded), and reduces each sampled
+    * frame to an integer luma sum. The oracle recomputes the per-frame
+    * statistics from the generative formula over range() grids without
+    * ever seeing a GIF byte — a hash match proves the multi-frame
+    * container roundtrip, clearing the last byte-buffer stand-in in
+    * the media family. Narrow one-to-many: payloads never shuffle,
+    * only per-frame stat rows emerge. */
+  private val mmVideoFrames = Q(
+    "mm_video_frames",
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+      |         CAST(4 + doc_id % 11 AS INTEGER) AS height,
+      |         4 + doc_id % 9 AS nf,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), fr AS (
+      |  SELECT item_id, width, height, seed, unnest(range(0, nf)) AS f FROM d
+      |), px AS (
+      |  SELECT item_id, f, width, height,
+      |         (x * 7 + y * 13 + seed + 11 * f) % 256 AS v
+      |  FROM fr, range(0, 16) tx(x), range(0, 14) ty(y)
+      |  WHERE f % 4 = 0 AND x < width AND y < height
+      |)
+      |SELECT item_id, CAST(f AS INTEGER) AS frame_index, width, height,
+      |       CAST(sum(v) AS BIGINT) AS sum_luma
+      |FROM px GROUP BY item_id, f, width, height
+      |ORDER BY item_id, frame_index""".stripMargin) { (s, dir) =>
+    Multimodal.sampleVideos(
+      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "video"),
+      stride = 4)
+      .toDF()
+      .select("item_id", "frame_index", "width", "height", "sum_luma")
+      .orderBy("item_id", "frame_index")
+  }
+
   /** Degenerate-bucket bound for [[mmImageDedup]] — same policy (and
     * same value) as `DedupQueries.MaxBucketPairDocs`: all-pairs within
     * a band bucket up to the cap, star edges to the bucket head beyond,
@@ -360,5 +402,5 @@ object MultimodalQueries {
 
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
-      mmImagePhash, mmImageDedup, mmAudioDecode)
+      mmImagePhash, mmImageDedup, mmAudioDecode, mmVideoFrames)
 }

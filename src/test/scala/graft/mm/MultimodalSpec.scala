@@ -109,6 +109,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video payloads are real animated GIFs: magic + multi-frame decode") {
+    val vid = media.filter(_.modality == "video").head()
+    assert(new String(vid.payload.slice(0, 4), "US-ASCII") == "GIF8")
+    val frames = sampleVideoFrames(vid, stride = 1)
+    assert(frames.size == 4 + (vid.item_id % 9).toInt,
+      s"frame count ${frames.size}")
+  }
+
+  test("video decode: GIF codec roundtrip is pixel-exact per frame vs the formula") {
+    val stats = sampleVideos(media.filter(_.modality == "video"), stride = 4)
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { fs =>
+      val id = fs.item_id
+      assert(fs.width == 4 + (id % 13).toInt && fs.height == 4 + (id % 11).toInt)
+      assert(fs.frame_index % 4 == 0)
+      val seed = id % 251
+      var sum = 0L
+      (0 until fs.height).foreach { y =>
+        (0 until fs.width).foreach { x =>
+          sum += ((x * 7 + y * 13 + seed + 11L * fs.frame_index) % 256)
+        }
+      }
+      assert(fs.sum_luma == sum,
+        s"item $id frame ${fs.frame_index}: ${fs.sum_luma} != $sum")
+    }
+  }
+
   test("frame sampling: every stride-th frame, correct sizes") {
     val frames = sampleFrames(
       media.filter(_.modality == "video"), frameSize = 32, stride = 4)
