@@ -1206,6 +1206,104 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Time-series gap filling: the hourly purchase-count series joined
+    * onto a COMPLETE hour spine (min..max of the data), missing hours
+    * zero-marked and forward-filled from the last observed value — the
+    * resample-and-ffill primitive every metrics pipeline needs before
+    * comparing periods. The spine is generated with sequence() from a
+    * 1-row bounds aggregate (no driver-side loop). The forward-fill
+    * window is GLOBAL-ordered but runs over the hour grid, which is
+    * calendar-bounded (a decade ≈ 90k rows) — the documented
+    * metadata-sized-window exception; a per-series variant adds the
+    * series key to partitionBy and nothing else changes. */
+  private val timeseriesFfill = Q(
+    "timeseries_ffill",
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), bounds AS (
+      |  SELECT min(hour) AS h0, max(hour) AS h1 FROM h
+      |), spine AS (
+      |  SELECT h0 + INTERVAL (s.i) HOUR AS hour
+      |  FROM bounds, (SELECT unnest(range(0, 100000)) AS i) s
+      |  WHERE h0 + INTERVAL (s.i) HOUR <= h1
+      |)
+      |SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       coalesce(h.n, 0) AS n,
+      |       CAST(last_value(h.n IGNORE NULLS) OVER (ORDER BY spine.hour
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ffill,
+      |       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_gap
+      |FROM spine LEFT JOIN h ON spine.hour = h.hour
+      |ORDER BY spine.hour""".stripMargin) { (s, dir) =>
+    val hourly = Tables(s, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour"), "left")
+      .select(
+        col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_filled"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_ffill"),
+        when(col("n").isNull, 1).otherwise(0).cast("int").as("was_gap"))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_filled").as("n"), col("n_ffill"), col("was_gap"))
+      .orderBy("hour")
+  }
+
+  /** Last-touch attribution: every purchase attributed to the user's
+    * most recent STRICTLY-prior click (the marketing-analytics asof
+    * shape, DuckDB's ASOF LEFT JOIN as the oracle). Same union + one
+    * ordered window pass as `join_asof` — never a per-purchase
+    * subquery: clicks and purchases union-tag, and at equal timestamps
+    * clicks sort AFTER purchases so the running last-click honors the
+    * strict inequality; unattributed purchases survive with an empty
+    * click (LEFT semantics). One shuffle on user_id. */
+  private val attributionLastTouch = Q(
+    "attribution_last_touch",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       c.event_id AS click_id,
+      |       coalesce(strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), '') AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+      lit(null).cast("long").as("pid"),
+      col("event_id").as("cid"), col("ts").as("ct"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), lit(0).as("side"),
+      col("event_id").as("pid"),
+      lit(null).cast("long").as("cid"), lit(null).cast("timestamp").as("ct"))
+    // At equal t the purchase (side 0) sorts BEFORE the click (side 1),
+    // so the running last-click over rows ≤ current sees only strictly
+    // earlier clicks — DuckDB ASOF's `<`.
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"), col("cid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .select(
+        col("k"), col("side"), col("pid"), col("t"),
+        last(col("cid"), ignoreNulls = true).over(w).as("click_id"),
+        last(col("ct"), ignoreNulls = true).over(w).as("click_t"))
+      .filter(col("side") === 0)
+      .select(
+        col("pid").as("purchase_id"), col("k").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("click_id"),
+        coalesce(date_format(col("click_t"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Volume-anomaly detection on hourly event counts, EXACT-integer
     * z-score: flag hours where (n·N − S)² > k²·(N·Q − S²) with k=2 —
     * the algebraic form of |n − mean| > k·σ cleared of every division
@@ -1409,5 +1507,6 @@ object RelationalQueries {
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
-    joinOuterFull, eventsAnomalyHours)
+    joinOuterFull, eventsAnomalyHours, timeseriesFfill,
+    attributionLastTouch)
 }
