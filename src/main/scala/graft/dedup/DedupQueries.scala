@@ -779,6 +779,57 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance verification of candidate pairs: classic
+    * Levenshtein over the first 256 chars of each side (both engines
+    * implement the standard DP — identical values on identical
+    * strings; the prefix bound caps the O(n·m) cell count per pair,
+    * which is what you'd do at scale before escalating to a full
+    * diff). Distances are normalized to e6 by the longer prefix
+    * (integer div). Character-level verification complements the
+    * token-level n-gram Jaccard check — transpositions and small
+    * in-token edits that shift every containing shingle barely move
+    * edit distance. Cost follows candidates: texts are fetched only
+    * for docs in a pair (left-semi prune, same shape as the Jaccard
+    * verifiers). */
+  private val dedupEditDistance = Q(
+    "dedup_edit_distance",
+    s"""$sqlCandCte, tx AS (
+       |  SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       |       CAST(length(a.t) AS BIGINT) AS len_a,
+       |       CAST(length(b.t) AS BIGINT) AS len_b,
+       |       CAST(levenshtein(a.t, b.t) * 1000000
+       |            // greatest(length(a.t), length(b.t)) AS BIGINT) AS dist_e6
+       |FROM cand
+       |JOIN tx a ON cand.doc_a = a.doc_id
+       |JOIN tx b ON cand.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val cand = candidatePairs(t).localCheckpoint()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val tx = t.documents
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+      .localCheckpoint()
+    cand
+      .join(tx.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(tx.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("a.t"), col("b.t")).cast("long").as("edit_dist"),
+        length(col("a.t")).cast("long").as("len_a"),
+        length(col("b.t")).cast("long").as("len_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("edit_dist"), col("len_a"),
+        col("len_b"),
+        expr("edit_dist * 1000000 div greatest(len_a, len_b)").as("dist_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** INCREMENTAL near-dup candidates: a small "new batch" (here every
     * 20th doc — the daily-ingest slice) deduped AGAINST the existing
     * corpus, not within it. This is the production shape after the
@@ -865,8 +916,8 @@ object DedupQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(splitLeakage, dedupJaccardEst, dedupIncremental, dedupExact,
-      dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+    Seq(splitLeakage, dedupJaccardEst, dedupIncremental, dedupEditDistance,
+      dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)
 }
