@@ -68,6 +68,29 @@ class StorageQueriesSpec extends SparkSpec {
     assert(new java.io.File(root, "_SUCCESS").lastModified() == m1)
   }
 
+  test("morton10 is an exact bit interleave: deinterleave recovers (x, y)") {
+    // Evaluate the Column expression over a sampled grid and invert it
+    // in Scala: zval's even bits must be x, odd bits y — injectivity
+    // and exactness of the interleave, independent of the clustering
+    // property tested below.
+    import spark.implicits._
+    val pts = for (x <- 0 until 1024 by 31; y <- 0 until 1024 by 37)
+      yield (x.toLong, y.toLong)
+    val rows = pts.toDF("x", "y")
+      .withColumn("z", StorageQueries.morton10(col("x"), col("y")))
+      .collect()
+    assert(rows.length == pts.length)
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var dx = 0L; var dy = 0L
+      (0 until 10).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == x && dy == y, s"morton($x,$y)=$z deinterleaved to ($dx,$dy)")
+    }
+  }
+
   test("z-order clusters BOTH dimensions; a plain sort clusters only one") {
     // Chunk the z-sorted (and, for contrast, x-sorted) row sequence
     // into 16 contiguous "files" and measure each chunk's span in x
