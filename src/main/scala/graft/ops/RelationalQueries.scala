@@ -1304,6 +1304,51 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** Tukey-fence (IQR) outlier flagging per group, exact to the last
+    * bit: values integerize to cents, interpolated quartiles of
+    * integers have at most quarter fractions ((n−1)·0.25 indexing), so
+    * ×8 makes the quartiles integers and ×16 clears the 1.5·IQR
+    * multiplier — the fence test `16c < 2·q1₈ − 3·(q3₈−q1₈)` is pure
+    * int64 with no float boundary to flip cross-engine. The quartile
+    * frame is one row per group, broadcast back over the facts (the
+    * same shape as the z-score anomaly query, but per-group and
+    * robust-statistic). */
+  private val aggOutliersIqr = Q(
+    "agg_outliers_iqr",
+    """WITH v AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events
+      |), q AS (
+      |  SELECT event_type,
+      |         CAST(quantile_cont(c, 0.25) * 8 AS BIGINT) AS q1_8,
+      |         CAST(quantile_cont(c, 0.75) * 8 AS BIGINT) AS q3_8
+      |  FROM v GROUP BY event_type
+      |)
+      |SELECT v.event_id, v.event_type, v.value,
+      |       CASE WHEN v.c * 16 < 2 * q.q1_8 - 3 * (q.q3_8 - q.q1_8)
+      |            THEN 'low' ELSE 'high' END AS side
+      |FROM v JOIN q USING (event_type)
+      |WHERE v.c * 16 < 2 * q.q1_8 - 3 * (q.q3_8 - q.q1_8)
+      |   OR v.c * 16 > 2 * q.q3_8 + 3 * (q.q3_8 - q.q1_8)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val v = Tables(s, dir).events
+      .select(col("event_id"), col("event_type"), col("value"),
+        Det.toUnits(col("value"), 100).as("c"))
+    val q = v.groupBy(col("event_type"))
+      .agg(
+        (expr("percentile(c, 0.25)") * 8).cast("long").as("q1_8"),
+        (expr("percentile(c, 0.75)") * 8).cast("long").as("q3_8"))
+    val lowBound = lit(2) * col("q1_8") - lit(3) * (col("q3_8") - col("q1_8"))
+    val highBound = lit(2) * col("q3_8") + lit(3) * (col("q3_8") - col("q1_8"))
+    v.join(broadcast(q), Seq("event_type"))
+      .filter(col("c") * 16 < lowBound || col("c") * 16 > highBound)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        when(col("c") * 16 < lowBound, "low").otherwise("high").as("side"))
+      .orderBy("event_id")
+  }
+
   /** Volume-anomaly detection on hourly event counts, EXACT-integer
     * z-score: flag hours where (n·N − S)² > k²·(N·Q − S²) with k=2 —
     * the algebraic form of |n − mean| > k·σ cleared of every division
@@ -1508,5 +1553,5 @@ object RelationalQueries {
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
     joinOuterFull, eventsAnomalyHours, timeseriesFfill,
-    attributionLastTouch)
+    attributionLastTouch, aggOutliersIqr)
 }
