@@ -18,7 +18,8 @@ object SparkEntry {
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++
-      mm.MultimodalQueries.queries
+      mm.MultimodalQueries.queries ++
+      functions.SqlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
