@@ -173,6 +173,21 @@ class PlanShapeSpec extends SparkSpec {
       s"funnel must shuffle the fact exactly once:\n$plan")
   }
 
+  test("sql_q6: every predicate reaches the parquet scan's PushedFilters") {
+    val plan = planOf("sql_q6_revenue_scan")
+    val scanLine = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    // All four Q6 predicates are pushable (timestamp range, double
+    // range, double <) and must land in the scan, not a post-filter.
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scanLine.contains(c),
+        s"$c missing from PushedFilters:\n$scanLine\n$plan")
+    }
+    // And the scan must only read the columns the query touches.
+    assert(!plan.contains("l_orderkey"),
+      s"untouched columns read by the Q6 scan:\n$plan")
+  }
+
   test("graph_pagerank: iterations read the checkpointed contribution frame") {
     val plan = planOf("graph_pagerank")
     // Degrees and the rank seed re-derive from the localCheckpoint, so
