@@ -464,7 +464,13 @@ object DedupQueries {
     * component) for every doc that appears in a candidate pair. Shared
     * by dedup_components (the labels themselves) and dedup_survivors
     * (labels composed back onto the corpus). */
-  private[dedup] def componentLabels(t: Tables): DataFrame = {
+  private[dedup] def componentLabels(t: Tables): DataFrame =
+    componentLabelsOf(candidatePairs(t))
+
+  /** Min-label propagation over an arbitrary (doc_a, doc_b) edge
+    * frame — shared by the doc-level components query and the image
+    * near-dup graph ([[graft.mm.MultimodalQueries]]). */
+  private[graft] def componentLabelsOf(edgeFrame: DataFrame): DataFrame = {
     // The loop's fixed cost is DRIVER actions, not executor work (the
     // frames are candidate-sized): every eager action pays scheduling +
     // optimization gaps that round-3 measured at ~half the query's wall
@@ -479,7 +485,7 @@ object DedupQueries {
     //    convergence is read off the same materialized result, two
     //    rounds at a time. Min-label propagation is monotone, so "no
     //    change across a step" is exactly the fixpoint test.
-    val edges = candidatePairs(t).localCheckpoint(false)
+    val edges = edgeFrame.localCheckpoint(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()

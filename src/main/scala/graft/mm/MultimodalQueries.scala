@@ -327,12 +327,14 @@ object MultimodalQueries {
     * narrow, the pairing shuffles 8 band rows × ~72 B per image —
     * pair discovery over a billion images moves ~0.5 TB, not the
     * images. */
-  private val mmImageDedup = Q(
-    "mm_image_dedup", {
-      def ham(a: String, b: String) =
-        "CAST(" + (1 to 8).map(i => s"bit_count(xor($a[$i], $b[$i]))")
-          .mkString(" + ") + " AS BIGINT)"
-      s"""$sqlBandsCte, h AS (
+  /** CTE chain ending in `pairs(item_a, item_b, hamming)` — the
+    * hamming ≤ 2 image near-dup graph, shared by the pair query and
+    * the component labeling over it. */
+  private def sqlImagePairsCte: String = {
+    def ham(a: String, b: String) =
+      "CAST(" + (1 to 8).map(i => s"bit_count(xor($a[$i], $b[$i]))")
+        .mkString(" + ") + " AS BIGINT)"
+    s"""$sqlBandsCte, h AS (
          |  SELECT item_id, list(key ORDER BY band) AS ks
          |  FROM allbands GROUP BY item_id
          |), ranked AS (
@@ -353,11 +355,14 @@ object MultimodalQueries {
          |    SELECT aitem, item_id, ${ham("aks", "ks")}
          |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairItems
          |  )
-         |)
-         |SELECT item_a, item_b, hamming FROM cand
-         |WHERE hamming <= 2
-         |ORDER BY item_a, item_b""".stripMargin
-    }) { (s, dir) =>
+         |), pairs AS (
+         |  SELECT item_a, item_b, hamming FROM cand WHERE hamming <= 2
+         |)""".stripMargin
+  }
+
+  /** The Spark twin of [[sqlImagePairsCte]]: the hamming ≤ 2 pair
+    * frame (un-ordered — callers sort or label it). */
+  private def imagePairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
     val hashes = Multimodal.imageAHashes(
       Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
@@ -397,10 +402,49 @@ object MultimodalQueries {
         hamming(col("abands"), col("bands")).as("hamming"))
     headPairs.union(tailStarEdges).distinct()
       .filter(col("hamming") <= 2)
-      .orderBy("item_a", "item_b")
+  }
+
+  private val mmImageDedup = Q(
+    "mm_image_dedup",
+    s"""$sqlImagePairsCte
+       |SELECT item_a, item_b, hamming FROM pairs
+       |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    imagePairs(s, dir).orderBy("item_a", "item_b")
+  }
+
+  /** Connected components over the image near-dup graph — the image
+    * twin of `dedup_components`, closing the image pipeline
+    * candidates → components exactly like the doc family: the SAME
+    * min-label propagation engine ([[graft.dedup.DedupQueries
+    * .componentLabelsOf]]) runs over the hamming ≤ 2 pair frame (the
+    * capped-bucket star edges keep over-cap clusters connected, so
+    * labeling sees whole components). Oracle: recursive transitive
+    * closure over the shared pairs CTE. */
+  private val mmImageComponents = Q(
+    "mm_image_components",
+    s"""WITH RECURSIVE ${sqlImagePairsCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT item_id FROM (
+       |    SELECT item_a AS item_id FROM pairs
+       |    UNION ALL SELECT item_b FROM pairs)
+       |), edges AS (
+       |  SELECT item_a AS a, item_b AS b FROM pairs
+       |  UNION SELECT item_b, item_a FROM pairs
+       |), reach(s, t) AS (
+       |  SELECT item_id, item_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |)
+       |SELECT s AS item_id, min(t) AS component
+       |FROM reach GROUP BY s ORDER BY item_id""".stripMargin) { (s, dir) =>
+    graft.dedup.DedupQueries.componentLabelsOf(
+      imagePairs(s, dir)
+        .select(col("item_a").as("doc_a"), col("item_b").as("doc_b")))
+      .select(col("doc_id").as("item_id"), col("component"))
+      .orderBy("item_id")
   }
 
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
-      mmImagePhash, mmImageDedup, mmAudioDecode, mmVideoFrames)
+      mmImagePhash, mmImageDedup, mmImageComponents, mmAudioDecode,
+      mmVideoFrames)
 }
