@@ -150,7 +150,10 @@ object DedupQueries {
     * buffer), so they are not folded into one helper; a change to the
     * cap SEMANTICS must touch all four plus their SQL mirrors — each
     * is pinned by its own oracle, so a missed site fails loudly. */
-  private[dedup] val MaxBucketPairDocs = 64
+  // final constant — immune to object-initialization order (a Q val
+  // declared above this line would otherwise interpolate 0 into its
+  // oracle SQL; see the MultimodalQueries twin for the incident).
+  private[dedup] final val MaxBucketPairDocs = 64
 
   /** Candidate near-dup pairs: group by (band, band_hash), pair within
     * buckets. Bucket members are ranked so every pair is (low, high);

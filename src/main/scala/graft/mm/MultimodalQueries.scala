@@ -249,7 +249,11 @@ object MultimodalQueries {
     * same value) as `DedupQueries.MaxBucketPairDocs`: all-pairs within
     * a band bucket up to the cap, star edges to the bucket head beyond,
     * so worst-case pair expansion is O(m) per bucket. */
-  private val MaxBucketPairItems = 64
+  // `final` with a literal = a compile-time constant: object vals
+  // initialize in declaration order, and a non-constant cap read by an
+  // eagerly-built SQL string ABOVE its declaration silently
+  // interpolates 0 (caught by the survivors oracle as an 8-row drift).
+  private final val MaxBucketPairItems = 64
 
   /** CTE chain recomputing the 8×8 block-average perceptual hash from
     * the fixture's generative pixel formula, ending in
@@ -443,8 +447,58 @@ object MultimodalQueries {
       .orderBy("item_id")
   }
 
+  /** Image survivor selection — the image family now runs the FULL
+    * dedup pipeline candidates → components → deduped corpus, exactly
+    * like documents (`dedup_survivors`): keep the component-min item
+    * of every near-dup cluster plus all unpaired items, each with its
+    * cluster size. The labels/sizes frame is candidate-sized, so the
+    * join back onto the item universe broadcasts. */
+  private val mmImageSurvivors = Q(
+    "mm_image_survivors",
+    s"""WITH RECURSIVE ${sqlImagePairsCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT item_id FROM (
+       |    SELECT item_a AS item_id FROM pairs
+       |    UNION ALL SELECT item_b FROM pairs)
+       |), gedges AS (
+       |  SELECT item_a AS a, item_b AS b FROM pairs
+       |  UNION SELECT item_b, item_a FROM pairs
+       |), reach(s, t) AS (
+       |  SELECT item_id, item_id FROM nodes
+       |  UNION SELECT a, b FROM gedges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN gedges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS item_id, min(t) AS component FROM reach GROUP BY s
+       |), sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT d.doc_id AS item_id,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.item_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |WHERE d.doc_id % 3 = 0
+       |  AND (c.item_id IS NULL OR c.component = d.doc_id)
+       |ORDER BY item_id""".stripMargin) { (s, dir) =>
+    val labels = graft.dedup.DedupQueries.componentLabelsOf(
+      imagePairs(s, dir)
+        .select(col("item_a").as("doc_a"), col("item_b").as("doc_b")))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels.join(sizes, "component")
+    Tables(s, dir).documents
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+      .join(broadcast(annotated), Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id").as("item_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("item_id")
+  }
+
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
-      mmImagePhash, mmImageDedup, mmImageComponents, mmAudioDecode,
-      mmVideoFrames)
+      mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
+      mmAudioDecode, mmVideoFrames)
 }
