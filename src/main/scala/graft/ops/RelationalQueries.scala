@@ -1304,6 +1304,110 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** RFM customer scoring (recency / frequency / monetary quintile
+    * bands), formulated the way it must be at scale: NOT a global
+    * ntile over the customer dimension (a single-ordering sort of
+    * every customer), but quintile THRESHOLDS from one 1-row
+    * aggregate, broadcast back over the per-customer frame — each
+    * band is then a narrow CASE count of thresholds below the metric.
+    * Exactness: metrics are integers (days, counts, cents) and
+    * interpolated quintiles of integers carry at most fifth fractions
+    * ((n−1)·0.2 indexing), so ×5 makes every comparison pure int64.
+    * Equal metrics get equal bands by construction — no tie-order
+    * dependence at all, which ntile could not offer. */
+  private val customerRfm = Q(
+    "customer_rfm", {
+      def bandSql(m: String, t: String) =
+        s"""CAST(1 + (CASE WHEN $m*5 > ${t}20 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $m*5 > ${t}40 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $m*5 > ${t}60 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $m*5 > ${t}80 THEN 1 ELSE 0 END) AS INTEGER)""".stripMargin
+      def thrSql(m: String, t: String) = Seq(20, 40, 60, 80).map(p =>
+        s"CAST(quantile_cont($m, 0.$p)*5 AS BIGINT) AS $t$p").mkString(",\n    ")
+      s"""WITH r AS (
+         |  SELECT o_custkey AS custkey,
+         |         CAST((epoch_us(TIMESTAMP '2002-01-01') - epoch_us(max(o_orderdate))) // 86400000000 AS BIGINT) AS recency_days,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c
+         |  FROM orders GROUP BY o_custkey
+         |), th AS (
+         |  SELECT
+         |    ${thrSql("recency_days", "r")},
+         |    ${thrSql("frequency", "f")},
+         |    ${thrSql("monetary_c", "m")}
+         |  FROM r
+         |)
+         |SELECT custkey, recency_days, frequency, monetary_c,
+         |  ${bandSql("recency_days", "r")} AS r_band,
+         |  ${bandSql("frequency", "f")} AS f_band,
+         |  ${bandSql("monetary_c", "m")} AS m_band
+         |FROM r, th ORDER BY custkey""".stripMargin
+    }) { (s, dir) =>
+    val refUs = java.time.LocalDate.of(2002, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val r = Tables(s, dir).orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ; the cast interprets it in the
+        // session TZ (pinned UTC), matching DuckDB's naive epoch_us.
+        expr(s"($refUs - unix_micros(cast(max(o_orderdate) as timestamp))) div 86400000000")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(Det.toUnits(col("o_totalprice"), 100)).as("monetary_c"))
+    val th = r.agg(
+      (expr("percentile(recency_days, 0.2)") * 5).cast("long").as("r20"),
+      Seq(("recency_days", "r", 40), ("recency_days", "r", 60),
+        ("recency_days", "r", 80),
+        ("frequency", "f", 20), ("frequency", "f", 40),
+        ("frequency", "f", 60), ("frequency", "f", 80),
+        ("monetary_c", "m", 20), ("monetary_c", "m", 40),
+        ("monetary_c", "m", 60), ("monetary_c", "m", 80)).map {
+        case (m, t, p) =>
+          (expr(s"percentile($m, 0.$p)") * 5).cast("long").as(s"$t$p")
+      }: _*)
+    def band(m: String, t: String): Column =
+      (lit(1) + Seq(20, 40, 60, 80).map(p =>
+        when(col(m) * 5 > col(s"$t$p"), 1).otherwise(0): Column)
+        .reduce(_ + _)).cast("int")
+    r.crossJoin(broadcast(th))
+      .select(
+        col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_c"),
+        band("recency_days", "r").as("r_band"),
+        band("frequency", "f").as("f_band"),
+        band("monetary_c", "m").as("m_band"))
+      .orderBy("custkey")
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): each
+    * consecutive event pair per user contributes one (prev → next)
+    * observation — the behavior-model fit step product analytics runs
+    * before simulating journeys. One shuffle: the lag window on the
+    * user_id partitioning; the 25-cell matrix aggregate is map-side
+    * combined. Ties in ts are broken by event_id so the sequence — and
+    * therefore the counts — is engine-deterministic. */
+  private val eventsTransitions = Q(
+    "events_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events
+      |)
+      |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir).events
+      .select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Tukey-fence (IQR) outlier flagging per group, exact to the last
     * bit: values integerize to cents, interpolated quartiles of
     * integers have at most quarter fractions ((n−1)·0.25 indexing), so
@@ -1553,5 +1657,5 @@ object RelationalQueries {
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
     joinOuterFull, eventsAnomalyHours, timeseriesFfill,
-    attributionLastTouch, aggOutliersIqr)
+    attributionLastTouch, aggOutliersIqr, customerRfm, eventsTransitions)
 }
