@@ -1225,9 +1225,15 @@ object RelationalQueries {
       |), bounds AS (
       |  SELECT min(hour) AS h0, max(hour) AS h1 FROM h
       |), spine AS (
+      |  -- spine bound derived from the data (datediff), not a magic
+      |  -- cap: Spark's sequence(h0, h1) is complete, so the oracle
+      |  -- must be too. unnest(range(...)) in the SELECT list is the
+      |  -- lateral-range form (range() as a table function rejects
+      |  -- correlated args).
       |  SELECT h0 + INTERVAL (s.i) HOUR AS hour
-      |  FROM bounds, (SELECT unnest(range(0, 100000)) AS i) s
-      |  WHERE h0 + INTERVAL (s.i) HOUR <= h1
+      |  FROM (SELECT h0, h1,
+      |          unnest(range(0, CAST(datediff('hour', h0, h1) AS BIGINT) + 1)) AS i
+      |        FROM bounds) s
       |)
       |SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour,
       |       coalesce(h.n, 0) AS n,
@@ -1259,7 +1265,11 @@ object RelationalQueries {
 
   /** Last-touch attribution: every purchase attributed to the user's
     * most recent STRICTLY-prior click (the marketing-analytics asof
-    * shape, DuckDB's ASOF LEFT JOIN as the oracle). Same union + one
+    * shape). The oracle mirrors the union+window formulation verbatim
+    * rather than DuckDB's ASOF LEFT JOIN: ASOF returns an arbitrary
+    * matching row when two clicks share the max qualifying timestamp,
+    * while both sides here tie-break on (t, side, cid) so the match is
+    * engine-deterministic. Same union + one
     * ordered window pass as `join_asof` — never a per-purchase
     * subquery: clicks and purchases union-tag, and at equal timestamps
     * clicks sort AFTER purchases so the running last-click honors the
@@ -1267,13 +1277,30 @@ object RelationalQueries {
     * click (LEFT semantics). One shuffle on user_id. */
   private val attributionLastTouch = Q(
     "attribution_last_touch",
-    """SELECT p.event_id AS purchase_id, p.user_id,
-      |       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-      |       c.event_id AS click_id,
-      |       coalesce(strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), '') AS click_ts
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+    """WITH u AS (
+      |  SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 1 AS side,
+      |         CAST(NULL AS BIGINT) AS pid, event_id AS cid,
+      |         CAST(ts AS TIMESTAMP) AS ct
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, CAST(ts AS TIMESTAMP), 0,
+      |         event_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      |  FROM events WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT k, side, pid, t,
+      |         last_value(cid IGNORE NULLS) OVER (PARTITION BY k
+      |             ORDER BY t, side, cid
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+      |         last_value(ct IGNORE NULLS) OVER (PARTITION BY k
+      |             ORDER BY t, side, cid
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_t
+      |  FROM u
+      |)
+      |SELECT pid AS purchase_id, k AS user_id,
+      |       strftime(t, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       click_id,
+      |       coalesce(strftime(click_t, '%Y-%m-%d %H:%M:%S'), '') AS click_ts
+      |FROM w WHERE side = 0
       |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
     val ev = Tables(s, dir).events
     val clicks = ev.filter(col("event_type") === "click").select(
@@ -1354,8 +1381,13 @@ object RelationalQueries {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(Det.toUnits(col("o_totalprice"), 100)).as("monetary_c"))
+    // quintile·5 is mathematically an integer ((n−1)·p indexing with
+    // p a fifth), but the double can sit 1 ulp low (35.999…); DuckDB's
+    // CAST(double AS BIGINT) rounds while Spark's .cast("long")
+    // truncates, so round explicitly on this side: floor(x·5 + 0.5).
     val th = r.agg(
-      (expr("percentile(recency_days, 0.2)") * 5).cast("long").as("r20"),
+      floor(expr("percentile(recency_days, 0.2)") * 5 + 0.5)
+        .cast("long").as("r20"),
       Seq(("recency_days", "r", 40), ("recency_days", "r", 60),
         ("recency_days", "r", 80),
         ("frequency", "f", 20), ("frequency", "f", 40),
@@ -1363,7 +1395,8 @@ object RelationalQueries {
         ("monetary_c", "m", 20), ("monetary_c", "m", 40),
         ("monetary_c", "m", 60), ("monetary_c", "m", 80)).map {
         case (m, t, p) =>
-          (expr(s"percentile($m, 0.$p)") * 5).cast("long").as(s"$t$p")
+          floor(expr(s"percentile($m, 0.$p)") * 5 + 0.5)
+            .cast("long").as(s"$t$p")
       }: _*)
     def band(m: String, t: String): Column =
       (lit(1) + Seq(20, 40, 60, 80).map(p =>

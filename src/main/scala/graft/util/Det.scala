@@ -37,11 +37,16 @@ object Det {
   def sqlUnits(expr: String, scale: Long): String =
     s"CAST(floor(($expr) * $scale.0 + 0.5) AS BIGINT)"
 
-  /** DuckDB SQL fragment mirroring [[dsum]]. */
+  /** SQL fragment mirroring [[dsum]], safe to run verbatim on BOTH
+    * engines: the unit sum is cast to DOUBLE *before* the divide.
+    * (`CAST(... AS BIGINT) / 100.0` is a dialect trap — Spark parses
+    * `100.0` as DECIMAL(4,1) and plans a DECIMAL(27,6) division while
+    * DuckDB yields DOUBLE; equal values, mismatched schema hash.) */
   def sqlDsum(expr: String, scale: Long = 100L): String =
-    s"CAST(sum(${sqlUnits(expr, scale)}) AS BIGINT) / $scale.0"
+    s"CAST(sum(${sqlUnits(expr, scale)}) AS DOUBLE) / $scale.0"
 
-  /** DuckDB SQL fragment mirroring [[davg]]. */
+  /** SQL fragment mirroring [[davg]]; DOUBLE-cast for the same
+    * dialect-neutrality as [[sqlDsum]]. */
   def sqlDavg(expr: String, scale: Long = 1000000L): String =
-    s"(CAST(sum(${sqlUnits(expr, scale)}) AS BIGINT) / $scale.0) / count(*)"
+    s"(CAST(sum(${sqlUnits(expr, scale)}) AS DOUBLE) / $scale.0) / count(*)"
 }

@@ -21,20 +21,38 @@ for name in sorted(os.listdir(out)):
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"!! {name}: NO SPARK OUTPUT"); fail += 1; continue
-    sdf = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    srel = con.sql(f"SELECT * FROM '{files[0]}'")
+    sdf = srel.df()
     if name not in oracle:
         print(f"-- {name}: no oracle ({len(sdf)} rows, cols={list(sdf.columns)})"); continue
     try:
-        odf = con.sql(oracle[name]).df()
+        orel = con.sql(oracle[name])
+        odf = orel.df()
     except Exception as e:
         print(f"!! {name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
+    stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+    otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
     sdf = sdf[sorted(sdf.columns)]; odf = odf[sorted(odf.columns)]
     if list(sdf.columns) != list(odf.columns):
         print(f"!! {name}: SCHEMA cols spark={list(sdf.columns)} oracle={list(odf.columns)}"); fail += 1; continue
-    dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in sdf.columns
-          if str(sdf[c].dtype) != str(odf[c].dtype)]
+    def _norm(t):
+        # tz-ness of timestamps is a parquet-metadata artifact of the
+        # Spark writer, not a query-semantics drift; everything else
+        # (esp. DECIMAL vs DOUBLE) must match exactly.
+        return "TIMESTAMP" if t.startswith("TIMESTAMP") else t
+    dt = [(c, stypes[c], otypes[c]) for c in sdf.columns
+          if _norm(stypes[c]) != _norm(otypes[c])]
     if dt:
-        print(f"?? {name}: DTYPES differ (warn): {dt}")
+        # Type drift is a FAILURE, and it must be checked at the DuckDB
+        # relation level: pandas .df() float-coerces decimals, so a Spark
+        # DECIMAL vs DuckDB DOUBLE drift compares value-equal in pandas
+        # while the driver's representation hash flags it red (this is
+        # exactly how sql_q6_revenue_scan shipped red in round 6).
+        # GRAFT_DTYPE_WARN=1 downgrades for exploratory runs.
+        if os.environ.get("GRAFT_DTYPE_WARN") == "1":
+            print(f"?? {name}: TYPES differ (warn): {dt}")
+        else:
+            print(f"!! {name}: TYPES differ: {dt}"); fail += 1; continue
     if len(sdf) != len(odf):
         print(f"!! {name}: ROWS spark={len(sdf)} oracle={len(odf)}"); fail += 1; continue
     bad = []
