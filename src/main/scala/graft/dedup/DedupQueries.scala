@@ -477,7 +477,8 @@ object DedupQueries {
     // The loop's fixed cost is DRIVER actions, not executor work (the
     // frames are candidate-sized): every eager action pays scheduling +
     // optimization gaps that round-3 measured at ~half the query's wall
-    // time. So the loop runs ONE action per TWO propagation rounds:
+    // time. So the loop runs ONE action per batch of TWO propagation
+    // rounds PLUS one pointer-jump (shortcut):
     //  - checkpoints are LAZY — round r's partitions materialize inside
     //    round r+1's (or the count's) job, each still cutting lineage;
     //  - the first min-over-neighbors round is fused into label init
@@ -485,9 +486,16 @@ object DedupQueries {
     //    identity labels);
     //  - the previous label rides through the groupBy (every id has
     //    exactly one labels row, so max(old) IS its prior label) and
-    //    convergence is read off the same materialized result, two
-    //    rounds at a time. Min-label propagation is monotone, so "no
-    //    change across a step" is exactly the fixpoint test.
+    //    convergence is read off the same materialized result, one
+    //    batch at a time. Min-label propagation is monotone, so "no
+    //    change across a step" is exactly the fixpoint test;
+    //  - the SHORTCUT (comp[v] := min(comp[v], comp[comp[v]]) — every
+    //    comp value is itself a labeled node id) doubles the effective
+    //    propagation distance per batch, so convergence is
+    //    O(log diameter) batches, not O(diameter): clique+star bucket
+    //    graphs converge in 1-2 batches either way, but genuine
+    //    near-dup CHAINS (the image hamming graph, round 7) went from
+    //    ~10 batches of AQE scheduling-floor jobs to 3.
     val edges = edgeFrame.localCheckpoint(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -506,22 +514,49 @@ object DedupQueries {
         .union(nbr)
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
-        .localCheckpoint(false)
     }
+    def jump(prev: DataFrame): DataFrame = {
+      val hop = prev.select(col("id").as("jid"), col("comp").as("jcomp"))
+      prev.join(hop, col("comp") === col("jid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
+          col("old"))
+    }
+    // The loop's frames are candidate/node-sized METADATA (orders of
+    // magnitude under the corpus by construction — capped buckets emit
+    // O(corpus) edges, labels are one row per paired node), so AQE's
+    // per-exchange re-optimization buys nothing and costs one
+    // scheduling-floor JOB per exchange per batch (~8 jobs/batch
+    // measured at sf0.1). Compiling the loop with AQE off makes each
+    // batch ONE job; the pair-generation pipeline before the loop and
+    // every consumer after it still compile under AQE.
+    val conf = bi.sparkSession.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
     var changed = 1L
-    var rounds = 1
-    while (changed > 0 && rounds < 20) {
-      val next = step(step(labels))
-      changed = next.filter(col("comp") =!= col("old")).count()
-      labels = next
-      rounds += 2
+    var batches = 0
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      while (changed > 0 && batches < 16) {
+        val next = jump(step(step(labels))).localCheckpoint(false)
+        changed = next.filter(col("comp") =!= col("old")).count()
+        labels = next
+        batches += 1
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     // Non-convergence must fail loudly: the oracle computes the full
     // transitive closure, so returning partially-propagated labels would
-    // surface only as an unexplained hash mismatch. Candidate graphs are
-    // cliques + stars (see candidatePairs), so 20 rounds >> any real
-    // diameter; hitting this means the graph shape changed.
-    require(changed == 0, s"components not converged after $rounds rounds")
+    // surface only as an unexplained hash mismatch. With shortcutting,
+    // 16 batches cover component diameters far beyond any candidate
+    // graph (clique+star buckets or capped hamming chains); hitting
+    // this means the graph shape changed.
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      println(s"[cc-debug] converged in $batches batches")
+    require(changed == 0, s"components not converged after $batches batches")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

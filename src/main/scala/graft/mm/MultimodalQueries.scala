@@ -150,8 +150,7 @@ object MultimodalQueries {
       |       s.mean_intensity, h.hist
       |FROM d JOIN stats s USING (item_id) JOIN hist h USING (item_id)
       |ORDER BY item_id""".stripMargin) { (s, dir) =>
-    val feats = Multimodal.decodeImages(
-      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+    val feats = Multimodal.decodeImages(Multimodal.mediaItems(s, dir, "image"))
     feats.toDF()
       .select(
         col("item_id"), col("width"), col("height"), col("channels"),
@@ -195,8 +194,7 @@ object MultimodalQueries {
       |       CAST(st.energy AS BIGINT) AS energy
       |FROM d JOIN st USING (item_id)
       |ORDER BY item_id""".stripMargin) { (s, dir) =>
-    Multimodal.decodeAudios(
-      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "audio"))
+    Multimodal.decodeAudios(Multimodal.mediaItems(s, dir, "audio"))
       .toDF()
       .select("item_id", "sample_rate", "channels", "n_samples",
         "peak", "sum_abs", "energy")
@@ -237,8 +235,7 @@ object MultimodalQueries {
       |       CAST(sum(v) AS BIGINT) AS sum_luma
       |FROM px GROUP BY item_id, f, width, height
       |ORDER BY item_id, frame_index""".stripMargin) { (s, dir) =>
-    Multimodal.sampleVideos(
-      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "video"),
+    Multimodal.sampleVideos(Multimodal.mediaItems(s, dir, "video"),
       stride = 4)
       .toDF()
       .select("item_id", "frame_index", "width", "height", "sum_luma")
@@ -307,8 +304,7 @@ object MultimodalQueries {
        |       string_agg(printf('%02x', key), '' ORDER BY band) AS phash
        |FROM allbands GROUP BY item_id ORDER BY item_id""".stripMargin) {
     (s, dir) =>
-    Multimodal.imageAHashes(
-      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+    Multimodal.imageAHashes(Multimodal.mediaItems(s, dir, "image"))
       .toDF()
       .select(
         col("item_id"),
@@ -368,20 +364,23 @@ object MultimodalQueries {
     * frame (un-ordered — callers sort or label it). */
   private def imagePairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
-    val hashes = Multimodal.imageAHashes(
-      Multimodal.fakeMediaFromDocuments(s, dir).filter(_.modality == "image"))
+    val hashes = Multimodal.imageAHashes(Multimodal.mediaItems(s, dir, "image"))
       .toDF()
     val bandRows = hashes.select(
       col("item_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "key")))
     val byBucket = Window.partitionBy(col("band"), col("key"))
     val ord = byBucket.orderBy(col("item_id"))
+    // Consumed by BOTH pair branches below — checkpoint (lazily) so the
+    // decode→hash→explode→window pipeline materializes once, not per
+    // branch, inside the first downstream action.
     val ranked = bandRows.select(
       col("item_id"), col("bands"), col("band"), col("key"),
       row_number().over(ord).as("rk"),
       count(lit(1)).over(byBucket).as("m"),
       first(col("item_id")).over(ord).as("aitem"),
       first(col("bands")).over(ord).as("abands"))
+      .localCheckpoint(false)
     def hamming(a: Column, b: Column): Column =
       (0 until 8)
         .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))

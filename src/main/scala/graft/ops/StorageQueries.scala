@@ -295,6 +295,7 @@ object StorageQueries {
     partitionedEvents(t)
     formatTwin(t, "csv")
     formatTwin(t, "orc")
+    graft.mm.Multimodal.mediaLayout(s, dir)
     ()
   }
 

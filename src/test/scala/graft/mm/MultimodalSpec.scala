@@ -222,6 +222,31 @@ class MultimodalSpec extends SparkSpec {
     assert(covered.size == n)
   }
 
+  test("modality pre-filter synthesizes only the requested modality") {
+    val auds = fakeMediaFromDocuments(spark, sf, Some("audio")).collect()
+    assert(auds.nonEmpty && auds.forall(_.modality == "audio"))
+    assert(auds.map(_.item_id).toSet ==
+      media.filter(_.modality == "audio").collect().map(_.item_id).toSet)
+  }
+
+  test("media layout: stored payloads roundtrip byte-exact, scan prunes by modality") {
+    val stored = mediaItems(spark, sf, "image").collect().sortBy(_.item_id)
+    val direct = fakeMediaFromDocuments(spark, sf, Some("image"))
+      .collect().sortBy(_.item_id)
+    assert(stored.nonEmpty && stored.length == direct.length)
+    stored.zip(direct).foreach { case (a, b) =>
+      assert(a.item_id == b.item_id && a.modality == "image")
+      assert(a.payload.sameElements(b.payload), s"payload drift at ${a.item_id}")
+      assert(a.meta == b.meta)
+    }
+    // The modality predicate must land in the scan's PartitionFilters:
+    // a query for one modality opens zero files of the other two.
+    val plan = mediaItems(spark, sf, "image")
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("modality")), s"no partition pruning in:\n$plan")
+  }
+
   test("image near-dup pairs equal the brute-force hamming<=2 set") {
     // sf0.001's largest band bucket (57) is under the 64 cap, so the
     // banded pairing must have EXACT recall at hamming <= 2 (pigeonhole
