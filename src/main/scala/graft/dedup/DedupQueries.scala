@@ -171,10 +171,16 @@ object DedupQueries {
     * Ranking, bucket size and bucket min come from window functions
     * over the same (band, bh) partitioning — still exactly one shuffle.
     */
-  private[dedup] def candidatePairs(t: Tables): DataFrame = {
+  private[dedup] def candidatePairs(t: Tables): DataFrame =
+    candidatePairsOf(bands(t))
+
+  /** [[candidatePairs]] over an arbitrary (doc_id, band, bh) band
+    * frame — lets the incremental pipeline pair a SUBSET (the standing
+    * corpus) without re-deriving the whole-corpus rule. */
+  private[dedup] def candidatePairsOf(bandRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("bh"))
-    val ranked = bands(t)
+    val ranked = bandRows
       .select(
         col("doc_id"), col("band"), col("bh"),
         row_number().over(byBucket.orderBy(col("doc_id"))).as("rk"),
@@ -902,8 +908,14 @@ object DedupQueries {
        |)
        |SELECT new_doc, corpus_doc FROM cand
        |ORDER BY new_doc, corpus_doc""".stripMargin) { (s, dir) =>
+    incrementalPairs(Tables(s, dir)).orderBy("new_doc", "corpus_doc")
+  }
+
+  /** The incremental (new_doc, corpus_doc) pair frame — shared by
+    * dedup_incremental and dedup_incremental_components. */
+  private def incrementalPairs(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bands(Tables(s, dir))
+    val b = bands(t)
     val isNew = col("doc_id") % 20 === 0
     val newSide = b.filter(isNew)
       .select(col("doc_id").as("new_doc"), col("band").as("nband"),
@@ -919,7 +931,110 @@ object DedupQueries {
         col("band") === col("nband") && col("bh") === col("nbh"))
       .select(col("new_doc"), col("doc_id").as("corpus_doc"))
       .distinct()
-      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** INCREMENTAL connected components — the step that closes the
+    * incremental pipeline end-to-end the way `dedup_survivors` closed
+    * the batch one: day N+1's candidate edges ([[incrementalPairs]])
+    * are labeled AGAINST the standing component state instead of
+    * re-clustering the corpus. The corpus is first CONTRACTED to its
+    * component ids (each standing component's min doc — derived here
+    * from the corpus-only pair graph; in production this is the stored
+    * labels table from the previous snapshot): every incremental edge
+    * (new_doc, corpus_doc) is rewritten to (new_doc, component_id) via
+    * one broadcast of the candidate-sized standing labels, and the
+    * shared propagation engine then runs over the SUPER-GRAPH — whose
+    * node count is bounded by the new batch plus touched components,
+    * not the corpus. A new doc matching two different standing
+    * components correctly MERGES them (both component ids join through
+    * the new node), which a single relabel-by-lookup round would miss.
+    * Final labels: standing docs relabel through one broadcast hash
+    * lookup of their component id; corpus never self-joins, never
+    * reshuffles. Oracle: recursive transitive closure over the UNION
+    * of the corpus-only pair graph and the incremental edges — pinning
+    * that contract-then-merge equals one-shot clustering of the
+    * unioned graph (standing component ids are exactly the min-doc of
+    * each corpus part, so the super-graph minimum is the true
+    * minimum). */
+  private val dedupIncrementalComponents = Q(
+    "dedup_incremental_components",
+    s"""WITH RECURSIVE ${sqlBandsCte.stripPrefix("WITH ")}, side AS (
+       |  SELECT bands.*, (doc_id % 20 = 0) AS is_new FROM bands
+       |), rankedc AS (
+       |  SELECT doc_id, band, bh,
+       |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY band, bh) AS m,
+       |         min(doc_id) OVER (PARTITION BY band, bh) AS bmin
+       |  FROM side WHERE NOT is_new
+       |), corpus_cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |    FROM rankedc l JOIN rankedc r
+       |      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |    WHERE l.rk <= $MaxBucketPairDocs AND r.rk <= $MaxBucketPairDocs
+       |    UNION ALL
+       |    SELECT bmin AS doc_a, doc_id AS doc_b
+       |    FROM rankedc WHERE m > 1 AND rk > $MaxBucketPairDocs
+       |  )
+       |), incr AS (
+       |  SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM side n JOIN rankedc c ON n.band = c.band AND n.bh = c.bh
+       |  WHERE n.is_new AND c.rk <= $MaxBucketPairDocs
+       |), alledges AS (
+       |  SELECT doc_a, doc_b FROM corpus_cand
+       |  UNION SELECT doc_a, doc_b FROM incr
+       |), nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM alledges
+       |    UNION ALL SELECT doc_b FROM alledges)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM alledges
+       |  UNION SELECT doc_b, doc_a FROM alledges
+       |), reach(s, t) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |)
+       |SELECT s AS doc_id, min(t) AS component,
+       |       CAST(CASE WHEN s % 20 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_new
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val isNew = col("doc_id") % 20 === 0
+    // Standing state (stored tables in production, derived here).
+    val standing = componentLabelsOf(candidatePairsOf(bands(t).filter(!isNew)))
+      .localCheckpoint(false)
+    val incr = incrementalPairs(t).localCheckpoint(false)
+    // Contract: corpus endpoint -> its standing component id (itself
+    // when the doc was unpaired in the standing graph).
+    val touched = incr.select(col("corpus_doc")).distinct()
+      .join(broadcast(standing.withColumnRenamed("doc_id", "corpus_doc")),
+        Seq("corpus_doc"), "left")
+      .select(col("corpus_doc"),
+        coalesce(col("component"), col("corpus_doc")).as("comp0"))
+    val superEdges = incr.join(broadcast(touched), Seq("corpus_doc"))
+      .select(col("new_doc").as("doc_a"), col("comp0").as("doc_b"))
+      .distinct()
+    // Merge over the super-graph: nodes are new docs + touched
+    // component ids — incremental-batch-sized by construction.
+    val superLabels = componentLabelsOf(superEdges).localCheckpoint(false)
+    val relabel = superLabels
+      .select(col("doc_id").as("cid"), col("component").as("merged"))
+    val standingRows = standing
+      .join(broadcast(relabel), col("component") === col("cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("component")).as("component"))
+    val unpairedTouchedRows = touched
+      .join(standing.withColumnRenamed("doc_id", "corpus_doc")
+        .select("corpus_doc"), Seq("corpus_doc"), "left_anti")
+      .join(broadcast(relabel), col("corpus_doc") === col("cid"))
+      .select(col("corpus_doc").as("doc_id"), col("merged").as("component"))
+    val newRows = incr.select(col("new_doc")).distinct()
+      .join(broadcast(relabel), col("new_doc") === col("cid"))
+      .select(col("new_doc").as("doc_id"), col("merged").as("component"))
+    standingRows.union(unpairedTouchedRows).union(newRows)
+      .select(col("doc_id"), col("component"),
+        isNew.cast("int").as("is_new"))
+      .orderBy("doc_id")
   }
 
   /** Train/test leakage audit: near-dup candidate pairs whose two docs
@@ -960,7 +1075,8 @@ object DedupQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(splitLeakage, dedupJaccardEst, dedupIncremental, dedupEditDistance,
+    Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
+      dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
       dedupChunkDocEdges)

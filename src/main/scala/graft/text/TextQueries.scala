@@ -534,45 +534,82 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Hard bound on the vocabulary table: ranks beyond this never leave
+    * the engine, and — more important at scale — never reach the
+    * single-task global window (see the two-level rank below).
+    * `final` literal: compile-time constant, immune to object-init
+    * order (the eager oracle SQL above interpolates it). */
+  private[text] final val MaxVocab = 1000
+
+  /** Buckets for the local pre-rank. 64 × [[MaxVocab]] is the worst-
+    * case global-window input — metadata by construction, not by a
+    * Zipf assumption. */
+  private final val VocabBuckets = 64
+
   /** Vocabulary building: corpus term frequencies ranked with a running
     * coverage fraction — the "how many types cover 95% of tokens" table
-    * every tokenizer-training run starts from. Scale: the only
-    * full-corpus work is the map-side-combined term count; ranking and
-    * the cumulative sum then run over the vocabulary, which is small
-    * relative to the corpus (Zipf), so the single-task global window is
-    * metadata-sized by construction — same argument as the two-phase
-    * packer's subtotal pass ([[PackSequences]]). Coverage is one
-    * division of exact integer counts — bit-identical cross-engine. */
+    * every tokenizer-training run starts from, bounded to the top
+    * [[MaxVocab]] types. Scale: the full-corpus work is the map-side-
+    * combined term count plus one narrow scan for the token total; the
+    * global rank window is then fed by a TWO-LEVEL rank — terms are
+    * hash-bucketed and ranked per bucket in parallel, and only bucket-
+    * local ranks ≤ MaxVocab survive (a global top-N term's local rank
+    * is ≤ its global rank, so the prune is lossless) — bounding the
+    * single-task window at VocabBuckets × MaxVocab rows REGARDLESS of
+    * vocabulary size. (Round 6 relied on Zipf keeping the vocab small;
+    * at 100 TB distinct-token counts are corpus-sized, so the bound is
+    * now enforced, not assumed.) Coverage divides the exact running
+    * sum by the exact corpus token total — bit-identical cross-engine;
+    * the total is computed from the documents scan, NOT the pruned
+    * frame, so coverage still means "fraction of ALL tokens". */
   private val textVocab = Q(
     "text_vocab",
-    """WITH vc AS (
-      |  SELECT term, count(*) AS n FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
-      |  ) GROUP BY term
-      |)
-      |SELECT CAST(row_number() OVER wr AS BIGINT) AS rank,
-      |       term, n,
-      |       CAST(sum(n) OVER (wr ROWS BETWEEN UNBOUNDED PRECEDING
-      |                                     AND CURRENT ROW) AS BIGINT) AS cum_n,
-      |       CAST(sum(n) OVER (wr ROWS BETWEEN UNBOUNDED PRECEDING
-      |                                     AND CURRENT ROW) AS BIGINT)
-      |         / CAST(sum(n) OVER () AS BIGINT) AS coverage
-      |FROM vc
-      |WINDOW wr AS (ORDER BY n DESC, term)
-      |ORDER BY rank""".stripMargin) { (s, dir) =>
-    val w = Window.orderBy(col("n").desc, col("term"))
-    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables(s, dir).documents
+    s"""WITH vc AS (
+       |  SELECT term, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |  ) GROUP BY term
+       |), tot AS (
+       |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+       |  FROM documents
+       |)
+       |SELECT rank, term, n, cum_n,
+       |       CAST(cum_n AS BIGINT) / total AS coverage
+       |FROM (
+       |  SELECT CAST(row_number() OVER wr AS BIGINT) AS rank,
+       |         term, n,
+       |         CAST(sum(n) OVER (wr ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                       AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM vc
+       |  WINDOW wr AS (ORDER BY n DESC, term)
+       |) CROSS JOIN tot
+       |WHERE rank <= $MaxVocab
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val counts = docs
       .select(explode(toks).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("term"))
+    val pruned = counts
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(VocabBuckets)))
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= MaxVocab)
+      .drop("bucket", "lr")
+    val total = docs.select(sum(size(toks)).as("total"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
       .select(
         row_number().over(w).cast("long").as("rank"),
         col("term"), col("n"),
-        sum(col("n")).over(wcum).as("cum_n"),
-        (sum(col("n")).over(wcum).cast("double") /
-          sum(col("n")).over(wall).cast("double")).as("coverage"))
+        sum(col("n")).over(wcum).as("cum_n"))
+      .filter(col("rank") <= MaxVocab)
+      .crossJoin(broadcast(total))
+      .select(
+        col("rank"), col("term"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("total").cast("double"))
+          .as("coverage"))
       .orderBy("rank")
   }
 

@@ -31,7 +31,8 @@ object ScaleStress {
     "text_line_dedup", "text_tfidf", "text_vocab",
     "mm_image_phash", "mm_image_dedup",
     "text_normalize", "split_leakage", "mm_audio_decode",
-    "dedup_jaccard_est", "dedup_incremental", "mm_video_frames")
+    "dedup_jaccard_est", "dedup_incremental", "dedup_incremental_components",
+    "mm_video_frames")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank")

@@ -66,6 +66,55 @@ class DedupSpec extends SparkSpec {
     assert(!comp.contains(3L), "unpaired docs have no component row")
   }
 
+  test("incremental components: a bridging new doc merges two standing components") {
+    import spark.implicits._
+    // Corpus (ids not ≡ 0 mod 20): cluster A = {1, 2} on `base`,
+    // cluster B = {3, 4} on `far` (4 tokens away from base — too far to
+    // band-collide), plus unrelated 5. New batch (ids ≡ 0 mod 20):
+    // doc 20 carries `bridge`, 2 tokens from EACH side — it must pair
+    // with both clusters and the contracted super-graph propagation
+    // must merge A and B into one component labeled min(1).
+    val base = ("spark catalyst shuffles partition data across executors " +
+      "for wide joins and aggregations at scale ") * 8
+    val far = base
+      .replaceFirst("catalyst", "tungsten").replaceFirst("partition", "divide")
+      .replaceFirst("executors", "workers").replaceFirst("aggregations", "rollups")
+    val bridge = base
+      .replaceFirst("catalyst", "tungsten").replaceFirst("partition", "divide")
+    val other = "completely different words about cooking pasta with " +
+      "tomatoes basil garlic olive oil and fresh bread " * 3
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, far), (4L, far), (5L, other),
+      (20L, bridge))
+      .map { case (id, tx) => (id, tx, "en", s"src$id", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("dedup-incr-merge")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // Precondition — the planted distances really produce the intended
+    // standing topology: A and B are separate components before the
+    // new batch arrives (pairs within clusters, none across).
+    val standingPairs = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(standingPairs.contains((1L, 2L)) && standingPairs.contains((3L, 4L)))
+    assert(!standingPairs.exists(p => Set(1L, 2L).contains(p._1) &&
+      Set(3L, 4L).contains(p._2)),
+      s"base and far must not pair directly, got $standingPairs")
+
+    val incr = SparkEntry.queries("dedup_incremental")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set(1L, 2L).exists(c => incr.contains((20L, c))) &&
+      Set(3L, 4L).exists(c => incr.contains((20L, c))),
+      s"bridge doc must match both clusters, got $incr")
+
+    val out = SparkEntry.queries("dedup_incremental_components")(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    // Everything the bridge touches collapses to one component, min id 1.
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) == (1L, 0), s"doc $id: ${out(id)}"))
+    assert(out(20L) == (1L, 1))
+    assert(!out.contains(5L), "unpaired corpus doc has no row")
+  }
+
   test("degenerate LSH bucket: pair count bounded linear, cluster stays connected") {
     import spark.implicits._
     // 2000 byte-identical docs — every band hashes them into ONE bucket.

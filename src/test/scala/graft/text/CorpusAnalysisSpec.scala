@@ -79,4 +79,45 @@ class CorpusAnalysisSpec extends SparkSpec {
     }
     assert(rows.last.getAs[Double]("coverage") == 1.0)
   }
+
+  test("text_vocab: over-cap corpus is bounded to MaxVocab, exact top-N, full-corpus coverage") {
+    import org.apache.spark.sql.functions._
+    // 2500 distinct terms (> MaxVocab = 1000) with varying frequencies:
+    // doc i's text is "t<i> u<i%40>", so u-terms are frequent and the
+    // t-terms form a long singleton tail past the cap.
+    val dir = tmpDir("vocab-overcap")
+    spark.range(2500).select(
+      col("id").as("doc_id"),
+      concat(lit("t"), col("id"), lit(" u"), col("id") % 40).as("text"),
+      lit("en").as("lang"), lit("src0").as("source"),
+      length(concat(lit("t"), col("id"), lit(" u"), col("id") % 40)).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = graft.SparkEntry.queries("text_vocab")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == TextQueries.MaxVocab,
+      s"expected MaxVocab=${TextQueries.MaxVocab} rows, got ${rows.length}")
+    // Brute-force top-N over the same corpus.
+    val counts = (0 until 2500).flatMap(i => Seq(s"t$i", s"u${i % 40}"))
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextQueries.MaxVocab)
+    assert(rows.map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq == top)
+    // Coverage is over ALL 5000 tokens, not the pruned frame — so the
+    // capped table's last coverage is strictly < 1.0.
+    val totalTokens = 5000.0
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n")
+      assert(r.getAs[Double]("coverage") == cum / totalTokens)
+    }
+    assert(rows.last.getAs[Double]("coverage") < 1.0)
+    // Plan shape: a bucket-partitioned Window + local-rank Filter must
+    // sit BELOW the global (empty-partition) rank window, so the
+    // single-task window's input is bounded before it runs.
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window [")
+    assert(plan.contains("bucket"), "two-level pre-rank missing from plan")
+    assert(winIdx >= 0 && plan.indexOf("bucket", winIdx) >= 0,
+      "global window does not sit above the bucket-ranked prune")
+  }
 }
