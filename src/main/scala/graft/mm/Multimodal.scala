@@ -378,6 +378,106 @@ object Multimodal {
       peak = peak, sum_abs = sumAbs, energy = energy)
   }
 
+  /** Zero-crossing count over a decoded PCM stream — the cheapest
+    * useful audio feature (voiced/unvoiced and noisiness proxy) and,
+    * like the other audio stats, exactly integral: a crossing is a
+    * strict sign change between adjacent samples (`v(i−1)·v(i) < 0`;
+    * zero samples are crossings for neither neighbor), so the count is
+    * engine-recomputable from the fixture's generative sample formula
+    * with no float anywhere. Decodes through the same real JDK codec
+    * path as [[decodeAudio]]. */
+  final case class AudioZcr(
+      item_id: Long,
+      n_samples: Long,
+      crossings: Long)
+
+  implicit val audioZcrEnc: Encoder[AudioZcr] = Encoders.product[AudioZcr]
+
+  def audioZcr(item: MediaItem): AudioZcr = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(item.payload))
+    val fmt = ais.getFormat
+    require(
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+      s"item ${item.item_id}: unsupported audio format $fmt (need 16-bit signed PCM)")
+    val bytes =
+      try ais.readAllBytes()
+      finally ais.close()
+    val total = bytes.length / 2
+    var crossings = 0L
+    var prev = 0
+    var i = 0
+    while (i < total) {
+      val v =
+        if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+        else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      if (i > 0 && prev.toLong * v < 0) crossings += 1
+      prev = v
+      i += 1
+    }
+    AudioZcr(item.item_id, total.toLong / fmt.getChannels, crossings)
+  }
+
+  def audioZcrs(items: Dataset[MediaItem]): Dataset[AudioZcr] =
+    items.map(audioZcr)
+
+  /** Per-adjacent-frame luma difference — shot-boundary (scene cut)
+    * detection, the frame-selection pass a video curation pipeline
+    * runs before sampling keyframes. Every frame is decoded (diffing
+    * needs both neighbors, unlike [[sampleVideoFrames]]' stride skip)
+    * and reduced to Σ|luma−prev_luma| as an exact integer; the cut
+    * decision is a pure integer comparison against a mean-diff
+    * threshold, so the oracle recomputes both from the generative
+    * pixel formula. */
+  final case class SceneCut(
+      item_id: Long,
+      frame_index: Int,
+      width: Int,
+      height: Int,
+      diff_sum: Long,
+      is_cut: Int)
+
+  implicit val sceneCutEnc: Encoder[SceneCut] = Encoders.product[SceneCut]
+
+  /** Mean-abs-diff threshold for a cut, in luma units per pixel. */
+  final val SceneCutMeanDiff = 21
+
+  def videoSceneCuts(item: MediaItem): Seq[SceneCut] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(item.payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, s"item ${item.item_id}: payload is not a decodable video container")
+      var prev: Array[Int] = null
+      (0 until n).flatMap { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val lum = new Array[Int](px.length)
+        var i = 0
+        while (i < px.length) { lum(i) = luma(px(i)); i += 1 }
+        val out =
+          if (prev == null || prev.length != lum.length) None
+          else {
+            var d = 0L
+            var j = 0
+            while (j < lum.length) { d += math.abs(lum(j) - prev(j)); j += 1 }
+            Some(SceneCut(item.item_id, f, w, h, d,
+              if (d > SceneCutMeanDiff.toLong * w * h) 1 else 0))
+          }
+        prev = lum
+        out
+      }
+    } finally {
+      iis.close()
+      reader.dispose()
+    }
+  }
+
+  def videoSceneCutsOf(items: Dataset[MediaItem]): Dataset[SceneCut] =
+    items.flatMap(videoSceneCuts(_))
+
   /** Deterministic synthetic audio: 16-bit signed PCM mono whose
     * sample i is `((2731·i + 17·seed) mod 65536) − 32768`, encoded
     * into a true RIFF/WAVE container by the JDK's own encoder

@@ -496,8 +496,88 @@ object MultimodalQueries {
   }
 
 
+  /** Audio zero-crossing rate as a declared, oracle-checked query —
+    * extends the audio family past container stats into the feature a
+    * speech/music triage pipeline actually gates on. Spark decodes the
+    * REAL WAV payload ([[Multimodal.audioZcr]]) and counts strict sign
+    * changes between adjacent samples — an exact integer — while the
+    * oracle recomputes the count from the generative sample formula
+    * via a lag window over an unnested range, never parsing a WAV.
+    * Narrow per-row kernel; payloads never shuffle. */
+  private val mmAudioZcr = Q(
+    "mm_audio_zcr",
+    """WITH d AS (
+      |  SELECT doc_id AS item_id, 64 + doc_id % 97 AS n, doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), s0 AS (
+      |  SELECT item_id, seed, unnest(range(0, n)) AS i FROM d
+      |), smp AS (
+      |  SELECT item_id, i, ((i * 2731 + seed * 17) % 65536) - 32768 AS v FROM s0
+      |), lagd AS (
+      |  SELECT item_id, v,
+      |         lag(v) OVER (PARTITION BY item_id ORDER BY i) AS pv
+      |  FROM smp
+      |), c AS (
+      |  SELECT item_id,
+      |         sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS crossings
+      |  FROM lagd GROUP BY item_id
+      |)
+      |SELECT d.item_id, CAST(d.n AS BIGINT) AS n_samples,
+      |       CAST(coalesce(c.crossings, 0) AS BIGINT) AS crossings
+      |FROM d LEFT JOIN c USING (item_id)
+      |ORDER BY item_id""".stripMargin) { (s, dir) =>
+    Multimodal.audioZcrs(Multimodal.mediaItems(s, dir, "audio"))
+      .toDF()
+      .select("item_id", "n_samples", "crossings")
+      .orderBy("item_id")
+  }
+
+  /** Shot-boundary detection as a declared, oracle-checked query — the
+    * adjacent-frame differencing pass a video curation pipeline runs to
+    * pick keyframes. Spark decodes EVERY frame of the real GIF
+    * container ([[Multimodal.videoSceneCuts]] — diffing needs both
+    * neighbors, so no stride skip), reduces each to Σ|luma − prev_luma|
+    * (exact integer), and flags frames whose mean diff exceeds
+    * [[Multimodal.SceneCutMeanDiff]] luma units/pixel by pure integer
+    * comparison. The oracle recomputes diff and decision from the
+    * generative pixel formula over range() grids — a hash match proves
+    * the whole decode→diff→threshold path. Narrow one-to-many;
+    * payloads never shuffle. */
+  private val mmVideoSceneCuts = Q(
+    "mm_video_scene_cuts",
+    s"""WITH d AS (
+       |  SELECT doc_id AS item_id,
+       |         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       |         CAST(4 + doc_id % 11 AS INTEGER) AS height,
+       |         4 + doc_id % 9 AS nf,
+       |         doc_id % 251 AS seed
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), fr AS (
+       |  SELECT item_id, width, height, seed, unnest(range(1, nf)) AS f FROM d
+       |), px AS (
+       |  SELECT item_id, f, width, height,
+       |         abs((x * 7 + y * 13 + seed + 11 * f) % 256
+       |           - (x * 7 + y * 13 + seed + 11 * (f - 1)) % 256) AS dv
+       |  FROM fr, range(0, 16) tx(x), range(0, 14) ty(y)
+       |  WHERE x < width AND y < height
+       |), agg AS (
+       |  SELECT item_id, f, width, height, sum(dv) AS diff_sum
+       |  FROM px GROUP BY item_id, f, width, height
+       |)
+       |SELECT item_id, CAST(f AS INTEGER) AS frame_index, width, height,
+       |       CAST(diff_sum AS BIGINT) AS diff_sum,
+       |       CAST(CASE WHEN diff_sum > ${Multimodal.SceneCutMeanDiff} * width * height
+       |            THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+       |FROM agg ORDER BY item_id, frame_index""".stripMargin) { (s, dir) =>
+    Multimodal.videoSceneCutsOf(Multimodal.mediaItems(s, dir, "video"))
+      .toDF()
+      .select("item_id", "frame_index", "width", "height", "diff_sum",
+        "is_cut")
+      .orderBy("item_id", "frame_index")
+  }
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
-      mmAudioDecode, mmVideoFrames)
+      mmAudioDecode, mmAudioZcr, mmVideoFrames, mmVideoSceneCuts)
 }

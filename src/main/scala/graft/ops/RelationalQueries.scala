@@ -1678,7 +1678,57 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot diff (CDC between two table versions) — the day-over-day
+    * audit every batch pipeline runs before publishing: classify every
+    * key as added / removed / changed by FULL OUTER joining snapshot A
+    * (the standing corpus, `doc_id % 20 <> 0` — the same convention as
+    * the incremental dedup family) against snapshot B (next day's
+    * corpus: some standing docs dropped, `% 23 = 5`; some re-crawled
+    * with new content, `% 17 = 0`, modeled as an uppercase re-edit).
+    * Rows compare by md5 content hash, never by payload, so the join
+    * carries two narrow columns regardless of document size; unchanged
+    * keys are filtered OUT before the determinism ORDER BY, so the
+    * result is changes-sized. At 100 TB this is one sort-merge join on
+    * the snapshot key with both scans pruned to (key, hash) — the
+    * canonical reconciliation shape. */
+  private val snapshotDiff = Q(
+    "snapshot_diff",
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 <> 0
+      |), b AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 23 <> 5
+      |), j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val snapA = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("a_id"), md5(col("text")).as("a_h"))
+    val snapB = docs.filter(col("doc_id") % 23 =!= 5)
+      .select(col("doc_id").as("b_id"),
+        md5(when(col("doc_id") % 17 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("b_h"))
+    snapA.join(snapB, col("a_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        when(col("a_id").isNull, "added")
+          .when(col("b_id").isNull, "removed")
+          .when(col("a_h") =!= col("b_h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
+    snapshotDiff,
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
     q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders,
     q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinSemireduced,

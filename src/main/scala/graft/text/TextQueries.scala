@@ -287,6 +287,110 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Domain-mixture resampling — the data-mixing step that tunes a
+    * training corpus toward a TARGET source distribution (e.g. upweight
+    * curated sources against web crawl): per-source acceptance
+    * thresholds are DERIVED FROM THE DATA (target share over observed
+    * share, capped at keep-everything), unlike [[sampleStratified]]'s
+    * fixed rates. Target weights here are a deterministic 1..5 hash of
+    * the source name (a stand-in for a supplied mixture config — the
+    * mechanism, not the weights, is the operator). All arithmetic is
+    * exact int64 (ppm thresholds via integer division, both engines
+    * truncate) and each doc's fate is a content-independent hash —
+    * run-stable, order-stable, engine-stable. Plan shape: one tiny
+    * per-source count aggregate, thresholds broadcast back onto a
+    * narrow corpus scan — at 100 TB the histogram is sources-sized and
+    * the corpus never shuffles. */
+  private val sampleDomainMix = Q(
+    "sample_domain_mix", {
+      val bucket = sqlTokHash("'mix:' || CAST(d.doc_id AS VARCHAR)")
+      s"""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+         |w AS (SELECT source, ns, 1 + ${sqlTokHash("source")} % 5 AS wt FROM n),
+         |tot AS (SELECT sum(ns) AS N, sum(wt) AS W FROM w),
+         |th AS (
+         |  SELECT source,
+         |         LEAST(1000000, (wt * N * 1000000) // (W * ns)) AS thresh
+         |  FROM w, tot
+         |)
+         |SELECT d.doc_id, d.source, CAST(th.thresh AS BIGINT) AS thresh
+         |FROM documents d JOIN th USING (source)
+         |WHERE $bucket % 1000000 < th.thresh
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val hist = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .withColumn("wt", lit(1L) + pmod(tokHash(col("source")), lit(5L)))
+    val tot = hist.agg(sum(col("ns")).as("N"), sum(col("wt")).as("W"))
+    val th = hist.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1000000L), expr("(wt * N * 1000000) div (W * ns)"))
+          .as("thresh"))
+    val bucket =
+      pmod(tokHash(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000000L))
+    docs.join(broadcast(th), Seq("source"))
+      .filter(bucket < col("thresh"))
+      .select(col("doc_id"), col("source"), col("thresh"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram collocation mining — the phrase-discovery pass a tokenizer /
+    * vocab pipeline runs to promote high-lift adjacent pairs ("new york")
+    * into single tokens. Score = corpus lift (pointwise mutual
+    * information's exp), kept ENTIRELY in integer arithmetic:
+    * lift_e6 = c(xy)·N·1e6 div (c(x)·c(y)) — monotone in PMI (log is
+    * libm-dependent, the [[textTfidf]] lesson), exact on both engines,
+    * and overflow-safe (c(xy) ≤ N < 2^31 keeps the product < 2^63).
+    * Plan shape: one explode for unigram counts, one index-zip for
+    * bigram counts (both map-side combined), two broadcast joins of the
+    * bigram frame against the unigram counts, global top-50 — the final
+    * ORDER BY sees only what survives, and at 100 TB the unigram/bigram
+    * count frames are vocabulary-sized, not corpus-sized. */
+  private val textCollocations = Q(
+    "text_collocations",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), flat AS (
+      |  SELECT unnest(ts) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, count(*) AS c FROM flat GROUP BY w
+      |), tot AS (SELECT sum(c) AS N FROM uni),
+      |bflat AS (
+      |  SELECT ts[i] AS w1, ts[i+1] AS w2
+      |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+      |), big AS (
+      |  SELECT w1, w2, count(*) AS cxy FROM bflat GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT w1, w2, cxy,
+      |         (cxy * N * 1000000) // (u1.c * u2.c) AS lift_e6
+      |  FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w, tot
+      |)
+      |SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, CAST(lift_e6 AS BIGINT) AS lift_e6
+      |FROM scored
+      |ORDER BY lift_e6 DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("N"))
+    // zip_with over (ts, tail(ts)) emits each adjacent pair in one
+    // narrow pass; slice keeps the zip aligned and drops the dangling
+    // last element.
+    val pairs = docs.select(explode(
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val scored = big
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("(cxy * N * 1000000) div (c1 * c2)").as("lift_e6"))
+    scored.orderBy(col("lift_e6").desc, col("w1"), col("w2")).limit(50)
+  }
+
   /** Deterministic stratified sampling — per-source keep rates, decided
     * by a content-independent hash of (source, doc_id). The downsampling
     * step every corpus-mixing pipeline runs (e.g. web-heavy corpora
@@ -659,7 +763,8 @@ object TextQueries {
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
-      sampleStratified, packSequences, textDecontaminate,
+      sampleStratified, sampleDomainMix, textCollocations,
+      packSequences, textDecontaminate,
       textLineDedup, textTfidf, textVocab)
 }
 

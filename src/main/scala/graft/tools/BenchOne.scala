@@ -27,18 +27,22 @@ object BenchOne {
         }
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to n) {
-      jobLog.clear()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // let listener drain
-      import scala.jdk.CollectionConverters._
-      val js = jobLog.asScala.toSeq.sortBy(_._1)
-      val jobSum = js.map(_._2).sum
-      println(f"[benchone] $name run $i: $wall%.2f s wall, $jobSum%.2f s in ${js.size} jobs, gap ${wall - jobSum}%.2f s")
-      println("[benchone]   jobs: " + js.map { case (id, s) => f"$id:$s%.2f" }.mkString(" "))
+    for (q <- name.split(',').map(_.trim).filter(_.nonEmpty)) {
+      val fn = SparkEntry.queries(q)
+      val walls = for (i <- 1 to n) yield {
+        jobLog.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let listener drain
+        import scala.jdk.CollectionConverters._
+        val js = jobLog.asScala.toSeq.sortBy(_._1)
+        val jobSum = js.map(_._2).sum
+        println(f"[benchone] $q run $i: $wall%.2f s wall, $jobSum%.2f s in ${js.size} jobs, gap ${wall - jobSum}%.2f s")
+        println("[benchone]   jobs: " + js.map { case (id, s) => f"$id:$s%.2f" }.mkString(" "))
+        wall
+      }
+      println(f"[benchone] $q MIN of $n: ${walls.min}%.2f s")
     }
     spark.stop()
   }

@@ -32,10 +32,12 @@ object ScaleStress {
     "mm_image_phash", "mm_image_dedup",
     "text_normalize", "split_leakage", "mm_audio_decode",
     "dedup_jaccard_est", "dedup_incremental", "dedup_incremental_components",
-    "mm_video_frames")
+    "mm_video_frames", "sample_domain_mix", "text_collocations",
+    "snapshot_diff", "graph_triangles", "mm_audio_zcr",
+    "mm_video_scene_cuts")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
-    "embedding_near_dup", "similarity_rerank")
+    "embedding_near_dup", "similarity_rerank", "ann_recall_eval")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -141,4 +141,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count(_._1 == 0L) == (m - t) + (t - 1),
       "tail docs connect by star edges to the bucket minimum (doc 0)")
   }
+
+  test("graph_triangles: degrees sum to 2|E|, triangle mass divisible by 3") {
+    val sf = "/root/testdata/sf0.001"
+    val stats = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+    assert(stats.nonEmpty)
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+    // The node universe is exactly the candidate graph's endpoints, and
+    // every undirected edge contributes 2 to the degree total.
+    assert(stats.map(_.getAs[Long]("degree")).sum == 2L * pairs.length)
+    assert(stats.map(_.getAs[Long]("doc_id")).toSet ==
+      pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet)
+    // Each triangle is counted once per corner.
+    val triMass = stats.map(_.getAs[Long]("triangles")).sum
+    assert(triMass % 3 == 0, s"triangle corner mass $triMass not /3")
+    // A planted triangle is found: 3 identical docs pair all-ways.
+    import spark.implicits._
+    val text = "three identical documents make one candidate triangle " * 6
+    val docs = Seq(0L, 1L, 2L).map(i =>
+      (i, text, "en", s"s$i", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("tri-docs")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val planted = SparkEntry.queries("graph_triangles")(spark, d).collect()
+    assert(planted.length == 3)
+    planted.foreach { r =>
+      assert(r.getAs[Long]("degree") == 2)
+      assert(r.getAs[Long]("triangles") == 1)
+    }
+  }
 }

@@ -267,4 +267,48 @@ class MultimodalSpec extends SparkSpec {
       s"banded=${queried.size} brute=${brute.size}")
     assert(brute.nonEmpty)
   }
+
+  test("audio ZCR: crossing count matches the formula through the WAV codec") {
+    val zcrs = audioZcrs(media.filter(_.modality == "audio")).collect()
+    assert(zcrs.nonEmpty)
+    zcrs.foreach { z =>
+      val seed = z.item_id % 251
+      var prev = 0L; var expect = 0L
+      (0L until z.n_samples).foreach { i =>
+        val v = ((i * 2731 + seed * 17) % 65536) - 32768
+        if (i > 0 && prev * v < 0) expect += 1
+        prev = v
+      }
+      assert(z.crossings == expect,
+        s"item ${z.item_id}: ${z.crossings} != $expect")
+      assert(z.crossings < z.n_samples)
+    }
+  }
+
+  test("scene cuts: adjacent-frame diffs match the formula, threshold is exact") {
+    val cuts = videoSceneCutsOf(media.filter(_.modality == "video")).collect()
+    assert(cuts.nonEmpty)
+    cuts.foreach { c =>
+      val id = c.item_id
+      assert(c.frame_index >= 1) // frame 0 has no predecessor
+      assert(c.width == 4 + (id % 13).toInt && c.height == 4 + (id % 11).toInt)
+      val seed = id % 251
+      var d = 0L
+      (0 until c.height).foreach { y =>
+        (0 until c.width).foreach { x =>
+          val a = (x * 7 + y * 13 + seed + 11L * c.frame_index) % 256
+          val b = (x * 7 + y * 13 + seed + 11L * (c.frame_index - 1)) % 256
+          d += math.abs(a - b)
+        }
+      }
+      assert(c.diff_sum == d, s"item $id frame ${c.frame_index}: ${c.diff_sum} != $d")
+      assert((c.is_cut == 1) ==
+        (c.diff_sum > SceneCutMeanDiff.toLong * c.width * c.height))
+    }
+    // Every non-initial frame of every video item is diffed.
+    val perItem = cuts.groupBy(_.item_id)
+    perItem.foreach { case (id, fs) =>
+      assert(fs.length == 3 + (id % 9).toInt) // nf - 1
+    }
+  }
 }

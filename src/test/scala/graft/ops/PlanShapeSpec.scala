@@ -198,4 +198,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Scan ExistingRDD") >= 4,
       s"iterations must read the checkpointed contribution frame:\n$plan")
   }
+
+  test("snapshot_diff: one full-outer merge join over hash-narrowed scans") {
+    val plan = planOf("snapshot_diff")
+    // The reconciliation is ONE key-shuffled join; payload text must be
+    // hashed away below the join (the scans project (doc_id, text) and
+    // the join carries (id, md5) only — no text column crosses it).
+    assert(plan.contains("FullOuter"), s"full outer join missing:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") == 1,
+      s"expected exactly one shuffled join:\n$plan")
+    val joinUp = plan.substring(0, plan.indexOf("SortMergeJoin"))
+    assert(!joinUp.contains("text#"),
+      s"raw text column crosses the join:\n$plan")
+  }
 }

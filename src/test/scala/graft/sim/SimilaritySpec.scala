@@ -125,4 +125,20 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= (exact.size * 6) / 10,
       s"int8 recall too low: $overlap of ${exact.size}")
   }
+
+  test("ann_recall_eval: one row per eval query, hits consistent, usable recall") {
+    val rows = SparkEntry.queries("ann_recall_eval")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L to 9L))
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0 && h <= 10)
+      assert(r.getAs[Long]("recall_pct") == h * 10)
+    }
+    // The trained quantizer at nprobe=2/8 must beat random cell
+    // retrieval (25% expected) on average — the reason it replaced
+    // sign-LSH as the cascade's stage 1.
+    val mean = rows.map(_.getAs[Long]("hits")).sum / 10.0
+    assert(mean >= 3.0, s"mean recall@10 too low: $mean")
+  }
 }

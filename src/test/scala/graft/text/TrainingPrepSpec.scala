@@ -66,4 +66,44 @@ class TrainingPrepSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared") >= 1)
     }
   }
+
+  test("sample_domain_mix: thresholds follow the derived mixture math, sample deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_domain_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Recompute the per-source thresholds independently.
+    val docs = graft.Tables(spark, sf).documents
+    val hist = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val wt = hist.keys.map { s =>
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString, 16)
+      s -> (1L + h % 5)
+    }.toMap
+    val n = hist.values.sum
+    val w = wt.values.sum
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val expect = math.min(1000000L, wt(s) * n * 1000000L / (w * hist(s)))
+      assert(r.getAs[Long]("thresh") == expect,
+        s"source $s: thresh ${r.getAs[Long]("thresh")} != $expect")
+    }
+    // Deterministic: re-running yields the identical sample.
+    val again = SparkEntry.queries("sample_domain_mix")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("text_collocations: top-50 by lift, scores internally consistent") {
+    val rows = SparkEntry.queries("text_collocations")(spark, sf).collect()
+    assert(rows.length == 50)
+    val lifts = rows.map(_.getAs[Long]("lift_e6")).toSeq
+    assert(lifts == lifts.sorted.reverse) // ranked by lift
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cxy") >= 1)
+      assert(r.getAs[Long]("lift_e6") > 0)
+      assert(r.getAs[String]("w1").nonEmpty && r.getAs[String]("w2").nonEmpty)
+    }
+  }
 }
