@@ -452,6 +452,16 @@ object DedupQueries {
     * both sides agree even on degenerate buckets. */
   private val dedupComponents = Q(
     "dedup_components",
+    s"""$sqlReachCte
+       |SELECT s AS doc_id, min(t) AS component
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    componentLabels(Tables(s, dir)).orderBy("doc_id")
+  }
+
+  /** CTE chain ending in `reach(s, t)` — the recursive transitive
+    * closure over the candidate-pair graph, shared by the
+    * dedup_components and dedup_component_stats oracles. */
+  private def sqlReachCte: String =
     s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM cand
@@ -463,10 +473,52 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM nodes
        |  UNION SELECT a, b FROM edges
        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |)""".stripMargin
+
+  /** Deduplication REPORT — the component-size histogram a corpus
+    * owner reads before deciding thresholds: for every cluster size,
+    * how many near-dup components exist and how many documents they
+    * hold, with unpaired docs surfacing as the size-1 row so the
+    * histogram's n_docs column sums to the corpus size. Composes the
+    * shared propagation labels ([[componentLabelsOf]]) with two
+    * metadata-sized aggregates plus one 1-row broadcast cross join for
+    * the singleton count — nothing data-sized survives the first
+    * groupBy, so the report costs the same as the labeling itself at
+    * any scale. Oracle: recursive-CTE closure → identical histogram
+    * algebra. */
+  private val dedupComponentStats = Q(
+    "dedup_component_stats",
+    s"""$sqlReachCte, comp AS (
+       |  SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+       |), szs AS (
+       |  SELECT component, count(*) AS sz FROM comp GROUP BY component
+       |), hist AS (
+       |  SELECT sz, count(*) AS nc FROM szs GROUP BY sz
+       |  UNION ALL
+       |  SELECT 1 AS sz,
+       |         (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS nc
        |)
-       |SELECT s AS doc_id, min(t) AS component
-       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    componentLabels(Tables(s, dir)).orderBy("doc_id")
+       |SELECT CAST(sz AS BIGINT) AS size,
+       |       CAST(sum(nc) AS BIGINT) AS n_components,
+       |       CAST(sz * sum(nc) AS BIGINT) AS n_docs
+       |FROM hist GROUP BY sz ORDER BY size""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = componentLabels(t)
+    val szs = labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val hist = szs.groupBy(col("sz"))
+      .agg(count(lit(1)).cast("long").as("nc"))
+    val paired = labels.agg(count(lit(1)).as("np"))
+    val singles = t.documents.agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(paired))
+      .select(lit(1L).as("sz"), (col("nt") - col("np")).as("nc"))
+    hist.unionByName(singles)
+      .groupBy(col("sz"))
+      .agg(sum(col("nc")).as("n_components"))
+      .select(
+        col("sz").cast("long").as("size"),
+        col("n_components"),
+        (col("sz") * col("n_components")).cast("long").as("n_docs"))
+      .orderBy("size")
   }
 
   /** Min-label propagation over the candidate graph → (doc_id,
@@ -1147,6 +1199,6 @@ object DedupQueries {
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard, dedupComponents, dedupSurvivors, dedupChunkLsh,
-      dedupChunkDocEdges, graphTriangles)
+      dedupNgramJaccard, dedupComponents, dedupComponentStats,
+      dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles)
 }

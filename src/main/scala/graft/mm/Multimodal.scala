@@ -201,6 +201,75 @@ object Multimodal {
     }
   }
 
+  /** Oracle-exact resize: nearest-neighbor resample with pure integer
+    * coordinate mapping — dst(x,y) = src((x·w) div nw, (y·h) div nh),
+    * nw = max(1, (w·maxSide) div max(w,h)) — then re-encode PNG.
+    * Unlike the bilinear [[resizeImage]] (whose Java2D filter weights
+    * are not portably recomputable), every resized pixel here is a
+    * closed-form function of the source pixels, so a DuckDB oracle can
+    * recompute the resized image from the fixture's generative formula
+    * and pin the full resample→encode→decode roundtrip bit-exactly.
+    * Identity when the image already fits (no re-encode churn). */
+  def resizeImageNN(item: MediaItem, maxSide: Int): MediaItem = {
+    val img = ImageIO.read(new ByteArrayInputStream(item.payload))
+    require(img != null, s"item ${item.item_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= maxSide && h <= maxSide) item
+    else {
+      val long = math.max(w, h)
+      val nw = math.max(1, w * maxSide / long)
+      val nh = math.max(1, h * maxSide / long)
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+          x += 1
+        }
+        y += 1
+      }
+      item.copy(payload = encodePng(out))
+    }
+  }
+
+  /** Post-resize pixel reduction for the declared query: exact-integer
+    * luma sum plus a position-weighted checksum Σ v·(1 + x + y·w) —
+    * the histogram pins the pixel multiset, pos_sum pins the LAYOUT,
+    * so a transposed or row-permuted resample cannot slip through. */
+  final case class ResizedImageFeatures(
+      item_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_luma: Long,
+      pos_sum: Long)
+
+  implicit val resizedImageFeaturesEnc: Encoder[ResizedImageFeatures] =
+    Encoders.product[ResizedImageFeatures]
+
+  def resizedImageStats(item: MediaItem): ResizedImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(item.payload))
+    require(img != null, s"item ${item.item_id}: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0L
+    var pos = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = luma(px(i)).toLong
+      sum += v
+      pos += v * (1L + (i % w) + (i / w).toLong * w)
+      i += 1
+    }
+    ResizedImageFeatures(item.item_id, w, h, px.length.toLong, sum, pos)
+  }
+
+  /** Per-partition exact resize — narrow, payload-in/payload-out. */
+  def resizeImagesNN(items: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] =
+    items.mapPartitions(it => it.map(resizeImageNN(_, maxSide)))
+
   /** PNG-encode a buffered image (PNG writer ships in the JDK). */
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -576,8 +576,63 @@ object MultimodalQueries {
       .orderBy("item_id", "frame_index")
   }
 
+  /** Real image resize as a declared, oracle-checked query — the
+    * preprocessing step every vision-training pipeline runs before
+    * feature extraction. Spark reads stored PNG payloads, resamples
+    * each oversized image onto a max-side-8 canvas with
+    * [[Multimodal.resizeImageNN]]'s pure-integer nearest-neighbor
+    * mapping, re-encodes PNG, decodes THAT payload back with ImageIO,
+    * and reduces to exact integers. The DuckDB oracle recomputes the
+    * resized pixels from the generative source formula composed with
+    * the same integer coordinate map — it never touches a PNG — so the
+    * match proves resample + encode + decode are pixel- AND
+    * position-exact (pos_sum weights each luma by its coordinate).
+    * Narrow end to end: payloads never shuffle, 6 scalars per item
+    * emerge. At 100 TB this is the shape that matters: resize is
+    * payload-in/payload-out per partition, so it scales embarrassingly
+    * with input splits. */
+  private val mmImageResize = Q(
+    "mm_image_resize",
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(4 + doc_id % 29 AS BIGINT) AS sw,
+      |         CAST(4 + doc_id % 17 AS BIGINT) AS sh,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), dims AS (
+      |  SELECT item_id, seed, sw, sh,
+      |    CASE WHEN sw <= 8 AND sh <= 8 THEN sw
+      |         ELSE greatest(1, (sw * 8) // greatest(sw, sh)) END AS nw,
+      |    CASE WHEN sw <= 8 AND sh <= 8 THEN sh
+      |         ELSE greatest(1, (sh * 8) // greatest(sw, sh)) END AS nh
+      |  FROM d
+      |), px AS (
+      |  SELECT item_id,
+      |         (((x * sw) // nw) * 7 + ((y * sh) // nh) * 13 + seed) % 256 AS v,
+      |         (1 + x + y * nw) AS wpos
+      |  FROM dims, range(0, 8) tx(x), range(0, 8) ty(y)
+      |  WHERE x < nw AND y < nh
+      |)
+      |SELECT dm.item_id, CAST(dm.nw AS INTEGER) AS width,
+      |       CAST(dm.nh AS INTEGER) AS height,
+      |       CAST(dm.nw * dm.nh AS BIGINT) AS n_pixels,
+      |       CAST(sum(p.v) AS BIGINT) AS sum_luma,
+      |       CAST(sum(p.v * p.wpos) AS BIGINT) AS pos_sum
+      |FROM dims dm JOIN px p USING (item_id)
+      |GROUP BY dm.item_id, dm.nw, dm.nh
+      |ORDER BY dm.item_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Multimodal.resizeImagesNN(Multimodal.mediaItems(s, dir, "image"), 8)
+      .mapPartitions(it => it.map(Multimodal.resizedImageStats))
+      .toDF()
+      .select("item_id", "width", "height", "n_pixels", "sum_luma",
+        "pos_sum")
+      .orderBy("item_id")
+  }
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
-      mmAudioDecode, mmAudioZcr, mmVideoFrames, mmVideoSceneCuts)
+      mmImageResize, mmAudioDecode, mmAudioZcr, mmVideoFrames,
+      mmVideoSceneCuts)
 }

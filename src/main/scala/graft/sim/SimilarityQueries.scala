@@ -779,8 +779,153 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** Product-quantization geometry: [[Dim]]=64 dims split into PqM=4
+    * subspaces of PqSub=16 dims, PqK=8 centroids per subspace → a
+    * 4-byte code per vector (vs 256 bytes of f32) and a 32-entry ADC
+    * lookup table per query. `final val` literals — compile-time
+    * folded, immune to object-initialization order (see the
+    * MaxBucketPair incident). */
+  private final val PqM = 4
+  private final val PqSub = 16
+  private final val PqK = 8
+
+  /** Embeddings exploded to e6-integerized elements keyed by
+    * (subspace m, within-subspace index i) — the training/encoding
+    * layout for [[simPqAdc]]. One corpus×[[Dim]] explode per training
+    * pass, the same shape [[lloydReaverage]] already pays. */
+  private def pqElems(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"),
+        expr(s"CAST(pos div $PqSub AS INT)").as("m"),
+        expr(s"CAST(pos % $PqSub AS INT)").as("i"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("x_e6"))
+
+  /** Nearest-centroid assignment per (vector, subspace): exact int64
+    * squared distance in the e6 domain, ties to the smallest k —
+    * `min(struct(dist, k))` is the lexicographic argmin both engines
+    * order identically. Centroid frame is (m, i, k, c_e6), ≤ 512 rows
+    * → broadcast. */
+  private def pqAssign(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), Seq("m", "i"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+        .as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).as("s"))
+      .select(col("vec_id"), col("m"), col("s.k").as("k"))
+
+  /** Product-quantization ADC retrieval — the compressed-domain ANN
+    * stage a 100 TB embedding store actually serves from: vectors live
+    * as [[PqM]]-byte codes (64× smaller than f32), a query builds one
+    * [[PqM]]×[[PqK]] lookup table of subspace dots against the trained
+    * codebooks, and scoring any vector is [[PqM]] table lookups + adds
+    * — no embedding is touched after encoding. Training is seeded
+    * deterministic k-means per subspace (seed codebook = the [[PqK]]
+    * smallest-md5 vectors' subvectors, one Lloyd round of exact-int64
+    * re-averaging), encoding is nearest-centroid per subspace, ALL in
+    * the e6 integer domain: squared-distance assignment, `div`
+    * re-average, and LUT dots are pure int64, so both engines agree
+    * bit-for-bit with no float folds anywhere. Scale shape: codebooks
+    * and LUT broadcast (≤512 rows), the element explode is a one-time
+    * training/encoding pass, and serving reads only the codes table —
+    * the top-10 is a TakeOrdered over code-sized rows. code_key packs
+    * the 4 octal code digits into one pinned scalar so the oracle
+    * proves every byte of every surviving code. */
+  private val simPqAdc = Q(
+    "sim_pq_adc",
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST((d.range - 1) // $PqSub AS INTEGER) AS m,
+       |         CAST((d.range - 1) % $PqSub AS INTEGER) AS i,
+       |         CAST(floor(CAST(embedding[d.range] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_e6
+       |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) d
+       |), seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY $sqlSeedOrder) - 1 AS INTEGER) AS k
+       |  FROM embeddings ORDER BY $sqlSeedOrder LIMIT $PqK
+       |), c0 AS (
+       |  SELECT s.k, e.m, e.i, e.x_e6 AS c_e6
+       |  FROM seeds s JOIN ex e ON s.vec_id = e.vec_id
+       |), d1 AS (
+       |  SELECT e.vec_id, e.m, c.k,
+       |         sum((e.x_e6 - c.c_e6) * (e.x_e6 - c.c_e6)) AS dist
+       |  FROM ex e JOIN c0 c ON e.m = c.m AND e.i = c.i
+       |  GROUP BY e.vec_id, e.m, c.k
+       |), a1 AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rk
+       |    FROM d1) WHERE rk = 1
+       |), c1 AS (
+       |  SELECT a.k, e.m, e.i, sum(e.x_e6) // count(*) AS c_e6
+       |  FROM a1 a JOIN ex e ON a.vec_id = e.vec_id AND a.m = e.m
+       |  GROUP BY a.k, e.m, e.i
+       |), d2 AS (
+       |  SELECT e.vec_id, e.m, c.k,
+       |         sum((e.x_e6 - c.c_e6) * (e.x_e6 - c.c_e6)) AS dist
+       |  FROM ex e JOIN c1 c ON e.m = c.m AND e.i = c.i
+       |  GROUP BY e.vec_id, e.m, c.k
+       |), codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rk
+       |    FROM d2) WHERE rk = 1
+       |), qex AS (
+       |  SELECT m, i, x_e6 AS q_e6 FROM ex
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+       |), lut AS (
+       |  SELECT c.m, c.k, sum(q.q_e6 * c.c_e6) AS dot
+       |  FROM c1 c JOIN qex q ON q.m = c.m AND q.i = c.i
+       |  GROUP BY c.m, c.k
+       |)
+       |SELECT cd.vec_id,
+       |       CAST(sum(CAST(cd.k AS BIGINT) *
+       |         CASE cd.m WHEN 0 THEN 512 WHEN 1 THEN 64 WHEN 2 THEN 8 ELSE 1 END) AS BIGINT) AS code_key,
+       |       CAST(sum(l.dot) AS BIGINT) AS adc_e12
+       |FROM codes cd JOIN lut l ON cd.m = l.m AND cd.k = l.k
+       |GROUP BY cd.vec_id
+       |ORDER BY adc_e12 DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val ex = pqElems(emb).localCheckpoint(false)
+    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val seeds = emb.orderBy(seedOrd: _*).limit(PqK)
+      .select(
+        col("vec_id"),
+        (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("k"))
+    val c0 = seeds
+      .join(ex, "vec_id")
+      .select(col("k"), col("m"), col("i"), col("x_e6").as("c_e6"))
+    val a1 = pqAssign(ex, c0)
+    val c1 = a1
+      .join(ex, Seq("vec_id", "m"))
+      .groupBy(col("k"), col("m"), col("i"))
+      .agg(expr("CAST(sum(x_e6) div count(1) AS BIGINT)").as("c_e6"))
+      .localCheckpoint(false)
+    val codes = pqAssign(ex, c1)
+    val qex = pqElems(queryVec(t).select(lit(0L).as("vec_id"),
+        col("q_emb").as("embedding")))
+      .select(col("m"), col("i"), col("x_e6").as("q_e6"))
+    val lut = c1
+      .join(broadcast(qex), Seq("m", "i"))
+      .groupBy(col("m"), col("k"))
+      .agg(sum(col("q_e6") * col("c_e6")).as("dot"))
+    codes
+      .join(broadcast(lut), Seq("m", "k"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("k").cast("long") *
+          when(col("m") === 0, 512L).when(col("m") === 1, 64L)
+            .when(col("m") === 2, 8L).otherwise(1L)).as("code_key"),
+        sum(col("dot")).as("adc_e12"))
+      .select(col("vec_id"), col("code_key"), col("adc_e12"))
+      .orderBy(col("adc_e12").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
-      embeddingCentroids, annRecallEval)
+      embeddingCentroids, annRecallEval, simPqAdc)
 }

@@ -34,10 +34,11 @@ object ScaleStress {
     "dedup_jaccard_est", "dedup_incremental", "dedup_incremental_components",
     "mm_video_frames", "sample_domain_mix", "text_collocations",
     "snapshot_diff", "graph_triangles", "mm_audio_zcr",
-    "mm_video_scene_cuts")
+    "mm_video_scene_cuts", "mm_image_resize", "dedup_component_stats")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
-    "embedding_near_dup", "similarity_rerank", "ann_recall_eval")
+    "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
+    "sim_pq_adc")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -170,4 +170,23 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("triangles") == 1)
     }
   }
+
+  test("component stats histogram partitions the corpus exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dedup_component_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_docs is internally consistent and the histogram sums to the corpus
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_components"))
+      assert(r.getAs[Long]("n_components") > 0)
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // sizes ≥ 2 agree with the labels frame dedup_components emits
+    val paired = SparkEntry.queries("dedup_components")(spark, sf).count()
+    val fromHist = rows.filter(_.getAs[Long]("size") >= 2)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(fromHist == paired)
+  }
 }

@@ -311,4 +311,41 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.length == 3 + (id % 9).toInt) // nf - 1
     }
   }
+
+  test("NN resize: integer coordinate mapping is pixel-exact, identity when it fits") {
+    // 16×4 at maxSide 8 → 8×2, dst(x,y) = src(2x, 2y)
+    val item = MediaItem(7L, "image", syntheticPng(7L, 16, 4), Map.empty)
+    val feats = resizedImageStats(resizeImageNN(item, 8))
+    assert(feats.width == 8 && feats.height == 2 && feats.n_pixels == 16)
+    val seed = (7L % 251).toInt
+    var sum = 0L
+    var pos = 0L
+    for (y <- 0 until 2; x <- 0 until 8) {
+      val v = ((2 * x) * 7 + (2 * y) * 13 + seed) % 256
+      sum += v
+      pos += v.toLong * (1 + x + y * 8)
+    }
+    assert(feats.sum_luma == sum)
+    assert(feats.pos_sum == pos)
+    // aspect: long side pinned to maxSide, short side floor-scaled ≥ 1
+    val tall = MediaItem(8L, "image", syntheticPng(8L, 4, 20), Map.empty)
+    val tf = resizedImageStats(resizeImageNN(tall, 8))
+    assert(tf.width == 1 && tf.height == 8) // (4*8) div 20 = 1
+    // identity: payload object untouched when both sides already fit
+    val small = MediaItem(1L, "image", syntheticPng(1L, 5, 4), Map.empty)
+    assert(resizeImageNN(small, 8) eq small)
+  }
+
+  test("mm_image_resize query emits one row per image item with consistent pixels") {
+    val rows = graft.SparkEntry.queries("mm_image_resize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Int]("width")
+      val h = r.getAs[Int]("height")
+      assert(w >= 1 && w <= 8 && h >= 1 && h <= 8)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      // mean luma bounded by the 8-bit domain
+      assert(r.getAs[Long]("sum_luma") <= 255L * w * h)
+    }
+  }
 }

@@ -141,4 +141,24 @@ class SimilaritySpec extends SparkSpec {
     val mean = rows.map(_.getAs[Long]("hits")).sum / 10.0
     assert(mean >= 3.0, s"mean recall@10 too low: $mean")
   }
+
+  test("PQ ADC: 10 ranked rows, 4-digit octal codes, compressed search finds true neighbors") {
+    val rows = SparkEntry.queries("sim_pq_adc")(spark, sf).collect()
+    assert(rows.length == 10)
+    // code_key packs 4 octal digits (k < 8 per subspace)
+    rows.foreach { r =>
+      val key = r.getAs[Long]("code_key")
+      assert(key >= 0 && key < 4096, s"code_key $key out of 4-digit octal range")
+    }
+    val adc = rows.map(_.getAs[Long]("adc_e12")).toSeq
+    assert(adc == adc.sorted.reverse)
+    // Compressed-domain scores must still surface true top-10 members —
+    // ADC is an approximation, but a codebook that loses ALL of the
+    // exact neighbors is a broken quantizer.
+    val exact = SparkEntry.queries("similarity_topk")(spark, sf).collect()
+      .take(10).map(_.getAs[Long]("vec_id")).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(exact.intersect(got).nonEmpty,
+      s"ADC top-10 $got shares nothing with exact top-10 $exact")
+  }
 }
