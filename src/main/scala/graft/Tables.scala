@@ -24,17 +24,22 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def documents: DataFrame  = rd("documents")
   def embeddings: DataFrame = rd("embeddings")
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark has no
-    * native type for; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * (see [[Sessions]]) so it scans as nanos-since-epoch LONG, converted
-    * here to a µs timestamp with integer `div` (no double round-trip —
-    * epoch nanos exceed 2^53). Matches DuckDB's ns→µs cast truncation.
+  /** Normalizes `ts` to session-zoned TimestampType regardless of the
+    * physical parquet type, so every downstream query sees one type.
+    * Generations of the test parquet have carried TIMESTAMP(NANOS)
+    * (scans as nanos-since-epoch LONG under
+    * spark.sql.legacy.parquet.nanosAsLong, converted with integer `div`
+    * — no double round-trip, epoch nanos exceed 2^53) and µs
+    * TIMESTAMP_NTZ (cast is value-identical under the pinned-UTC
+    * session). Both match DuckDB's reading of the same file.
     */
   def events: DataFrame = {
     val df = rd("events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
