@@ -622,11 +622,13 @@ object DedupQueries {
     * (candidates → components → deduped corpus): every component keeps
     * its min-doc_id representative, docs outside any candidate pair
     * survive unchanged, and each survivor reports its cluster size
-    * (1 for singletons). The corpus never shuffles: labels and sizes
-    * are candidate-sized frames joined among themselves, then ONE
-    * broadcast left join annotates the corpus scan and the filter
-    * `component IS NULL OR component = doc_id` keeps survivors — at
-    * 100 TB the only wide op is the determinism-contract ORDER BY. */
+    * (1 for singletons). Labels and sizes are dup-graph-sized frames
+    * joined among themselves, then ONE left join annotates the corpus
+    * scan and the filter `component IS NULL OR component = doc_id`
+    * keeps survivors. The labels side is dup-rate × corpus — broadcast
+    * is taken only below [[graft.ops.ScaleGates.LabelsBroadcastMaxRows]]
+    * (measured on the checkpointed labels frame); above it the join
+    * shuffles on doc_id, which at 100 TB is the safe default. */
   private val dedupSurvivors = Q(
     "dedup_survivors",
     s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
@@ -657,10 +659,10 @@ object DedupQueries {
     val labels = componentLabels(t)
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
-    val annotated = labels.join(sizes, "component") // candidate-sized
-    t.documents
-      .select(col("doc_id"), col("source"))
-      .join(broadcast(annotated), Seq("doc_id"), "left")
+    val annotated = labels.join(sizes, "component") // same rows as labels
+    graft.ops.ScaleGates.annotateWithLabels(
+      t.documents.select(col("doc_id"), col("source")),
+      annotated, labels.count(), "doc_id")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id"), col("source"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
@@ -999,8 +1001,10 @@ object DedupQueries {
     * component ids (each standing component's min doc — derived here
     * from the corpus-only pair graph; in production this is the stored
     * labels table from the previous snapshot): every incremental edge
-    * (new_doc, corpus_doc) is rewritten to (new_doc, component_id) via
-    * one broadcast of the candidate-sized standing labels, and the
+    * (new_doc, corpus_doc) is rewritten to (new_doc, component_id) by
+    * first semi-joining the (corpus-scale) standing labels down to the
+    * batch-sized touched key set — the batch keys are the broadcast
+    * build side, never the standing table — and the
     * shared propagation engine then runs over the SUPER-GRAPH — whose
     * node count is bounded by the new batch plus touched components,
     * not the corpus. A new doc matching two different standing
@@ -1067,10 +1071,17 @@ object DedupQueries {
       .localCheckpoint(false)
     val incr = incrementalPairsOf(bandRows).localCheckpoint(false)
     // Contract: corpus endpoint -> its standing component id (itself
-    // when the doc was unpaired in the standing graph).
-    val touched = incr.select(col("corpus_doc")).distinct()
-      .join(broadcast(standing.withColumnRenamed("doc_id", "corpus_doc")),
-        Seq("corpus_doc"), "left")
+    // when the doc was unpaired in the standing graph). The standing
+    // labels table is corpus-scale (every doc in any near-dup pair —
+    // billions of rows at a realistic dup rate), so it is NEVER the
+    // broadcast build side: the batch-sized incremental key set is
+    // broadcast into a semi-join that narrows standing to the touched
+    // rows, and only that batch-bounded remnant is broadcast onward.
+    val incrKeys = incr.select(col("corpus_doc")).distinct()
+    val touchedLabels = standing.withColumnRenamed("doc_id", "corpus_doc")
+      .join(broadcast(incrKeys), Seq("corpus_doc"), "left_semi")
+    val touched = incrKeys
+      .join(broadcast(touchedLabels), Seq("corpus_doc"), "left")
       .select(col("corpus_doc"),
         coalesce(col("component"), col("corpus_doc")).as("comp0"))
     val superEdges = incr.join(broadcast(touched), Seq("corpus_doc"))

@@ -450,8 +450,10 @@ object MultimodalQueries {
     * dedup pipeline candidates → components → deduped corpus, exactly
     * like documents (`dedup_survivors`): keep the component-min item
     * of every near-dup cluster plus all unpaired items, each with its
-    * cluster size. The labels/sizes frame is candidate-sized, so the
-    * join back onto the item universe broadcasts. */
+    * cluster size. The labels/sizes frame is dup-rate × corpus, so the
+    * join back onto the item universe is size-gated
+    * ([[graft.ops.ScaleGates.annotateWithLabels]]): broadcast below
+    * the row gate, shuffled on item_id above it. */
   private val mmImageSurvivors = Q(
     "mm_image_survivors",
     s"""WITH RECURSIVE ${sqlImagePairsCte.stripPrefix("WITH ")}, nodes AS (
@@ -485,10 +487,11 @@ object MultimodalQueries {
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     val annotated = labels.join(sizes, "component")
-    Tables(s, dir).documents
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"))
-      .join(broadcast(annotated), Seq("doc_id"), "left")
+    graft.ops.ScaleGates.annotateWithLabels(
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")),
+      annotated, labels.count(), "doc_id")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id").as("item_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))

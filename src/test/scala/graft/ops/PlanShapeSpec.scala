@@ -211,4 +211,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joinUp.contains("text#"),
       s"raw text column crosses the join:\n$plan")
   }
+
+  test("annotateWithLabels: labels broadcast only below the row gate") {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.range(100).select(col("id").as("doc_id"))
+    val labels = spark.range(10).select(col("id").as("doc_id"),
+      col("id").as("component"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // Claimed-big labels (the 100 TB case): must shuffle on the key,
+      // never a forced broadcast of the labels side.
+      val big = ScaleGates.annotateWithLabels(
+        corpus, labels, ScaleGates.LabelsBroadcastMaxRows, "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(countOf(big, "BroadcastHashJoin") == 0,
+        s"labels at/above the gate must not broadcast:\n$big")
+      // Measured-small labels: the explicit fast path broadcasts.
+      val small = ScaleGates.annotateWithLabels(corpus, labels, 10L, "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(countOf(small, "BroadcastHashJoin") == 1,
+        s"small labels should take the broadcast fast path:\n$small")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("dedup_incremental_components: standing labels never force-broadcast") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val df = SparkEntry.queries("dedup_incremental_components")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected explicit broadcast hints in the plan")
+    // The standing labels table is corpus-scale; the only frame that
+    // carries its `component` column into a broadcast hint must first
+    // have been narrowed to the batch-sized touched key set by the
+    // LeftSemi join — broadcasting un-narrowed standing state is the
+    // 100 TB OOM this spec pins out.
+    hints.foreach { h =>
+      val outputsComponent = h.child.output.exists(_.name == "component")
+      val semiNarrowed = h.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty
+      assert(!outputsComponent || semiNarrowed,
+        s"broadcast hint carries standing labels without semi-narrowing:\n${h.child}")
+    }
+  }
 }
