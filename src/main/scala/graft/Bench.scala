@@ -54,7 +54,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total_s repeats the headline number at the END of the line: the
+    // driver keeps only the tail of stdout, which truncated the leading
+    // "value" field away once the query map grew past 2,000 chars. The
+    // full line is also written to bench_out.json so every per-query
+    // figure survives regardless of how much of stdout is kept.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":$total}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
