@@ -1206,10 +1206,90 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Minimum duplicated run length, in tokens, for substring dedup —
+    * every flagged span is at least one full K-token window. */
+  private[graft] val SubstringK = 8
+
+  /** Substring-level exact dedup (suffix-array family): the excision
+    * report of Lee et al.'s "Deduplicating Training Data" pass — for
+    * every document, the maximal token spans whose every K-token
+    * window also occurs somewhere else in the corpus (another doc or
+    * another position), i.e. the text a substring-dedup pass would
+    * excise. The doc/chunk/line granularities catch whole-unit dups;
+    * this catches boilerplate and quotations REPEATED INSIDE otherwise
+    * unique documents.
+    *
+    * Suffix arrays don't distribute; the scale-honest equivalent is
+    * fingerprint counting: posexplode K-token windows (native
+    * [[org.apache.spark.sql.graft.Shingles]] — positions align with
+    * token starts because split() emits no NULL tokens, so no window
+    * is dropped), hash each window once, and flag windows whose
+    * fingerprint count exceeds 1 with a single `count over
+    * (partition by fp)` window — ONE shuffle on the fingerprint, no
+    * pair enumeration anywhere, so a boilerplate window shared by
+    * millions of docs costs its row count, never its square. Flagged
+    * positions then merge gaps-and-islands style (pos − row_number
+    * per doc) into maximal spans — one doc-partitioned shuffle. Both
+    * shuffles are linear in corpus windows; at 100 TB this is 2 passes
+    * over ~N·L rows of 3 longs, the same order as the MinHash
+    * signature pass. */
+  private val dedupSubstring = Q(
+    "dedup_substring", {
+      val win = (0 until SubstringK).map(j => s"toks[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |win AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(1, greatest(len(toks), $SubstringK) - ${SubstringK - 2}),
+         |           i -> {'pos': i - 1, 'fp': ${Hashes.sqlTokHash(win)}})) AS w
+         |  FROM tk
+         |), pos AS (
+         |  SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.fp AS fp FROM win
+         |), marked AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM pos)
+         |  WHERE n > 1
+         |), runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM marked
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + ${SubstringK - 1} AS BIGINT) AS span_end,
+         |       CAST(max(pos) - min(pos) + $SubstringK AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY doc_id, isl
+         |ORDER BY doc_id, span_start""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val positions = tokenized(Tables(s, dir))
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.ColumnOps
+          .shingles(col("toks"), SubstringK)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Hashes.tokHash(col("col")).as("fp"))
+    val marked = positions
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("n") > 1)
+    val runs = marked.withColumn("isl",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    runs.groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SubstringK - 1).cast("long")).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(SubstringK).cast("long"))
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
-      dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles)
+      dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
+      dedupSubstring)
 }

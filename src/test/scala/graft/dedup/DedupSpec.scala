@@ -189,4 +189,35 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("n_docs")).sum
     assert(fromHist == paired)
   }
+
+  test("dedup_substring reports exact excision spans, cross- and within-doc") {
+    import spark.implicits._
+    // K = 8: a shared 12-token run, an internal 10-token repeat, and a
+    // fully unique doc. Every other token is globally unique so no
+    // window collides by accident.
+    def uniq(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    val shared = (0 until 12).map(i => s"shared$i")
+    val rep = (0 until 10).map(i => s"rep$i")
+    val a = uniq("a", 10) ++ shared ++ uniq("z", 10)       // span 10..21
+    val b = uniq("b", 7) ++ shared ++ uniq("y", 5)         // span 7..18
+    val c = rep ++ uniq("c", 9) ++ rep                     // spans 0..9, 19..28
+    val d0 = uniq("d", 30)                                 // no spans
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, d0))
+      .map { case (id, tk) =>
+        val tx = tk.mkString(" "); (id, tx, "en", s"src$id", tx.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("substring-docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("dedup_substring")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toSeq
+    assert(spans == Seq(
+      0L -> ((10L, 21L, 12L)),
+      1L -> ((7L, 18L, 12L)),
+      2L -> ((0L, 9L, 10L)),
+      2L -> ((19L, 28L, 10L))))
+  }
 }
