@@ -50,9 +50,13 @@ object DedupQueries {
     * CollapseProject cannot inline `split` back into the per-element
     * lambdas above it; it also parallelizes the CPU-heavy shingle work
     * when the input is one unsplittable file / row group. */
-  private def tokenized(t: Tables): DataFrame =
+  private def tokenized(t: Tables): DataFrame = tokenizedDocs(t.documents)
+
+  /** [[tokenized]] over any (doc_id, text) frame — the streaming
+    * incremental loop feeds micro-batches through the same path. */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
     graft.util.Par.byKey(
-      t.documents.select(col("doc_id"), toks.as("toks")), "doc_id")
+      docs.select(col("doc_id"), toks.as("toks")), "doc_id")
 
   private val sqlToks = "string_split(text, ' ')"
   /** DuckDB n-gram windows over a token-list expression, mirroring the
@@ -75,7 +79,10 @@ object DedupQueries {
     * inside K min aggregates — one codegen'd pass, one md5 per shingle
     * (K md5s per shingle measured ~5× slower end-to-end). */
   private def signatures(t: Tables): DataFrame =
-    tokenized(t)
+    signaturesOfDocs(t.documents)
+
+  private def signaturesOfDocs(docs: DataFrame): DataFrame =
+    tokenizedDocs(docs)
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
       .select(col("doc_id"), Hashes.tokHash(col("sh")).as("h"))
       .groupBy(col("doc_id"))
@@ -103,8 +110,12 @@ object DedupQueries {
 
   /** (doc_id, band, band_hash) rows — B per doc, from ONE signature
     * pass (the B projections collapse onto the same aggregate). */
-  private def bands(t: Tables): DataFrame = {
-    val sig = signatures(t)
+  private def bands(t: Tables): DataFrame = bandsOfDocs(t.documents)
+
+  /** [[bands]] over any (doc_id, text) frame — the band index the
+    * streaming incremental loop appends per micro-batch. */
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame = {
+    val sig = signaturesOfDocs(docs)
     sig.select(
       col("doc_id"),
       explode(array((0 until B).map(b =>
@@ -975,12 +986,30 @@ object DedupQueries {
     * graph and its incremental edges from one checkpointed signature
     * pass instead of re-minhashing the corpus per consumer. */
   private def incrementalPairsOf(b: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val isNew = col("doc_id") % 20 === 0
-    val newSide = b.filter(isNew)
+    incrementalPairsBetween(b.filter(isNew), b.filter(!isNew))
+  }
+
+  /** New-batch bands vs a standing corpus band index: the corpus side
+    * keeps the family's degenerate-bucket rank cap, the (small) batch
+    * side broadcasts — the corpus is never self-joined or reshuffled.
+    * The broadcast semi-join on the batch's bucket keys narrows the
+    * standing index to COLLIDING buckets before the rank window, so
+    * the per-batch wide work is bounded by collision volume, not the
+    * index (a semi-join keeps whole buckets, so in-bucket ranks — and
+    * therefore the cap — are unchanged; the oracle pins this). Shared
+    * by the batch query above and the streaming micro-batch loop
+    * ([[graft.streaming.IncrementalDedup]]). */
+  private[graft] def incrementalPairsBetween(
+      newBands: DataFrame, corpusBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newSide = newBands
       .select(col("doc_id").as("new_doc"), col("band").as("nband"),
         col("bh").as("nbh"))
-    val corpusRanked = b.filter(!isNew)
+    val bucketKeys = newSide
+      .select(col("nband").as("band"), col("nbh").as("bh")).distinct()
+    val corpusRanked = corpusBands
+      .join(broadcast(bucketKeys), Seq("band", "bh"), "left_semi")
       .select(col("doc_id"), col("band"), col("bh"),
         row_number().over(
           Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id")))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.DedupQueries
+import graft.etl.Sinks
+
+/** Streaming twin of the `dedup_incremental` batch query: the day-N+1
+  * loop run continuously. Each micro-batch of new documents is
+  * MinHash-banded through the exact machinery the batch query uses
+  * ([[DedupQueries.bandsOfDocs]]), probed against the STANDING band
+  * index ([[DedupQueries.incrementalPairsBetween]] — batch side
+  * broadcast, standing side semi-narrowed to colliding buckets, the
+  * family's degenerate-bucket cap intact), and then appended to that
+  * index so later batches dedup against it. Emitted (new_doc,
+  * corpus_doc) candidate pairs append to their own table for the
+  * downstream merge step (`dedup_incremental_components`).
+  *
+  * Scale posture: per micro-batch the standing index is touched by one
+  * semi-join (prunable to colliding buckets — at 100 TB the index is a
+  * table bucketed by (band, bh), so the probe reads matching buckets,
+  * not the corpus) and is NEVER re-banded, self-joined, or broadcast.
+  * State lives in storage, not the state store — the index is the
+  * product, exactly like the batch pipeline's, so batch and streaming
+  * runs are interchangeable mid-corpus. The checkpoint gives
+  * restart-without-reprocessing; the foreachBatch body is idempotent
+  * per epoch only via the checkpoint (standard Structured Streaming
+  * append semantics, same contract as [[Streaming.appendWriter]]).
+  */
+object IncrementalDedup {
+
+  /** One micro-batch step: probe, emit pairs, grow the index.
+    * Exposed for specs; [[start]] wires it behind a checkpoint. */
+  private[streaming] def processBatch(
+      docs: DataFrame, indexDir: String, pairsDir: String): Unit = {
+    if (docs.isEmpty) return
+    val spark = docs.sparkSession
+    // The batch is re-read below the pair join AND the index append;
+    // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
+    val newBands = DedupQueries.bandsOfDocs(docs).localCheckpoint(false)
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
+      val standing = spark.read.parquet(indexDir)
+      val pairs = DedupQueries.incrementalPairsBetween(newBands, standing)
+      if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
+    }
+    Sinks.appendParquet(newBands, indexDir)
+  }
+
+  /** Starts the loop over a stream of (doc_id, text) documents. */
+  def start(
+      docs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), indexDir, pairsDir)
+      }
+      .start()
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming incremental near-dedup: micro-batches band against the
+  * standing index, emit candidate pairs, and grow the index — so a doc
+  * seen in ANY earlier batch catches later duplicates, closing the
+  * production day-N+1 loop continuously (batch ↔ streaming parity for
+  * the `dedup_incremental` shape). */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val base = ("spark catalyst shuffles partition data across " +
+    "executors for wide joins and aggregations at scale ") * 8
+  private val far = "completely different words about cooking pasta " +
+    "with tomatoes basil garlic olive oil and fresh bread " * 3
+
+  test("pairs accumulate against the growing standing index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val indexDir = tmpDir("incr-index") + "/bands"
+    val pairsDir = tmpDir("incr-pairs") + "/pairs"
+    val ckpt = tmpDir("incr-ckpt")
+    val q = IncrementalDedup.start(
+      input.toDF().toDF("doc_id", "text"),
+      indexDir, pairsDir, ckpt, Trigger.ProcessingTime(0))
+    try {
+      def pairs(): Set[(Long, Long)] =
+        if (new java.io.File(pairsDir).exists())
+          spark.read.parquet(pairsDir).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        else Set.empty
+
+      // Batch 1 seeds the corpus: nothing standing yet, no pairs.
+      input.addData((1L, base), (2L, far))
+      q.processAllAvailable()
+      assert(pairs().isEmpty)
+      assert(spark.read.parquet(indexDir).select("doc_id")
+        .distinct().count() == 2)
+
+      // Batch 2: a dup of doc 1 pairs with it; an unrelated doc with
+      // nothing. Both join the index.
+      input.addData((20L, base), (21L, far.replace("pasta", "rice")))
+      q.processAllAvailable()
+      assert(pairs() == Set((20L, 1L)))
+
+      // Batch 3: another copy pairs with BOTH earlier copies — the
+      // index grew across batches.
+      input.addData((40L, base))
+      q.processAllAvailable()
+      assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)))
+    } finally q.stop()
+  }
+}
