@@ -299,7 +299,37 @@ object StorageQueries {
     ()
   }
 
+  /** The 100-TB form of [[tableProfile]] as declared code, not a
+    * comment: the same one-pass reshape with every `countDistinct`
+    * swapped for an HLL++ sketch (`approx_count_distinct`, 2% rsd) —
+    * the swap documented above made real. The exact twin keeps the
+    * oracle; this runs no-oracle with TableProfileHllSpec bounding
+    * each estimate against the exact query's `n_distinct`, the
+    * `approx_distinct` pattern. One map-side-combining aggregate, no
+    * shuffle wider than the sketch bytes per column. */
+  private val tableProfileHll = Q.noOracle("table_profile_hll") { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    val aggs = count(lit(1)).as("n") +: profiledCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_nn"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_nd"),
+        floor(min(col(c)) * 1000000 + lit(0.5)).cast("long").as(s"${c}_min"),
+        floor(max(col(c)) * 1000000 + lit(0.5)).cast("long").as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profiledCols.map { c =>
+        struct(
+          lit(c).as("col_name"), col("n"),
+          (col("n") - col(s"${c}_nn")).as("n_null"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_e6"),
+          col(s"${c}_max").as("max_e6"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
-      csvRoundtrip, orcRoundtrip)
+      tableProfileHll, csvRoundtrip, orcRoundtrip)
 }

@@ -22,4 +22,22 @@ class ApproxDistinctSpec extends SparkSpec {
         s"group $k: approx $ap vs exact $ex")
     }
   }
+
+  test("table_profile_hll matches the exact profile, n_distinct within 4x rsd") {
+    def byCol(key: String) = SparkEntry.queries(key)(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val exact = byCol("table_profile")
+    val hll = byCol("table_profile_hll")
+    assert(hll.keySet == exact.keySet)
+    exact.foreach { case (c, (n, nNull, nd, minE6, maxE6)) =>
+      val (hn, hNull, hnd, hMin, hMax) = hll(c)
+      // Everything but the sketch is computed identically.
+      assert((hn, hNull, hMin, hMax) == ((n, nNull, minE6, maxE6)),
+        s"$c: non-sketch stats drifted")
+      assert(math.abs(hnd.toDouble - nd) <= math.max(1.0, 0.08 * nd),
+        s"$c: approx n_distinct $hnd vs exact $nd")
+    }
+  }
 }
