@@ -1262,36 +1262,42 @@ object DedupQueries {
     * shuffles are linear in corpus windows; at 100 TB this is 2 passes
     * over ~N·L rows of 3 longs, the same order as the MinHash
     * signature pass. */
-  private val dedupSubstring = Q(
-    "dedup_substring", {
-      val win = (0 until SubstringK).map(j => s"toks[i+$j]")
-        .mkString(" || ' ' || ")
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |win AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(
-         |           range(1, greatest(len(toks), $SubstringK) - ${SubstringK - 2}),
-         |           i -> {'pos': i - 1, 'fp': ${Hashes.sqlTokHash(win)}})) AS w
-         |  FROM tk
-         |), pos AS (
-         |  SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.fp AS fp FROM win
-         |), marked AS (
-         |  SELECT doc_id, pos FROM (
-         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM pos)
-         |  WHERE n > 1
-         |), runs AS (
-         |  SELECT doc_id, pos,
-         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-         |  FROM marked
-         |)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(max(pos) + ${SubstringK - 1} AS BIGINT) AS span_end,
-         |       CAST(max(pos) - min(pos) + $SubstringK AS BIGINT) AS span_tokens
-         |FROM runs GROUP BY doc_id, isl
-         |ORDER BY doc_id, span_start""".stripMargin
-    }) { (s, dir) =>
+  /** Shared CTE chain ending in `spans(doc_id, span_start, span_end,
+    * span_tokens)` — the excision span frame both substring queries
+    * select from. */
+  private def sqlSubstringSpansCte: String = {
+    val win = (0 until SubstringK).map(j => s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           range(1, greatest(len(toks), $SubstringK) - ${SubstringK - 2}),
+       |           i -> {'pos': i - 1, 'fp': ${Hashes.sqlTokHash(win)}})) AS w
+       |  FROM tk
+       |), pos AS (
+       |  SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.fp AS fp FROM win
+       |), marked AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM pos)
+       |  WHERE n > 1
+       |), runs AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM marked
+       |), spans AS (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + ${SubstringK - 1} AS BIGINT) AS span_end,
+       |         CAST(max(pos) - min(pos) + $SubstringK AS BIGINT) AS span_tokens
+       |  FROM runs GROUP BY doc_id, isl
+       |)""".stripMargin
+  }
+
+  /** The excision span frame (unordered) — shared Spark side of the
+    * substring family; see [[dedupSubstring]] for the plan story. */
+  private def substringSpans(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val positions = tokenized(Tables(s, dir))
+    val positions = tokenized(t)
       .select(col("doc_id"),
         posexplode(org.apache.spark.sql.graft.ColumnOps
           .shingles(col("toks"), SubstringK)))
@@ -1311,7 +1317,45 @@ object DedupQueries {
           .as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  private val dedupSubstring = Q(
+    "dedup_substring",
+    s"""$sqlSubstringSpansCte
+       |SELECT doc_id, span_start, span_end, span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    substringSpans(Tables(s, dir)).orderBy("doc_id", "span_start")
+  }
+
+  /** Per-document excision accounting over [[substringSpans]]: how much
+    * of each affected doc a substring-dedup pass would remove
+    * (span-token sum, doc length, exact ppm fraction). The span frame
+    * is dup-rate-sized; joining the doc-length frame onto it is a key
+    * join with no broadcast hint — AQE picks broadcast when the span
+    * side is measured small, shuffle otherwise (the [[ScaleGates]]
+    * rationale). Spans never overlap by construction (islands are
+    * maximal), so the sum is the exact excised token count. */
+  private val dedupSubstringStats = Q(
+    "dedup_substring_stats",
+    s"""$sqlSubstringSpansCte, agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+       |       a.n_spans, a.dup_tokens,
+       |       a.dup_tokens * 1000000 // CAST(len($sqlToks) AS BIGINT) AS dup_ppm
+       |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val agg = substringSpans(t).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    t.documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000 DIV n_tokens"))
+      .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_ppm")
+      .orderBy("doc_id")
   }
 
   val queries: Seq[Q] =
@@ -1320,5 +1364,5 @@ object DedupQueries {
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
-      dedupSubstring)
+      dedupSubstring, dedupSubstringStats)
 }

@@ -377,6 +377,26 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** The 100-TB form of [[aggQuantiles]]: Greenwald–Khanna sketches
+    * (`percentile_approx`, accuracy 10000 → ~0.01% rank error) instead
+    * of exact interpolated percentiles — the sketch merges map-side,
+    * so the shuffle carries one bounded summary per group instead of
+    * every distinct value. No-oracle (sketch internals are
+    * engine-specific, and merge-order can shift an estimate a rank or
+    * two); ApproxQuantilesSpec bounds each estimate by VALUE against
+    * the exact query's output, the `approx_distinct` pattern. */
+  private val aggQuantilesApprox = Q.noOracle("agg_quantiles_approx") { (s, dir) =>
+    Tables(s, dir).events
+      .select(col("event_type"), Det.toUnits(col("value"), 100).as("vu"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (expr("percentile_approx(vu, 0.25, 10000)") / 100.0).as("p25"),
+        (expr("percentile_approx(vu, 0.5, 10000)") / 100.0).as("p50"),
+        (expr("percentile_approx(vu, 0.75, 10000)") / 100.0).as("p75"))
+      .orderBy("event_type")
+  }
+
   /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
     * each partition keeps a k-heap, the driver merges k×partitions rows.
     * No global sort materializes, which is why top-k stays cheap at any
@@ -1734,7 +1754,7 @@ object RelationalQueries {
     q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinSemireduced,
     joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
-    approxDistinct, topk, setOps,
+    approxDistinct, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,

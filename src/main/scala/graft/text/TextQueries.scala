@@ -760,12 +760,115 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val sqlToks = "string_split(text, ' ')"
+
+  /** The fixed keyword workload for [[searchBm25]]: (query_id, term)
+    * rows — in production this is the (tiny) query batch, broadcast. */
+  private[text] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join", 0L -> "merge",
+    1L -> "window", 1L -> "sort", 1L -> "key",
+    2L -> "customer", 2L -> "query", 2L -> "fast",
+    3L -> "stream", 3L -> "batch",
+    4L -> "vector", 4L -> "hash", 4L -> "agg")
+
+  /** BM25-family keyword retrieval: top-10 documents per query for a
+    * broadcast batch of keyword queries — the lexical complement to
+    * the embedding-side ANN cascade (`similarity_rerank`). Okapi shape
+    * with k1=1.2, b=0.75, kept ENTIRELY in int64 like the rest of the
+    * text family (no libm in a declared query): the tf-saturation
+    * factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is exactly
+    * 22·tf·A/(10·A·tf + 3·A + 9000·dl) in the e3 domain
+    * (A = avgdl·1000, integer-rounded — same rounding both engines),
+    * ×1e6 and floored; idf uses the Robertson–Spärck-Jones odds
+    * (2(N−df)+1)/(2df+1) ×1e6 floored — the log's argument, monotone
+    * in it, so per-term ranking is preserved while staying exact.
+    *
+    * Scale: the query-term broadcast prunes the token stream BEFORE
+    * the tf groupBy, so the only wide ops are a shuffle of matching
+    * postings and the corpus-stats scan (one 1-row frame, broadcast
+    * back). df derives from the pruned postings, never a full-vocab
+    * aggregate. Per-query ranking windows are keyed by query_id over
+    * candidate docs only. At 100 TB the postings groupBy IS the
+    * inverted-index build for the queried terms; a standing index
+    * table bucketed by term turns the probe into a pruned scan. */
+  private val searchBm25 = Q(
+    "search_bm25", {
+      val vals = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl,
+         |         unnest($sqlToks) AS term
+         |  FROM documents
+         |), q(query_id, term) AS (VALUES $vals),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE term IN (SELECT term FROM q)
+         |  GROUP BY doc_id, dl, term
+         |), df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         (CAST(sum(len($sqlToks)) AS BIGINT) * 1000)
+         |           // CAST(count(*) AS BIGINT) AS avgdl_e3
+         |  FROM documents
+         |), contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         (((2*(n - df) + 1) * 1000000 // (2*df + 1))
+         |          * ((22 * tf * avgdl_e3 * 1000000)
+         |             // (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
+         |         ) // 1000000 AS c
+         |  FROM q JOIN tf USING (term) JOIN df USING (term), stats
+         |), scored AS (
+         |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
+         |  FROM contrib GROUP BY query_id, doc_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score_ppm DESC, doc_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+         |       doc_id, score_ppm
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val qdf = Bm25Queries.toDF("query_id", "term")
+    val docs = Tables(s, dir).documents
+    val tok = docs.select(col("doc_id"),
+      size(toks).cast("long").as("dl"), explode(toks).as("term"))
+    val postings = tok
+      .join(broadcast(qdf.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(size(toks)).cast("long").as("t"))
+      .select(col("n"), expr("t * 1000 DIV n").as("avgdl_e3"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    postings
+      .join(broadcast(dfFrame), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), Seq("term"))
+      .withColumn("c", expr(
+        """((2*(n - df) + 1) * 1000000 DIV (2*df + 1))
+          | * ((22 * tf * avgdl_e3 * 1000000)
+          |    DIV (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
+          | DIV 1000000""".stripMargin))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("score_ppm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "rnk", "doc_id", "score_ppm")
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, textDecontaminate,
-      textLineDedup, textTfidf, textVocab)
+      textLineDedup, textTfidf, textVocab, searchBm25)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression
