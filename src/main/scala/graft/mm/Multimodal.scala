@@ -489,6 +489,54 @@ object Multimodal {
   def audioZcrs(items: Dataset[MediaItem]): Dataset[AudioZcr] =
     items.map(audioZcr)
 
+  /** 64-bit audio energy fingerprint for near-dup detection: the PCM
+    * stream is cut into 16 equal temporal windows (w = i·16 div n —
+    * duration-normalized, so a re-sampled copy maps windows alike),
+    * each reduced to its Σ|v| energy, quantized to a nibble on the
+    * track's own energy scale (q = min(15, s·128 div (total+1)) — the
+    * relative energy envelope, invariant to uniform gain), and packed
+    * into FOUR 16-bit band keys for pigeonhole bucketing: ≤ 3 flipped
+    * bits can touch at most 3 of 4 bands, so hamming ≤ 2 pairs (the
+    * declared threshold) always share a band. All arithmetic is exact
+    * int64 — the DuckDB oracle replays it from the generative PCM
+    * formula, proving the real WAV decode underneath. */
+  final case class AudioHash(item_id: Long, bands: Array[Long])
+
+  implicit val audioHashEnc: Encoder[AudioHash] = Encoders.product[AudioHash]
+
+  def audioFingerprint(item: MediaItem): AudioHash = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(item.payload))
+    val fmt = ais.getFormat
+    require(
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+      s"item ${item.item_id}: unsupported audio format $fmt (need 16-bit signed PCM)")
+    val bytes =
+      try ais.readAllBytes()
+      finally ais.close()
+    val total = bytes.length / 2
+    require(total >= 16, s"item ${item.item_id}: too few samples for a fingerprint")
+    val sw = new Array[Long](16)
+    var i = 0
+    while (i < total) {
+      val v =
+        if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+        else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      sw((i * 16 / total).toInt) += math.abs(v.toLong)
+      i += 1
+    }
+    val t = sw.sum
+    val q = sw.map(s => math.min(15L, s * 128 / (t + 1)))
+    val bands = Array.tabulate(4) { b =>
+      q(4 * b) * 4096 + q(4 * b + 1) * 256 + q(4 * b + 2) * 16 + q(4 * b + 3)
+    }
+    AudioHash(item.item_id, bands)
+  }
+
+  /** Per-partition fingerprinting — narrow; payloads never move, only
+    * the 4-key hash flows downstream (the image-phash shape). */
+  def audioFingerprints(items: Dataset[MediaItem]): Dataset[AudioHash] =
+    items.mapPartitions(it => it.map(audioFingerprint))
+
   /** Per-adjacent-frame luma difference — shot-boundary (scene cut)
     * detection, the frame-selection pass a video curation pipeline
     * runs before sampling keyframes. Every frame is decoded (diffing

@@ -633,9 +633,150 @@ object MultimodalQueries {
       .orderBy("item_id")
   }
 
+  /** CTE chain ending in `aallbands(item_id, band, key)` — the audio
+    * energy fingerprint recomputed from the generative PCM formula
+    * (the same construction the image family proves its PNG decode
+    * with); see [[Multimodal.audioFingerprint]] for the semantics. */
+  private def sqlAudioBandsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id AS item_id, 64 + doc_id % 97 AS n, doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), s0 AS (
+      |  SELECT item_id, n, seed, unnest(range(0, n)) AS i FROM d
+      |), smp AS (
+      |  SELECT item_id, CAST(i * 16 // n AS BIGINT) AS w,
+      |         abs(((i * 2731 + seed * 17) % 65536) - 32768) AS av
+      |  FROM s0
+      |), win AS (
+      |  SELECT item_id, w, CAST(sum(av) AS BIGINT) AS sw
+      |  FROM smp GROUP BY item_id, w
+      |), tot AS (
+      |  SELECT item_id, CAST(sum(sw) AS BIGINT) AS t FROM win GROUP BY item_id
+      |), nib AS (
+      |  SELECT item_id, w,
+      |         CAST(least(15, (sw * 128) // (t + 1)) AS BIGINT) AS q
+      |  FROM win JOIN tot USING (item_id)
+      |), aallbands AS (
+      |  SELECT item_id, CAST(w // 4 AS INTEGER) AS band,
+      |         CAST(sum(q * (CASE CAST(w % 4 AS INTEGER)
+      |                       WHEN 0 THEN 4096 WHEN 1 THEN 256
+      |                       WHEN 2 THEN 16 ELSE 1 END)) AS BIGINT) AS key
+      |  FROM nib GROUP BY item_id, w // 4
+      |)""".stripMargin
+
+  /** Audio fingerprint as a declared query: four 16-bit band keys
+    * rendered as one 16-hex-digit string per item. A hash match
+    * proves the real WAV decode → window energy → quantize path
+    * byte-for-byte against the generative formula. */
+  private val mmAudioFingerprint = Q(
+    "mm_audio_fingerprint",
+    s"""$sqlAudioBandsCte
+       |SELECT item_id,
+       |       string_agg(printf('%04x', key), '' ORDER BY band) AS fingerprint
+       |FROM aallbands GROUP BY item_id ORDER BY item_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.audioFingerprints(Multimodal.mediaItems(s, dir, "audio"))
+      .toDF()
+      .select(
+        col("item_id"),
+        array_join(transform(col("bands"),
+          b => format_string("%04x", b)), "").as("fingerprint"))
+      .orderBy("item_id")
+  }
+
+  /** The audio near-dup pair graph — [[imagePairs]]' machinery at the
+    * audio fingerprint's 4×16-bit banding: bucket by (band, key),
+    * capped all-pairs + star edges beyond [[MaxBucketPairItems]],
+    * keep hamming ≤ 2 (pigeonhole over 4 bands guarantees recall to
+    * hamming 3, so the threshold loses nothing). Payloads never
+    * shuffle — 4 band rows × ~40 B per item cross the wire. */
+  private def audioPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Multimodal.audioFingerprints(
+      Multimodal.mediaItems(s, dir, "audio")).toDF()
+    val bandRows = hashes.select(
+      col("item_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val byBucket = Window.partitionBy(col("band"), col("key"))
+    val ord = byBucket.orderBy(col("item_id"))
+    val ranked = bandRows.select(
+      col("item_id"), col("bands"), col("band"), col("key"),
+      row_number().over(ord).as("rk"),
+      count(lit(1)).over(byBucket).as("m"),
+      first(col("item_id")).over(ord).as("aitem"),
+      first(col("bands")).over(ord).as("abands"))
+      .localCheckpoint(false)
+    def hamming(a: Column, b: Column): Column =
+      (0 until 4)
+        .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
+        .reduce(_ + _)
+    val headPairs = ranked
+      .filter(col("rk") <= MaxBucketPairItems)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(
+        struct(col("item_id"), col("bands")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(
+        col("p.a.item_id").as("item_a"), col("p.b.item_id").as("item_b"),
+        hamming(col("p.a.bands"), col("p.b.bands")).as("hamming"))
+    val tailStarEdges = ranked
+      .filter(col("m") > 1 && col("rk") > MaxBucketPairItems)
+      .select(
+        col("aitem").as("item_a"), col("item_id").as("item_b"),
+        hamming(col("abands"), col("bands")).as("hamming"))
+    headPairs.union(tailStarEdges).distinct()
+      .filter(col("hamming") <= 2)
+  }
+
+  private def sqlAudioPairsCte: String = {
+    def ham(a: String, b: String) =
+      "CAST(" + (1 to 4).map(i => s"bit_count(xor($a[$i], $b[$i]))")
+        .mkString(" + ") + " AS BIGINT)"
+    s"""$sqlAudioBandsCte, ah AS (
+       |  SELECT item_id, list(key ORDER BY band) AS ks
+       |  FROM aallbands GROUP BY item_id
+       |), aranked AS (
+       |  SELECT a.item_id, ah.ks, a.band, a.key,
+       |         row_number() OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS rk,
+       |         count(*) OVER (PARTITION BY a.band, a.key) AS m,
+       |         first_value(a.item_id) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aitem,
+       |         first_value(ah.ks) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aks
+       |  FROM aallbands a JOIN ah USING (item_id)
+       |), acand AS (
+       |  SELECT DISTINCT item_a, item_b, hamming FROM (
+       |    SELECT l.item_id AS item_a, r.item_id AS item_b,
+       |           ${ham("l.ks", "r.ks")} AS hamming
+       |    FROM aranked l JOIN aranked r
+       |      ON l.band = r.band AND l.key = r.key AND l.item_id < r.item_id
+       |    WHERE l.rk <= $MaxBucketPairItems AND r.rk <= $MaxBucketPairItems
+       |    UNION ALL
+       |    SELECT aitem, item_id, ${ham("aks", "ks")}
+       |    FROM aranked WHERE m > 1 AND rk > $MaxBucketPairItems
+       |  )
+       |), apairs AS (
+       |  SELECT item_a, item_b, hamming FROM acand WHERE hamming <= 2
+       |)""".stripMargin
+  }
+
+  /** Near-duplicate audio pairs — the dedup family's third modality
+    * (documents, images, now audio): re-encoded / re-seeded copies of
+    * a track collide on their energy-envelope fingerprint exactly as
+    * near-identical images collide on aHash. */
+  private val mmAudioDedup = Q(
+    "mm_audio_dedup",
+    s"""$sqlAudioPairsCte
+       |SELECT item_a, item_b, hamming FROM apairs
+       |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    audioPairs(s, dir).orderBy("item_a", "item_b")
+  }
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
-      mmImageResize, mmAudioDecode, mmAudioZcr, mmVideoFrames,
-      mmVideoSceneCuts)
+      mmImageResize, mmAudioDecode, mmAudioZcr, mmAudioFingerprint,
+      mmAudioDedup, mmVideoFrames, mmVideoSceneCuts)
 }

@@ -336,6 +336,24 @@ class MultimodalSpec extends SparkSpec {
     assert(resizeImageNN(small, 8) eq small)
   }
 
+  test("audio fingerprint: identical tracks collide, gain-independence, pigeonhole recall") {
+    import graft.mm.Multimodal._
+    def item(id: Long, seed: Long, n: Int) =
+      MediaItem(id, "audio", syntheticWav(seed, n, 8000), Map.empty)
+    // Identical PCM (same seed+length, different item ids) → same hash.
+    val a = audioFingerprint(item(1L, 7L, 96))
+    val b = audioFingerprint(item(2L, 7L, 96))
+    assert(a.bands.toSeq == b.bands.toSeq)
+    // A different track has a different envelope.
+    val c = audioFingerprint(item(3L, 101L, 131))
+    assert(c.bands.toSeq != a.bands.toSeq)
+    // Pigeonhole: any hash within hamming ≤ 3 of `a` shares ≥ 1 of the
+    // 4 bands (so the ≤ 2 pair threshold can never miss a pair).
+    val flipped = a.bands.clone()
+    flipped(0) = flipped(0) ^ 1L // 1-bit corruption in band 0
+    assert(flipped.zip(a.bands).count { case (x, y) => x == y } >= 3)
+  }
+
   test("mm_image_resize query emits one row per image item with consistent pixels") {
     val rows = graft.SparkEntry.queries("mm_image_resize")(spark, sf).collect()
     assert(rows.nonEmpty)
