@@ -526,16 +526,65 @@ object Multimodal {
     }
     val t = sw.sum
     val q = sw.map(s => math.min(15L, s * 128 / (t + 1)))
-    val bands = Array.tabulate(4) { b =>
+    AudioHash(item.item_id, packNibbleBands(q))
+  }
+
+  /** 16 nibbles → four 16-bit band keys (big-endian within a band) —
+    * the banding both temporal fingerprints (audio, video) share. */
+  private def packNibbleBands(q: Array[Long]): Array[Long] =
+    Array.tabulate(4) { b =>
       q(4 * b) * 4096 + q(4 * b + 1) * 256 + q(4 * b + 2) * 16 + q(4 * b + 3)
     }
-    AudioHash(item.item_id, bands)
-  }
 
   /** Per-partition fingerprinting — narrow; payloads never move, only
     * the 4-key hash flows downstream (the image-phash shape). */
   def audioFingerprints(items: Dataset[MediaItem]): Dataset[AudioHash] =
     items.mapPartitions(it => it.map(audioFingerprint))
+
+  /** 64-bit video fingerprint: the per-frame mean-luma sequence,
+    * nearest-neighbor-resampled onto 16 temporal slots (slot w reads
+    * frame w·nf div 16 — duration-normalized like the audio windows),
+    * each slot quantized to its frame's mean luma in 16ths of the
+    * 8-bit range (q = Σluma div (16·w·h), exactly 0..15) and packed
+    * into the shared four 16-bit band keys. Every frame decodes
+    * through the real GIF codec; the oracle replays the generative
+    * pixel formula. */
+  final case class VideoHash(item_id: Long, bands: Array[Long])
+
+  implicit val videoHashEnc: Encoder[VideoHash] = Encoders.product[VideoHash]
+
+  def videoFingerprint(item: MediaItem): VideoHash = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(item.payload))
+    try {
+      reader.setInput(iis, false)
+      val nf = reader.getNumImages(true)
+      require(nf > 0, s"item ${item.item_id}: payload is not a decodable video container")
+      var w0 = 0
+      var h0 = 0
+      val sums = new Array[Long](nf)
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        w0 = img.getWidth
+        h0 = img.getHeight
+        val px = img.getRGB(0, 0, w0, h0, null, 0, w0)
+        var s = 0L
+        var i = 0
+        while (i < px.length) { s += luma(px(i)); i += 1 }
+        sums(f) = s
+        f += 1
+      }
+      val q = Array.tabulate(16)(w => sums(w * nf / 16) / (16L * w0 * h0))
+      VideoHash(item.item_id, packNibbleBands(q))
+    } finally {
+      iis.close()
+      reader.dispose()
+    }
+  }
+
+  def videoFingerprints(items: Dataset[MediaItem]): Dataset[VideoHash] =
+    items.mapPartitions(it => it.map(videoFingerprint))
 
   /** Per-adjacent-frame luma difference — shot-boundary (scene cut)
     * detection, the frame-selection pass a video curation pipeline

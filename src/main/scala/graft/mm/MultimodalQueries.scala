@@ -362,50 +362,11 @@ object MultimodalQueries {
 
   /** The Spark twin of [[sqlImagePairsCte]]: the hamming ≤ 2 pair
     * frame (un-ordered — callers sort or label it). */
-  private def imagePairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import org.apache.spark.sql.expressions.Window
-    val hashes = Multimodal.imageAHashes(Multimodal.mediaItems(s, dir, "image"))
-      .toDF()
-    val bandRows = hashes.select(
-      col("item_id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "key")))
-    val byBucket = Window.partitionBy(col("band"), col("key"))
-    val ord = byBucket.orderBy(col("item_id"))
-    // Consumed by BOTH pair branches below — checkpoint (lazily) so the
-    // decode→hash→explode→window pipeline materializes once, not per
-    // branch, inside the first downstream action.
-    val ranked = bandRows.select(
-      col("item_id"), col("bands"), col("band"), col("key"),
-      row_number().over(ord).as("rk"),
-      count(lit(1)).over(byBucket).as("m"),
-      first(col("item_id")).over(ord).as("aitem"),
-      first(col("bands")).over(ord).as("abands"))
-      .localCheckpoint(false)
-    def hamming(a: Column, b: Column): Column =
-      (0 until 8)
-        .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
-        .reduce(_ + _)
-    val headPairs = ranked
-      .filter(col("rk") <= MaxBucketPairItems)
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(
-        struct(col("item_id"), col("bands")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(
-        flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(
-        col("p.a.item_id").as("item_a"), col("p.b.item_id").as("item_b"),
-        hamming(col("p.a.bands"), col("p.b.bands")).as("hamming"))
-    val tailStarEdges = ranked
-      .filter(col("m") > 1 && col("rk") > MaxBucketPairItems)
-      .select(
-        col("aitem").as("item_a"), col("item_id").as("item_b"),
-        hamming(col("abands"), col("bands")).as("hamming"))
-    headPairs.union(tailStarEdges).distinct()
-      .filter(col("hamming") <= 2)
-  }
+  private def imagePairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bandedHammingPairs(
+      Multimodal.imageAHashes(Multimodal.mediaItems(s, dir, "image"))
+        .toDF(),
+      nBands = 8, maxHamming = 2)
 
   private val mmImageDedup = Q(
     "mm_image_dedup",
@@ -684,16 +645,16 @@ object MultimodalQueries {
       .orderBy("item_id")
   }
 
-  /** The audio near-dup pair graph — [[imagePairs]]' machinery at the
-    * audio fingerprint's 4×16-bit banding: bucket by (band, key),
-    * capped all-pairs + star edges beyond [[MaxBucketPairItems]],
-    * keep hamming ≤ 2 (pigeonhole over 4 bands guarantees recall to
-    * hamming 3, so the threshold loses nothing). Payloads never
-    * shuffle — 4 band rows × ~40 B per item cross the wire. */
-  private def audioPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The banded hamming-pair machinery shared by every fingerprint
+    * modality (images: 8×8-bit bands; audio/video: 4×16-bit bands):
+    * bucket by (band, key), capped all-pairs + star edges beyond
+    * [[MaxBucketPairItems]], keep hamming ≤ `maxHamming`. `hashes` is
+    * (item_id, bands: Array[Long]); only band rows shuffle, never
+    * payloads. */
+  private def bandedHammingPairs(
+      hashes: org.apache.spark.sql.DataFrame, nBands: Int,
+      maxHamming: Int) = {
     import org.apache.spark.sql.expressions.Window
-    val hashes = Multimodal.audioFingerprints(
-      Multimodal.mediaItems(s, dir, "audio")).toDF()
     val bandRows = hashes.select(
       col("item_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "key")))
@@ -707,7 +668,7 @@ object MultimodalQueries {
       first(col("bands")).over(ord).as("abands"))
       .localCheckpoint(false)
     def hamming(a: Column, b: Column): Column =
-      (0 until 4)
+      (0 until nBands)
         .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
         .reduce(_ + _)
     val headPairs = ranked
@@ -729,38 +690,54 @@ object MultimodalQueries {
         col("aitem").as("item_a"), col("item_id").as("item_b"),
         hamming(col("abands"), col("bands")).as("hamming"))
     headPairs.union(tailStarEdges).distinct()
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= maxHamming)
   }
 
-  private def sqlAudioPairsCte: String = {
+  /** The audio near-dup pair graph — the shared banded machinery at
+    * the audio fingerprint's 4×16-bit banding (pigeonhole over 4
+    * bands guarantees recall to hamming 3, so the ≤ 2 threshold
+    * loses nothing). */
+  private def audioPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bandedHammingPairs(
+      Multimodal.audioFingerprints(Multimodal.mediaItems(s, dir, "audio"))
+        .toDF(),
+      nBands = 4, maxHamming = 2)
+
+  /** Parameterized DuckDB mirror of [[bandedHammingPairs]]: extends a
+    * bands CTE (relation `${p}allbands`) with capped pairing, ending
+    * in `${p}pairs(item_a, item_b, hamming)`. */
+  private def sqlBandedPairsCte(bandsCte: String, p: String, nBands: Int): String = {
     def ham(a: String, b: String) =
-      "CAST(" + (1 to 4).map(i => s"bit_count(xor($a[$i], $b[$i]))")
+      "CAST(" + (1 to nBands).map(i => s"bit_count(xor($a[$i], $b[$i]))")
         .mkString(" + ") + " AS BIGINT)"
-    s"""$sqlAudioBandsCte, ah AS (
+    s"""$bandsCte, ${p}h AS (
        |  SELECT item_id, list(key ORDER BY band) AS ks
-       |  FROM aallbands GROUP BY item_id
-       |), aranked AS (
-       |  SELECT a.item_id, ah.ks, a.band, a.key,
+       |  FROM ${p}allbands GROUP BY item_id
+       |), ${p}ranked AS (
+       |  SELECT a.item_id, ${p}h.ks, a.band, a.key,
        |         row_number() OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS rk,
        |         count(*) OVER (PARTITION BY a.band, a.key) AS m,
        |         first_value(a.item_id) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aitem,
-       |         first_value(ah.ks) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aks
-       |  FROM aallbands a JOIN ah USING (item_id)
-       |), acand AS (
+       |         first_value(${p}h.ks) OVER (PARTITION BY a.band, a.key ORDER BY a.item_id) AS aks
+       |  FROM ${p}allbands a JOIN ${p}h USING (item_id)
+       |), ${p}cand AS (
        |  SELECT DISTINCT item_a, item_b, hamming FROM (
        |    SELECT l.item_id AS item_a, r.item_id AS item_b,
        |           ${ham("l.ks", "r.ks")} AS hamming
-       |    FROM aranked l JOIN aranked r
+       |    FROM ${p}ranked l JOIN ${p}ranked r
        |      ON l.band = r.band AND l.key = r.key AND l.item_id < r.item_id
        |    WHERE l.rk <= $MaxBucketPairItems AND r.rk <= $MaxBucketPairItems
        |    UNION ALL
        |    SELECT aitem, item_id, ${ham("aks", "ks")}
-       |    FROM aranked WHERE m > 1 AND rk > $MaxBucketPairItems
+       |    FROM ${p}ranked WHERE m > 1 AND rk > $MaxBucketPairItems
        |  )
-       |), apairs AS (
-       |  SELECT item_a, item_b, hamming FROM acand WHERE hamming <= 2
+       |), ${p}pairs AS (
+       |  SELECT item_a, item_b, hamming FROM ${p}cand WHERE hamming <= 2
        |)""".stripMargin
   }
+
+  private def sqlAudioPairsCte: String =
+    sqlBandedPairsCte(sqlAudioBandsCte, "a", 4)
 
   /** Near-duplicate audio pairs — the dedup family's third modality
     * (documents, images, now audio): re-encoded / re-seeded copies of
@@ -774,9 +751,80 @@ object MultimodalQueries {
     audioPairs(s, dir).orderBy("item_a", "item_b")
   }
 
+  /** CTE chain ending in `vallbands(item_id, band, key)` — the video
+    * fingerprint recomputed from the generative GIF pixel formula;
+    * see [[Multimodal.videoFingerprint]]. Slot w reads frame
+    * w·nf div 16; q = frame luma sum div (16·w·h). */
+  private def sqlVideoBandsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id AS item_id,
+      |         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+      |         CAST(4 + doc_id % 11 AS INTEGER) AS height,
+      |         4 + doc_id % 9 AS nf,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), wslot AS (
+      |  SELECT item_id, width, height, seed, unnest(range(0, 16)) AS w,
+      |         (unnest(range(0, 16)) * nf) // 16 AS f
+      |  FROM d
+      |), vpx AS (
+      |  SELECT item_id, w, width, height,
+      |         (x * 7 + y * 13 + seed + 11 * f) % 256 AS v
+      |  FROM wslot, range(0, 16) tx(x), range(0, 14) ty(y)
+      |  WHERE x < width AND y < height
+      |), vwin AS (
+      |  SELECT item_id, w,
+      |         CAST(sum(v) // (16 * width * height) AS BIGINT) AS q
+      |  FROM vpx GROUP BY item_id, w, width, height
+      |), vallbands AS (
+      |  SELECT item_id, CAST(w // 4 AS INTEGER) AS band,
+      |         CAST(sum(q * (CASE CAST(w % 4 AS INTEGER)
+      |                       WHEN 0 THEN 4096 WHEN 1 THEN 256
+      |                       WHEN 2 THEN 16 ELSE 1 END)) AS BIGINT) AS key
+      |  FROM vwin GROUP BY item_id, w // 4
+      |)""".stripMargin
+
+  /** Video fingerprint as a declared query — hex rendering, same
+    * contract as [[mmAudioFingerprint]]: a hash match proves the
+    * full-GIF decode → frame luma → resample → quantize path. */
+  private val mmVideoFingerprint = Q(
+    "mm_video_fingerprint",
+    s"""$sqlVideoBandsCte
+       |SELECT item_id,
+       |       string_agg(printf('%04x', key), '' ORDER BY band) AS fingerprint
+       |FROM vallbands GROUP BY item_id ORDER BY item_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.videoFingerprints(Multimodal.mediaItems(s, dir, "video"))
+      .toDF()
+      .select(
+        col("item_id"),
+        array_join(transform(col("bands"),
+          b => format_string("%04x", b)), "").as("fingerprint"))
+      .orderBy("item_id")
+  }
+
+  /** Near-duplicate videos — completes per-modality near-dedup
+    * (documents, images, audio, video): re-cut / re-seeded variants
+    * whose luma envelopes agree within 2 bits pair up through the
+    * shared capped banded machinery. At driver sf0.1 the fingerprint
+    * buckets EXCEED [[MaxBucketPairItems]], so this query exercises
+    * the star-edge cap path against the oracle at scale. */
+  private val mmVideoDedup = Q(
+    "mm_video_dedup",
+    s"""${sqlBandedPairsCte(sqlVideoBandsCte, "v", 4)}
+       |SELECT item_a, item_b, hamming FROM vpairs
+       |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    bandedHammingPairs(
+      Multimodal.videoFingerprints(Multimodal.mediaItems(s, dir, "video"))
+        .toDF(),
+      nBands = 4, maxHamming = 2)
+      .orderBy("item_a", "item_b")
+  }
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
       mmImageResize, mmAudioDecode, mmAudioZcr, mmAudioFingerprint,
-      mmAudioDedup, mmVideoFrames, mmVideoSceneCuts)
+      mmAudioDedup, mmVideoFrames, mmVideoSceneCuts, mmVideoFingerprint,
+      mmVideoDedup)
 }
