@@ -821,10 +821,68 @@ object MultimodalQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** Cross-modality dedup report — the curation dashboard number: per
+    * modality, corpus size, near-dup pair count, distinct items in any
+    * pair, and the dup fraction in exact ppm. Composes all three
+    * fingerprint pipelines; every aggregate is metadata-sized and the
+    * only joins are broadcast 1-row cross joins, so the cost is the
+    * three (narrow, payload-local) fingerprint passes themselves. The
+    * oracle nests each modality's full pair CTE chain as an
+    * independent derived table, so a hash match re-proves all three
+    * pipelines end-to-end in one query. */
+  private val mmDedupReport = Q(
+    "mm_dedup_report", {
+      def part(p: String, cte: String) =
+        s"(SELECT item_a, item_b FROM ($cte SELECT item_a, item_b FROM ${p}pairs) t)"
+      val img = part("", sqlImagePairsCte.stripSuffix("\n"))
+      val aud = part("a", sqlBandedPairsCte(sqlAudioBandsCte, "a", 4))
+      val vid = part("v", sqlBandedPairsCte(sqlVideoBandsCte, "v", 4))
+      def row(name: String, mod: Int, pairs: String) =
+        s"""SELECT '$name' AS modality,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = $mod) AS n_items,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $pairs p) AS n_pairs,
+           |  (SELECT CAST(count(DISTINCT i) AS BIGINT) FROM (
+           |     SELECT item_a AS i FROM $pairs p1
+           |     UNION ALL SELECT item_b FROM $pairs p2)) AS n_dup_items""".stripMargin
+      s"""SELECT modality, n_items, n_pairs, n_dup_items,
+         |       n_dup_items * 1000000 // n_items AS dup_ppm
+         |FROM (
+         |${row("audio", 1, aud)}
+         |UNION ALL
+         |${row("image", 0, img)}
+         |UNION ALL
+         |${row("video", 2, vid)}
+         |)
+         |ORDER BY modality""".stripMargin
+    }) { (s, dir) =>
+    def stats(name: String, mod: Int,
+        pairsDf: org.apache.spark.sql.DataFrame) = {
+      val p = pairsDf.localCheckpoint(false)
+      val nItems = Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === mod)
+        .agg(count(lit(1)).as("n_items"))
+      val nPairs = p.agg(count(lit(1)).as("n_pairs"))
+      val nDup = p.select(explode(array(col("item_a"), col("item_b"))).as("i"))
+        .agg(countDistinct(col("i")).as("n_dup_items"))
+      nItems.crossJoin(broadcast(nPairs)).crossJoin(broadcast(nDup))
+        .select(lit(name).as("modality"), col("n_items"), col("n_pairs"),
+          col("n_dup_items"),
+          expr("n_dup_items * 1000000 DIV n_items").as("dup_ppm"))
+    }
+    stats("audio", 1, audioPairs(s, dir))
+      .union(stats("image", 0, imagePairs(s, dir)))
+      .union(stats("video", 2,
+        bandedHammingPairs(
+          Multimodal.videoFingerprints(
+            Multimodal.mediaItems(s, dir, "video")).toDF(),
+          nBands = 4, maxHamming = 2)))
+      .orderBy("modality")
+  }
+
   val queries: Seq[Q] =
     Seq(mmModalityDispatch, mmBinaryMeta, mmFrameSample, mmImageDecode,
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
       mmImageResize, mmAudioDecode, mmAudioZcr, mmAudioFingerprint,
       mmAudioDedup, mmVideoFrames, mmVideoSceneCuts, mmVideoFingerprint,
-      mmVideoDedup)
+      mmVideoDedup, mmDedupReport)
 }
