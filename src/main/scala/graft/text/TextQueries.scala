@@ -835,10 +835,15 @@ object TextQueries {
     val docs = Tables(s, dir).documents
     val tok = docs.select(col("doc_id"),
       size(toks).cast("long").as("dl"), explode(toks).as("term"))
+    // Checkpointed: consumed by BOTH the df aggregate (broadcast build)
+    // and the scoring probe — without the pin the token explode +
+    // groupBy (the one heavy pass) runs once per consumer. The frame
+    // is query-term-pruned (≤ docs × |terms| rows), safe to pin.
     val postings = tok
       .join(broadcast(qdf.select("term").distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs
       .agg(count(lit(1)).cast("long").as("n"),
