@@ -34,7 +34,10 @@ object ScaleStress {
     "dedup_jaccard_est", "dedup_incremental", "dedup_incremental_components",
     "mm_video_frames", "sample_domain_mix", "text_collocations",
     "snapshot_diff", "graph_triangles", "mm_audio_zcr",
-    "mm_video_scene_cuts", "mm_image_resize", "dedup_component_stats")
+    "mm_video_scene_cuts", "mm_image_resize", "dedup_component_stats",
+    "dedup_substring", "dedup_substring_stats", "search_bm25",
+    "mm_audio_fingerprint", "mm_audio_dedup", "mm_video_fingerprint",
+    "mm_video_dedup", "mm_dedup_report")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
