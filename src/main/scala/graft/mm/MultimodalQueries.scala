@@ -814,11 +814,109 @@ object MultimodalQueries {
     s"""${sqlBandedPairsCte(sqlVideoBandsCte, "v", 4)}
        |SELECT item_a, item_b, hamming FROM vpairs
        |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    videoPairs(s, dir).orderBy("item_a", "item_b")
+  }
+
+  private def videoPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     bandedHammingPairs(
       Multimodal.videoFingerprints(Multimodal.mediaItems(s, dir, "video"))
         .toDF(),
       nBands = 4, maxHamming = 2)
-      .orderBy("item_a", "item_b")
+
+  /** Recursive-CTE closure over a modality pair chain ending in
+    * `${p}pairs` — labels, shared by the per-modality components and
+    * survivors oracles. Ends in `comp(item_id, component)`. */
+  private def sqlModalityComponentsCte(pairsCte: String, p: String): String =
+    s"""WITH RECURSIVE ${pairsCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT item_id FROM (
+       |    SELECT item_a AS item_id FROM ${p}pairs
+       |    UNION ALL SELECT item_b FROM ${p}pairs)
+       |), gedges AS (
+       |  SELECT item_a AS a, item_b AS b FROM ${p}pairs
+       |  UNION SELECT item_b, item_a FROM ${p}pairs
+       |), reach(s, t) AS (
+       |  SELECT item_id, item_id FROM nodes
+       |  UNION SELECT a, b FROM gedges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN gedges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS item_id, min(t) AS component FROM reach GROUP BY s
+       |)""".stripMargin
+
+  private def sqlModalitySurvivors(pairsCte: String, p: String, mod: Int): String =
+    s"""${sqlModalityComponentsCte(pairsCte, p)}, sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT d.doc_id AS item_id,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.item_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |WHERE d.doc_id % 3 = $mod
+       |  AND (c.item_id IS NULL OR c.component = d.doc_id)
+       |ORDER BY item_id""".stripMargin
+
+  /** Shared Spark side of the modality components/survivors family —
+    * the documents engine ([[graft.dedup.DedupQueries.componentLabelsOf]]
+    * propagation, [[graft.ops.ScaleGates]]-gated annotation) over any
+    * modality's pair graph. */
+  private def modalityLabels(pairsDf: org.apache.spark.sql.DataFrame) =
+    graft.dedup.DedupQueries.componentLabelsOf(
+      pairsDf.select(col("item_a").as("doc_a"), col("item_b").as("doc_b")))
+
+  private def modalitySurvivors(
+      s: org.apache.spark.sql.SparkSession, dir: String, mod: Int,
+      pairsDf: org.apache.spark.sql.DataFrame) = {
+    val labels = modalityLabels(pairsDf)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels.join(sizes, "component")
+    graft.ops.ScaleGates.annotateWithLabels(
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === mod)
+        .select(col("doc_id")),
+      annotated, labels.count(), "doc_id")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id").as("item_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("item_id")
+  }
+
+  /** Audio/video components + survivors — the image family's
+    * candidates → components → deduped corpus closure applied to the
+    * other two fingerprint modalities, so every modality runs the
+    * full near-dedup pipeline end-to-end through the one shared
+    * propagation engine and size-gated annotation join. */
+  private val mmAudioComponents = Q(
+    "mm_audio_components",
+    s"""${sqlModalityComponentsCte(sqlBandedPairsCte(sqlAudioBandsCte, "a", 4), "a")}
+       |SELECT item_id, component FROM comp ORDER BY item_id""".stripMargin) {
+    (s, dir) =>
+    modalityLabels(audioPairs(s, dir))
+      .select(col("doc_id").as("item_id"), col("component"))
+      .orderBy("item_id")
+  }
+
+  private val mmAudioSurvivors = Q(
+    "mm_audio_survivors",
+    sqlModalitySurvivors(sqlBandedPairsCte(sqlAudioBandsCte, "a", 4), "a", 1)) {
+    (s, dir) => modalitySurvivors(s, dir, 1, audioPairs(s, dir))
+  }
+
+  private val mmVideoComponents = Q(
+    "mm_video_components",
+    s"""${sqlModalityComponentsCte(sqlBandedPairsCte(sqlVideoBandsCte, "v", 4), "v")}
+       |SELECT item_id, component FROM comp ORDER BY item_id""".stripMargin) {
+    (s, dir) =>
+    modalityLabels(videoPairs(s, dir))
+      .select(col("doc_id").as("item_id"), col("component"))
+      .orderBy("item_id")
+  }
+
+  private val mmVideoSurvivors = Q(
+    "mm_video_survivors",
+    sqlModalitySurvivors(sqlBandedPairsCte(sqlVideoBandsCte, "v", 4), "v", 2)) {
+    (s, dir) => modalitySurvivors(s, dir, 2, videoPairs(s, dir))
   }
 
   /** Cross-modality dedup report — the curation dashboard number: per
@@ -871,11 +969,7 @@ object MultimodalQueries {
     }
     stats("audio", 1, audioPairs(s, dir))
       .union(stats("image", 0, imagePairs(s, dir)))
-      .union(stats("video", 2,
-        bandedHammingPairs(
-          Multimodal.videoFingerprints(
-            Multimodal.mediaItems(s, dir, "video")).toDF(),
-          nBands = 4, maxHamming = 2)))
+      .union(stats("video", 2, videoPairs(s, dir)))
       .orderBy("modality")
   }
 
@@ -884,5 +978,6 @@ object MultimodalQueries {
       mmImagePhash, mmImageDedup, mmImageComponents, mmImageSurvivors,
       mmImageResize, mmAudioDecode, mmAudioZcr, mmAudioFingerprint,
       mmAudioDedup, mmVideoFrames, mmVideoSceneCuts, mmVideoFingerprint,
-      mmVideoDedup, mmDedupReport)
+      mmVideoDedup, mmAudioComponents, mmAudioSurvivors,
+      mmVideoComponents, mmVideoSurvivors, mmDedupReport)
 }
