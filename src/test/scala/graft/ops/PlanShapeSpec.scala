@@ -212,6 +212,34 @@ class PlanShapeSpec extends SparkSpec {
       s"raw text column crosses the join:\n$plan")
   }
 
+  test("dedup_substring: no join anywhere, exchanges bounded by design") {
+    val plan = planOf("dedup_substring")
+    // The whole operator is fingerprint-count + islands: any join means
+    // someone reintroduced pair enumeration. Exactly three hash
+    // exchanges are structural: the Par.byKey tokenize barrier, the fp
+    // count-window, and the per-doc island window (the span aggregate
+    // reuses the island window's doc_id partitioning).
+    assert(!plan.contains("Join"), s"substring dedup must not join:\n$plan")
+    assert(countOf(plan, "hashpartitioning") == 3,
+      s"expected tokenize barrier + fp window + doc islands only:\n$plan")
+    assert(countOf(plan, "Window") == 2, s"expected the two windows:\n$plan")
+  }
+
+  test("search_bm25: broadcast-only joins, WindowGroupLimit-pruned top-k") {
+    val plan = planOf("search_bm25")
+    // Scoring reads the checkpointed (query-term-pruned) postings; all
+    // dimension attachments (df, corpus stats, query ids) must ride
+    // broadcasts, and the per-query top-10 must prune map-side via
+    // WindowGroupLimit instead of sorting every candidate through the
+    // query_id exchange.
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"bm25 must not shuffle-join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must prune before the window exchange:\n$plan")
+    assert(countOf(plan, "hashpartitioning") <= 3,
+      s"expected df agg + score agg + rank window exchanges only:\n$plan")
+  }
+
   test("annotateWithLabels: labels broadcast only below the row gate") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.range(100).select(col("id").as("doc_id"))
