@@ -284,6 +284,62 @@ object StorageQueries {
     roundtripAgg(s.read.orc(formatTwin(Tables(s, dir), "orc")))
   }
 
+  /** Two-generation parquet layout for [[schemaEvolution]]: generation
+    * v1 (even doc_ids) wrote (doc_id, text, source) before a `lang`
+    * column existed; generation v2 (odd doc_ids) carries it. Both land
+    * under one table root, the standard shape of a long-lived dataset
+    * whose schema grew mid-life. Idempotent like the other layouts. */
+  private def evolutionTwin(t: Tables): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_evolution_documents_${digest(t.sfDir)}")
+    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "v2/_SUCCESS"))) {
+      t.documents.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      t.documents.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+    }
+    root.toString
+  }
+
+  /** Schema-evolution read: scan both generations through ONE
+    * `mergeSchema` parquet read (v1 rows surface `lang` as NULL) and
+    * reduce per source — row counts split by generation, a content
+    * checksum over text, and the observed langs of the v2 rows. The
+    * oracle recomputes every figure from the ORIGINAL documents table
+    * (v1/v2 are deterministic doc_id-parity projections), so a hash
+    * match proves the merged scan preserved every row, filled the
+    * missing column with NULL exactly where the old generation wrote
+    * no such column, and kept v2's values — the roundtrip-proof
+    * construction applied to schema drift. At 100 TB this is the
+    * default posture: schema changes append new files, readers merge
+    * footers; no table rewrite. */
+  private val schemaEvolution = Q(
+    "schema_evolution",
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_null_lang,
+       |       CAST(sum(${graft.util.Hashes.sqlTokHash("text")}) AS BIGINT) AS checksum,
+       |       coalesce(string_agg(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END, ','
+       |                           ORDER BY CASE WHEN doc_id % 2 = 1 THEN lang END),
+       |                '') AS langs
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+    (s, dir) =>
+    val root = evolutionTwin(Tables(s, dir))
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+    merged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_v1_null_lang"),
+        sum(graft.util.Hashes.tokHash(col("text"))).cast("long").as("checksum"),
+        coalesce(array_join(sort_array(collect_set(col("lang"))), ","), lit(""))
+          .as("langs"))
+      .orderBy("source")
+  }
+
   /** Build both storage layouts if absent (idempotent). Bench calls
     * this in warmup so the one-time layout write — amortized over every
     * later query in a real deployment — is not billed to the first
@@ -295,6 +351,7 @@ object StorageQueries {
     partitionedEvents(t)
     formatTwin(t, "csv")
     formatTwin(t, "orc")
+    evolutionTwin(t)
     graft.mm.Multimodal.mediaLayout(s, dir)
     ()
   }
@@ -331,5 +388,5 @@ object StorageQueries {
 
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
-      tableProfileHll, csvRoundtrip, orcRoundtrip)
+      tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution)
 }
