@@ -386,7 +386,62 @@ object StorageQueries {
       .orderBy("col_name")
   }
 
+  /** Join-key skew diagnosis — the report a pipeline owner reads
+    * BEFORE reaching for [[Salting]] or an AQE skew-join: per analyzed
+    * key, cardinality, the heaviest key's row count, and the skew
+    * ratio (max/avg) in exact ppm (`max·n_keys·1e6 div n_rows`). One
+    * map-side-combining count per key column plus metadata-sized
+    * reductions; the hot-key lookup joins the counts frame against
+    * its own 1-row max (broadcast), never re-scanning the fact. At
+    * 100 TB this is one shuffle of (key, partial count) pairs per
+    * analyzed column — the cheapest possible question to ask before
+    * an expensive join. */
+  private val tableSkewReport = Q(
+    "table_skew_report", {
+      def part(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS key_name, n_rows, n_keys, max_cnt, hot_key,
+           |       max_cnt * n_keys * 1000000 // n_rows AS skew_ppm
+           |FROM (
+           |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |         CAST(count(*) AS BIGINT) AS n_keys,
+           |         CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |         CAST(min(key) FILTER (cnt = (SELECT max(cnt) FROM (
+           |             SELECT count(*) AS cnt FROM $table GROUP BY $key))) AS BIGINT) AS hot_key
+           |  FROM (SELECT $key AS key, count(*) AS cnt FROM $table GROUP BY $key))""".stripMargin
+      s"""SELECT key_name, n_rows, n_keys, max_cnt, hot_key, skew_ppm FROM (
+         |${part("l_partkey", "lineitem", "l_partkey")}
+         |UNION ALL
+         |${part("o_custkey", "orders", "o_custkey")}
+         |) ORDER BY key_name""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    def part(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
+      val cnts = df.groupBy(col(key).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // consumed by the stats agg AND hot-key probe
+      val stats = cnts.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      cnts.crossJoin(broadcast(stats))
+        .filter(col("cnt") === col("max_cnt"))
+        .agg(
+          first(col("n_rows")).as("n_rows"),
+          first(col("n_keys")).as("n_keys"),
+          first(col("max_cnt")).as("max_cnt"),
+          min(col("key")).cast("long").as("hot_key"))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          col("hot_key"),
+          expr("max_cnt * n_keys * 1000000 DIV n_rows").as("skew_ppm"))
+    }
+    part("l_partkey", t.lineitem, "l_partkey")
+      .union(part("o_custkey", t.orders, "o_custkey"))
+      .orderBy("key_name")
+  }
+
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
-      tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution)
+      tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution,
+      tableSkewReport)
 }
