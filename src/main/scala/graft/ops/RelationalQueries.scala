@@ -1747,7 +1747,65 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Market-basket affinity — `text_collocations`' lift ranking
+    * applied to order baskets: part pairs co-purchased in the same
+    * order, ranked by corpus lift kept entirely in int64
+    * (`n_both·n_orders·1e6 div (n_a·n_b)`, monotone in PMI, no libm).
+    * The (order, part) item set is distinct-ed once and checkpointed
+    * (consumed by the order count, the per-part counts, and both
+    * sides of the pair join); the self-join shuffles on the order key
+    * only, so pair expansion is bounded by basket size — linear in
+    * items, never parts². Count attachments are plain key joins with
+    * no broadcast hint: the per-part counts frame is dimension-sized,
+    * so AQE size-gates it exactly like the dup-labels joins. Top-25
+    * through TakeOrdered with full-key tie-break. */
+  private val basketAffinity = Q(
+    "basket_affinity",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS pid FROM lineitem
+      |), n AS (
+      |  SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_orders FROM items
+      |), cx AS (
+      |  SELECT pid, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY pid
+      |), pairs AS (
+      |  SELECT a.pid AS part_a, b.pid AS part_b,
+      |         CAST(count(*) AS BIGINT) AS n_both
+      |  FROM items a JOIN items b ON a.oid = b.oid AND a.pid < b.pid
+      |  GROUP BY a.pid, b.pid
+      |)
+      |SELECT part_a, part_b, n_both, ca.c AS n_a, cb.c AS n_b,
+      |       n_both * n_orders * 1000000 // (ca.c * cb.c) AS lift_ppm
+      |FROM pairs
+      |JOIN cx ca ON ca.pid = part_a
+      |JOIN cx cb ON cb.pid = part_b, n
+      |WHERE n_both >= 2
+      |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin) {
+    (s, dir) =>
+    val items = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("pid"))
+      .distinct()
+      .localCheckpoint(false)
+    val nOrders = items.agg(countDistinct(col("oid")).as("n_orders"))
+    val cx = items.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.oid") === col("b.oid") && col("a.pid") < col("b.pid"))
+      .groupBy(col("a.pid").as("part_a"), col("b.pid").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(cx.select(col("pid").as("part_a"), col("c").as("n_a")), Seq("part_a"))
+      .join(cx.select(col("pid").as("part_b"), col("c").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_ppm",
+        expr("n_both * n_orders * 1000000 DIV (n_a * n_b)"))
+      .select("part_a", "part_b", "n_both", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
   val queries: Seq[Q] = Seq(
+    basketAffinity,
     snapshotDiff,
     aggGroup, aggRollup, aggCube, q3ShippingPriority,
     q5LocalSupplierVolume, q17SmallQuantity, q18LargeOrders,
