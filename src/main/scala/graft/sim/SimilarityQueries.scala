@@ -198,7 +198,9 @@ object SimilarityQueries {
     * the oracle). Pair space is bounded buckets·(cap²/2 + m);
     * `nPlanes` from [[planesFor]] keeps expected occupancy flat as the
     * corpus grows. */
-  private[sim] def nearDupPairs(
+  /** Scored within-bucket candidate pairs (no similarity threshold) —
+    * the frame [[nearDupPairs]] thresholds and the kNN graph ranks. */
+  private[sim] def scoredPairs(
       t: Tables, nPlanes: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("bucket"))
@@ -232,8 +234,12 @@ object SimilarityQueries {
         col("h.vec_id").as("vec_a"), col("t.vec_id").as("vec_b"),
         col("t.bucket").as("bucket"),
         simE6(col("h.embedding"), col("t.embedding")).as("sim_e6"))
-    headPairs.union(tailPairs).filter(col("sim_e6") >= NearDupSimE6)
+    headPairs.union(tailPairs)
   }
+
+  private[sim] def nearDupPairs(
+      t: Tables, nPlanes: Int, cap: Int): DataFrame =
+    scoredPairs(t, nPlanes, cap).filter(col("sim_e6") >= NearDupSimE6)
 
   /** Corpus-scaled near-dup entry point (ScaleStress / production):
     * counts the corpus (parquet-footer metadata, no data scan) and
@@ -924,8 +930,75 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Neighbors kept per vector in the kNN graph. */
+  private val KnnK = 5
+
+  /** Approximate kNN-graph construction — every vector's top-K
+    * most-similar neighbors among its LSH-bucket candidates, the
+    * standing graph semantic-dedup clustering and graph-based
+    * curation build on (the batch analog of an HNSW layer). Reuses
+    * the shared capped candidate machinery ([[scoredPairs]] — one
+    * bucketing window, head all-pairs + star edges), makes the edges
+    * directional (each endpoint ranks the pair), and keeps rank ≤ K
+    * per vector through a WindowGroupLimit-prunable row_number.
+    * Vectors in singleton buckets have no candidates and no rows —
+    * the honest ANN contract, same as `similarity_ann_lsh`'s bucket
+    * miss. At 100 TB: cost follows the capped candidate volume, and
+    * the only new wide op beyond the pair frame is the per-vector
+    * rank window, keyed by vec_id. */
+  private val similarityKnnGraph = Q(
+    "similarity_knn_graph",
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), ranked AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM b
+       |), pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM ranked l JOIN ranked r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM ranked t JOIN ranked h
+       |    ON t.bucket = h.bucket AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |), directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, sim_e6 FROM pairs
+       |), knn AS (
+       |  SELECT vec_id, nbr_id, sim_e6,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim_e6 DESC, nbr_id) AS rnk
+       |  FROM directed
+       |)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, sim_e6
+       |FROM knn WHERE rnk <= $KnnK
+       |ORDER BY vec_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = scoredPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
+      .localCheckpoint(false) // both direction projections read it
+    val directed = p
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("sim_e6"))
+      .union(p.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"),
+        col("sim_e6")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_e6").desc, col("nbr_id"))
+    directed
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select("vec_id", "rnk", "nbr_id", "sim_e6")
+      .orderBy("vec_id", "rnk")
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
-      embeddingCentroids, annRecallEval, simPqAdc)
+      embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph)
 }
