@@ -997,8 +997,60 @@ object SimilarityQueries {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Embedding-space connected components — the clustering step over
+    * [[embeddingNearDup]]'s thresholded pair graph, closing the
+    * embedding modality's candidates → components pipeline exactly
+    * like the text/image/audio/video families: the ONE shared
+    * propagation engine over cosine near-dup edges. Semantic-dedup
+    * survivor selection composes on top the same way
+    * `dedup_survivors` does. */
+  private val embeddingComponents = Q(
+    "embedding_components",
+    s"""WITH RECURSIVE b AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), ranked AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM b
+       |), pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM ranked l JOIN ranked r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM ranked t JOIN ranked h
+       |    ON t.bucket = h.bucket AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |), np AS (
+       |  SELECT vec_a, vec_b FROM pairs WHERE sim_e6 >= $NearDupSimE6
+       |), nodes AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT vec_a AS vec_id FROM np UNION ALL SELECT vec_b FROM np)
+       |), edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM np
+       |  UNION SELECT vec_b, vec_a FROM np
+       |), reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |)
+       |SELECT s AS vec_id, min(t) AS component
+       |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.dedup.DedupQueries.componentLabelsOf(
+      nearDupPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
-      embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph)
+      embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
+      embeddingComponents)
 }

@@ -41,7 +41,7 @@ object ScaleStress {
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
-    "sim_pq_adc")
+    "sim_pq_adc", "similarity_knn_graph", "embedding_components")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
