@@ -62,8 +62,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":$total}"""
     println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Best-effort mirror: the stdout line above is the contract; a
+    // read-only or unexpected cwd must not turn a COMPLETED bench run
+    // into a failed exit after the results are already printed.
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] bench_out.json not written: $e")
+    }
     spark.stop()
   }
 }

@@ -1276,7 +1276,14 @@ object DedupQueries {
        |           i -> {'pos': i - 1, 'fp': ${Hashes.sqlTokHash(win)}})) AS w
        |  FROM tk
        |), pos AS (
+       |  -- fp IS NOT NULL is LOAD-BEARING (the sqlBandsCte NULL class):
+       |  -- docs shorter than K tokens get one phantom window from the
+       |  -- greatest() floor whose out-of-range toks[i+j] NULLs the
+       |  -- concat; the native Shingles side emits ZERO windows for such
+       |  -- docs, and NULL fps would otherwise count-group together and
+       |  -- fabricate oracle-only spans on any corpus with 2+ short docs.
        |  SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.fp AS fp FROM win
+       |  WHERE w.fp IS NOT NULL
        |), marked AS (
        |  SELECT doc_id, pos FROM (
        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM pos)

@@ -521,7 +521,10 @@ object Multimodal {
       val v =
         if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
         else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
-      sw((i * 16 / total).toInt) += math.abs(v.toLong)
+      // Long arithmetic: i·16 wraps Int beyond ~134M samples (~4.6 h
+      // at 8 kHz) — and the documented formula the oracle replays is
+      // int64 `w = i·16 div n`.
+      sw((i.toLong * 16 / total).toInt) += math.abs(v.toLong)
       i += 1
     }
     val t = sw.sum

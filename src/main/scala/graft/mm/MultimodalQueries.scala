@@ -706,7 +706,8 @@ object MultimodalQueries {
   /** Parameterized DuckDB mirror of [[bandedHammingPairs]]: extends a
     * bands CTE (relation `${p}allbands`) with capped pairing, ending
     * in `${p}pairs(item_a, item_b, hamming)`. */
-  private def sqlBandedPairsCte(bandsCte: String, p: String, nBands: Int): String = {
+  private def sqlBandedPairsCte(bandsCte: String, p: String, nBands: Int,
+      maxHamming: Int = 2): String = {
     def ham(a: String, b: String) =
       "CAST(" + (1 to nBands).map(i => s"bit_count(xor($a[$i], $b[$i]))")
         .mkString(" + ") + " AS BIGINT)"
@@ -732,7 +733,7 @@ object MultimodalQueries {
        |    FROM ${p}ranked WHERE m > 1 AND rk > $MaxBucketPairItems
        |  )
        |), ${p}pairs AS (
-       |  SELECT item_a, item_b, hamming FROM ${p}cand WHERE hamming <= 2
+       |  SELECT item_a, item_b, hamming FROM ${p}cand WHERE hamming <= $maxHamming
        |)""".stripMargin
   }
 

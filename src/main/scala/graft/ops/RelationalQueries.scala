@@ -1774,7 +1774,7 @@ object RelationalQueries {
       |  GROUP BY a.pid, b.pid
       |)
       |SELECT part_a, part_b, n_both, ca.c AS n_a, cb.c AS n_b,
-      |       n_both * n_orders * 1000000 // (ca.c * cb.c) AS lift_ppm
+      |       ((n_both * 1000000) // ca.c) * n_orders // cb.c AS lift_ppm
       |FROM pairs
       |JOIN cx ca ON ca.pid = part_a
       |JOIN cx cb ON cb.pid = part_b, n
@@ -1797,8 +1797,12 @@ object RelationalQueries {
       .join(cx.select(col("pid").as("part_a"), col("c").as("n_a")), Seq("part_a"))
       .join(cx.select(col("pid").as("part_b"), col("c").as("n_b")), Seq("part_b"))
       .crossJoin(broadcast(nOrders))
+      // Staged division: n_both ≤ n_a keeps the first quotient ≤ 1e6,
+      // so the n_orders product stays inside int64 at any corpus size —
+      // the single-expression form overflows on both the numerator AND
+      // the n_a·n_b denominator once counts reach ~1e10.
       .withColumn("lift_ppm",
-        expr("n_both * n_orders * 1000000 DIV (n_a * n_b)"))
+        expr("((n_both * 1000000) DIV n_a) * n_orders DIV n_b"))
       .select("part_a", "part_b", "n_both", "n_a", "n_b", "lift_ppm")
       .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
       .limit(25)

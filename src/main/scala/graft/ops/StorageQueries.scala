@@ -320,7 +320,7 @@ object StorageQueries {
   private val schemaEvolution = Q(
     "schema_evolution",
     s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_null_lang,
+       |       CAST(sum(CASE WHEN doc_id % 2 = 0 OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_null_lang,
        |       CAST(sum(${graft.util.Hashes.sqlTokHash("text")}) AS BIGINT) AS checksum,
        |       coalesce(string_agg(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END, ','
        |                           ORDER BY CASE WHEN doc_id % 2 = 1 THEN lang END),

@@ -42,8 +42,11 @@ object IncrementalDedup {
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
-      val standing = spark.read.parquet(indexDir)
-      val pairs = DedupQueries.incrementalPairsBetween(newBands, standing)
+      // Checkpointed: isEmpty is an action, and without the pin the
+      // append below would re-run the whole standing-index probe
+      // (semi-join + rank window + pair join) a second time.
+      val pairs = DedupQueries.incrementalPairsBetween(newBands,
+        spark.read.parquet(indexDir)).localCheckpoint(false)
       if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
     }
     Sinks.appendParquet(newBands, indexDir)

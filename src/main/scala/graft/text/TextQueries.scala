@@ -813,10 +813,10 @@ object TextQueries {
          |  FROM documents
          |), contrib AS (
          |  SELECT q.query_id, tf.doc_id,
-         |         (((2*(n - df) + 1) * 1000000 // (2*df + 1))
+         |         (((2*(n - df) + 1) * 1000 // (2*df + 1))
          |          * ((22 * tf * avgdl_e3 * 1000000)
          |             // (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
-         |         ) // 1000000 AS c
+         |         ) // 1000 AS c
          |  FROM q JOIN tf USING (term) JOIN df USING (term), stats
          |), scored AS (
          |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
@@ -855,11 +855,15 @@ object TextQueries {
       .join(broadcast(dfFrame), Seq("term"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qdf), Seq("term"))
+      // idf in the e3 domain, not e6: the rare-term idf grows ~670·N,
+      // and idf × saturation (≤ 2.2e6) must stay inside int64 — e3
+      // headroom reaches N ≈ 6e9 docs where e6 wrapped at ~6e6
+      // (Spark ANSI-off wraps silently; DuckDB raises — both wrong).
       .withColumn("c", expr(
-        """((2*(n - df) + 1) * 1000000 DIV (2*df + 1))
+        """((2*(n - df) + 1) * 1000 DIV (2*df + 1))
           | * ((22 * tf * avgdl_e3 * 1000000)
           |    DIV (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
-          | DIV 1000000""".stripMargin))
+          | DIV 1000""".stripMargin))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).cast("long").as("score_ppm"))
       .withColumn("rnk", row_number().over(w).cast("long"))

