@@ -1048,9 +1048,81 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Embedding survivor selection — semantic dedup's final answer:
+    * keep each cosine-cluster's min-vec_id representative plus every
+    * unclustered vector, with cluster sizes. Same shape as
+    * `dedup_survivors` (labels/sizes joined among themselves, then
+    * one [[graft.ops.ScaleGates]]-gated left join onto the corpus
+    * scan); closes candidates → components → deduped corpus for the
+    * embedding modality. */
+  private val embeddingSurvivors = Q(
+    "embedding_survivors",
+    s"""WITH RECURSIVE b AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), ranked AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM b
+       |), pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM ranked l JOIN ranked r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM ranked t JOIN ranked h
+       |    ON t.bucket = h.bucket AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |), np AS (
+       |  SELECT vec_a, vec_b FROM pairs WHERE sim_e6 >= $NearDupSimE6
+       |), nodes AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT vec_a AS vec_id FROM np UNION ALL SELECT vec_b FROM np)
+       |), edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM np
+       |  UNION SELECT vec_b, vec_a FROM np
+       |), reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS vec_id, min(t) AS component FROM reach GROUP BY s
+       |), sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT e.vec_id, e.label,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM embeddings e
+       |LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |WHERE c.vec_id IS NULL OR c.component = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = graft.dedup.DedupQueries.componentLabelsOf(
+      nearDupPairs(t, DefaultPlanes, MaxBucketPairVecs)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels
+      .join(sizes, "component")
+      .withColumnRenamed("doc_id", "vec_id")
+    graft.ops.ScaleGates.annotateWithLabels(
+      t.embeddings.select(col("vec_id"), col("label")),
+      annotated, labels.count(), "vec_id")
+      .filter(col("component").isNull || col("component") === col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
-      embeddingComponents)
+      embeddingComponents, embeddingSurvivors)
 }

@@ -872,12 +872,70 @@ object TextQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** C4/Gopher-style filter funnel report — the per-source accounting
+    * a curation pipeline publishes with every corpus release: each doc
+    * is attributed to the FIRST filter stage that drops it (too-short
+    * → stopword-heavy → repetitive), survivors to `n_kept`, so the
+    * stage columns + kept sum exactly to `n_docs`. The rules are the
+    * `text_quality` / `text_repetition` thresholds re-expressed as
+    * pure integer comparisons (2·n_stop > n_tokens ⇔ ratio > 0.5;
+    * 5·dup > n ⇔ ratio > 0.2) so both engines compare exactly. ONE
+    * narrow scan + a source-keyed map-side-combining aggregate — at
+    * 100 TB the funnel costs a single pass, which is why real
+    * pipelines compute it alongside the filter itself. */
+  private val corpusFilterReport = Q(
+    "corpus_filter_report", {
+      val grams = graft.dedup.DedupQueries.sqlNgramsOf(sqlToks, 2)
+      s"""WITH f AS (
+         |  SELECT source,
+         |         CAST(len($sqlToks) AS BIGINT) AS nt,
+         |         CAST(len(list_filter($sqlToks,
+         |                  t -> t IN ('the', 'a'))) AS BIGINT) AS nstop,
+         |         CAST(len($grams) AS BIGINT) AS ng,
+         |         CAST(len(list_distinct($grams)) AS BIGINT) AS nd
+         |  FROM documents
+         |), staged AS (
+         |  SELECT source,
+         |         CASE WHEN nt < 20 THEN 'short'
+         |              WHEN 2 * nstop > nt THEN 'stopword'
+         |              WHEN 5 * (ng - nd) > ng THEN 'repetition'
+         |              ELSE 'kept' END AS stage
+         |  FROM f
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN stage = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+         |       CAST(sum(CASE WHEN stage = 'stopword' THEN 1 ELSE 0 END) AS BIGINT) AS drop_stopword,
+         |       CAST(sum(CASE WHEN stage = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetition,
+         |       CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM staged GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    val grams = org.apache.spark.sql.graft.ColumnOps.shingles(toks, 2)
+    val nt = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val ng = size(grams).cast("long")
+    val nd = size(array_distinct(grams)).cast("long")
+    val stage = when(nt < 20, "short")
+      .when(nStop * 2 > nt, "stopword")
+      .when((ng - nd) * 5 > ng, "repetition")
+      .otherwise("kept")
+    Tables(s, dir).documents
+      .select(col("source"), stage.as("stage"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("stage") === "short", 1L).otherwise(0L)).as("drop_short"),
+        sum(when(col("stage") === "stopword", 1L).otherwise(0L)).as("drop_stopword"),
+        sum(when(col("stage") === "repetition", 1L).otherwise(0L)).as("drop_repetition"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, textDecontaminate,
-      textLineDedup, textTfidf, textVocab, searchBm25)
+      textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

@@ -53,4 +53,35 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)))
     } finally q.stop()
   }
+
+  test("restart from checkpoint neither reprocesses nor loses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val indexDir = tmpDir("incr-r-index") + "/bands"
+    val pairsDir = tmpDir("incr-r-pairs") + "/pairs"
+    val ckpt = tmpDir("incr-r-ckpt")
+    def run(): Unit = {
+      val q = IncrementalDedup.start(
+        input.toDF().toDF("doc_id", "text"),
+        indexDir, pairsDir, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    input.addData((1L, base), (2L, far))
+    run()
+    val bandsAfter1 = spark.read.parquet(indexDir).count()
+
+    // Restart with one new duplicate doc: batch 1's offsets are
+    // recovered, so its bands are NOT re-appended (re-appending would
+    // double the index and emit phantom (1,1)-style self pairs), and
+    // the new doc still dedups against the standing state.
+    input.addData((20L, base))
+    run()
+    assert(spark.read.parquet(indexDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count()
+      == bandsAfter1 / 2, "doc 1's bands must appear exactly once")
+    val got = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 1L)))
+  }
 }
