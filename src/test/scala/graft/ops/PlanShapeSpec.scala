@@ -240,6 +240,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected df agg + score agg + rank window exchanges only:\n$plan")
   }
 
+  test("corpus_filter_report: one narrow scan into one source aggregate") {
+    val plan = planOf("corpus_filter_report")
+    assert(!plan.contains("Join"),
+      s"the funnel must be computed inline, never joined:\n$plan")
+    assert(countOf(plan, "hashpartitioning") == 1,
+      s"expected only the source-keyed aggregate exchange:\n$plan")
+  }
+
+  test("basket_affinity: top-25 via TakeOrderedAndProject, no cartesian product") {
+    val plan = planOf("basket_affinity")
+    // The limit must be a per-partition heap merge, not a global sort,
+    // and the only nested-loop join is the hinted 1-row stats cross.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 must not global-sort:\n$plan")
+    assert(countOf(plan, "rangepartitioning") == 0,
+      s"no range exchange expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay keyed on the order id:\n$plan")
+  }
+
   test("annotateWithLabels: labels broadcast only below the row gate") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.range(100).select(col("id").as("doc_id"))
