@@ -251,12 +251,11 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Embedding-cosine near-dup: pairs inside the same LSH bucket with
-    * cosine ≥ 0.15, degenerate buckets capped (mirrored in the oracle:
-    * same rank windows, same star edges, so the contract holds even on
-    * a corpus where a bucket exceeds the cap). */
-  private val embeddingNearDup = Q(
-    "embedding_near_dup",
+  /** Shared DuckDB CTE chain `b`/`ranked`/`pairs` — the capped
+    * scored-pair frame ([[scoredPairs]]' oracle twin) every
+    * embedding-family oracle builds on. `pairs` carries (vec_a,
+    * vec_b, bucket, sim_e6); consumers project what they need. */
+  private def sqlEmbPairsCte: String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
        |  FROM embeddings
@@ -277,7 +276,35 @@ object SimilarityQueries {
        |  FROM ranked t JOIN ranked h
        |    ON t.bucket = h.bucket AND h.rk = 1
        |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
-       |)
+       |)""".stripMargin
+
+  /** [[sqlEmbPairsCte]] extended with the thresholded recursive
+    * closure, ending in `comp(vec_id, component)` — shared by the
+    * components and survivors oracles. */
+  private def sqlEmbClosureCte: String =
+    s"""WITH RECURSIVE ${sqlEmbPairsCte.stripPrefix("WITH ")}, np AS (
+       |  SELECT vec_a, vec_b FROM pairs WHERE sim_e6 >= $NearDupSimE6
+       |), nodes AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT vec_a AS vec_id FROM np UNION ALL SELECT vec_b FROM np)
+       |), edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM np
+       |  UNION SELECT vec_b, vec_a FROM np
+       |), reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS vec_id, min(t) AS component FROM reach GROUP BY s
+       |)""".stripMargin
+
+  /** Embedding-cosine near-dup: pairs inside the same LSH bucket with
+    * cosine ≥ 0.15, degenerate buckets capped (mirrored in the oracle:
+    * same rank windows, same star edges, so the contract holds even on
+    * a corpus where a bucket exceeds the cap). */
+  private val embeddingNearDup = Q(
+    "embedding_near_dup",
+    s"""$sqlEmbPairsCte
        |SELECT vec_a, vec_b, bucket, sim_e6 FROM pairs
        |WHERE sim_e6 >= $NearDupSimE6
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
@@ -948,27 +975,7 @@ object SimilarityQueries {
     * rank window, keyed by vec_id. */
   private val similarityKnnGraph = Q(
     "similarity_knn_graph",
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |), ranked AS (
-       |  SELECT vec_id, embedding, bucket,
-       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
-       |         count(*) OVER (PARTITION BY bucket) AS m
-       |  FROM b
-       |), pairs AS (
-       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
-       |  FROM ranked l JOIN ranked r
-       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
-       |  UNION ALL
-       |  SELECT h.vec_id, t.vec_id,
-       |         ${sqlSimE6("h.embedding", "t.embedding")}
-       |  FROM ranked t JOIN ranked h
-       |    ON t.bucket = h.bucket AND h.rk = 1
-       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
-       |), directed AS (
+    s"""$sqlEmbPairsCte, directed AS (
        |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM pairs
        |  UNION ALL
        |  SELECT vec_b, vec_a, sim_e6 FROM pairs
@@ -1006,41 +1013,8 @@ object SimilarityQueries {
     * `dedup_survivors` does. */
   private val embeddingComponents = Q(
     "embedding_components",
-    s"""WITH RECURSIVE b AS (
-       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |), ranked AS (
-       |  SELECT vec_id, embedding, bucket,
-       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
-       |         count(*) OVER (PARTITION BY bucket) AS m
-       |  FROM b
-       |), pairs AS (
-       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
-       |  FROM ranked l JOIN ranked r
-       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
-       |  UNION ALL
-       |  SELECT h.vec_id, t.vec_id,
-       |         ${sqlSimE6("h.embedding", "t.embedding")}
-       |  FROM ranked t JOIN ranked h
-       |    ON t.bucket = h.bucket AND h.rk = 1
-       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
-       |), np AS (
-       |  SELECT vec_a, vec_b FROM pairs WHERE sim_e6 >= $NearDupSimE6
-       |), nodes AS (
-       |  SELECT DISTINCT vec_id FROM (
-       |    SELECT vec_a AS vec_id FROM np UNION ALL SELECT vec_b FROM np)
-       |), edges AS (
-       |  SELECT vec_a AS a, vec_b AS b FROM np
-       |  UNION SELECT vec_b, vec_a FROM np
-       |), reach(s, t) AS (
-       |  SELECT vec_id, vec_id FROM nodes
-       |  UNION SELECT a, b FROM edges
-       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
-       |)
-       |SELECT s AS vec_id, min(t) AS component
-       |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    s"""$sqlEmbClosureCte
+       |SELECT vec_id, component FROM comp ORDER BY vec_id""".stripMargin) { (s, dir) =>
     graft.dedup.DedupQueries.componentLabelsOf(
       nearDupPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -1057,41 +1031,7 @@ object SimilarityQueries {
     * embedding modality. */
   private val embeddingSurvivors = Q(
     "embedding_survivors",
-    s"""WITH RECURSIVE b AS (
-       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |), ranked AS (
-       |  SELECT vec_id, embedding, bucket,
-       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
-       |         count(*) OVER (PARTITION BY bucket) AS m
-       |  FROM b
-       |), pairs AS (
-       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
-       |  FROM ranked l JOIN ranked r
-       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
-       |  UNION ALL
-       |  SELECT h.vec_id, t.vec_id,
-       |         ${sqlSimE6("h.embedding", "t.embedding")}
-       |  FROM ranked t JOIN ranked h
-       |    ON t.bucket = h.bucket AND h.rk = 1
-       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
-       |), np AS (
-       |  SELECT vec_a, vec_b FROM pairs WHERE sim_e6 >= $NearDupSimE6
-       |), nodes AS (
-       |  SELECT DISTINCT vec_id FROM (
-       |    SELECT vec_a AS vec_id FROM np UNION ALL SELECT vec_b FROM np)
-       |), edges AS (
-       |  SELECT vec_a AS a, vec_b AS b FROM np
-       |  UNION SELECT vec_b, vec_a FROM np
-       |), reach(s, t) AS (
-       |  SELECT vec_id, vec_id FROM nodes
-       |  UNION SELECT a, b FROM edges
-       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
-       |), comp AS (
-       |  SELECT s AS vec_id, min(t) AS component FROM reach GROUP BY s
-       |), sizes AS (
+    s"""$sqlEmbClosureCte, sizes AS (
        |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM comp GROUP BY component
        |)
