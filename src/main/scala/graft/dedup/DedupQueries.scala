@@ -666,7 +666,13 @@ object DedupQueries {
        |LEFT JOIN sizes z ON z.component = c.component
        |WHERE c.doc_id IS NULL OR c.component = d.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    val t = Tables(s, dir)
+    survivorsFrame(Tables(s, dir)).orderBy("doc_id")
+  }
+
+  /** The deduped-corpus survivor frame (unordered) — the declared
+    * query above plus [[graft.etl.Sinks.materializeDedupedCorpus]]'s
+    * write path both read it. */
+  private[graft] def survivorsFrame(t: Tables): DataFrame = {
     val labels = componentLabels(t)
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -677,7 +683,6 @@ object DedupQueries {
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id"), col("source"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** Chunk-level near-dedup: the MinHash pipeline applied at the

@@ -57,6 +57,26 @@ object Sinks {
   def appendParquet(df: DataFrame, tableDir: String): Unit =
     df.write.mode("append").parquet(tableDir)
 
+  /** Materialize the DEDUPED corpus — the near-dedup pipeline's write
+    * path: survivors (component-min representative of every near-dup
+    * cluster plus all unpaired docs, `dedup_survivors` values) joined
+    * back to their full document payloads and written as a
+    * source-partitioned parquet table, each row annotated with its
+    * cluster_size provenance. The payload join is a semi-shaped key
+    * join (survivors carry no text, so no payload ever enters the
+    * dedup computation itself), and the write prunes per source like
+    * every partitioned layout here. Returns the survivor row count.
+    * At 100 TB this is the step that turns the (tiny) labels frame
+    * into the training corpus the packer reads. */
+  def materializeDedupedCorpus(t: graft.Tables, outDir: String): Long = {
+    val survivors = graft.dedup.DedupQueries.survivorsFrame(t)
+      .select("doc_id", "cluster_size")
+    val deduped = t.documents
+      .join(survivors, Seq("doc_id"))
+    deduped.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    t.spark.read.parquet(outDir).count()
+  }
+
   /** Time-partitioned warehouse layout (SURVEY.md §1.1: the hourly
     * append table "at scale, a time-partitioned table"): one directory
     * per partition value, so date-ranged queries prune at the file

@@ -80,4 +80,39 @@ class SinksSpec extends SparkSpec {
     assert(path.contains("/data/raw/"))
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == """{"a":1}""")
   }
+
+  test("materializeDedupedCorpus writes survivors with payloads, partitioned by source") {
+    import spark.implicits._
+    // Planted near-dup corpus (the DedupSpec fixture): doc 1 is an
+    // exact dup of doc 0 and must NOT survive; near-dup 2 may collapse
+    // into 0's cluster; unrelated 3 always survives.
+    val base = ("spark catalyst shuffles partition data across executors " +
+      "for wide joins and aggregations at scale ") * 8
+    val other = "completely different words about cooking pasta with " +
+      "tomatoes basil garlic olive oil and fresh bread " * 3
+    val docs = Seq((0L, base, "srcA"), (1L, base, "srcA"),
+      (2L, base.replaceFirst("catalyst", "tungsten"), "srcB"),
+      (3L, other, "srcB"))
+      .map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dedup-sink")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = tmpDir("dedup-sink-out") + "/deduped"
+    val n = Sinks.materializeDedupedCorpus(graft.Tables(spark, dir), out)
+    val back = spark.read.parquet(out)
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L), "exact dup must be excised")
+    assert(ids.contains(0L) && ids.contains(3L))
+    assert(n == ids.size.toLong)
+    // Full payloads and provenance survive the roundtrip.
+    assert(back.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars", "cluster_size"))
+    val c0 = back.filter($"doc_id" === 0L).select("cluster_size")
+      .collect().head.getLong(0)
+    assert(c0 >= 2, "the representative carries its cluster size")
+    // Hive-style source partitions exist on disk.
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.exists(_.startsWith("source=")))
+  }
 }
