@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Hashes
 import graft.{Q, Tables}
 
@@ -417,7 +418,7 @@ object DedupQueries {
     // persist() would leak into the session's CacheManager and turn any
     // later identical plan (e.g. a benchmark's second run) into a
     // silent cache hit; a localCheckpoint is scoped to this invocation.
-    val cand = candidatePairs(t).localCheckpoint()
+    val cand = candidatePairs(t).cut()
     // Shingle ONLY docs that appear in a candidate pair (left-semi
     // prune): verification cost scales with candidates, not corpus —
     // the property that keeps this shape viable at 100 TB.
@@ -427,7 +428,7 @@ object DedupQueries {
     val sh = tokenized(t)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
-      .localCheckpoint()
+      .cut()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(array_distinct(concat(col("a.sh"), col("b.sh"))))
     cand
@@ -542,6 +543,23 @@ object DedupQueries {
   /** Min-label propagation over an arbitrary (doc_a, doc_b) edge
     * frame — shared by the doc-level components query and the image
     * near-dup graph ([[graft.mm.MultimodalQueries]]). */
+  /** Directed-edge rows per propagation-loop shuffle partition: a loop
+    * frame row is a few longs, so ~1M rows/partition keeps partitions
+    * in the tens of MB — comfortably in-memory per task. */
+  private[graft] val LoopEdgeRowsPerPartition: Long = 1L << 20
+
+  /** Shuffle width for the propagation loop, derived from the measured
+    * directed-edge row count: a floor of 4 (test-SF frames are tiny —
+    * wider shuffles only add scheduling floor), scaling linearly with
+    * edge volume, capped at the session's own `shuffle.partitions` (the
+    * deployment's declared parallelism ceiling). At 100 TB a
+    * billions-of-rows edge frame saturates the cap; the loop never
+    * funnels a corpus-scale frame through a local-scale constant. */
+  private[graft] def loopShufflePartitions(
+      edgeRows: Long, sessionParts: Int): Int =
+    math.max(4L, math.min(sessionParts.toLong,
+      edgeRows / LoopEdgeRowsPerPartition)).toInt
+
   private[graft] def componentLabelsOf(edgeFrame: DataFrame): DataFrame = {
     // The loop's fixed cost is DRIVER actions, not executor work (the
     // frames are candidate-sized): every eager action pays scheduling +
@@ -565,15 +583,15 @@ object DedupQueries {
     //    graphs converge in 1-2 batches either way, but genuine
     //    near-dup CHAINS (the image hamming graph, round 7) went from
     //    ~10 batches of AQE scheduling-floor jobs to 3.
-    val edges = edgeFrame.localCheckpoint(false)
+    val edges = edgeFrame.cut(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .cut()
     val compType = bi.schema("src").dataType
     var labels = bi.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-      .localCheckpoint(false)
+      .cut(false)
     def step(prev: DataFrame): DataFrame = {
       val nbr = bi
         .join(prev.select(col("id").as("src"), col("comp")), "src")
@@ -591,24 +609,34 @@ object DedupQueries {
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
           col("old"))
     }
-    // The loop's frames are candidate/node-sized METADATA (orders of
-    // magnitude under the corpus by construction — capped buckets emit
-    // O(corpus) edges, labels are one row per paired node), so AQE's
-    // per-exchange re-optimization buys nothing and costs one
-    // scheduling-floor JOB per exchange per batch (~8 jobs/batch
-    // measured at sf0.1). Compiling the loop with AQE off makes each
-    // batch ONE job; the pair-generation pipeline before the loop and
-    // every consumer after it still compile under AQE.
+    // AQE's per-exchange re-optimization buys the loop nothing and
+    // costs one scheduling-floor JOB per exchange per batch (~8
+    // jobs/batch measured at sf0.1). Compiling the loop with AQE off
+    // makes each batch ONE job; the pair-generation pipeline before the
+    // loop and every consumer after it still compile under AQE.
+    //
+    // With AQE off the loop's shuffle width must be chosen here — and
+    // it must be chosen from MEASURED edge volume, not a constant. The
+    // frames the loop shuffles are dup-graph-sized: orders of magnitude
+    // under the corpus at test SFs (a handful of rows → a low floor
+    // keeps each batch at the scheduling minimum), but dup-rate ×
+    // corpus on a 100 TB crawl (billions of rows at a realistic 30-50%
+    // dup rate — the exact frames [[graft.ops.ScaleGates]] refuses to
+    // broadcast). `bi` is eagerly cut, so the count below is a
+    // cached-partition scan, and the width scales linearly with edge
+    // rows up to the session's configured parallelism — the cluster
+    // operator's own ceiling.
     val conf = bi.sparkSession.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
     var changed = 1L
     var batches = 0
     conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", "4")
+    conf.set("spark.sql.shuffle.partitions",
+      loopShufflePartitions(bi.count(), shufWas.toInt).toString)
     try {
       while (changed > 0 && batches < 16) {
-        val next = jump(step(step(labels))).localCheckpoint(false)
+        val next = jump(step(step(labels))).cut(false)
         changed = next.filter(col("comp") =!= col("old")).count()
         labels = next
         batches += 1
@@ -867,17 +895,17 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    val cand = candidatePairs(t).localCheckpoint()
+    val cand = candidatePairs(t).cut()
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val sig = signatures(t)
       .join(candIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .cut()
     val sh = tokenized(t)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
-      .localCheckpoint()
+      .cut()
     val agree = (0 until K)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -927,14 +955,14 @@ object DedupQueries {
        |JOIN tx b ON cand.doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val cand = candidatePairs(t).localCheckpoint()
+    val cand = candidatePairs(t).cut()
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val tx = t.documents
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
-      .localCheckpoint()
+      .cut()
     cand
       .join(tx.as("a"), col("doc_a") === col("a.doc_id"))
       .join(tx.as("b"), col("doc_b") === col("b.doc_id"))
@@ -1099,11 +1127,11 @@ object DedupQueries {
     // ONE signature pass: the standing graph and the incremental edges
     // both read this checkpointed band frame (re-minhashing the corpus
     // for each consumer was ~1 s of the query's steady state).
-    val bandRows = bands(t).localCheckpoint(false)
+    val bandRows = bands(t).cut(false)
     // Standing state (stored tables in production, derived here).
     val standing = componentLabelsOf(candidatePairsOf(bandRows.filter(!isNew)))
-      .localCheckpoint(false)
-    val incr = incrementalPairsOf(bandRows).localCheckpoint(false)
+      .cut(false)
+    val incr = incrementalPairsOf(bandRows).cut(false)
     // Contract: corpus endpoint -> its standing component id (itself
     // when the doc was unpaired in the standing graph). The standing
     // labels table is corpus-scale (every doc in any near-dup pair —
@@ -1123,7 +1151,7 @@ object DedupQueries {
       .distinct()
     // Merge over the super-graph: nodes are new docs + touched
     // component ids — incremental-batch-sized by construction.
-    val superLabels = componentLabelsOf(superEdges).localCheckpoint(false)
+    val superLabels = componentLabelsOf(superEdges).cut(false)
     val relabel = superLabels
       .select(col("doc_id").as("cid"), col("component").as("merged"))
     val standingRows = standing
@@ -1220,7 +1248,7 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val e = candidatePairs(Tables(s, dir))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint(false) // three-way self-join: pair-gen runs once
+      .cut(false) // three-way self-join: pair-gen runs once
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy(col("a"))
       .agg(count(lit(1)).as("degree"))

@@ -3,6 +3,7 @@ package graft.mm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Det
 import graft.{Q, Tables}
 
@@ -666,7 +667,7 @@ object MultimodalQueries {
       count(lit(1)).over(byBucket).as("m"),
       first(col("item_id")).over(ord).as("aitem"),
       first(col("bands")).over(ord).as("abands"))
-      .localCheckpoint(false)
+      .cut(false)
     def hamming(a: Column, b: Column): Column =
       (0 until nBands)
         .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
@@ -956,7 +957,7 @@ object MultimodalQueries {
     }) { (s, dir) =>
     def stats(name: String, mod: Int,
         pairsDf: org.apache.spark.sql.DataFrame) = {
-      val p = pairsDf.localCheckpoint(false)
+      val p = pairsDf.cut(false)
       val nItems = Tables(s, dir).documents
         .filter(col("doc_id") % 3 === mod)
         .agg(count(lit(1)).as("n_items"))

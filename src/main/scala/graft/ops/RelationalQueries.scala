@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Det
 import graft.{Q, Tables}
 
@@ -226,7 +227,7 @@ object RelationalQueries {
     val li = t.lineitem
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .localCheckpoint()
+      .cut()
     val avgs = li.groupBy(col("l_partkey"))
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       .withColumnRenamed("l_partkey", "pk")
@@ -1629,7 +1630,7 @@ object RelationalQueries {
     val edges = pairs.select(col("pnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("pnode").as("dst")))
     val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = edges.join(deg0, "src").localCheckpoint()
+    val contrib = edges.join(deg0, "src").cut()
     // Everything after this line reads the checkpointed frame: degrees
     // and the rank seed are re-derived from contrib (tiny), NOT from
     // deg0 — whose lineage would re-scan lineitem and re-run the
@@ -1784,7 +1785,7 @@ object RelationalQueries {
     val items = Tables(s, dir).lineitem
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("pid"))
       .distinct()
-      .localCheckpoint(false)
+      .cut(false)
     val nOrders = items.agg(countDistinct(col("oid")).as("n_orders"))
     val cx = items.groupBy(col("pid")).agg(count(lit(1)).as("c"))
     val pairs = items.as("a")

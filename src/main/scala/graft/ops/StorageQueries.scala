@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Det
 import graft.{Q, Tables}
 
@@ -418,7 +419,7 @@ object StorageQueries {
     def part(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
       val cnts = df.groupBy(col(key).as("key"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false) // consumed by the stats agg AND hot-key probe
+        .cut(false) // consumed by the stats agg AND hot-key probe
       val stats = cnts.agg(
         sum(col("cnt")).cast("long").as("n_rows"),
         count(lit(1)).as("n_keys"),

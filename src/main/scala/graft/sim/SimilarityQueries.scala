@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.{Q, Tables}
 
 /** Similarity search over the embeddings table (north-star extensions):
@@ -217,7 +218,7 @@ object SimilarityQueries {
         row_number().over(byBucket.orderBy(col("vec_id"))).as("rk"),
         count(lit(1)).over(byBucket).as("m"))
       .filter(col("m") > 1)
-      .localCheckpoint()
+      .cut()
     val head = ranked.filter(col("rk") <= cap)
     val headPairs = head.as("l")
       .join(head.as("r"),
@@ -921,7 +922,7 @@ object SimilarityQueries {
        |ORDER BY adc_e12 DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val ex = pqElems(emb).localCheckpoint(false)
+    val ex = pqElems(emb).cut(false)
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
     val seeds = emb.orderBy(seedOrd: _*).limit(PqK)
       .select(
@@ -935,7 +936,7 @@ object SimilarityQueries {
       .join(ex, Seq("vec_id", "m"))
       .groupBy(col("k"), col("m"), col("i"))
       .agg(expr("CAST(sum(x_e6) div count(1) AS BIGINT)").as("c_e6"))
-      .localCheckpoint(false)
+      .cut(false)
     val codes = pqAssign(ex, c1)
     val qex = pqElems(queryVec(t).select(lit(0L).as("vec_id"),
         col("q_emb").as("embedding")))
@@ -990,7 +991,7 @@ object SimilarityQueries {
        |ORDER BY vec_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val p = scoredPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
-      .localCheckpoint(false) // both direction projections read it
+      .cut(false) // both direction projections read it
     val directed = p
       .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("sim_e6"))
       .union(p.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.dedup.DedupQueries
+import graft.ops.Checkpoints.CheckpointOps
 import graft.etl.Sinks
 
 /** Streaming twin of the `dedup_incremental` batch query: the day-N+1
@@ -38,7 +39,7 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     // The batch is re-read below the pair join AND the index append;
     // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
-    val newBands = DedupQueries.bandsOfDocs(docs).localCheckpoint(false)
+    val newBands = DedupQueries.bandsOfDocs(docs).cut(false)
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
@@ -46,7 +47,7 @@ object IncrementalDedup {
       // append below would re-run the whole standing-index probe
       // (semi-join + rank window + pair join) a second time.
       val pairs = DedupQueries.incrementalPairsBetween(newBands,
-        spark.read.parquet(indexDir)).localCheckpoint(false)
+        spark.read.parquet(indexDir)).cut(false)
       if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
     }
     Sinks.appendParquet(newBands, indexDir)

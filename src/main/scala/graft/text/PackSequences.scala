@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 
 /** The fully-parallel form of [[TextQueries]]' `pack_sequences` — the
   * two-phase distributed prefix sum that replaces the per-split ordered
@@ -42,24 +43,24 @@ object PackSequences {
       spark: SparkSession, docs: DataFrame,
       seqLen: Int, partitions: Int = 32): DataFrame = {
     import spark.implicits._
-    // localCheckpoint PINS the partition layout: RangePartitioner's
+    // The lineage cut PINS the partition layout: RangePartitioner's
     // boundaries come from reservoir sampling whose seed varies per
     // job, so without materializing once, the subtotal job and the
     // output job could range-partition the SAME rows differently — and
     // phase 3 would apply partition p's base offset to rows that were
-    // counted in partition p±1. Checkpointing makes both passes read
-    // the one materialized layout. Failure mode beyond local mode:
-    // localCheckpoint blocks are NOT replicated, so losing an executor
-    // discards them and fails both passes (fail-loud, never wrong
-    // offsets). On a real cluster, swap in a reliable checkpoint or
-    // persist(StorageLevel.DISK_ONLY_2) for fault tolerance at the cost
-    // of one extra copy.
+    // counted in partition p±1. Cutting makes both passes read the one
+    // materialized layout. Fault tolerance is config-gated
+    // ([[graft.ops.Checkpoints]]): by default the cut is a
+    // localCheckpoint, whose unreplicated blocks fail-loud (never wrong
+    // offsets) on executor loss; on a real cluster set
+    // `graft.checkpoint.dir` and every cut becomes a reliable
+    // checkpoint that survives executor loss.
     val ranged = docs
       .select(col("doc_id"), col("split"), col("n_tokens"))
       .as[DocTok]
       .repartitionByRange(partitions, col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
-      .localCheckpoint()
+      .cut()
 
     // Phase 1+2: per-(partition, split) token subtotals, driver-side
     // exclusive scan in global (split, doc_id) order. P·splits rows —

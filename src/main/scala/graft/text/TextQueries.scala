@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.{Q, Tables}
 
 /** Text-analysis operators for an LLM training-data pipeline (north-star
@@ -843,7 +844,7 @@ object TextQueries {
       .join(broadcast(qdf.select("term").distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cut(false)
     val dfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs
       .agg(count(lit(1)).cast("long").as("n"),

@@ -283,6 +283,36 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("propagation loop: shuffle width scales with measured edge volume") {
+    import graft.dedup.DedupQueries.{loopShufflePartitions, LoopEdgeRowsPerPartition}
+    import org.apache.spark.sql.functions.col
+    // Pure sizing rule: floor of 4 at test-SF volumes, linear in edge
+    // rows, capped at the session's declared parallelism.
+    assert(loopShufflePartitions(1000L, 32) == 4, "tiny frames keep the floor")
+    assert(loopShufflePartitions(10L * LoopEdgeRowsPerPartition, 4096) == 10,
+      "width is linear in measured edge rows")
+    assert(loopShufflePartitions(4000L * LoopEdgeRowsPerPartition, 2048) == 2048,
+      "width is capped at the session parallelism ceiling")
+    // End-to-end: a >4M-pair synthetic edge frame (disjoint pairs — the
+    // bidirectional frame tops 7M rows) must widen the loop past the
+    // floor; the converged labels frame was materialized under the
+    // loop's conf, so its partition count IS the loop's shuffle width.
+    val nPairs = 3500000L
+    val edges = spark.range(nPairs).select(
+      (col("id") * 2).as("doc_a"), (col("id") * 2 + 1).as("doc_b"))
+    val sessionWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val labels = graft.dedup.DedupQueries.componentLabelsOf(edges)
+      val expected = loopShufflePartitions(2 * nPairs, 64)
+      assert(expected > 4, s"fixture must exceed the floor, got $expected")
+      assert(labels.rdd.getNumPartitions == expected,
+        s"loop ran at ${labels.rdd.getNumPartitions} partitions, expected $expected")
+      // Each pair is its own component labeled by its even endpoint.
+      assert(labels.count() == 2 * nPairs)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWas)
+  }
+
   test("dedup_incremental_components: standing labels never force-broadcast") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
