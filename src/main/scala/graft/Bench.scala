@@ -35,6 +35,14 @@ object Bench {
     // pure CPU stays flat — see BASELINE.md), so two back-to-back
     // attempts of one query land in the same window and both inflate;
     // attempts minutes apart give each query a shot at a clean window.
+    // Pass 2 runs in REVERSE order: with same-order passes every
+    // query's attempts sit exactly one pass-length apart, so one window
+    // longer than a pass poisons both (round 8 manufactured a fake 46×
+    // cell that way). Reversing varies the gap across the list; the
+    // residual risk (queries near the list's end get adjacent attempts)
+    // is closed by a third, later attempt for any cell whose two
+    // attempts disagree >2× — the signature of a window hit, never of
+    // plan cost.
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -46,10 +54,18 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      val a = pass1(name)
-      val b = if (a >= 0) once(name, fn) else -1.0
-      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+    val pass2 = ordered.reverse.map { case (name, fn) =>
+      name -> (if (pass1(name) >= 0) once(name, fn) else -1.0)
+    }.toMap
+    val suspect = ordered.filter { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b) + 0.25
+    }
+    val pass3 = suspect.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val results = ordered.map { case (name, _) =>
+      val attempts = (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
+        .filter(_ >= 0)
+      name -> (if (attempts.size >= 2) attempts.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
