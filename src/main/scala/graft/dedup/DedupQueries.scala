@@ -1043,6 +1043,13 @@ object DedupQueries {
       .select(col("nband").as("band"), col("nbh").as("bh")).distinct()
     val corpusRanked = corpusBands
       .join(broadcast(bucketKeys), Seq("band", "bh"), "left_semi")
+      // Collapse duplicate standing rows BEFORE cap ranking: the
+      // streaming index is appended at-least-once (a crash replay can
+      // double a batch's bands), and ranking duplicates would silently
+      // consume degenerate-bucket cap slots. The distinct runs on the
+      // bucket-pruned slice — batch-collision-sized, never the corpus
+      // — and is a no-op when the index has no replayed rows.
+      .select(col("doc_id"), col("band"), col("bh")).distinct()
       .select(col("doc_id"), col("band"), col("bh"),
         row_number().over(
           Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id")))

@@ -569,8 +569,14 @@ object Multimodal {
       var f = 0
       while (f < nf) {
         val img = reader.read(f)
-        w0 = img.getWidth
-        h0 = img.getHeight
+        // Constant frame dims are a CONTRACT, not an assumption: the
+        // quantizer below divides every slot by frame 0's area, and GIF
+        // legally allows per-frame sub-rectangles — silently quantizing
+        // an earlier frame's sum by a later frame's area would corrupt
+        // the fingerprint (mirrors audioFingerprint's format require).
+        if (f == 0) { w0 = img.getWidth; h0 = img.getHeight }
+        else require(img.getWidth == w0 && img.getHeight == h0,
+          s"item ${item.item_id}: frame $f dims ${img.getWidth}x${img.getHeight} != frame 0 ${w0}x$h0")
         val px = img.getRGB(0, 0, w0, h0, null, 0, w0)
         var s = 0L
         var i = 0

@@ -401,7 +401,7 @@ object StorageQueries {
     "table_skew_report", {
       def part(name: String, table: String, key: String) =
         s"""SELECT '$name' AS key_name, n_rows, n_keys, max_cnt, hot_key,
-           |       max_cnt * n_keys * 1000000 // n_rows AS skew_ppm
+           |       max_cnt * 1000000 // greatest(n_rows // n_keys, 1) AS skew_ppm
            |FROM (
            |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
            |         CAST(count(*) AS BIGINT) AS n_keys,
@@ -434,7 +434,15 @@ object StorageQueries {
         .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
           col("max_cnt"),
           col("hot_key"),
-          expr("max_cnt * n_keys * 1000000 DIV n_rows").as("skew_ppm"))
+          // Staged division (hot-count vs mean-count), never the raw
+          // max_cnt*n_keys*1e6 product: that intermediate exceeds int64
+          // on large high-cardinality tables (n_rows ~1e9, skew ~1e4 →
+          // ~1e19), where Spark ANSI-off wraps silently while DuckDB
+          // raises. Staged, the only product is max_cnt*1e6 — safe
+          // until a single key holds ~9.2e12 rows. Mirrored verbatim
+          // in the oracle so both engines floor identically.
+          expr("max_cnt * 1000000 DIV greatest(n_rows DIV n_keys, 1)")
+            .as("skew_ppm"))
     }
     part("l_partkey", t.lineitem, "l_partkey")
       .union(part("o_custkey", t.orders, "o_custkey"))

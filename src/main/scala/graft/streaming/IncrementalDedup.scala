@@ -25,9 +25,15 @@ import graft.etl.Sinks
   * State lives in storage, not the state store — the index is the
   * product, exactly like the batch pipeline's, so batch and streaming
   * runs are interchangeable mid-corpus. The checkpoint gives
-  * restart-without-reprocessing; the foreachBatch body is idempotent
-  * per epoch only via the checkpoint (standard Structured Streaming
-  * append semantics, same contract as [[Streaming.appendWriter]]).
+  * restart-without-reprocessing on planned restarts; the appends
+  * themselves are AT-LEAST-ONCE (standard foreachBatch contract): a
+  * crash between the pairs append and the index append replays the
+  * epoch and can duplicate rows in either table. Both duplications are
+  * made harmless downstream — pair edges are distinct-emitted and
+  * set-semantics for the components consumer, and the probe collapses
+  * duplicate standing band rows on the bucket-pruned slice BEFORE cap
+  * ranking ([[DedupQueries.incrementalPairsBetween]]), so replays
+  * never consume degenerate-bucket cap headroom.
   */
 object IncrementalDedup {
 
@@ -40,16 +46,27 @@ object IncrementalDedup {
     // The batch is re-read below the pair join AND the index append;
     // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
     val newBands = DedupQueries.bandsOfDocs(docs).cut(false)
+    // Same-batch duplicates must pair too: the standing-index probe
+    // below runs before this batch's bands join the index, so two
+    // copies landing in ONE batch would otherwise stay unlinked
+    // forever (strictly lower recall than the batch pipeline's
+    // corpus-vs-corpus pass). The batch is probed against itself with
+    // the same capped machinery; doc_id ordering drops self edges and
+    // mirror duplicates.
+    val intra = DedupQueries.incrementalPairsBetween(newBands, newBands)
+      .filter(col("new_doc") > col("corpus_doc"))
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
-      // Checkpointed: isEmpty is an action, and without the pin the
-      // append below would re-run the whole standing-index probe
-      // (semi-join + rank window + pair join) a second time.
-      val pairs = DedupQueries.incrementalPairsBetween(newBands,
-        spark.read.parquet(indexDir)).cut(false)
-      if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
-    }
+    val emitted =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+        DedupQueries.incrementalPairsBetween(newBands,
+          spark.read.parquet(indexDir)).unionByName(intra)
+      else intra
+    // Checkpointed: isEmpty is an action, and without the pin the
+    // append below would re-run the whole standing-index probe
+    // (semi-join + rank window + pair join) a second time.
+    val pairs = emitted.cut(false)
+    if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
     Sinks.appendParquet(newBands, indexDir)
   }
 

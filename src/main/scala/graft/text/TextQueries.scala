@@ -777,10 +777,11 @@ object TextQueries {
     * the embedding-side ANN cascade (`similarity_rerank`). Okapi shape
     * with k1=1.2, b=0.75, kept ENTIRELY in int64 like the rest of the
     * text family (no libm in a declared query): the tf-saturation
-    * factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is exactly
-    * 22·tf·A/(10·A·tf + 3·A + 9000·dl) in the e3 domain
-    * (A = avgdl·1000, integer-rounded — same rounding both engines),
-    * ×1e6 and floored; idf uses the Robertson–Spärck-Jones odds
+    * factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is
+    * 22·tf·1e6 / ⌊(10·A·tf + 3·A + 9000·dl) / A⌋ in the e3 domain
+    * (A = avgdl·1000; the denominator is reduced by A before the 1e6
+    * numerator multiplies in, for int64 headroom — same staged
+    * rounding both engines); idf uses the Robertson–Spärck-Jones odds
     * (2(N−df)+1)/(2df+1) ×1e6 floored — the log's argument, monotone
     * in it, so per-term ranking is preserved while staying exact.
     *
@@ -815,8 +816,9 @@ object TextQueries {
          |), contrib AS (
          |  SELECT q.query_id, tf.doc_id,
          |         (((2*(n - df) + 1) * 1000 // (2*df + 1))
-         |          * ((22 * tf * avgdl_e3 * 1000000)
-         |             // (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
+         |          * ((22 * tf * 1000000)
+         |             // ((10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl)
+         |                // avgdl_e3))
          |         ) // 1000 AS c
          |  FROM q JOIN tf USING (term) JOIN df USING (term), stats
          |), scored AS (
@@ -860,10 +862,19 @@ object TextQueries {
       // and idf × saturation (≤ 2.2e6) must stay inside int64 — e3
       // headroom reaches N ≈ 6e9 docs where e6 wrapped at ~6e6
       // (Spark ANSI-off wraps silently; DuckDB raises — both wrong).
+      // The saturation denominator is REDUCED by avgdl_e3 before the
+      // ×1e6 numerator multiplies in: the unreduced form's
+      // 22·tf·avgdl_e3·1e6 wraps int64 once tf·avgdl_e3 > ~4.2e11
+      // (avgdl ~1000 with a pathological tf > ~4e5 doc). Reduced, the
+      // largest products are 22·tf·1e6 (safe to tf ~4e11) and
+      // 10·avgdl_e3·tf (safe to tf·avgdl ~9e14) — beyond any physical
+      // document. Staging mirrored verbatim in the oracle so both
+      // engines floor identically.
       .withColumn("c", expr(
         """((2*(n - df) + 1) * 1000 DIV (2*df + 1))
-          | * ((22 * tf * avgdl_e3 * 1000000)
-          |    DIV (10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl))
+          | * ((22 * tf * 1000000)
+          |    DIV ((10 * avgdl_e3 * tf + 3 * avgdl_e3 + 9000 * dl)
+          |         DIV avgdl_e3))
           | DIV 1000""".stripMargin))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).cast("long").as("score_ppm"))

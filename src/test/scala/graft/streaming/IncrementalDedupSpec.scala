@@ -54,6 +54,29 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicates landing in the SAME micro-batch pair with each other") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-ib-index") + "/bands"
+    val pairsDir = tmpDir("incr-ib-pairs") + "/pairs"
+    // Two copies of `base` arrive in one batch: the standing index is
+    // empty, so only the batch-vs-itself pass can link them. The later
+    // doc pairs to the earlier (new_doc > corpus_doc orientation); no
+    // self or mirror edges.
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, far), (3L, base)).toDF("doc_id", "text"),
+      indexDir, pairsDir)
+    val got = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L)))
+    // The next batch's copy still pairs with BOTH same-batch copies
+    // through the standing index.
+    IncrementalDedup.processBatch(
+      Seq((9L, base)).toDF("doc_id", "text"), indexDir, pairsDir)
+    val got2 = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
+  }
+
   test("restart from checkpoint neither reprocesses nor loses batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
