@@ -58,5 +58,25 @@ object SqlQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
-  val queries: Seq[Q] = Seq(sqlQ6, sqlNative)
+  /** The LLM-pipeline surface through the same front door: exact
+    * dedup as ONE shared SQL text (md5-keyed group with copy counts
+    * and min-doc survivor), run verbatim by both spark.sql over the
+    * registered documents view AND the DuckDB oracle — extending the
+    * dialect-neutral proof from the relational family (Q6) to the
+    * dedup family. Same scale shape as `dedup_exact`: one map-side-
+    * combined hash aggregate on the digest. */
+  private val dedupSql =
+    """SELECT md5(text) AS text_hash,
+      |       CAST(count(*) AS BIGINT) AS n_copies,
+      |       min(doc_id) AS survivor_doc
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY survivor_doc""".stripMargin
+
+  private val sqlDedupExact = Q("sql_dedup_exact", dedupSql) { (s, dir) =>
+    Tables(s, dir).documents.createOrReplaceTempView("documents")
+    s.sql(dedupSql)
+  }
+
+  val queries: Seq[Q] = Seq(sqlQ6, sqlNative, sqlDedupExact)
 }

@@ -723,6 +723,103 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — `join_asof`'s mirror: for each non-purchase
+    * event, the same user's EARLIEST purchase at or after the event
+    * time (the "time-to-next-conversion" lookup attribution and
+    * churn models run). Identical union → one window pass shape with
+    * the frame flipped: sorted by (time, side) with the LEFT side
+    * first at ties (forward as-of is ≥, so a purchase at the exact
+    * event time matches), `first(_, ignoreNulls)` over an
+    * unbounded-FOLLOWING frame pulls the next purchase's attributes
+    * back onto every event row. Same single-shuffle scale posture as
+    * the backward form. Oracle: DuckDB ASOF JOIN with the `<=`
+    * inequality. */
+  private val joinAsofForward = Q(
+    "join_asof_forward",
+    """WITH p AS (
+      |  SELECT user_id AS k, ts AS pt, max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.user_id, purchase_id,
+      |       strftime(pt, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+      |ASOF JOIN p ON e.user_id = p.k AND e.ts <= p.pt
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k"), col("ts").as("pt"))
+      .agg(max(col("event_id")).as("po"))
+      .select(
+        col("k"), col("pt").as("t"), lit(null).cast("long").as("event_id"),
+        lit(1).as("side"), col("po"), col("pt"))
+    val lhs = t.events.filter(col("event_type") =!= "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+      lit(0).as("side"), lit(null).cast("long").as("po"),
+      lit(null).cast("timestamp").as("pt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.union(lhs)
+      .select(
+        col("k"), col("event_id"), col("side"),
+        first(col("po"), ignoreNulls = true).over(w).as("purchase_id"),
+        first(col("pt"), ignoreNulls = true).over(w).as("carried_pt"))
+      .filter(col("side") === 0 && col("purchase_id").isNotNull)
+      .select(
+        col("event_id"), col("k").as("user_id"), col("purchase_id"),
+        date_format(col("carried_pt"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** BOUNDED-STALENESS as-of join — the backward form with a match
+    * tolerance: the user's most recent purchase at or before the event
+    * time counts only if it happened within the last hour, else the
+    * event goes unmatched (pandas `merge_asof(tolerance=...)`
+    * semantics; the freshness contract feature-store lookups enforce).
+    * Same backward carry as `join_asof` plus ONE post-carry filter on
+    * the carried timestamp — tolerance adds zero shuffles. Oracle:
+    * DuckDB ASOF JOIN with the filter applied OUTSIDE a MATERIALIZED
+    * CTE (DuckDB folds a WHERE on the carried time into the ASOF ON
+    * clause, which it rejects as a second inequality). */
+  private val joinAsofTolerance = Q(
+    "join_asof_tolerance",
+    """WITH p AS (
+      |  SELECT user_id AS k, ts AS pt, max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), m AS MATERIALIZED (
+      |  SELECT e.event_id, e.user_id, e.ts AS et, pt, purchase_id
+      |  FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+      |  ASOF JOIN p ON e.user_id = p.k AND e.ts >= p.pt
+      |)
+      |SELECT event_id, user_id, purchase_id,
+      |       strftime(pt, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM m WHERE pt >= et - INTERVAL 1 HOUR
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k"), col("ts").as("pt"))
+      .agg(max(col("event_id")).as("po"))
+      .select(
+        col("k"), col("pt").as("t"), lit(null).cast("long").as("event_id"),
+        lit(0).as("side"), col("po"), col("pt"))
+    val lhs = t.events.filter(col("event_type") =!= "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+      lit(1).as("side"), lit(null).cast("long").as("po"),
+      lit(null).cast("timestamp").as("pt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(lhs)
+      .select(
+        col("k"), col("event_id"), col("side"), col("t"),
+        last(col("po"), ignoreNulls = true).over(w).as("purchase_id"),
+        last(col("pt"), ignoreNulls = true).over(w).as("carried_pt"))
+      .filter(col("side") === 1 && col("purchase_id").isNotNull &&
+        col("carried_pt") >= col("t") - expr("INTERVAL 1 HOUR"))
+      .select(
+        col("event_id"), col("k").as("user_id"), col("purchase_id"),
+        date_format(col("carried_pt"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
   /** Equi-width histogram over order totals (width_bucket semantics:
     * bucket 0 below range, n+1 above, else floor(x·n/(hi−lo))+1) — the
     * binning aggregate dashboards and data-quality monitors run
@@ -1820,6 +1917,7 @@ object RelationalQueries {
     approxDistinct, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
+    joinAsofForward, joinAsofTolerance,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
     joinOuterFull, eventsAnomalyHours, timeseriesFfill,

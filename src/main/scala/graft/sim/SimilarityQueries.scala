@@ -989,8 +989,16 @@ object SimilarityQueries {
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, sim_e6
        |FROM knn WHERE rnk <= $KnnK
        |ORDER BY vec_id, rnk""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val p = scoredPairs(Tables(s, dir), DefaultPlanes, MaxBucketPairVecs)
+    knnDirected(Tables(s, dir))
+      .select("vec_id", "rnk", "nbr_id", "sim_e6")
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** The directed top-K kNN edge frame (vec_id, rnk ≤ [[KnnK]],
+    * nbr_id, sim_e6) — shared by `similarity_knn_graph` (the frame
+    * itself) and `similarity_mutual_knn` (its clustering consumer). */
+  private def knnDirected(t: Tables): DataFrame = {
+    val p = scoredPairs(t, DefaultPlanes, MaxBucketPairVecs)
       .cut(false) // both direction projections read it
     val directed = p
       .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("sim_e6"))
@@ -1001,8 +1009,63 @@ object SimilarityQueries {
     directed
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= KnnK)
-      .select("vec_id", "rnk", "nbr_id", "sim_e6")
-      .orderBy("vec_id", "rnk")
+  }
+
+  /** Mutual-kNN clustering — semantic clusters from RECIPROCAL
+    * nearest-neighbor edges: an undirected edge survives only when
+    * BOTH endpoints rank each other inside their top-K, and the shared
+    * propagation engine labels the resulting graph. Mutuality is the
+    * classic density filter (a hub vector that half the corpus lists
+    * as a neighbor does NOT glue unrelated clusters together unless it
+    * reciprocates), giving much tighter clusters than the thresholded
+    * `embedding_components` graph. Plan: the directed top-K frame
+    * self-joins on the flipped key pair — a shuffled equi-join on
+    * (vec_id, nbr_id), capped-candidate-sized, never broadcast — and
+    * the survivors feed [[graft.dedup.DedupQueries.componentLabelsOf]].
+    * Oracle: recursive transitive closure over the reciprocal edge
+    * set. */
+  private val similarityMutualKnn = Q(
+    "similarity_mutual_knn",
+    s"""WITH RECURSIVE ${sqlEmbPairsCte.stripPrefix("WITH ")}, directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, sim_e6 FROM pairs
+       |), knn AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
+       |    FROM directed)
+       |  WHERE rnk <= $KnnK
+       |), mutual AS (
+       |  SELECT a.vec_id AS va, a.nbr_id AS vb
+       |  FROM knn a JOIN knn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+       |  WHERE a.vec_id < a.nbr_id
+       |), nodes AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT va AS vec_id FROM mutual UNION ALL SELECT vb FROM mutual)
+       |), edges AS (
+       |  SELECT va AS a, vb AS b FROM mutual
+       |  UNION SELECT vb, va FROM mutual
+       |), reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS vec_id, min(t) AS component FROM reach GROUP BY s
+       |)
+       |SELECT vec_id, component FROM comp ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val k1 = knnDirected(Tables(s, dir)).select("vec_id", "nbr_id")
+      .cut(false) // both sides of the reciprocity self-join read it
+    val mutual = k1.as("a")
+      .join(k1.as("b"),
+        col("a.vec_id") === col("b.nbr_id") &&
+          col("a.nbr_id") === col("b.vec_id"))
+      .filter(col("a.vec_id") < col("a.nbr_id"))
+      .select(col("a.vec_id").as("doc_a"), col("a.nbr_id").as("doc_b"))
+    graft.dedup.DedupQueries.componentLabelsOf(mutual)
+      .select(col("doc_id").as("vec_id"), col("component"))
+      .orderBy("vec_id")
   }
 
   /** Embedding-space connected components — the clustering step over
@@ -1065,5 +1128,5 @@ object SimilarityQueries {
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
-      embeddingComponents, embeddingSurvivors)
+      similarityMutualKnn, embeddingComponents, embeddingSurvivors)
 }
