@@ -77,6 +77,32 @@ object Sinks {
     t.spark.read.parquet(outDir).count()
   }
 
+  /** Materialize the DEDUPED MEDIA corpus — the multimodal twin of
+    * [[materializeDedupedCorpus]], closing the candidates → components
+    * → survivors pipeline for all three fingerprint modalities with
+    * the training artifact itself: each modality's survivors
+    * ([[graft.mm.MultimodalQueries.survivorsFrameFor]], the
+    * `mm_*_survivors` values) joined back to their full BLOB payloads
+    * and written as ONE modality-partitioned parquet table, each row
+    * carrying its cluster_size provenance. Payloads enter only this
+    * final key join — never the dedup computation (only band keys
+    * shuffle there) — and the modality partitioning means a downstream
+    * trainer reading one modality prunes the other two at the file
+    * listing, same as every media query here. Returns the survivor
+    * row count across modalities. */
+  def materializeDedupedMediaCorpus(
+      spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val deduped = Seq("image", "audio", "video")
+      .map { m =>
+        graft.mm.Multimodal.mediaItems(spark, sfDir, m).toDF()
+          .join(graft.mm.MultimodalQueries.survivorsFrameFor(spark, sfDir, m),
+            Seq("item_id"))
+      }
+      .reduce(_.unionByName(_))
+    deduped.write.mode("overwrite").partitionBy("modality").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Time-partitioned warehouse layout (SURVEY.md §1.1: the hourly
     * append table "at scale, a time-partitioned table"): one directory
     * per partition value, so date-ranged queries prune at the file

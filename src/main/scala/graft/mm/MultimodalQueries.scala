@@ -443,21 +443,7 @@ object MultimodalQueries {
        |WHERE d.doc_id % 3 = 0
        |  AND (c.item_id IS NULL OR c.component = d.doc_id)
        |ORDER BY item_id""".stripMargin) { (s, dir) =>
-    val labels = graft.dedup.DedupQueries.componentLabelsOf(
-      imagePairs(s, dir)
-        .select(col("item_a").as("doc_a"), col("item_b").as("doc_b")))
-    val sizes = labels.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    val annotated = labels.join(sizes, "component")
-    graft.ops.ScaleGates.annotateWithLabels(
-      Tables(s, dir).documents
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id")),
-      annotated, labels.count(), "doc_id")
-      .filter(col("component").isNull || col("component") === col("doc_id"))
-      .select(col("doc_id").as("item_id"),
-        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
-      .orderBy("item_id")
+    survivorsFrameFor(s, dir, "image").orderBy("item_id")
   }
 
 
@@ -866,9 +852,19 @@ object MultimodalQueries {
     graft.dedup.DedupQueries.componentLabelsOf(
       pairsDf.select(col("item_a").as("doc_a"), col("item_b").as("doc_b")))
 
-  private def modalitySurvivors(
-      s: org.apache.spark.sql.SparkSession, dir: String, mod: Int,
-      pairsDf: org.apache.spark.sql.DataFrame) = {
+  /** Unordered survivor frame (item_id, cluster_size) for one
+    * modality — the `mm_*_survivors` value, shared by the declared
+    * queries and the media corpus write path
+    * ([[graft.etl.Sinks.materializeDedupedMediaCorpus]]). */
+  private[graft] def survivorsFrameFor(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      modality: String): org.apache.spark.sql.DataFrame = {
+    val (mod, pairsDf) = modality match {
+      case "image" => (0, imagePairs(s, dir))
+      case "audio" => (1, audioPairs(s, dir))
+      case "video" => (2, videoPairs(s, dir))
+      case m => throw new IllegalArgumentException(s"unknown modality $m")
+    }
     val labels = modalityLabels(pairsDf)
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -881,7 +877,6 @@ object MultimodalQueries {
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id").as("item_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
-      .orderBy("item_id")
   }
 
   /** Audio/video components + survivors — the image family's
@@ -902,7 +897,7 @@ object MultimodalQueries {
   private val mmAudioSurvivors = Q(
     "mm_audio_survivors",
     sqlModalitySurvivors(sqlBandedPairsCte(sqlAudioBandsCte, "a", 4), "a", 1)) {
-    (s, dir) => modalitySurvivors(s, dir, 1, audioPairs(s, dir))
+    (s, dir) => survivorsFrameFor(s, dir, "audio").orderBy("item_id")
   }
 
   private val mmVideoComponents = Q(
@@ -918,7 +913,7 @@ object MultimodalQueries {
   private val mmVideoSurvivors = Q(
     "mm_video_survivors",
     sqlModalitySurvivors(sqlBandedPairsCte(sqlVideoBandsCte, "v", 4), "v", 2)) {
-    (s, dir) => modalitySurvivors(s, dir, 2, videoPairs(s, dir))
+    (s, dir) => survivorsFrameFor(s, dir, "video").orderBy("item_id")
   }
 
   /** Cross-modality dedup report — the curation dashboard number: per

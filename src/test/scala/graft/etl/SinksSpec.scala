@@ -115,4 +115,42 @@ class SinksSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(parts.exists(_.startsWith("source=")))
   }
+
+  test("materializeDedupedMediaCorpus excises dups per modality, payloads intact") {
+    import spark.implicits._
+    // doc_id multiples of 371229 = 3·lcm(29,17,251) synthesize
+    // byte-identical PNGs (same dims, same seed — the MultimodalSpec
+    // planted-corpus trick): 371229 is an exact dup of 0 and must be
+    // excised, with 0 surviving as the component min. 1 (audio) and
+    // 2 (video) are singletons and always survive.
+    val docs = Seq(0L, 371229L, 1L, 2L)
+      .map(id => (id, s"media doc $id", "en", "srcA", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("mm-sink")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = tmpDir("mm-sink-out") + "/media"
+    val n = Sinks.materializeDedupedMediaCorpus(spark, dir, out)
+    val back = spark.read.parquet(out)
+    val ids = back.select("item_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(371229L), "byte-identical image dup must be excised")
+    assert(ids == Set(0L, 1L, 2L))
+    assert(n == 3L)
+    // The surviving representative carries its cluster size; the
+    // payload that comes back is the REAL container, byte-for-byte.
+    val img = back.filter($"item_id" === 0L)
+      .select("cluster_size", "payload", "modality").collect().head
+    assert(img.getLong(0) == 2L)
+    assert(img.getString(2) == "image")
+    assert(java.util.Arrays.equals(img.getAs[Array[Byte]](1),
+      graft.mm.Multimodal.syntheticPng(0L, 4, 4)))
+    val wav = back.filter($"item_id" === 1L)
+      .select("cluster_size", "payload").collect().head
+    assert(wav.getLong(0) == 1L)
+    assert(java.util.Arrays.equals(wav.getAs[Array[Byte]](1),
+      graft.mm.Multimodal.syntheticWav(1L, 65, 8000)))
+    // One Hive partition per modality with a survivor.
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("modality=image", "modality=audio", "modality=video"))
+  }
 }
