@@ -14,6 +14,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     etl.EtlQueries.queries ++
       ops.RelationalQueries.queries ++
+      ops.TpchBreadthQueries.queries ++
       ops.StorageQueries.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++

@@ -1405,11 +1405,90 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Chunk nodes encode as `doc_id * ChunkNodeCap + chunk_id` so the
+    * shared propagation engine (which labels LONG node ids) runs
+    * unchanged at chunk granularity. 2^20 chunks/doc bounds a doc at
+    * ~42M tokens (stride 40) — far past any training document — while
+    * leaving doc_id headroom to 2^43 (8.8e12 docs, comfortably past a
+    * 100 TB crawl's doc count). */
+  private[graft] val ChunkNodeCap: Long = 1L << 20
+
+  /** Chunk-level SURVIVOR accounting — the selection step on top of the
+    * chunk-candidate graph ([[chunkCandidatePairs]]): connected
+    * components over (doc, chunk) nodes via the shared propagation
+    * engine ([[componentLabelsOf]]); within each component the min node
+    * survives, every other member chunk is excised. Output is the
+    * per-document excision report (paired chunks, excised chunks, total
+    * chunks) for docs the chunk graph touches — the frame a corpus
+    * owner reads before running the chunk-deduped materialization
+    * ([[graft.etl.Sinks.materializeChunkDedupedCorpus]]). Scale shape:
+    * the node encoding adds nothing to the propagation loop's cost
+    * (same edge frame, same derived shuffle width), and the per-doc
+    * aggregate is candidate-sized, never corpus-sized. Oracle:
+    * recursive-CTE closure over identically-encoded nodes. */
+  private val dedupChunkSurvivors = Q(
+    "dedup_chunk_survivors", {
+      import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+      val nch =
+        s"CAST((greatest(len($sqlToks) - $CS, 0) + $ST - 1) // $ST + 1 AS BIGINT)"
+      s"""WITH RECURSIVE ${sqlChunkCandCte.stripPrefix("WITH ")}, cnodes AS (
+         |  SELECT DISTINCT doc_id, chunk_id FROM (
+         |    SELECT doc_a AS doc_id, chunk_a AS chunk_id FROM cand
+         |    UNION ALL SELECT doc_b, chunk_b FROM cand)
+         |), cedges AS (
+         |  SELECT doc_a * $ChunkNodeCap + chunk_a AS a,
+         |         doc_b * $ChunkNodeCap + chunk_b AS b FROM cand
+         |  UNION SELECT doc_b * $ChunkNodeCap + chunk_b,
+         |               doc_a * $ChunkNodeCap + chunk_a FROM cand
+         |), creach(s, t) AS (
+         |  SELECT doc_id * $ChunkNodeCap + chunk_id,
+         |         doc_id * $ChunkNodeCap + chunk_id FROM cnodes
+         |  UNION SELECT a, b FROM cedges
+         |  UNION SELECT r.s, e.b FROM creach r JOIN cedges e ON r.t = e.a
+         |), ccomp AS (
+         |  SELECT s, min(t) AS c FROM creach GROUP BY s
+         |), perdoc AS (
+         |  SELECT s // $ChunkNodeCap AS doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_paired,
+         |         CAST(sum(CASE WHEN c <> s THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_excised
+         |  FROM ccomp GROUP BY s // $ChunkNodeCap
+         |)
+         |SELECT d.doc_id, $nch AS n_chunks, p.n_paired, p.n_excised
+         |FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+    val perdoc = chunkSurvivorLabels(t)
+      .groupBy(expr(s"node div $ChunkNodeCap").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paired"),
+        sum(when(col("component") =!= col("node"), lit(1L)).otherwise(lit(0L)))
+          .as("n_excised"))
+    val n = size(split(col("text"), " "))
+    t.documents
+      .select(col("doc_id"),
+        ((greatest(n - CS, lit(0)) + (ST - 1)).divide(ST).cast("int") + 1)
+          .cast("long").as("n_chunks"))
+      .join(perdoc, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Chunk-node component labels as (node, component) — shared by the
+    * survivor-accounting query and the chunk-deduped corpus sink. */
+  private[graft] def chunkSurvivorLabels(t: Tables): DataFrame =
+    componentLabelsOf(
+      chunkCandidatePairs(t).select(
+        (col("doc_a") * ChunkNodeCap + col("chunk_a")).as("doc_a"),
+        (col("doc_b") * ChunkNodeCap + col("chunk_b")).as("doc_b")))
+      .withColumnRenamed("doc_id", "node")
+
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
-      dedupSubstring, dedupSubstringStats)
+      dedupSubstring, dedupSubstringStats, dedupChunkSurvivors)
 }

@@ -103,6 +103,56 @@ object Sinks {
     spark.read.parquet(outDir).count()
   }
 
+  /** Materialize the CHUNK-deduped corpus — the finest-grained write
+    * path: every document is rebuilt with its excised chunks' token
+    * blocks removed (chunk survivor selection =
+    * [[graft.dedup.DedupQueries.chunkSurvivorLabels]], the
+    * `dedup_chunk_survivors` decision). Ownership contract for
+    * overlapping windows: chunk c owns the DISJOINT stride block
+    * [c·stride, (c+1)·stride) of its doc's tokens, except the last
+    * chunk, which owns through the end — so excising a set of chunks
+    * removes exactly their owned blocks and the rebuilt text is
+    * well-defined regardless of window overlap.
+    *
+    * Scale shape: the excised-chunk sets are candidate-sized; they
+    * collapse to one small array per affected doc and join onto the
+    * corpus as metadata (AQE broadcasts the measured-small side). The
+    * rebuild itself is ROW-LOCAL — a higher-order filter/slice over the
+    * doc's own tokens — so corpus bytes never shuffle; the only
+    * full-corpus work is the scan and the partitioned write, the
+    * irreducible cost of any materialization. Returns docs written. */
+  def materializeChunkDedupedCorpus(t: graft.Tables, outDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+    val cap = graft.dedup.DedupQueries.ChunkNodeCap
+    val excisedSets = graft.dedup.DedupQueries.chunkSurvivorLabels(t)
+      .filter(col("component") =!= col("node"))
+      .select(expr(s"node div $cap").as("doc_id"),
+        (col("node") % cap).as("chunk_id"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("chunk_id")).as("exc"))
+    val n = size(col("toks"))
+    val nch = ((greatest(n - CS, lit(0)) + (ST - 1)).divide(ST).cast("int") + 1)
+      .cast("long")
+    val rebuilt = t.documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      .join(excisedSets, Seq("doc_id"), "left")
+      .withColumn("kept_toks", flatten(transform(
+        sequence(lit(0L), nch - 1),
+        c => when(array_contains(coalesce(col("exc"),
+            array().cast("array<bigint>")), c),
+          array().cast("array<string>"))
+          .otherwise(slice(col("toks"), (c * ST + 1).cast("int"),
+            when(c === nch - 1, size(col("toks")) - (c * ST).cast("int"))
+              .otherwise(lit(ST)))))))
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat_ws(" ", col("kept_toks")).as("text"),
+        size(col("kept_toks")).cast("long").as("n_tokens"))
+    rebuilt.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    t.spark.read.parquet(outDir).count()
+  }
+
   /** Time-partitioned warehouse layout (SURVEY.md §1.1: the hourly
     * append table "at scale, a time-partitioned table"): one directory
     * per partition value, so date-ranged queries prune at the file

@@ -35,4 +35,22 @@ object Bucketing {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Append a batch into a bucketed managed table (created on first
+    * append). Each append adds ONE file per bucket (the load-bearing
+    * repartition again), so a table appended N times reads N files per
+    * bucket — bounded growth that [[Compaction]] folds back down; the
+    * bucket-aligned layout itself is invariant under appends, so every
+    * reader keeps its Exchange-free plan. This is the write path for
+    * STANDING indexes that grow batch-by-batch (the streaming
+    * near-dedup band index). */
+  def appendBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
 }

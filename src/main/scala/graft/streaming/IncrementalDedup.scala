@@ -37,10 +37,55 @@ import graft.etl.Sinks
   */
 object IncrementalDedup {
 
+  /** Storage abstraction for the STANDING band index — where the
+    * streaming loop's state actually lives. Two layouts:
+    *
+    *  - [[DirIndex]]: plain parquet appends. The probe's rank window
+    *    re-shuffles the bucket-pruned slice on (band, bh) every batch.
+    *  - [[BucketedIndex]]: a managed table bucketed on `bh`
+    *    ([[graft.ops.Bucketing.appendBucketed]]). Because
+    *    HashPartitioning(bh) satisfies every (band, bh)-clustered
+    *    requirement downstream (bh alone is a subset of the clustering
+    *    keys), the probe's distinct + rank window + pair join read the
+    *    standing side with ZERO Exchange — at 100 TB this removes the
+    *    per-batch shuffle of the collision slice, the only
+    *    index-proportional data movement in the loop
+    *    (IncrementalDedupSpec pins the Exchange-free plan).
+    */
+  sealed trait BandIndex {
+    def exists(spark: org.apache.spark.sql.SparkSession): Boolean
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame
+    def append(bands: DataFrame): Unit
+  }
+
+  final case class DirIndex(dir: String) extends BandIndex {
+    def exists(spark: org.apache.spark.sql.SparkSession): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.parquet(dir)
+    def append(bands: DataFrame): Unit = Sinks.appendParquet(bands, dir)
+  }
+
+  final case class BucketedIndex(table: String, buckets: Int = 32)
+      extends BandIndex {
+    def exists(spark: org.apache.spark.sql.SparkSession): Boolean =
+      spark.catalog.tableExists(table)
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.table(table)
+    def append(bands: DataFrame): Unit =
+      graft.ops.Bucketing.appendBucketed(bands, table, "bh", buckets)
+  }
+
   /** One micro-batch step: probe, emit pairs, grow the index.
     * Exposed for specs; [[start]] wires it behind a checkpoint. */
   private[streaming] def processBatch(
-      docs: DataFrame, indexDir: String, pairsDir: String): Unit = {
+      docs: DataFrame, indexDir: String, pairsDir: String): Unit =
+    processBatch(docs, DirIndex(indexDir), pairsDir)
+
+  private[streaming] def processBatch(
+      docs: DataFrame, index: BandIndex, pairsDir: String): Unit = {
     if (docs.isEmpty) return
     val spark = docs.sparkSession
     // The batch is re-read below the pair join AND the index append;
@@ -55,24 +100,36 @@ object IncrementalDedup {
     // mirror duplicates.
     val intra = DedupQueries.incrementalPairsBetween(newBands, newBands)
       .filter(col("new_doc") > col("corpus_doc"))
-    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val emitted =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-        DedupQueries.incrementalPairsBetween(newBands,
-          spark.read.parquet(indexDir)).unionByName(intra)
+      if (index.exists(spark))
+        DedupQueries.incrementalPairsBetween(newBands, index.read(spark))
+          .unionByName(intra)
       else intra
     // Checkpointed: isEmpty is an action, and without the pin the
     // append below would re-run the whole standing-index probe
     // (semi-join + rank window + pair join) a second time.
     val pairs = emitted.cut(false)
     if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
-    Sinks.appendParquet(newBands, indexDir)
+    index.append(newBands)
   }
 
-  /** Starts the loop over a stream of (doc_id, text) documents. */
+  /** Starts the loop over a stream of (doc_id, text) documents against
+    * a directory-layout index; pass a [[BucketedIndex]] to the overload
+    * for the Exchange-free standing side. */
   def start(
       docs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    start(docs, DirIndex(indexDir), pairsDir, checkpointDir, trigger)
+
+  def start(
+      docs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(docs, DirIndex(indexDir), pairsDir, checkpointDir,
+      Streaming.HourlyTrigger)
+
+  def start(
+      docs: DataFrame, index: BandIndex, pairsDir: String,
       checkpointDir: String,
       trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
     docs.writeStream
@@ -80,7 +137,7 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.toDF(), indexDir, pairsDir)
+        processBatch(batch.toDF(), index, pairsDir)
       }
       .start()
 }

@@ -153,4 +153,41 @@ class SinksSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(parts == Set("modality=image", "modality=audio", "modality=video"))
   }
+
+  test("materializeChunkDedupedCorpus excises duplicated chunk blocks, keeps the rest verbatim") {
+    import spark.implicits._
+    // doc 0: 90 distinct tokens → chunks [0:50],[40:90] (stride 40).
+    // doc 1: the SAME 90 tokens + a 50-token disjoint-vocab suffix →
+    // its chunks 0 and 1 are byte-identical to doc 0's (identical
+    // minhash ⇒ certain pairing), chunks 2/3 are novel. Component-min
+    // selection keeps doc 0 (lower node id); doc 1 loses the owned
+    // stride blocks [0,40) and [40,80) and is rebuilt from token 80 on.
+    // doc 2 shares nothing and must come back verbatim.
+    val shared = (0 until 90).map(i => s"tok$i")
+    val suffix = (0 until 50).map(i => s"pasta$i")
+    val other = (0 until 70).map(i => s"cook$i")
+    val docs = Seq(
+      (0L, shared.mkString(" "), "srcA"),
+      (1L, (shared ++ suffix).mkString(" "), "srcB"),
+      (2L, other.mkString(" "), "srcB"))
+      .map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("chunk-sink")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = tmpDir("chunk-sink-out") + "/deduped"
+    val n = Sinks.materializeChunkDedupedCorpus(graft.Tables(spark, dir), out)
+    assert(n == 3L, "every doc survives at doc granularity — only chunks excise")
+    val back = spark.read.parquet(out)
+      .select("doc_id", "text", "n_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(back(0L)._1 == shared.mkString(" "), "survivor doc untouched")
+    assert(back(2L)._1 == other.mkString(" "), "unrelated doc untouched")
+    assert(back(1L)._1 == (shared.drop(80) ++ suffix).mkString(" "),
+      "dup doc rebuilt from its first non-excised owned block")
+    assert(back(1L)._2 == 60L)
+    // Partitioned layout holds for this sink too.
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("source=srcA", "source=srcB"))
+  }
 }

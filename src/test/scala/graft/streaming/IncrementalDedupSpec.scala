@@ -77,6 +77,51 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
   }
 
+  test("bucketed standing index: pairs accumulate identically, standing side moves zero rows") {
+    import spark.implicits._
+    val tbl = "incr_band_index_spec"
+    val pairsDir = tmpDir("incr-b-pairs") + "/pairs"
+    val index = IncrementalDedup.BucketedIndex(tbl, 8)
+    try {
+      def pairs(): Set[(Long, Long)] =
+        spark.read.parquet(pairsDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Same three-batch script as the directory-index test: behavior
+      // parity is the point — the layout changes, the answers don't.
+      IncrementalDedup.processBatch(
+        Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir)
+      IncrementalDedup.processBatch(
+        Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir)
+      assert(pairs() == Set((20L, 1L)))
+      IncrementalDedup.processBatch(
+        Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir)
+      assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)),
+        "the bucketed index grows across appends like the directory layout")
+
+      // The scale claim, pinned: the STANDING side moves zero rows —
+      // no shuffle Exchange anywhere above the bucketed table scan
+      // (the distinct + rank window + pair join all ride the bucket
+      // layout, because HashPartitioning(bh) satisfies every
+      // (…, bh)-clustered requirement). The only shuffles left in the
+      // plan are NEW-BATCH-sized (the batch's bucket-key distinct and
+      // the emitted-pair distinct), which is the point: per-batch cost
+      // follows the batch, never the index.
+      val probe = graft.dedup.DedupQueries.incrementalPairsBetween(
+        graft.dedup.DedupQueries.bandsOfDocs(
+          Seq((99L, base)).toDF("doc_id", "text")),
+        spark.table(tbl))
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"standing scan must use the bucket layout:\n$plan")
+      val shufflesOverIndex = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.collectLeaves().exists(_.toString.contains(tbl)) => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"standing-index rows must never cross a shuffle:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("restart from checkpoint neither reprocesses nor loses batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
