@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Det
 import graft.{Q, Tables}
 
@@ -207,11 +208,15 @@ object TpchBreadthQueries {
 
   /** TPC-H Q15 shape (top supplier): aggregate → global max → filter back
     * — the "argmax over an aggregate" family. Decorrelated the only way
-    * that scales: the per-supplier revenue frame is computed ONCE, its
-    * 1-row max broadcasts back onto it as a cross join (the
-    * enrich_scalar_rate pattern), and only the winners join the supplier
-    * dimension. Revenue compares in exact int64 units so the max-equality
-    * is bit-deterministic; the double conversion happens after selection.
+    * that scales: the per-supplier revenue frame is computed ONCE
+    * (localCheckpointed, so the max branch and the probe share one fact
+    * scan + one aggregation — the q17 precedent), its 1-row max
+    * broadcasts back onto it, and only the winners join the supplier
+    * dimension. Catalyst rewrites the filtered cross join into a
+    * broadcast EQUI-join on rev_units = max_units — strictly better
+    * than a nested-loop pass, and pinned by PlanShapeSpec. Revenue
+    * compares in exact int64 units so the max-equality is
+    * bit-deterministic; the double conversion happens after selection.
     */
   private val q15TopSupplier = Q(
     "q15_top_supplier",
@@ -237,6 +242,7 @@ object TpchBreadthQueries {
       .agg(sum(Det.toUnits(
         col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L))
         .as("rev_units"))
+      .cut()
     val top = rev
       .crossJoin(broadcast(rev.agg(max(col("rev_units")).as("max_units"))))
       .filter(col("rev_units") === col("max_units"))

@@ -942,12 +942,133 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-document unigram-LM cross-entropy — the CCNet-family quality
+    * signal: score each document by how surprising its tokens are under
+    * a language model trained on the corpus itself (boilerplate and
+    * repeated spam score low; rare-token noise scores high). The model
+    * is add-one-smoothed unigram counts; a token with corpus count c
+    * has surprisal log2((N+V)/(c+1)). Per repo policy, no libm log ever
+    * runs: surprisal is quantized to WHOLE BITS via binary-string
+    * length — `length(bin(x))` = floor(log2 x)+1, exact int64 on both
+    * engines — and the doc score is mean whole-bit surprisal ×1000.
+    * Monotone in true surprisal per token, engine-deterministic.
+    *
+    * Scale: one (doc, term) groupBy over the token stream (map-side
+    * combined); corpus counts derive from THAT frame (vocabulary-sized,
+    * Zipf-bounded — never a second token pass), broadcast back like
+    * text_tfidf's df; totals are a 1-row cross join. The only
+    * corpus-sized shuffles are the two groupBys every scoring pass
+    * needs. */
+  private val textPerplexityBits = Q(
+    "text_perplexity_bits",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), dt AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+      |  FROM tok GROUP BY doc_id, term
+      |), vc AS (
+      |  SELECT term, CAST(sum(k) AS BIGINT) AS cnt FROM dt GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |  FROM vc
+      |)
+      |SELECT dt.doc_id,
+      |       CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+      |       CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
+      |         AS BIGINT) AS sum_bits,
+      |       CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
+      |         * 1000 // sum(dt.k) AS BIGINT) AS bits_e3
+      |FROM dt JOIN vc USING (term) CROSS JOIN tot
+      |GROUP BY dt.doc_id
+      |ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
+    val dt = Tables(s, dir).documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("k"))
+    val vc = dt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
+    val tot = vc.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    dt.join(broadcast(vc), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bits", expr("length(bin((n + v) DIV (cnt + 1)))"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("bits")).cast("long").as("sum_bits"))
+      .withColumn("bits_e3", expr("sum_bits * 1000 DIV n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM twin of [[textPerplexityBits]] — conditional surprisal
+    * log2(P(cur|prev)) under add-one smoothing over the corpus bigram
+    * table: bits(prev,cur) = floor-log2((c(prev·) + V) / (c(prev,cur)
+    * + 1)) via the same exact binary-length trick; doc score = mean
+    * whole-bit conditional surprisal ×1000 over the doc's bigram
+    * instances (docs with <2 tokens have no bigrams and drop out, as
+    * in the oracle). The context-sensitive quality signal: templated
+    * boilerplate scores even lower than under the unigram model, while
+    * shuffled-token spam — invisible to unigrams — scores high.
+    * Scale: per-doc bigram counts are one groupBy over the adjacent-
+    * pair stream (zip_with, narrow); the bigram and left-context
+    * models derive from THAT frame; vocabulary is Zipf-bounded and the
+    * model joins broadcast exactly like text_tfidf/text_collocations. */
+  private val textBigramBits = Q(
+    "text_bigram_bits",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), dbgf AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)
+      |), dbg AS (
+      |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      |  FROM dbgf GROUP BY doc_id, w1, w2
+      |), big AS (
+      |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cnt2 FROM dbg GROUP BY w1, w2
+      |), lft AS (
+      |  SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM big GROUP BY w1
+      |), voc AS (
+      |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ts) AS w FROM toks)
+      |), sc AS (
+      |  SELECT dbg.doc_id, dbg.k,
+      |         length(bin((lft.cnt1 + voc.v) // (big.cnt2 + 1))) AS bits
+      |  FROM dbg JOIN big USING (w1, w2) JOIN lft USING (w1) CROSS JOIN voc
+      |)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(k * bits) AS BIGINT) AS sum_bits,
+      |       CAST(sum(k * bits) * 1000 // sum(k) AS BIGINT) AS bits_e3
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val dbg = docs.select(col("doc_id"), explode(
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val big = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt2"))
+    val lft = big.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+    val voc = docs.select(explode(toks).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    dbg.join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(lft), Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .withColumn("bits", expr("length(bin((cnt1 + v) DIV (cnt2 + 1)))"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("bits")).cast("long").as("sum_bits"))
+      .withColumn("bits_e3", expr("sum_bits * 1000 DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, textDecontaminate,
-      textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport)
+      textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
+      textPerplexityBits, textBigramBits)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

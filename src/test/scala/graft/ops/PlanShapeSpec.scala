@@ -313,6 +313,90 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWas)
   }
 
+  test("q7_nation_volume: one fact-spine shuffle, both nation-filtered dims broadcast") {
+    val plan = planOf("q7_nation_volume")
+    val shuffled =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffled == 1,
+      s"expected exactly one shuffled join (lineitem ⋈ orders):\n$plan")
+    // supp = supplier⋈nation, cust = customer⋈nation, plus each leg
+    // broadcast onto the spine.
+    assert(countOf(plan, "BroadcastHashJoin") == 4,
+      s"expected 4 broadcast joins:\n$plan")
+    assert(plan.contains("In(n_name"),
+      s"the two-nation filter must reach the nation scans:\n$plan")
+  }
+
+  test("q13_customer_distribution: LEFT OUTER survives, order filter pushed to the scan") {
+    val plan = planOf("q13_customer_distribution")
+    assert(plan.contains("LeftOuter"),
+      s"the k=0 bucket requires an outer join:\n$plan")
+    // The priority predicate lives on the orders side of the join, so
+    // it must reach the orders scan as a pushed filter — in the WHERE
+    // clause it would have turned the join inner.
+    assert(plan.contains("Not(EqualTo(o_orderpriority"),
+      s"order-side predicate must push to the scan:\n$plan")
+  }
+
+  test("q14/q19: envelope predicates reach both scans, single broadcast join each") {
+    for ((q, factFilter) <- Seq(
+        "q14_promo_revenue" -> "GreaterThanOrEqual(l_shipdate",
+        "q19_disjunctive_pred" -> "GreaterThanOrEqual(l_quantity")) {
+      val plan = planOf(q)
+      assert(countOf(plan, "BroadcastHashJoin") == 1,
+        s"$q: part must broadcast onto lineitem:\n$plan")
+      assert(countOf(plan, "SortMergeJoin") +
+        countOf(plan, "ShuffledHashJoin") == 0,
+        s"$q: no shuffled join expected:\n$plan")
+      assert(plan.contains(factFilter),
+        s"$q: fact-side envelope must reach the lineitem scan:\n$plan")
+    }
+    assert(planOf("q19_disjunctive_pred").contains("In(p_brand"),
+      "q19: the brand envelope must reach the part scan")
+  }
+
+  test("q15_top_supplier: argmax via broadcast equi-join over ONE checkpointed aggregate") {
+    val plan = planOf("q15_top_supplier")
+    // Catalyst rewrites the filtered 1-row cross join into a broadcast
+    // EQUI-join on rev_units = max_units; with the supplier-name join
+    // that makes exactly two broadcast joins and no nested loop.
+    assert(countOf(plan, "BroadcastHashJoin") == 2,
+      s"expected max-equality + supplier-name broadcast joins:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") +
+      countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") == 0,
+      s"no nested-loop or shuffled join expected:\n$plan")
+    // The revenue frame is checkpointed: the max branch and the probe
+    // read it — the fact table is scanned and aggregated exactly once.
+    assert(!plan.contains("lineitem.parquet"),
+      s"both branches must read the checkpointed aggregate, not re-scan:\n$plan")
+  }
+
+  test("q22_global_sales: stats broadcast, anti join is the only shuffled join") {
+    val plan = planOf("q22_global_sales")
+    assert(plan.contains("LeftAnti"),
+      s"no-recent-orders must be an anti join:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 1,
+      s"the 1-row stats frame broadcasts (enrich pattern):\n$plan")
+    val shuffled =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffled == 1,
+      s"customer ⋈ orders on the customer key is the only shuffle join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the recency predicate must reach the orders scan:\n$plan")
+  }
+
+  test("perplexity family: model frames broadcast-only, no shuffled joins") {
+    for (q <- Seq("text_perplexity_bits", "text_bigram_bits")) {
+      val plan = planOf(q)
+      assert(countOf(plan, "SortMergeJoin") +
+        countOf(plan, "ShuffledHashJoin") == 0,
+        s"$q: the vocabulary-sized model sides must broadcast:\n$plan")
+      assert(countOf(plan, "BroadcastNestedLoopJoin") == 1,
+        s"$q: totals arrive as a 1-row broadcast cross join:\n$plan")
+    }
+  }
+
   test("dedup_incremental_components: standing labels never force-broadcast") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
