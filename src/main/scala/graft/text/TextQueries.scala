@@ -959,8 +959,9 @@ object TextQueries {
     * text_tfidf's df; totals are a 1-row cross join. The only
     * corpus-sized shuffles are the two groupBys every scoring pass
     * needs. */
-  private val textPerplexityBits = Q(
-    "text_perplexity_bits",
+  /** DuckDB CTE chain ending in `ppx(doc_id, n_tokens, sum_bits,
+    * bits_e3)` — shared by text_perplexity_bits and the tier report. */
+  private val sqlPerplexityCte: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
       |), dt AS (
@@ -971,17 +972,21 @@ object TextQueries {
       |), tot AS (
       |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
       |  FROM vc
-      |)
-      |SELECT dt.doc_id,
-      |       CAST(sum(dt.k) AS BIGINT) AS n_tokens,
-      |       CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
-      |         AS BIGINT) AS sum_bits,
-      |       CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
-      |         * 1000 // sum(dt.k) AS BIGINT) AS bits_e3
-      |FROM dt JOIN vc USING (term) CROSS JOIN tot
-      |GROUP BY dt.doc_id
-      |ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
-    val dt = Tables(s, dir).documents
+      |), ppx AS (
+      |  SELECT dt.doc_id,
+      |         CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+      |         CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
+      |           AS BIGINT) AS sum_bits,
+      |         CAST(sum(dt.k * length(bin((tot.n + tot.v) // (vc.cnt + 1))))
+      |           * 1000 // sum(dt.k) AS BIGINT) AS bits_e3
+      |  FROM dt JOIN vc USING (term) CROSS JOIN tot
+      |  GROUP BY dt.doc_id
+      |)""".stripMargin
+
+  /** The per-doc unigram surprisal frame (Spark twin of
+    * [[sqlPerplexityCte]]), unordered. */
+  private[graft] def perplexityFrame(t: Tables): DataFrame = {
+    val dt = t.documents
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("k"))
@@ -995,6 +1000,15 @@ object TextQueries {
         sum(col("k")).as("n_tokens"),
         sum(col("k") * col("bits")).cast("long").as("sum_bits"))
       .withColumn("bits_e3", expr("sum_bits * 1000 DIV n_tokens"))
+  }
+
+  private val textPerplexityBits = Q(
+    "text_perplexity_bits",
+    s"""$sqlPerplexityCte
+       |SELECT doc_id, n_tokens, sum_bits, bits_e3
+       |FROM ppx ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    perplexityFrame(Tables(s, dir))
+      .select("doc_id", "n_tokens", "sum_bits", "bits_e3")
       .orderBy("doc_id")
   }
 
@@ -1062,13 +1076,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic uniform k-sample — the distributed equivalent of
+    * reservoir sampling: rank every doc by a content-independent hash
+    * of its key and keep the k smallest. Same fate for the same doc on
+    * every run and every cluster size (no rand(), no partition-order
+    * dependence), uniform because md5 is uniform over keys. Scale: the
+    * cut is TakeOrderedAndProject — each partition keeps a local
+    * k-heap and only k rows per partition reach the driver-side merge;
+    * no global sort, no shuffle of the corpus. The eval-set carve-out
+    * every training pipeline needs ("sample 10k docs for human
+    * review") with audit-reproducible membership. */
+  private val sampleUniformHash = Q(
+    "sample_uniform_hash",
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(100)
+  }
+
+  /** Perplexity-decile tier report — CCNet's head/middle/tail bucketing
+    * generalized to ten tiers: every doc ranked by its unigram
+    * surprisal ([[perplexityFrame]]), deciles cut by GLOBAL rank, and
+    * each tier reported with its doc count, token mass, and surprisal
+    * range — the table a curriculum or filtering decision reads.
+    *
+    * The scale point is HOW the global rank is computed: a naive
+    * `ntile(10) OVER (ORDER BY score)` is a single-partition window
+    * over the corpus — the anti-pattern text_vocab's two-level rank
+    * exists to avoid. Here the rank decomposes exactly: a per-SCORE
+    * rank (window partitioned by bits_e3 — distributed), plus a
+    * cumulative base per score from the score HISTOGRAM (metadata-
+    * sized: one row per distinct surprisal value, windowed in one
+    * task, broadcast back). global_rank = base(score) + rank-in-score
+    * reproduces `row_number() OVER (ORDER BY bits_e3, doc_id)`
+    * bit-exactly — the oracle computes it with the naive global window
+    * and must agree. tier = (rank-1)·10 div n. */
+  private val textQualityTiers = Q(
+    "text_quality_tiers",
+    s"""$sqlPerplexityCte, r AS (
+       |  SELECT n_tokens, bits_e3,
+       |         row_number() OVER (ORDER BY bits_e3, doc_id) AS grank,
+       |         count(*) OVER () AS n
+       |  FROM ppx
+       |)
+       |SELECT CAST((grank - 1) * 10 // n AS BIGINT) AS tier,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       min(bits_e3) AS min_bits_e3, max(bits_e3) AS max_bits_e3
+       |FROM r GROUP BY (grank - 1) * 10 // n
+       |ORDER BY tier""".stripMargin) { (s, dir) =>
+    val ppx = perplexityFrame(Tables(s, dir)).cut()
+    val inScore = Window.partitionBy(col("bits_e3")).orderBy(col("doc_id"))
+    val hist = ppx.groupBy(col("bits_e3")).agg(count(lit(1)).as("c"))
+    val byScore = Window.orderBy(col("bits_e3"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = hist
+      .select(col("bits_e3"), coalesce(sum(col("c")).over(byScore), lit(0L))
+        .as("base"))
+    val tot = ppx.agg(count(lit(1)).as("n"))
+    ppx
+      .withColumn("rn", row_number().over(inScore).cast("long"))
+      .join(broadcast(bases), Seq("bits_e3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("grank", col("base") + col("rn"))
+      .withColumn("tier", expr("(grank - 1) * 10 DIV n"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        min(col("bits_e3")).as("min_bits_e3"),
+        max(col("bits_e3")).as("max_bits_e3"))
+      .orderBy("tier")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
-      textPerplexityBits, textBigramBits)
+      textPerplexityBits, textBigramBits, sampleUniformHash,
+      textQualityTiers)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

@@ -37,7 +37,8 @@ object ScaleStress {
     "mm_video_scene_cuts", "mm_image_resize", "dedup_component_stats",
     "dedup_substring", "dedup_substring_stats", "search_bm25",
     "mm_audio_fingerprint", "mm_audio_dedup", "mm_video_fingerprint",
-    "mm_video_dedup", "mm_dedup_report")
+    "mm_video_dedup", "mm_dedup_report",
+    "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
