@@ -378,6 +378,25 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Approximate heavy hitters via the ApproxTopK sketch (Spark 4.1) —
+    * the bounded-memory frequent-items pass a curation pipeline runs to
+    * find the hottest domains/keys before deciding caps: each partition
+    * tracks at most maxItemsTracked counters and the merged sketch
+    * reports top-k, so memory is constant in corpus size where an exact
+    * groupBy's shuffle is corpus-keyed. No DuckDB oracle (sketch
+    * internals, engine-specific tie selection); ApproxTopKSpec pins the
+    * reported counts against the exact aggregation — with the tracked
+    * budget at/above the key cardinality the sketch admits no error, so
+    * the spec demands exact count agreement, tie-tolerant on item
+    * identity at the rank boundary. */
+  private val aggApproxTopk = Q.noOracle("agg_approx_topk") { (s, dir) =>
+    Tables(s, dir).lineitem
+      .agg(expr("approx_top_k(l_partkey, 10, 65536)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("part_key"), col("e.count").as("n_rows"))
+      .orderBy(col("n_rows").desc, col("part_key"))
+  }
+
   /** The 100-TB form of [[aggQuantiles]]: Greenwald–Khanna sketches
     * (`percentile_approx`, accuracy 10000 → ~0.01% rank error) instead
     * of exact interpolated percentiles — the sketch merges map-side,
@@ -1914,7 +1933,7 @@ object RelationalQueries {
     q20ExcessSuppliers, aggGroupingSets, unpivotLong, joinSemireduced,
     joinBroadcast,
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
-    approxDistinct, aggQuantilesApprox, topk, setOps,
+    approxDistinct, aggApproxTopk, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     joinAsofForward, joinAsofTolerance,
