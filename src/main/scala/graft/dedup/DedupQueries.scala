@@ -1484,11 +1484,126 @@ object DedupQueries {
         (col("doc_b") * ChunkNodeCap + col("chunk_b")).as("doc_b")))
       .withColumnRenamed("doc_id", "node")
 
+  /** Hash-sampled queries for the LSH recall audit: deterministic
+    * content-independent rank by md5(doc_id) (the `sample_uniform_hash`
+    * rule), so the evaluation set is stable across runs and engines
+    * and its cost is CONSTANT regardless of corpus size. */
+  private[dedup] final val RecallEvalQueries = 40
+
+  /** Ground-truth threshold for "true near-dup": exact 3-shingle set
+    * Jaccard ≥ 0.5 (in e6 integer units). Chosen below the band/row
+    * S-curve's steep region (B=3, R=4 ⇒ P(candidate | J=0.5) ≈ 0.18,
+    * P | J=0.9 ≈ 0.96) so the audit SHOWS the recall cliff instead of
+    * sampling only from the easy J≈1 mass. */
+  private[dedup] final val RecallTauE6 = 500000L
+
+  /** LSH candidate-recall audit — the honest-measurement twin of the
+    * ANN family's `ann_recall_eval`, for the near-dedup family: does
+    * the banded MinHash index actually FIND the true near-dups?
+    *
+    * Ground truth: for each of [[RecallEvalQueries]] hash-sampled query
+    * docs, every corpus doc whose exact distinct-3-shingle Jaccard ≥
+    * [[RecallTauE6]] (computed by one exploded-shingle equi-join against
+    * the broadcast query shingle set — NO corpus×corpus pass; per-doc
+    * set sizes ride along the same single corpus scan). `caught` = 1
+    * iff the (query, doc) pair appears in the production LSH candidate
+    * frame ([[candidatePairs]], either orientation).
+    *
+    * Scale: query side is constant-size (broadcast everywhere it
+    * appears); the corpus contributes ONE shingle-explode scan whose
+    * join output is bounded by matches against 40 docs' shingles, and
+    * the truth/candidate frames joined at the end are audit-sized. At
+    * 100 TB this is exactly the recall probe you'd run before trusting
+    * a dedup sweep — cost: one corpus token pass, like any signature
+    * run. Recall itself stays a per-pair column (not a single scalar)
+    * so the audit shows WHERE the index misses (the J≈0.5 band). */
+  private val dedupRecallEval = Q(
+    "dedup_recall_eval",
+    s"""$sqlCandCte, qs AS (
+       |  SELECT doc_id AS qid FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT $RecallEvalQueries
+       |), shs AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS shs FROM documents
+       |), qsh AS (
+       |  SELECT qid, unnest(s.shs) AS sh
+       |  FROM qs JOIN shs s ON s.doc_id = qs.qid
+       |), qsz AS (
+       |  SELECT qid, count(*) AS qa FROM qsh GROUP BY qid
+       |), dsh AS (
+       |  SELECT doc_id, len(shs) AS db, unnest(shs) AS sh FROM shs
+       |), common AS (
+       |  SELECT q.qid, d.doc_id, count(*) AS n_common, any_value(d.db) AS db
+       |  FROM dsh d JOIN qsh q USING (sh)
+       |  WHERE d.doc_id <> q.qid
+       |  GROUP BY q.qid, d.doc_id
+       |), truth AS (
+       |  SELECT c.qid, c.doc_id,
+       |         CAST(c.n_common * 1000000 // (z.qa + c.db - c.n_common)
+       |              AS BIGINT) AS jaccard_e6
+       |  FROM common c JOIN qsz z USING (qid)
+       |), candq AS (
+       |  SELECT doc_a AS qid, doc_b AS doc_id FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS qid, doc_a AS doc_id FROM cand
+       |)
+       |SELECT t.qid, t.doc_id, t.jaccard_e6,
+       |       CAST(CASE WHEN c.qid IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |         AS caught
+       |FROM truth t LEFT JOIN candq c
+       |  ON t.qid = c.qid AND t.doc_id = c.doc_id
+       |WHERE t.jaccard_e6 >= $RecallTauE6
+       |ORDER BY t.qid, t.doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val qIds = t.documents.select(col("doc_id").as("qid"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(RecallEvalQueries)
+    // Query shingle set: 40 docs × ~1k shingles — cut once, broadcast
+    // into both the corpus join and the size frame.
+    val qsh = tokenized(t)
+      .join(broadcast(qIds), col("doc_id") === col("qid"))
+      .select(col("qid"),
+        explode(array_distinct(shinglesOf(col("toks")))).as("sh"))
+      .cut()
+    val qsz = qsh.groupBy(col("qid")).agg(count(lit(1)).as("qa"))
+    // ONE corpus shingle pass: per-doc distinct-set size rides along
+    // the explode so no second corpus aggregate is needed.
+    val common = tokenized(t)
+      .select(col("doc_id"), array_distinct(shinglesOf(col("toks"))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("db"),
+        explode(col("shs")).as("sh"))
+      .join(broadcast(qsh), Seq("sh"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_common"), first(col("db")).as("db"))
+    val truth = common.join(broadcast(qsz), Seq("qid"))
+      .withColumn("jaccard_e6",
+        expr("n_common * 1000000 DIV (qa + db - n_common)"))
+      .filter(col("jaccard_e6") >= RecallTauE6)
+      .cut()
+    val cand = candidatePairs(t).cut()
+    // The candidate frame is pair-scale (can be billions of rows on a
+    // 100 TB corpus); semi-prune it with the broadcast audit-sized
+    // truth keys BEFORE the outer join, so the caught-flag join runs
+    // tiny ⋈ tiny regardless of corpus size.
+    val candHits = cand
+      .select(col("doc_a").as("qid"), col("doc_b").as("doc_id"))
+      .union(cand.select(col("doc_b").as("qid"), col("doc_a").as("doc_id")))
+      .join(broadcast(truth.select(col("qid"), col("doc_id"))),
+        Seq("qid", "doc_id"), "left_semi")
+      .withColumn("caught", lit(1L))
+    truth.join(candHits, Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("doc_id"), col("jaccard_e6"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .orderBy("qid", "doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
-      dedupSubstring, dedupSubstringStats, dedupChunkSurvivors)
+      dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
+      dedupRecallEval)
 }

@@ -1925,7 +1925,117 @@ object RelationalQueries {
       .limit(25)
   }
 
+  /** Runtime-filter-eligible fact join: urgent-order line revenue by
+    * order status. The SHAPE is the point — a selectively filtered
+    * dimension leg (orders, 1/5 pass the priority predicate) joined to
+    * the unfiltered fact spine (lineitem) on the order key. This is
+    * exactly the pattern Spark's `InjectRuntimeFilter` rule targets at
+    * scale: with `spark.sql.optimizer.runtime.bloomFilter.enabled` a
+    * bloom filter built from the filtered creation side is pushed into
+    * the lineitem scan as a `might_contain` semi-filter, so at 100 TB
+    * the fact side sheds ~80% of its rows BEFORE the join shuffle
+    * instead of after. Locally the 10 GB application-side threshold
+    * keeps the injection off (results are threshold-invariant — the
+    * filter is semantics-free); PlanShapeSpec drops the thresholds and
+    * proves this exact plan takes the bloom filter. Aggregation is the
+    * usual partial-agg groupBy on a 3-value key. */
+  private val joinRuntimeFilter = Q(
+    "join_runtime_filter",
+    s"""SELECT o_orderstatus, count(*) AS n_lines,
+       |       ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Daily new-user accounting with a running total — the audience
+    * growth curve. Scale shape: per-user first-seen date is one
+    * user-keyed partial-agg groupBy (the only corpus-sized shuffle);
+    * per-day news collapse that to ≤ one row per day, and the running
+    * total's unpartitioned window runs over the DAY frame — bounded by
+    * the calendar, not the corpus (a few thousand rows even for a
+    * decade of data), the same metadata-window contract as the tier
+    * report. Day emitted as a formatted string (timestamp-type
+    * parquet/tz artifacts stay out of the hash compare). */
+  private val eventsNewUsersCumulative = Q(
+    "events_new_users_cumulative",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d
+      |  FROM events GROUP BY user_id
+      |), nd AS (
+      |  SELECT d, count(*) AS n_new FROM f GROUP BY d
+      |)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, n_new,
+      |       CAST(sum(n_new) OVER (ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_users
+      |FROM nd ORDER BY day""".stripMargin) { (s, dir) =>
+    val perDay = Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), sum(col("n_new")).over(w).as("cum_users"))
+      .orderBy("day")
+  }
+
+  /** 7-day rolling active users per active day (WAU) — EXACT rolling
+    * distinct, computed scale-first: a rolling `count(distinct)` has
+    * no distributive form, so each (user, day) presence row is
+    * EXPLODED to the ≤ 7 report days it can serve (a fixed ×7 map-side
+    * expansion, still linear) and the rest is one distinct + one
+    * count aggregate on (report_day, user). The tempting alternative —
+    * a day-spine range join — plans as a broadcast nested loop whose
+    * probe side re-scans presence per day; the offset explode keeps
+    * everything equi-keyed. Report days are restricted to days that
+    * have activity themselves (a broadcast semi against the
+    * metadata-sized day frame). */
+  private val eventsWau = Q(
+    "events_wau",
+    """WITH p AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), days AS (
+      |  SELECT DISTINCT d FROM p
+      |), w AS (
+      |  SELECT p.d + CAST(o.o AS INTEGER) AS rd, p.user_id
+      |  FROM p CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+      |)
+      |SELECT strftime(w.rd, '%Y-%m-%d') AS day,
+      |       count(DISTINCT w.user_id) AS wau
+      |FROM w JOIN days ON w.rd = days.d
+      |GROUP BY w.rd ORDER BY day""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .cut()
+    val days = p.select(col("d")).distinct()
+    p.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("o"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("o")).as("rd"))
+      .join(broadcast(days), col("rd") === col("d"), "left_semi")
+      .groupBy(col("rd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("rd"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Seq[Q] = Seq(
+    joinRuntimeFilter, eventsNewUsersCumulative, eventsWau,
     basketAffinity,
     snapshotDiff,
     aggGroup, aggRollup, aggCube, q3ShippingPriority,

@@ -1124,9 +1124,61 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding distribution profile — the QA pass a
+    * training pipeline runs before trusting a vector corpus: collapsed
+    * dimensions (zero variance), off-center dimensions (|mean| large)
+    * and clipped ranges all show up as one 64-row report. Values are
+    * integerized per element (e6 for linear stats, e3 for the square
+    * sums so `sum(x_e3²)` stays exact int64 below ~9e12 elements —
+    * documented headroom, staged-division policy), then aggregated with
+    * map-side combine into [[Dim]] groups; mean/variance are derived
+    * from the exact integer sums with a fixed double op order, so both
+    * engines produce bit-identical doubles. Plan at 100 TB: one
+    * posexplode scan → partial hash aggregate (64 groups) — no joins,
+    * one metadata-sized shuffle. */
+  private val embeddingDimStats = Q(
+    "embedding_dim_stats",
+    """WITH ex AS (
+      |  SELECT unnest(range(0, len(embedding))) AS dim,
+      |         unnest(list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS x_e6,
+      |         unnest(list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS x_e3
+      |  FROM embeddings
+      |)
+      |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+      |       CAST(sum(x_e6) AS BIGINT) AS sum_e6,
+      |       CAST(min(x_e6) AS BIGINT) AS min_e6,
+      |       CAST(max(x_e6) AS BIGINT) AS max_e6,
+      |       (CAST(sum(x_e6) AS DOUBLE) / count(*)) AS mean_e6,
+      |       ((CAST(sum(x_e3 * x_e3) AS DOUBLE) / count(*)) * 1000000.0
+      |         - (CAST(sum(x_e6) AS DOUBLE) / count(*))
+      |           * (CAST(sum(x_e6) AS DOUBLE) / count(*))) AS var_e6sq
+      |FROM ex GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+    Tables(s, dir).embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("x_e6"),
+        floor(col("x").cast("double") * lit(1000.0) + lit(0.5))
+          .cast("long").as("x_e3"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sum_e6"),
+        min(col("x_e6")).as("min_e6"), max(col("x_e6")).as("max_e6"),
+        sum(col("x_e3") * col("x_e3")).as("sumsq_e3"))
+      .select(col("dim"), col("n"), col("sum_e6"), col("min_e6"),
+        col("max_e6"),
+        (col("sum_e6").cast("double") / col("n")).as("mean_e6"),
+        ((col("sumsq_e3").cast("double") / col("n")) * lit(1000000.0)
+          - (col("sum_e6").cast("double") / col("n"))
+            * (col("sum_e6").cast("double") / col("n"))).as("var_e6sq"))
+      .orderBy("dim")
+  }
+
   val queries: Seq[Q] =
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
-      similarityMutualKnn, embeddingComponents, embeddingSurvivors)
+      similarityMutualKnn, embeddingComponents, embeddingSurvivors,
+      embeddingDimStats)
 }

@@ -1153,6 +1153,58 @@ object TextQueries {
       .orderBy("tier")
   }
 
+  /** Token-budget mixture planning — the step between corpus profiling
+    * and `sample_domain_mix`'s per-doc sampling: given the measured
+    * per-source token mass, plan a training run with an equal-weight
+    * target mixture over a budget of half the corpus tokens. Emits per
+    * source its token share, the target token count, the sampling rate
+    * (≤ 1000 e3 = downsample) and the epoch multiplier (> 1000 e3 =
+    * repeat the source). All arithmetic is exact int64 at e3 scale —
+    * x·1000 stays in-range below 9.2e15 tokens (≈ 400× a 100 TB
+    * corpus's token mass, documented headroom per the staged-division
+    * policy). Plan: one corpus scan → per-source partial-agg groupBy
+    * (sources are few: the grouped frame is metadata), one broadcast
+    * totals join. At 100 TB this is a single aggregation pass — the
+    * cheapest query in the curation suite, run before every mixture
+    * decision. */
+  private val mixturePlan = Q(
+    "mixture_plan",
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |         count(*) AS n_sources
+      |  FROM per
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(n_tokens * 1000 // total_tokens AS BIGINT) AS share_e3,
+      |       CAST(total_tokens // 2 // n_sources AS BIGINT) AS target_tokens,
+      |       CAST(least(1000, (total_tokens // 2 // n_sources) * 1000 // n_tokens)
+      |            AS BIGINT) AS rate_e3,
+      |       CAST((total_tokens // 2 // n_sources) * 1000 // n_tokens
+      |            AS BIGINT) AS epochs_e3
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val per = Tables(s, dir).documents
+      .select(col("source"), size(toks).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000 DIV total_tokens").as("share_e3"),
+        expr("total_tokens DIV 2 DIV n_sources").as("target_tokens"),
+        least(lit(1000L),
+          expr("(total_tokens DIV 2 DIV n_sources) * 1000 DIV n_tokens"))
+          .as("rate_e3"),
+        expr("(total_tokens DIV 2 DIV n_sources) * 1000 DIV n_tokens")
+          .as("epochs_e3"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
@@ -1160,7 +1212,7 @@ object TextQueries {
       packSequences, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textPerplexityBits, textBigramBits, sampleUniformHash,
-      textQualityTiers)
+      textQualityTiers, mixturePlan)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

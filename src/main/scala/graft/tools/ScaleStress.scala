@@ -38,11 +38,13 @@ object ScaleStress {
     "dedup_substring", "dedup_substring_stats", "search_bm25",
     "mm_audio_fingerprint", "mm_audio_dedup", "mm_video_fingerprint",
     "mm_video_dedup", "mm_dedup_report",
-    "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits")
+    "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits",
+    "dedup_recall_eval", "mixture_plan")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
-    "sim_pq_adc", "similarity_knn_graph", "embedding_components")
+    "sim_pq_adc", "similarity_knn_graph", "embedding_components",
+    "embedding_dim_stats")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

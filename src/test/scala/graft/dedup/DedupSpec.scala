@@ -225,4 +225,22 @@ class DedupSpec extends SparkSpec {
       2L -> ((0L, 9L, 10L)),
       2L -> ((19L, 28L, 10L))))
   }
+
+  test("dedup_recall_eval: planted dups are ground truth and caught; unrelated doc absent") {
+    val rows = SparkEntry.queries("dedup_recall_eval")(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // With 4 docs, every doc is inside the 40-doc hash sample, so the
+    // audit sees the full truth set in both orientations.
+    assert(rows((0L, 1L)) == ((1000000L, 1L)),
+      s"exact dup must score J=1.0 and be caught: $rows")
+    assert(rows((1L, 0L))._2 == 1L)
+    val (nearJ, nearCaught) = rows((0L, 2L))
+    assert(nearJ > 500000L && nearJ < 1000000L,
+      s"near dup must land between tau and 1.0: $nearJ")
+    assert(nearCaught == 1L, "the 1-token-changed near dup is an LSH catch")
+    assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated doc must never enter the truth set: ${rows.keys}")
+  }
 }

@@ -417,4 +417,57 @@ class PlanShapeSpec extends SparkSpec {
         s"broadcast hint carries standing labels without semi-narrowing:\n${h.child}")
     }
   }
+
+  test("join_runtime_filter: the shape takes an injected bloom filter at scale thresholds") {
+    // Locally the 10 GB application-side threshold keeps injection off;
+    // drop it (as a 100 TB fact scan would clear it) and the optimizer
+    // must push a bloom filter built from the filtered orders leg into
+    // the lineitem side — proving the declared query's shape is
+    // runtime-filterable, not just joinable.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = SparkEntry.queries("join_runtime_filter")(spark, sf)
+        .queryExecution
+      val plan = qe.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("dedup_recall_eval: no cartesian; candidates semi-pruned by the broadcast truth set") {
+    val plan = planOf("dedup_recall_eval")
+    assert(!plan.contains("CartesianProduct"),
+      s"ground truth must come from the shingle equi-join, never all-pairs:\n$plan")
+    // The pair-scale candidate frame must shrink to audit size via a
+    // broadcast LeftSemi against the checkpointed truth keys BEFORE the
+    // caught-flag outer join (the truth frame's own query-side
+    // broadcasts run inside its checkpoint job and are asserted by the
+    // oracle, not visible here). The semi is pushed below the
+    // orientation union — one per leg.
+    val semiBroadcasts = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiBroadcasts >= 1,
+      s"expected the candidate frame semi-pruned by broadcast truth keys:\n$plan")
+  }
+
+  test("mixture_plan: one corpus aggregate, totals broadcast as a 1-row cross join") {
+    val plan = planOf("mixture_plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 1,
+      s"totals must arrive as the broadcast enrich pattern:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"mixture planning must never shuffle-join:\n$plan")
+  }
+
+  test("embedding_dim_stats: no joins, one metadata-sized dim shuffle") {
+    val plan = planOf("embedding_dim_stats")
+    assert(!plan.contains("Join"), s"profile must be join-free:\n$plan")
+    assert(countOf(plan, "hashpartitioning") == 1,
+      s"expected exactly the 64-group dim exchange:\n$plan")
+  }
 }

@@ -122,6 +122,46 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("checkpointed start() drives the bucketed index: parity + restart survival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "incr_band_index_stream_spec"
+    val pairsDir = tmpDir("incr-bs-pairs") + "/pairs"
+    val ckpt = tmpDir("incr-bs-ckpt")
+    val index = IncrementalDedup.BucketedIndex(tbl, 8)
+    def pairs(): Set[(Long, Long)] =
+      if (new java.io.File(pairsDir).exists())
+        spark.read.parquet(pairsDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      else Set.empty
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = IncrementalDedup.start(
+        input.toDF().toDF("doc_id", "text"),
+        index, pairsDir, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    try {
+      // Leg 1: the full streaming path (MemoryStream → checkpointed
+      // foreachBatch) writing the managed bucketed table, not a
+      // directory — the production layout driven by the production
+      // entry point, not just processBatch in isolation.
+      input.addData((1L, base), (2L, far))
+      run()
+      input.addData((20L, base))
+      run()
+      assert(pairs() == Set((20L, 1L)))
+
+      // Leg 2: restart against the same checkpoint + table; the
+      // standing index persists through the catalog, so the new copy
+      // pairs with BOTH earlier ones and nothing is reprocessed.
+      input.addData((40L, base))
+      run()
+      assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)),
+        "the bucketed standing index must survive a restart intact")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("restart from checkpoint neither reprocesses nor loses batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
