@@ -442,6 +442,54 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-set CONTAINMENT over the LSH candidates — the asymmetric
+    * twin of `dedup_ngram_jaccard`: c = |A∩B| / min(|A|,|B|). A short
+    * doc fully quoted inside a long one scores containment ≈ 1.0 while
+    * its Jaccard stays low (the union is dominated by the long doc), so
+    * this is the verifier for subset/quotation dups the symmetric score
+    * misses. Same candidate-pruned plan as the Jaccard verifier: shingle
+    * only docs in candidate pairs (left-semi), cost follows candidates,
+    * not corpus; the e6 integerized ratio keeps the hash engine-stable
+    * (n_common·1e6 stays in int64 below ~9e12 shingles/doc). */
+  private val dedupContainment = Q(
+    "dedup_containment",
+    s"""$sqlCandCte, sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |       CAST(len(a.sh) AS BIGINT) AS n_a,
+       |       CAST(len(b.sh) AS BIGINT) AS n_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+       |            // least(len(a.sh), len(b.sh)) AS BIGINT) AS containment_e6
+       |FROM cand
+       |JOIN sh a ON cand.doc_a = a.doc_id
+       |JOIN sh b ON cand.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val cand = candidatePairs(t).cut()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = tokenized(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("toks"))).as("sh"))
+      .cut()
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.as("n_common"),
+        size(col("a.sh")).cast("long").as("n_a"),
+        size(col("b.sh")).cast("long").as("n_b"))
+      .withColumn("containment_e6",
+        expr("n_common * 1000000 DIV least(n_a, n_b)"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Connected components over the LSH candidate-pair graph — the
     * survivor-selection step of a near-dedup pipeline (every doc maps to
     * its cluster representative = the component's min doc_id).
@@ -1605,5 +1653,5 @@ object DedupQueries {
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
-      dedupRecallEval)
+      dedupRecallEval, dedupContainment)
 }

@@ -161,6 +161,23 @@ object Sinks {
   def appendPartitioned(df: DataFrame, tableDir: String, partitionCol: String): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(tableDir)
 
+  /** Partition-level overwrite — the idempotent reprocessing mode
+    * between blind append (duplicates on retry) and whole-table
+    * overwrite (data loss): ONLY the partitions present in `df` are
+    * replaced, every other partition's files are untouched (dynamic
+    * partitionOverwriteMode, passed as a per-write option so the
+    * session default stays static). This is how a 100 TB warehouse
+    * takes late data: a backfill recomputes the affected dates and
+    * swaps exactly those directories — re-running the same backfill
+    * converges instead of duplicating, which `appendPartitioned`
+    * cannot promise. */
+  def overwritePartitions(
+      df: DataFrame, tableDir: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(tableDir)
+
   /** `<md5(content)[0:6]>-<yyyy-MM-dd-HH-mm-ss>` — create_random_dt_prefix
     * (bpi_etl_bigquery.py:8-23): md5 over the snapshot *content* spreads
     * object-store keys across the keyspace so request autoscaling never

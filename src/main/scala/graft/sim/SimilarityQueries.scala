@@ -396,16 +396,45 @@ object SimilarityQueries {
   /** The trained quantizer state itself — (final assignment, final
     * centroids) — for consumers that probe per-query instead of for
     * the single shared probe vector ([[annRecallEval]]). */
-  private def trainedIvf(t: Tables): (DataFrame, DataFrame) = {
+  private def trainedIvf(t: Tables): (DataFrame, DataFrame) =
+    trainedIvfCells(t, NCells)
+
+  private def trainedIvfCells(t: Tables, nCells: Int): (DataFrame, DataFrame) = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    val cent0 = emb.orderBy(seedOrd: _*).limit(NCells)
+    val cent0 = emb.orderBy(seedOrd: _*).limit(nCells)
       .select(
         (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
     val assign2 = lloydAssign(emb, lloydReaverage(lloydAssign(emb, cent0)))
     val cent2 = lloydReaverage(assign2)
     (assign2, cent2)
+  }
+
+  /** Corpus-scaled cell count for the trained quantizer: ceil(√n),
+    * the standard IVF sizing. NOT the `planesFor` linear rule — every
+    * vector is scored against every centroid during training/assign,
+    * so cells ∝ n would make that pass O(n²/target) (measured: the
+    * linear rule turned the 10× stress ratio into 3.7). √n cells keep
+    * assignment at O(n^1.5) sims while expected occupancy grows only
+    * as √n, which the [[MaxBucketPairVecs]] cap already bounds to
+    * linear pair space (head all-pairs + star tail). The production
+    * extension beyond n^1.5 is sample-trained centroids (train on a
+    * hash-sample, assign the full corpus) — same assign shape, smaller
+    * training pass. Floored at [[NCells]]. */
+  def cellsFor(n: Long): Int =
+    math.max(NCells,
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+
+  /** Corpus-scaled SemDeDup entry point (ScaleStress / production):
+    * derives the cell count from the corpus row count (parquet-footer
+    * metadata). The declared `semdedup_pairs` pins [[NCells]] for its
+    * static Lloyd-unrolled oracle — see [[DefaultPlanes]]' note. */
+  def semDedupScaled(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    semDedupPairsOf(
+      trainedIvfCells(t, cellsFor(t.embeddings.count()))._1)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: seeded deterministic
@@ -1124,6 +1153,136 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Capped within-cell scored pairs over a trained-quantizer
+    * assignment — the SemDeDup pairing step (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster with k-means, compare only within
+    * clusters. Same degenerate-bucket policy as every capped-pair
+    * machine in the repo (all-pairs ≤ [[MaxBucketPairVecs]] per cell,
+    * star edges to the cell representative beyond), so a giant cell
+    * costs O(m), never O(m²). */
+  private def semDedupPairsOf(assign: DataFrame): DataFrame = {
+    val byCell = Window.partitionBy(col("cell"))
+    val ranked = assign
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        row_number().over(byCell.orderBy(col("vec_id"))).as("rk"),
+        count(lit(1)).over(byCell).as("m"))
+      .filter(col("m") > 1)
+      .cut()
+    val head = ranked.filter(col("rk") <= MaxBucketPairVecs)
+    val headPairs = head.as("l")
+      .join(head.as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("l.cell").as("cell"),
+        simE6(col("l.embedding"), col("r.embedding")).as("sim_e6"))
+    val tailPairs = ranked.filter(col("rk") > MaxBucketPairVecs).as("t")
+      .join(ranked.filter(col("rk") === 1).as("h"),
+        col("t.cell") === col("h.cell"))
+      .select(col("h.vec_id").as("vec_a"), col("t.vec_id").as("vec_b"),
+        col("t.cell").as("cell"),
+        simE6(col("h.embedding"), col("t.embedding")).as("sim_e6"))
+    headPairs.union(tailPairs).filter(col("sim_e6") >= NearDupSimE6)
+  }
+
+  /** CTE chain ending in `sempairs(vec_a, vec_b, cell, sim_e6)` — the
+    * DuckDB mirror of [[semDedupPairsOf]] over the 2-round-Lloyd
+    * assignment, capped identically. */
+  private def sqlSemPairsCte: String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY $sqlSeedOrder LIMIT $NCells
+       |), cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $sqlSeedOrder) - 1 AS INTEGER) AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM seeds
+       |), ${sqlLloydRound(1, "cent0")},
+       |${sqlLloydRound(2, "cent1")},
+       |cranked AS (
+       |  SELECT vec_id, embedding, cell,
+       |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY cell) AS m
+       |  FROM assign2
+       |), cpairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.cell AS cell,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM cranked l JOIN cranked r
+       |    ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id, t.cell,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM cranked t JOIN cranked h
+       |    ON t.cell = h.cell AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |), sempairs AS (
+       |  SELECT * FROM cpairs WHERE sim_e6 >= $NearDupSimE6
+       |)""".stripMargin
+
+  /** SemDeDup candidate pairs: cosine near-dups WITHIN trained k-means
+    * cells — the second semantic-dedup scale path beside the sign-LSH
+    * buckets of `embedding_near_dup`. A trained coarse quantizer
+    * follows the data distribution (dense regions get their own
+    * cells), where random hyperplanes cut it blindly — the trade is a
+    * training pass. At 100 TB: cells are the inverted-list partitions
+    * the corpus is already stored in for ANN ([[similarityIvf]]), so
+    * the pairing reads cell-partitioned data with NO extra shuffle
+    * beyond the ranking window, and the per-cell pair space is bounded
+    * by the same cap as every pairing machine here. Declared NCells is
+    * pinned for the static oracle (see [[DefaultPlanes]]' note);
+    * production derives cell count from corpus size exactly like
+    * `planesFor`. */
+  private val semdedupPairs = Q(
+    "semdedup_pairs",
+    s"""$sqlSemPairsCte
+       |SELECT vec_a, vec_b, cell, sim_e6 FROM sempairs
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    semDedupPairsOf(trainedIvf(Tables(s, dir))._1)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Per-cell semantic-duplication report — the SemDeDup paper's
+    * cluster-level accounting (how much of each cluster is duplicate
+    * mass): vectors, surviving pairs, distinct deduplicable vectors,
+    * duplicate fraction in ppm. All frames are cell-keyed aggregates
+    * (≤ [[NCells]] rows after the partial agg), so the joins are
+    * metadata-sized; the only corpus-scale work is the assignment and
+    * the capped pairing it shares with [[semdedupPairs]]. */
+  private val semdedupCellStats = Q(
+    "semdedup_cell_stats",
+    s"""$sqlSemPairsCte, pvecs AS (
+       |  SELECT DISTINCT cell, vec_id FROM (
+       |    SELECT cell, vec_a AS vec_id FROM sempairs
+       |    UNION ALL SELECT cell, vec_b FROM sempairs)
+       |), pc AS (SELECT cell, count(*) AS n_pairs FROM sempairs GROUP BY cell),
+       |dv AS (SELECT cell, count(*) AS n_dup_vecs FROM pvecs GROUP BY cell),
+       |cv AS (SELECT cell, count(*) AS n_vectors FROM assign2 GROUP BY cell)
+       |SELECT cv.cell, cv.n_vectors,
+       |       coalesce(pc.n_pairs, 0) AS n_pairs,
+       |       coalesce(dv.n_dup_vecs, 0) AS n_dup_vecs,
+       |       CAST(coalesce(dv.n_dup_vecs, 0) * 1000000 // cv.n_vectors
+       |            AS BIGINT) AS dup_ppm
+       |FROM cv LEFT JOIN pc USING (cell) LEFT JOIN dv USING (cell)
+       |ORDER BY cell""".stripMargin) { (s, dir) =>
+    val assign = trainedIvf(Tables(s, dir))._1.cut()
+    val pairs = semDedupPairsOf(assign).cut()
+    val pc = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+    val dv = pairs
+      .select(col("cell"),
+        explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dup_vecs"))
+    val cv = assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    cv.join(pc, Seq("cell"), "left").join(dv, Seq("cell"), "left")
+      .select(col("cell"), col("n_vectors"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_vecs"), lit(0L)).as("n_dup_vecs"),
+        expr("coalesce(n_dup_vecs, CAST(0 AS BIGINT)) * 1000000 DIV n_vectors")
+          .as("dup_ppm"))
+      .orderBy("cell")
+  }
+
   /** Per-dimension embedding distribution profile — the QA pass a
     * training pipeline runs before trusting a vector corpus: collapsed
     * dimensions (zero variance), off-center dimensions (|mean| large)
@@ -1180,5 +1339,5 @@ object SimilarityQueries {
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
-      embeddingDimStats)
+      embeddingDimStats, semdedupPairs, semdedupCellStats)
 }

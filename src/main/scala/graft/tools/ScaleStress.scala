@@ -39,12 +39,12 @@ object ScaleStress {
     "mm_audio_fingerprint", "mm_audio_dedup", "mm_video_fingerprint",
     "mm_video_dedup", "mm_dedup_report",
     "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits",
-    "dedup_recall_eval", "mixture_plan")
+    "dedup_recall_eval", "mixture_plan", "dedup_containment")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
     "sim_pq_adc", "similarity_knn_graph", "embedding_components",
-    "embedding_dim_stats")
+    "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -79,7 +79,9 @@ object ScaleStress {
     * space with the corpus is exactly what keeps this query's 10×
     * ratio near-linear. */
   private val overrides: Map[String, (SparkSession, String) => DataFrame] =
-    Map("embedding_near_dup" -> graft.sim.SimilarityQueries.nearDupScaled)
+    Map(
+      "embedding_near_dup" -> graft.sim.SimilarityQueries.nearDupScaled,
+      "semdedup_pairs" -> graft.sim.SimilarityQueries.semDedupScaled)
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double = {

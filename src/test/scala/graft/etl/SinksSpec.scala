@@ -65,6 +65,28 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || subdirs.size > 1)
   }
 
+  test("overwritePartitions replaces only touched partitions; reruns converge") {
+    import spark.implicits._
+    val dir = tmpDir("dynpart") + "/t"
+    Sinks.appendPartitioned(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"), dir, "p")
+    // Backfill: partition b recomputed (1 row, new id), partition c new.
+    // Partition a must be untouched; b replaced, not appended.
+    Sinks.overwritePartitions(
+      Seq((30L, "b"), (40L, "c")).toDF("id", "p"), dir, "p")
+    def state(): Map[String, Set[Long]] =
+      spark.read.parquet(dir).as[(Long, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(state() == Map(
+      "a" -> Set(1L, 2L), "b" -> Set(30L), "c" -> Set(40L)))
+    // Idempotence: the same backfill again changes nothing — the
+    // promise appendPartitioned cannot make.
+    Sinks.overwritePartitions(
+      Seq((30L, "b"), (40L, "c")).toDF("id", "p"), dir, "p")
+    assert(state() == Map(
+      "a" -> Set(1L, 2L), "b" -> Set(30L), "c" -> Set(40L)))
+  }
+
   test("snapshot prefix layout: <md5[0:6]>-<yyyy-MM-dd-HH-mm-ss>") {
     val ts = Instant.parse("2022-12-18T10:30:05Z")
     val p = Sinks.snapshotPrefix("hello".getBytes("UTF-8"), ts)
