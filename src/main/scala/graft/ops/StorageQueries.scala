@@ -449,8 +449,36 @@ object StorageQueries {
       .orderBy("key_name")
   }
 
+  /** Shuffle-free aggregation on the bucketed layout — the aggregation
+    * half of the bucketing story (`join_bucketed` shows the join half):
+    * the expensive per-orderkey rollup reads the lineitem twin bucketed
+    * on `l_orderkey`, whose HashPartitioning already satisfies the
+    * aggregate's clustering requirement, so the ONE corpus-sized
+    * aggregation runs with NO Exchange — at 100 TB this turns every
+    * recurring per-key rollup on the table's bucket key into a scan +
+    * local aggregate. The second groupBy (the lines-per-order
+    * histogram, the Q13 tail shape) reorganizes one row per order —
+    * already reduced data. PlanShapeSpec pins zero shuffles above the
+    * bucketed scan. */
+  private val aggBucketed = Q(
+    "agg_bucketed",
+    """WITH pl AS (
+      |  SELECT l_orderkey, count(*) AS n_lines
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT n_lines, count(*) AS n_orders
+      |FROM pl GROUP BY n_lines ORDER BY n_lines""".stripMargin) { (s, dir) =>
+    val (li, _) = bucketedTables(Tables(s, dir))
+    s.table(li)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_lines")
+  }
+
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
       tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution,
-      tableSkewReport)
+      tableSkewReport, aggBucketed)
 }

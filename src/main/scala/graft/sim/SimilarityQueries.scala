@@ -428,12 +428,30 @@ object SimilarityQueries {
 
   /** Corpus-scaled SemDeDup entry point (ScaleStress / production):
     * derives the cell count from the corpus row count (parquet-footer
-    * metadata). The declared `semdedup_pairs` pins [[NCells]] for its
-    * static Lloyd-unrolled oracle — see [[DefaultPlanes]]' note. */
+    * metadata) and trains on a SAMPLE — the production form of the
+    * extension [[cellsFor]]'s scaladoc names: the 2 Lloyd rounds run
+    * over a content-independent hash-ranked sample of 64·cells vectors
+    * (64√n — sublinear), and only the final single assignment touches
+    * the full corpus (n·√n sims, the irreducible term: every vector
+    * must find its cell). The declared `semdedup_pairs` pins
+    * [[NCells]] + full-corpus training for its static Lloyd-unrolled
+    * oracle — see [[DefaultPlanes]]' note. */
   def semDedupScaled(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    semDedupPairsOf(
-      trainedIvfCells(t, cellsFor(t.embeddings.count()))._1)
+    val nCells = cellsFor(t.embeddings.count())
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val sample = emb.orderBy(seedOrd: _*).limit(64 * nCells).cut()
+    // Re-sort below the checkpoint: cut() materializes rows without an
+    // ordering contract, and the seeds must be exactly the nCells
+    // hash-smallest.
+    val cent0 = sample.orderBy(seedOrd: _*).limit(nCells)
+      .select(
+        (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val trained =
+      lloydReaverage(lloydAssign(sample, lloydReaverage(lloydAssign(sample, cent0))))
+    semDedupPairsOf(lloydAssign(emb, trained))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -464,6 +464,24 @@ class PlanShapeSpec extends SparkSpec {
       s"mixture planning must never shuffle-join:\n$plan")
   }
 
+  test("agg_bucketed: the per-orderkey rollup reads the bucket layout with zero Exchange") {
+    val df = SparkEntry.queries("agg_bucketed")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("Bucketed: true"),
+      s"the rollup must scan the bucketed twin:\n$plan")
+    // No shuffle may sit between the bucketed scan and the first
+    // aggregate: HashPartitioning(l_orderkey) from the layout satisfies
+    // the aggregate's requirement. The only Exchange allowed is the
+    // n_lines regroup above already-reduced data.
+    val shufflesOverScan = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.collectLeaves().exists(_.toString.contains("graft_bkt_lineitem")) &&
+            e.outputPartitioning.toString.contains("l_orderkey") => e
+    }
+    assert(shufflesOverScan.isEmpty,
+      s"per-orderkey aggregation must ride the bucket partitioning:\n$plan")
+  }
+
   test("embedding_dim_stats: no joins, one metadata-sized dim shuffle") {
     val plan = planOf("embedding_dim_stats")
     assert(!plan.contains("Join"), s"profile must be join-free:\n$plan")

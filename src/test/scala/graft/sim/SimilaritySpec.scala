@@ -161,4 +161,29 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(got).nonEmpty,
       s"ADC top-10 $got shares nothing with exact top-10 $exact")
   }
+
+  test("semdedup: pairs are oriented, thresholded, within one cell; scaled twin agrees on planted dups") {
+    val rows = SparkEntry.queries("semdedup_pairs")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Long]("sim_e6") >= 150000L)
+    }
+    // The sample-trained scaled entry is a different quantizer, but a
+    // planted exact-duplicate vector pair must land in one cell under
+    // ANY assignment (identical vectors always share the argmax cell)
+    // and survive at sim 1.0.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dup = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val dir = tmpDir("semdedup-scaled")
+    emb.unionByName(dup).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val scaled = SimilarityQueries.semDedupScaled(spark, dir).collect()
+    assert(scaled.exists(r => r.getAs[Long]("vec_a") == 7L &&
+      r.getAs[Long]("vec_b") == 100007L &&
+      r.getAs[Long]("sim_e6") == 1000000L),
+      s"planted exact dup must pair in the scaled path: ${scaled.length} pairs")
+  }
 }
