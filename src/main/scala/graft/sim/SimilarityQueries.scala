@@ -120,6 +120,46 @@ object SimilarityQueries {
       .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")") + " AS BIGINT)"
 
+  /** (vec_id, bucket, embedding) rows for an arbitrary embeddings
+    * frame — the standing-index rows of the streaming semantic dedup
+    * loop ([[graft.streaming.IncrementalSemDedup]]). */
+  private[graft] def bucketRowsOf(
+      emb: DataFrame, nPlanes: Int = DefaultPlanes): DataFrame =
+    emb.select(col("vec_id"), bucket(col("embedding"), nPlanes).as("bucket"),
+      col("embedding"))
+
+  /** Batch-vs-standing semantic near-dup pairs — the embedding twin of
+    * [[graft.dedup.DedupQueries.incrementalPairsBetween]], same
+    * contract: the (small) batch side broadcasts; the standing index
+    * is semi-narrowed to COLLIDING buckets before anything wide runs;
+    * replayed duplicate index rows collapse on the pruned slice BEFORE
+    * cap ranking (the at-least-once append contract); the corpus side
+    * keeps the family's [[MaxBucketPairVecs]] rank cap. Only pairs
+    * clearing [[NearDupSimE6]] emit — scoring happens on the
+    * bucket-collision frame, so per-batch cost follows collisions,
+    * never the index. */
+  private[graft] def incrementalSemPairsBetween(
+      newRows: DataFrame, corpusRows: DataFrame): DataFrame = {
+    val newSide = newRows.select(col("vec_id").as("new_vec"),
+      col("bucket").as("nb"), col("embedding").as("nemb"))
+    val bucketKeys = newSide.select(col("nb").as("bucket")).distinct()
+    val corpusRanked = corpusRows
+      .join(broadcast(bucketKeys), Seq("bucket"), "left_semi")
+      .select(col("vec_id"), col("bucket"), col("embedding")).distinct()
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+        row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("vec_id")))
+          .as("rk"))
+      .filter(col("rk") <= MaxBucketPairVecs)
+    corpusRanked
+      .join(broadcast(newSide), col("bucket") === col("nb"))
+      .filter(col("vec_id") =!= col("new_vec"))
+      .select(col("new_vec"), col("vec_id").as("corpus_vec"),
+        simE6(col("nemb"), col("embedding")).as("sim_e6"))
+      .filter(col("sim_e6") >= NearDupSimE6)
+      .distinct()
+  }
+
   /** Embeddings with their LSH bucket (shared by the ANN + near-dup ops). */
   private def bucketed(t: Tables): DataFrame =
     t.embeddings.select(
@@ -1301,6 +1341,143 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Sign-LSH near-dup RECALL audit — the embedding twin of the dedup
+    * family's `dedup_recall_eval`, honest-measurement style: for 40
+    * hash-sampled query vectors, ground truth is EVERY corpus vector
+    * with exact cosine ≥ [[NearDupSimE6]] (one constant-×-corpus
+    * broadcast scoring pass — linear, never all-pairs), and `caught`
+    * marks whether the production bucket-pair frame
+    * ([[nearDupPairs]], either orientation) found it. An 8-plane
+    * bucketing necessarily splits some θ ≈ threshold pairs across
+    * buckets — this query REPORTS that recall loss per pair instead
+    * of asserting it away, the same contract as `ann_recall_eval`.
+    * The pair-scale candidate frame is semi-pruned by the broadcast
+    * audit keys before the caught-flag join (audit cost is the one
+    * scoring pass plus the candidate scan). */
+  private val embeddingRecallEval = Q(
+    "embedding_recall_eval",
+    s"""$sqlEmbPairsCte, qs AS (
+       |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40
+       |), tr AS (
+       |  SELECT q.qid, e.vec_id,
+       |         ${sqlSimE6("e.embedding", "q.q_emb")} AS sim_e6
+       |  FROM embeddings e CROSS JOIN qs q
+       |  WHERE e.vec_id <> q.qid
+       |    AND ${sqlSimE6("e.embedding", "q.q_emb")} >= $NearDupSimE6
+       |), candq AS (
+       |  SELECT vec_a AS qid, vec_b AS vec_id FROM pairs
+       |  WHERE sim_e6 >= $NearDupSimE6
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM pairs WHERE sim_e6 >= $NearDupSimE6
+       |)
+       |SELECT t.qid, t.vec_id, t.sim_e6,
+       |       CAST(CASE WHEN c.qid IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |         AS caught
+       |FROM tr t LEFT JOIN candq c
+       |  ON t.qid = c.qid AND t.vec_id = c.vec_id
+       |ORDER BY t.qid, t.vec_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val qs = t.embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(40)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val truth = t.embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .filter(col("sim_e6") >= NearDupSimE6)
+      .cut()
+    val p = nearDupPairs(t, DefaultPlanes, MaxBucketPairVecs).cut()
+    val candHits = p.select(col("vec_a").as("qid"), col("vec_b").as("vec_id"))
+      .union(p.select(col("vec_b").as("qid"), col("vec_a").as("vec_id")))
+      .join(broadcast(truth.select(col("qid"), col("vec_id"))),
+        Seq("qid", "vec_id"), "left_semi")
+      .withColumn("caught", lit(1L))
+    truth.join(candHits, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("vec_id"), col("sim_e6"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion —
+    * the RAG-retrieval shape: BM25 candidates (the text family's exact
+    * integer Okapi ranking, rank ≤ 50 per query) are joined to their
+    * embeddings and re-scored by cosine against each query's vector
+    * (the query_id-th corpus embedding — the deterministic probe
+    * convention of this family), then the two rankings fuse by RRF
+    * (Cormack et al. 2009): rrf = Σ 1/(60 + rank), integerized e6 so
+    * both engines floor identically. RRF needs only RANKS — no score
+    * calibration between the incommensurable BM25 and cosine scales —
+    * which is exactly why production hybrid search uses it.
+    *
+    * Scale: the BM25 stage already bounds everything downstream — the
+    * candidate frame is |queries|·50 rows, so the embedding join is a
+    * broadcast-candidate probe into the vector table, the query
+    * vectors are a broadcast handful, and both ranking windows run
+    * over ≤ 50 rows per query. Docs without a vector (the corpus
+    * subset contract at sf0.1) fall out of the inner join and rank
+    * lexically only — documented, deterministic. */
+  private val searchHybrid = Q(
+    "search_hybrid", {
+      val qids = graft.text.TextQueries.Bm25Queries.map(_._1).distinct
+        .sorted.mkString(", ")
+      s"""${graft.text.TextQueries.sqlBm25RankedCte},
+         |cand AS (
+         |  SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 50
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN ($qids)
+         |), ce AS (
+         |  SELECT c.query_id, c.doc_id, c.rnk,
+         |         ${sqlSimE6("e.embedding", "q.q_emb")} AS sim_e6
+         |  FROM cand c
+         |  JOIN embeddings e ON c.doc_id = e.vec_id
+         |  JOIN qv q ON q.query_id = c.query_id
+         |), cr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim_e6 DESC, doc_id) AS cos_rnk
+         |  FROM ce
+         |), f AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(1000000 // (60 + rnk) + 1000000 // (60 + cos_rnk)
+         |              AS BIGINT) AS rrf_e6
+         |  FROM cr
+         |), h AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf_e6 DESC, doc_id) AS hrnk
+         |  FROM f
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(hrnk AS BIGINT) AS rnk, doc_id, rrf_e6
+         |FROM h WHERE hrnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+    val qids = graft.text.TextQueries.Bm25Queries.map(_._1).distinct.sorted
+    val t = Tables(s, dir)
+    val cand = graft.text.TextQueries.bm25Ranked(s, dir)
+      .filter(col("rnk") <= 50)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val qv = t.embeddings.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("doc_id"))
+    val wRrf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    t.embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), col("vec_id") === col("doc_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .withColumn("cos_rnk", row_number().over(wCos).cast("long"))
+      .withColumn("rrf_e6",
+        expr("1000000 DIV (60 + rnk) + 1000000 DIV (60 + cos_rnk)"))
+      .withColumn("hrnk", row_number().over(wRrf).cast("long"))
+      .filter(col("hrnk") <= 10)
+      .select(col("query_id"), col("hrnk").as("rnk"), col("doc_id"),
+        col("rrf_e6"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-dimension embedding distribution profile — the QA pass a
     * training pipeline runs before trusting a vector corpus: collapsed
     * dimensions (zero variance), off-center dimensions (|mean| large)
@@ -1357,5 +1534,6 @@ object SimilarityQueries {
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
-      embeddingDimStats, semdedupPairs, semdedupCellStats)
+      embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
+      embeddingRecallEval)
 }

@@ -764,8 +764,11 @@ object TextQueries {
   private val sqlToks = "string_split(text, ' ')"
 
   /** The fixed keyword workload for [[searchBm25]]: (query_id, term)
-    * rows — in production this is the (tiny) query batch, broadcast. */
-  private[text] val Bm25Queries: Seq[(Long, String)] = Seq(
+    * rows — in production this is the (tiny) query batch, broadcast.
+    * private[graft]: the hybrid-retrieval query
+    * (graft.sim.SimilarityQueries) fuses rankings over the same
+    * workload. */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
     0L -> "spark", 0L -> "join", 0L -> "merge",
     1L -> "window", 1L -> "sort", 1L -> "key",
     2L -> "customer", 2L -> "query", 2L -> "fast",
@@ -793,8 +796,11 @@ object TextQueries {
     * candidate docs only. At 100 TB the postings groupBy IS the
     * inverted-index build for the queried terms; a standing index
     * table bucketed by term turns the probe into a pruned scan. */
-  private val searchBm25 = Q(
-    "search_bm25", {
+  /** DuckDB CTE chain ending in `r(query_id, doc_id, score_ppm, rnk)`
+    * — the full BM25 ranking over [[Bm25Queries]]; consumers apply
+    * their own rank cutoff. Shared with the hybrid-retrieval fusion
+    * (graft.sim.SimilarityQueries). */
+  private[graft] def sqlBm25RankedCte: String = {
       val vals = Bm25Queries
         .map { case (q, t) => s"($q, '$t')" }.mkString(",")
       s"""WITH tok AS (
@@ -828,11 +834,14 @@ object TextQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY score_ppm DESC, doc_id) AS rnk
          |  FROM scored
-         |)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
-         |       doc_id, score_ppm
-         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    }) { (s, dir) =>
+         |)""".stripMargin
+  }
+
+  /** The full BM25 ranking frame (query_id, doc_id, score_ppm, rnk) —
+    * the Spark twin of [[sqlBm25RankedCte]]; consumers apply their own
+    * rank cutoff. */
+  private[graft] def bm25Ranked(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qdf = Bm25Queries.toDF("query_id", "term")
     val docs = Tables(s, dir).documents
@@ -879,6 +888,15 @@ object TextQueries {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).cast("long").as("score_ppm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  private val searchBm25 = Q(
+    "search_bm25",
+    s"""$sqlBm25RankedCte
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |       doc_id, score_ppm
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    bm25Ranked(s, dir)
       .filter(col("rnk") <= 10)
       .select("query_id", "rnk", "doc_id", "score_ppm")
       .orderBy("query_id", "rnk")
