@@ -92,9 +92,16 @@ object SimilarityQueries {
 
   /** Sign-LSH bucket id: bit p = [dot(v, plane_p) > 0]. */
   private def bucket(e: Column, nPlanes: Int = DefaultPlanes): Column =
-    (0 until nPlanes)
+    bucketAt(e, 0, nPlanes)
+
+  /** Bucket id over planes [from, from+n) of the fixed deterministic
+    * family — table t of an OR-amplified multi-table index uses
+    * from = t·n, so tables draw DISJOINT plane sets. */
+  private def bucketAt(e: Column, from: Int, n: Int): Column =
+    (0 until n)
       .map(p =>
-        when(dot(e, typedLit(plane(p))) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+        when(dot(e, typedLit(plane(from + p))) > 0.0, lit(1L << p))
+          .otherwise(lit(0L)))
       .reduce(_ + _)
 
   // ---- DuckDB mirrors (same folds, same literals) ----
@@ -116,8 +123,11 @@ object SimilarityQueries {
     plane(p).map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
 
   private def sqlBucket(e: String, nPlanes: Int = DefaultPlanes): String =
-    "CAST(" + (0 until nPlanes)
-      .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
+    sqlBucketAt(e, 0, nPlanes)
+
+  private def sqlBucketAt(e: String, from: Int, n: Int): String =
+    "CAST(" + (0 until n)
+      .map(p => s"(CASE WHEN ${sqlDot(e, sqlPlane(from + p))} > 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")") + " AS BIGINT)"
 
   /** (vec_id, bucket, embedding) rows for an arbitrary embeddings
@@ -242,7 +252,13 @@ object SimilarityQueries {
   /** Scored within-bucket candidate pairs (no similarity threshold) —
     * the frame [[nearDupPairs]] thresholds and the kNN graph ranks. */
   private[sim] def scoredPairs(
-      t: Tables, nPlanes: Int, cap: Int): DataFrame = {
+      t: Tables, nPlanes: Int, cap: Int): DataFrame =
+    scoredPairsAt(t, 0, nPlanes, cap)
+
+  /** [[scoredPairs]] over planes [from, from+nPlanes) — table t of an
+    * OR-amplified multi-table index passes from = t·nPlanes. */
+  private[sim] def scoredPairsAt(
+      t: Tables, from: Int, nPlanes: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("bucket"))
     // localCheckpoint: `ranked` feeds all four join branches below
@@ -253,7 +269,7 @@ object SimilarityQueries {
     // the pinned copy is candidate-sized, not corpus-sized.
     val ranked = t.embeddings
       .select(col("vec_id"), col("embedding"),
-        bucket(col("embedding"), nPlanes).as("bucket"))
+        bucketAt(col("embedding"), from, nPlanes).as("bucket"))
       .select(col("vec_id"), col("embedding"), col("bucket"),
         row_number().over(byBucket.orderBy(col("vec_id"))).as("rk"),
         count(lit(1)).over(byBucket).as("m"))
@@ -1341,6 +1357,76 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Number of plane tables in the OR-amplified near-dup index. */
+  private[sim] final val NearDupTables = 4
+
+  /** One table's CTE triple (b$t / ranked$t / pairs$t) over planes
+    * [t·8, t·8+8) — the per-table mirror of [[sqlEmbPairsCte]]. */
+  private def sqlEmbPairsTableCte(tb: Int): String = {
+    val b = sqlBucketAt("embedding", tb * DefaultPlanes, DefaultPlanes)
+    s"""b$tb AS (
+       |  SELECT vec_id, embedding, $b AS bucket
+       |  FROM embeddings
+       |), ranked$tb AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM b$tb
+       |), pairs$tb AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |         ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |  FROM ranked$tb l JOIN ranked$tb r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |  UNION ALL
+       |  SELECT h.vec_id, t.vec_id,
+       |         ${sqlSimE6("h.embedding", "t.embedding")}
+       |  FROM ranked$tb t JOIN ranked$tb h
+       |    ON t.bucket = h.bucket AND h.rk = 1
+       |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |)""".stripMargin
+  }
+
+  /** OR-amplified multi-table near-dup — the production fix for the
+    * recall cliff `embedding_recall_eval` measures: [[NearDupTables]]
+    * independent sign-LSH tables over DISJOINT plane sets from the
+    * same fixed family, each paired with the standard capped
+    * machinery, unioned — a pair is a candidate if ANY table buckets
+    * it together (OR-amplification), so collision probability rises
+    * from p to 1−(1−p)^L while per-table cost is unchanged. Emits how
+    * many tables caught each pair (`n_tables`) — the redundancy
+    * diagnostic an index tuner reads. Scale: L independent
+    * bucket-window passes over the corpus (embarrassingly parallel,
+    * same shape as one), then a pair-keyed distinct-merge bounded by
+    * the unioned candidate volume. */
+  private val embeddingNearDupMulti = Q(
+    "embedding_near_dup_multi", {
+      val ctes = (0 until NearDupTables).map(sqlEmbPairsTableCte)
+        .mkString(",\n")
+      val union = (0 until NearDupTables)
+        .map(tb => s"SELECT * FROM pairs$tb WHERE sim_e6 >= $NearDupSimE6")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $ctes,
+         |allp AS (
+         |  $union
+         |)
+         |SELECT vec_a, vec_b, min(sim_e6) AS sim_e6,
+         |       count(*) AS n_tables
+         |FROM allp GROUP BY vec_a, vec_b
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    (0 until NearDupTables)
+      .map(tb =>
+        scoredPairsAt(t, tb * DefaultPlanes, DefaultPlanes, MaxBucketPairVecs)
+          .filter(col("sim_e6") >= NearDupSimE6)
+          .select(col("vec_a"), col("vec_b"), col("sim_e6")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("sim_e6")).as("sim_e6"), count(lit(1)).as("n_tables"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Sign-LSH near-dup RECALL audit — the embedding twin of the dedup
     * family's `dedup_recall_eval`, honest-measurement style: for 40
     * hash-sampled query vectors, ground truth is EVERY corpus vector
@@ -1535,5 +1621,5 @@ object SimilarityQueries {
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
-      embeddingRecallEval)
+      embeddingRecallEval, embeddingNearDupMulti)
 }
