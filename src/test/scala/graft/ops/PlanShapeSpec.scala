@@ -482,6 +482,15 @@ class PlanShapeSpec extends SparkSpec {
       s"per-orderkey aggregation must ride the bucket partitioning:\n$plan")
   }
 
+  test("search_hybrid: no shuffled joins anywhere — candidates and query vectors broadcast") {
+    val plan = planOf("search_hybrid")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"the BM25 stage is broadcast-only (its own spec) and the fusion " +
+        s"stage joins a |queries|·50 candidate frame — nothing may " +
+        s"shuffle-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("embedding_dim_stats: no joins, one metadata-sized dim shuffle") {
     val plan = planOf("embedding_dim_stats")
     assert(!plan.contains("Join"), s"profile must be join-free:\n$plan")
