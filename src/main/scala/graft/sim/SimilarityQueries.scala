@@ -258,7 +258,17 @@ object SimilarityQueries {
   /** [[scoredPairs]] over planes [from, from+nPlanes) — table t of an
     * OR-amplified multi-table index passes from = t·nPlanes. */
   private[sim] def scoredPairsAt(
-      t: Tables, from: Int, nPlanes: Int, cap: Int): DataFrame = {
+      t: Tables, from: Int, nPlanes: Int, cap: Int): DataFrame =
+    scoredPairsOfRows(
+      t.embeddings.select(col("vec_id"), col("embedding"),
+        bucketAt(col("embedding"), from, nPlanes).as("bucket")), cap)
+
+  /** The capped within-bucket pairing over an arbitrary pre-bucketed
+    * (vec_id, embedding, bucket) frame — shared by the whole-corpus
+    * entries above and the incremental-components consumer, which
+    * pairs only the STANDING subset. */
+  private[sim] def scoredPairsOfRows(
+      rows: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("bucket"))
     // localCheckpoint: `ranked` feeds all four join branches below
@@ -267,9 +277,7 @@ object SimilarityQueries {
     // the same "compute the candidate frame exactly once" pattern as
     // dedup_ngram_jaccard. The frame is bucket-pruned (m > 1 only), so
     // the pinned copy is candidate-sized, not corpus-sized.
-    val ranked = t.embeddings
-      .select(col("vec_id"), col("embedding"),
-        bucketAt(col("embedding"), from, nPlanes).as("bucket"))
+    val ranked = rows
       .select(col("vec_id"), col("embedding"), col("bucket"),
         row_number().over(byBucket.orderBy(col("vec_id"))).as("rk"),
         count(lit(1)).over(byBucket).as("m"))
@@ -1357,6 +1365,118 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** INCREMENTAL semantic components — the embedding twin of
+    * `dedup_incremental_components`, closing the streaming semantic
+    * loop end-to-end: day N+1's cosine near-dup edges (the
+    * [[incrementalSemPairsBetween]] probe over the is-new split) are
+    * labeled AGAINST the standing component state instead of
+    * re-clustering the vector corpus. Identical merge contract to the
+    * text side: standing labels (corpus-scale) are semi-narrowed to
+    * the batch-touched key set before anything broadcasts; the shared
+    * propagation engine runs over the SUPER-GRAPH of new vectors +
+    * touched component ids (batch-bounded); a new vector matching two
+    * standing clusters merges them. Standing state is derived here
+    * from the standing-only pair graph (stored labels in production).
+    * Oracle: recursive closure over the identically-capped,
+    * identically-thresholded standing + incremental edge union. */
+  private val embeddingIncrementalComponents = Q(
+    "embedding_incremental_components", {
+      val simNC = sqlSimE6("n.embedding", "c.embedding")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket,
+         |         (vec_id % 20 = 0) AS is_new
+         |  FROM embeddings
+         |), rankedc AS (
+         |  SELECT vec_id, embedding, bucket,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+         |         count(*) OVER (PARTITION BY bucket) AS m
+         |  FROM b WHERE NOT is_new
+         |), corpus_pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |           ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+         |    FROM rankedc l JOIN rankedc r
+         |      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |    WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+         |    UNION ALL
+         |    SELECT h.vec_id, t.vec_id,
+         |           ${sqlSimE6("h.embedding", "t.embedding")}
+         |    FROM rankedc t JOIN rankedc h
+         |      ON t.bucket = h.bucket AND h.rk = 1
+         |    WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+         |  ) WHERE sim_e6 >= $NearDupSimE6
+         |), incr AS (
+         |  SELECT DISTINCT n.vec_id AS vec_a, c.vec_id AS vec_b
+         |  FROM b n JOIN rankedc c ON n.bucket = c.bucket
+         |  WHERE n.is_new AND c.rk <= $MaxBucketPairVecs
+         |    AND $simNC >= $NearDupSimE6
+         |), alledges AS (
+         |  SELECT vec_a, vec_b FROM corpus_pairs
+         |  UNION SELECT vec_a, vec_b FROM incr
+         |), nodes AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_a AS vec_id FROM alledges
+         |    UNION ALL SELECT vec_b FROM alledges)
+         |), edges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM alledges
+         |  UNION SELECT vec_b, vec_a FROM alledges
+         |), reach(s, t) AS (
+         |  SELECT vec_id, vec_id FROM nodes
+         |  UNION SELECT a, b FROM edges
+         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+         |)
+         |SELECT s AS vec_id, min(t) AS component,
+         |       CAST(CASE WHEN s % 20 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_new
+         |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    import graft.dedup.DedupQueries.componentLabelsOf
+    val t = Tables(s, dir)
+    val isNew = col("vec_id") % 20 === 0
+    // ONE bucketing pass feeds the standing graph and the probe.
+    val rows = bucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding")))
+      .cut(false)
+    val standingPairs =
+      scoredPairsOfRows(rows.filter(!isNew), MaxBucketPairVecs)
+        .filter(col("sim_e6") >= NearDupSimE6)
+    val standing = componentLabelsOf(
+      standingPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .cut(false)
+    val incr = incrementalSemPairsBetween(rows.filter(isNew), rows.filter(!isNew))
+      .select(col("new_vec"), col("corpus_vec"))
+      .cut(false)
+    // Standing labels are corpus-scale: semi-narrow to the touched key
+    // set (broadcast batch keys) before any broadcast of labels — the
+    // same 100 TB contract as the text twin.
+    val incrKeys = incr.select(col("corpus_vec")).distinct()
+    val touchedLabels = standing.withColumnRenamed("doc_id", "corpus_vec")
+      .join(broadcast(incrKeys), Seq("corpus_vec"), "left_semi")
+    val touched = incrKeys
+      .join(broadcast(touchedLabels), Seq("corpus_vec"), "left")
+      .select(col("corpus_vec"),
+        coalesce(col("component"), col("corpus_vec")).as("comp0"))
+    val superEdges = incr.join(broadcast(touched), Seq("corpus_vec"))
+      .select(col("new_vec").as("doc_a"), col("comp0").as("doc_b"))
+      .distinct()
+    val superLabels = componentLabelsOf(superEdges).cut(false)
+    val relabel = superLabels
+      .select(col("doc_id").as("cid"), col("component").as("merged"))
+    val standingRows = standing
+      .join(broadcast(relabel), col("component") === col("cid"), "left")
+      .select(col("doc_id").as("vec_id"),
+        coalesce(col("merged"), col("component")).as("component"))
+    val unpairedTouchedRows = touched
+      .join(standing.withColumnRenamed("doc_id", "corpus_vec")
+        .select("corpus_vec"), Seq("corpus_vec"), "left_anti")
+      .join(broadcast(relabel), col("corpus_vec") === col("cid"))
+      .select(col("corpus_vec").as("vec_id"), col("merged").as("component"))
+    val newRows = incr.select(col("new_vec")).distinct()
+      .join(broadcast(relabel), col("new_vec") === col("cid"))
+      .select(col("new_vec").as("vec_id"), col("merged").as("component"))
+    standingRows.union(unpairedTouchedRows).union(newRows)
+      .select(col("vec_id"), col("component"), isNew.cast("int").as("is_new"))
+      .orderBy("vec_id")
+  }
+
   /** Number of plane tables in the OR-amplified near-dup index. */
   private[sim] final val NearDupTables = 4
 
@@ -1621,5 +1741,6 @@ object SimilarityQueries {
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
-      embeddingRecallEval, embeddingNearDupMulti)
+      embeddingRecallEval, embeddingNearDupMulti,
+      embeddingIncrementalComponents)
 }
