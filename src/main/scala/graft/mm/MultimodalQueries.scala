@@ -690,6 +690,49 @@ object MultimodalQueries {
         .toDF(),
       nBands = 4, maxHamming = 2)
 
+  /** Batch-vs-standing media near-dup pairs — the fingerprint twin of
+    * the text loop's `incrementalPairsBetween` and the embedding
+    * loop's `incrementalSemPairsBetween`, same contract: the (small)
+    * batch's band keys broadcast; the standing hash index is
+    * semi-narrowed to COLLIDING (band, key) buckets before anything
+    * wide; replayed duplicate index rows collapse on the pruned slice
+    * BEFORE cap ranking; the corpus side keeps the family's
+    * [[MaxBucketPairItems]] cap; hamming is verified only on the
+    * collision frame. Emits (new_item, corpus_item, hamming) ≤
+    * `maxHamming`. Shared by [[graft.streaming.IncrementalMediaDedup]]
+    * for every fingerprint modality (the banding differs upstream, the
+    * probe does not). */
+  private[graft] def incrementalMediaPairsBetween(
+      newHashes: org.apache.spark.sql.DataFrame,
+      corpusHashes: org.apache.spark.sql.DataFrame,
+      nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hamming(a: Column, b: Column): Column =
+      (0 until nBands)
+        .map(i => bit_count(get(a, lit(i)).bitwiseXOR(get(b, lit(i)))).cast("long"))
+        .reduce(_ + _)
+    val newRows = newHashes.select(
+      col("item_id").as("new_item"), col("bands").as("nbands"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val bucketKeys = newRows.select(col("band"), col("key")).distinct()
+    val corpusRanked = corpusHashes
+      .select(col("item_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      .join(broadcast(bucketKeys), Seq("band", "key"), "left_semi")
+      .select(col("item_id"), col("bands"), col("band"), col("key"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("item_id"))))
+      .filter(col("rk") <= MaxBucketPairItems)
+    corpusRanked
+      .join(broadcast(newRows), Seq("band", "key"))
+      .filter(col("item_id") =!= col("new_item"))
+      .select(col("new_item"), col("item_id").as("corpus_item"),
+        hamming(col("nbands"), col("bands")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Parameterized DuckDB mirror of [[bandedHammingPairs]]: extends a
     * bands CTE (relation `${p}allbands`) with capped pairing, ending
     * in `${p}pairs(item_a, item_b, hamming)`. */

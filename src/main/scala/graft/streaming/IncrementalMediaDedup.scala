@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.mm.{Multimodal, MultimodalQueries}
+import graft.ops.Checkpoints.CheckpointOps
+import graft.etl.Sinks
+
+/** Streaming MEDIA near-dedup: the fingerprint twin of
+  * [[IncrementalDedup]] (text bands) and [[IncrementalSemDedup]]
+  * (embedding buckets), closing the continuous-ingest loop for all
+  * three fingerprint modalities. Each micro-batch of media items is
+  * fingerprinted through the SAME kernels the batch queries use
+  * ([[Multimodal.imageAHashes]] / [[Multimodal.audioFingerprints]] /
+  * [[Multimodal.videoFingerprints]] — real JDK codecs), probed against
+  * the STANDING hash index
+  * ([[MultimodalQueries.incrementalMediaPairsBetween]] — batch band
+  * keys broadcast, standing side semi-narrowed to colliding buckets,
+  * replay-duplicate collapse, the family's cap, hamming verified only
+  * on collisions), and appended so later batches dedup against it.
+  * Same-batch duplicates pair via the batch-vs-itself pass.
+  *
+  * The index stores (item_id, bands) — 4 longs per item, NOT the
+  * payload: decode happens once per item at ingest, and only band
+  * keys ever cross the wire afterwards, the same
+  * payloads-never-shuffle property as the batch media pipeline. All
+  * appends are AT-LEAST-ONCE (standard foreachBatch), made harmless
+  * the same way as the sibling loops (probe-side collapse, pair
+  * distinct). At 100 TB the index is a table bucketed on the band
+  * key and the probe reads matching buckets only.
+  */
+object IncrementalMediaDedup {
+
+  /** Fingerprint banding per modality: (kernel, nBands, maxHamming) —
+    * the same parameters the batch `mm_*_dedup` queries pin. */
+  private def fingerprints(
+      items: Dataset[Multimodal.MediaItem],
+      modality: String): DataFrame = modality match {
+    case "image" => Multimodal.imageAHashes(items).toDF()
+    case "audio" => Multimodal.audioFingerprints(items).toDF()
+    case "video" => Multimodal.videoFingerprints(items).toDF()
+    case m => throw new IllegalArgumentException(s"unknown modality $m")
+  }
+
+  private final val NBands = 4
+  private final val MaxHamming = 2
+
+  /** One micro-batch step over MediaItem-shaped rows: fingerprint,
+    * probe, emit pairs, grow the index. */
+  private[streaming] def processBatch(
+      items: DataFrame, modality: String,
+      indexDir: String, pairsDir: String): Unit = {
+    if (items.isEmpty) return
+    val spark = items.sparkSession
+    import spark.implicits._
+    // The CPU-heavy codec pass runs once: the hash frame feeds the
+    // intra pass, the standing probe, and the index append.
+    val newHashes =
+      fingerprints(items.as[Multimodal.MediaItem], modality).cut(false)
+    val intra = MultimodalQueries
+      .incrementalMediaPairsBetween(newHashes, newHashes, NBands, MaxHamming)
+      .filter(col("new_item") > col("corpus_item"))
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val emitted =
+      if (exists)
+        MultimodalQueries
+          .incrementalMediaPairsBetween(
+            newHashes, spark.read.parquet(indexDir), NBands, MaxHamming)
+          .unionByName(intra)
+      else intra
+    val pairs = emitted.cut(false)
+    if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
+    Sinks.appendParquet(newHashes, indexDir)
+  }
+
+  /** Starts the loop over a stream of MediaItem-shaped rows of ONE
+    * modality (production runs one loop per modality against the
+    * modality-partitioned ingest, same as the batch layout). */
+  def start(
+      items: DataFrame, modality: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
+    items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), modality, indexDir, pairsDir)
+      }
+      .start()
+}
