@@ -153,6 +153,64 @@ object Sinks {
     t.spark.read.parquet(outDir).count()
   }
 
+  /** Overlap-aware variant of [[materializeChunkDedupedCorpus]]: a
+    * token survives if ANY window covering it survives, instead of
+    * dying with its owner's stride block. The owned-block contract is
+    * aggressive at stride boundaries — chunk c's block
+    * [c·ST, (c+1)·ST) includes tokens that surviving window c−1 also
+    * covers (its reach extends CS−ST tokens into the block), and the
+    * block rule drops them anyway. This variant keeps exactly the
+    * tokens with a surviving covering window: less is excised, no
+    * surviving window loses content it matched on. Same shape as the
+    * block rule — excised sets join as metadata arrays, the rebuild
+    * is ROW-LOCAL (each token tests its ≤ ⌈CS/ST⌉ covering windows
+    * against the excised array) — corpus bytes never shuffle. */
+  def materializeChunkDedupedCorpusOverlapAware(
+      t: graft.Tables, outDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextQueries.{ChunkSize => CS, ChunkStride => ST}
+    val cap = graft.dedup.DedupQueries.ChunkNodeCap
+    val excisedSets = graft.dedup.DedupQueries.chunkSurvivorLabels(t)
+      .filter(col("component") =!= col("node"))
+      .select(expr(s"node div $cap").as("doc_id"),
+        (col("node") % cap).as("chunk_id"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("chunk_id")).as("exc"))
+    val n = size(col("toks"))
+    val nch = ((greatest(n - CS, lit(0)) + (ST - 1)).divide(ST).cast("int") + 1)
+      .cast("long")
+    val rebuilt = t.documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      .join(excisedSets, Seq("doc_id"), "left")
+      .withColumn("exc2", coalesce(col("exc"), array().cast("array<bigint>")))
+      .withColumn("kept_toks", {
+        val withIdx = transform(col("toks"),
+          (tk, i) => struct(tk.as("tk"), i.cast("long").as("i")))
+        val kept = filter(withIdx, s => {
+          val i = s.getField("i")
+          // Windows covering token i: c with c·ST ≤ i < c·ST+CS,
+          // clamped to [0, nch); the LAST window's reach extends to the
+          // end of the doc, which the cLow ≤ cHigh clamp encodes (a
+          // tail token's only covering window is nch−1).
+          val cHigh = least(floor(i.cast("double") / ST).cast("long"),
+            nch - 1)
+          val cLow = least(
+            greatest(floor((i.cast("double") - CS) / ST).cast("long") + 1,
+              lit(0L)),
+            cHigh)
+          exists(sequence(cLow, cHigh),
+            c => !array_contains(col("exc2"), c))
+        })
+        transform(kept, s => s.getField("tk"))
+      })
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat_ws(" ", col("kept_toks")).as("text"),
+        size(col("kept_toks")).cast("long").as("n_tokens"))
+    rebuilt.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    t.spark.read.parquet(outDir).count()
+  }
+
   /** Time-partitioned warehouse layout (SURVEY.md §1.1: the hourly
     * append table "at scale, a time-partitioned table"): one directory
     * per partition value, so date-ranged queries prune at the file

@@ -1223,6 +1223,84 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Hashed-feature buckets for the importance scorer. Small enough
+    * that both model frames stay broadcast-metadata, large enough that
+    * bucket collisions average out (DSIR's own hashing argument). */
+  private final val DsirBuckets = 1024L
+
+  /** The curated exemplar slice the importance scorer targets —
+    * declared as a literal because the driver corpus has no explicit
+    * "high-quality" marker; production passes any target predicate. */
+  private final val DsirTarget = "src0"
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by the log-likelihood ratio of a TARGET hashed-unigram LM over
+    * the RAW-pool LM — the signal importance resampling keeps
+    * target-like data with. Whole-bit arithmetic end to end (the
+    * perplexity family's `length(bin(D DIV (n+1)))` floor-log2 — add-
+    * one smoothed, exact int64, zero libm): per token the surprisal
+    * under the raw model minus the surprisal under the target model,
+    * summed per doc; positive = more target-like than the pool.
+    *
+    * Plan at 100 TB: ONE token pass builds BOTH models in a single
+    * bucket-keyed partial aggregate (≤ [[DsirBuckets]] rows — the
+    * conditional sums share the shuffle), the scoring pass joins the
+    * broadcast bucket frame + 1-row totals, and the per-doc sum is a
+    * map-side-combining groupBy. Composes with `sample_uniform_hash` /
+    * `sample_domain_mix` for the actual resampling draw. */
+  private val dsirImportance = Q(
+    "dsir_importance", {
+      val b = s"${sqlTokHash("term")} % $DsirBuckets"
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest($sqlToks) AS term FROM documents
+         |), tb AS (
+         |  SELECT doc_id, source, $b AS b FROM tok
+         |), bc AS (
+         |  SELECT b,
+         |         CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |         CAST(sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+         |  FROM tb GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         |         CAST(sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS tr
+         |  FROM tb
+         |)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |       CAST(sum(length(bin((tot.tr + $DsirBuckets) // (bc.nr + 1)))
+         |              - length(bin((tot.tt + $DsirBuckets) // (bc.nt + 1))))
+         |            AS BIGINT) AS score_bits,
+         |       CAST(CASE WHEN t.source = '$DsirTarget' THEN 1 ELSE 0 END
+         |            AS INTEGER) AS is_target
+         |FROM tb t JOIN bc USING (b) CROSS JOIN tot
+         |GROUP BY t.doc_id, t.source
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val isT = col("source") === DsirTarget
+    val tb = docs
+      .select(col("doc_id"), col("source"), explode(toks).as("term"))
+      .withColumn("b", pmod(tokHash(col("term")), lit(DsirBuckets)))
+    // BOTH models from one bucket-keyed aggregate: the conditional
+    // sums ride the same shuffle.
+    val bc = tb.groupBy(col("b")).agg(
+      sum(isT.cast("long")).as("nt"),
+      sum((!isT).cast("long")).as("nr"))
+    val tot = tb.agg(
+      sum(isT.cast("long")).as("tt"),
+      sum((!isT).cast("long")).as("tr"))
+    tb.join(broadcast(bc), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("c", expr(
+        s"""length(bin((tr + $DsirBuckets) DIV (nr + 1)))
+           | - length(bin((tt + $DsirBuckets) DIV (nt + 1)))""".stripMargin))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("score_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("score_bits"),
+        isT.cast("int").as("is_target"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
@@ -1230,7 +1308,7 @@ object TextQueries {
       packSequences, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textPerplexityBits, textBigramBits, sampleUniformHash,
-      textQualityTiers, mixturePlan)
+      textQualityTiers, mixturePlan, dsirImportance)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

@@ -39,7 +39,8 @@ object ScaleStress {
     "mm_audio_fingerprint", "mm_audio_dedup", "mm_video_fingerprint",
     "mm_video_dedup", "mm_dedup_report",
     "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits",
-    "dedup_recall_eval", "mixture_plan", "dedup_containment")
+    "dedup_recall_eval", "mixture_plan", "dedup_containment",
+    "dsir_importance")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "embedding_near_dup", "similarity_rerank", "ann_recall_eval",

@@ -65,6 +65,47 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || subdirs.size > 1)
   }
 
+  test("overlap-aware chunk sink keeps tokens a surviving window still covers") {
+    import spark.implicits._
+    // CS=50/ST=40. Two docs share EXACTLY window c1 = tokens [40,90):
+    // the 50-token run S. docY's chunk 1 loses survivor selection to
+    // docX's (higher doc_id); every other window is unique. The block
+    // rule drops docY's whole owned block [40,80) = S[0,40). But
+    // surviving window c0 = [0,50) covers tokens [40,50) = S[0,10) —
+    // the overlap-aware rule must preserve exactly those.
+    val S = (0 until 50).map(i => s"s$i")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val docX = (uniq("xa", 40) ++ S ++ uniq("xb", 50)).mkString(" ")
+    val docY = (uniq("yc", 40) ++ S ++ uniq("yd", 50)).mkString(" ")
+    val docs = Seq(
+      (0L, docX, "en", "srcA", docX.length.toLong),
+      (1L, docY, "en", "srcB", docY.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("chunk-ov")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+
+    val outBlock = tmpDir("chunk-ov-block") + "/d"
+    val outOv = tmpDir("chunk-ov-aware") + "/d"
+    assert(Sinks.materializeChunkDedupedCorpus(t, outBlock) == 2L)
+    assert(Sinks.materializeChunkDedupedCorpusOverlapAware(t, outOv) == 2L)
+    def texts(out: String): Map[Long, String] =
+      spark.read.parquet(out).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // docX (the survivor) is untouched under both rules.
+    assert(texts(outBlock)(0L) == docX)
+    assert(texts(outOv)(0L) == docX)
+    // Block rule: docY loses its whole owned block [40,80) = S[0,40).
+    assert(texts(outBlock)(1L) ==
+      (uniq("yc", 40) ++ S.drop(40) ++ uniq("yd", 50)).mkString(" "))
+    // Overlap-aware: tokens [40,50) = S[0,10) survive via window c0;
+    // only the exclusively-covered [50,80) = S[10,40) is excised.
+    assert(texts(outOv)(1L) ==
+      (uniq("yc", 40) ++ S.take(10) ++ S.drop(40) ++ uniq("yd", 50))
+        .mkString(" "))
+  }
+
   test("overwritePartitions replaces only touched partitions; reruns converge") {
     import spark.implicits._
     val dir = tmpDir("dynpart") + "/t"
