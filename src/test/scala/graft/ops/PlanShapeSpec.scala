@@ -491,6 +491,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("dsir_importance: model frames broadcast-only, no shuffled joins") {
+    val plan = planOf("dsir_importance")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"the 1024-bucket model and 1-row totals must broadcast:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 1,
+      s"totals arrive as the 1-row broadcast enrich pattern:\n$plan")
+  }
+
+  test("events_wau: offset-explode shape — no range join, no cartesian, day frame broadcast") {
+    val plan = planOf("events_wau")
+    assert(!plan.contains("CartesianProduct") &&
+      countOf(plan, "BroadcastNestedLoopJoin") == 0,
+      s"the day spine must never become a nested-loop range join:\n$plan")
+    // The day-set restriction rides a broadcast semi join.
+    val semiBroadcasts = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiBroadcasts == 1,
+      s"expected the metadata day frame as a broadcast semi:\n$plan")
+  }
+
   test("embedding_dim_stats: no joins, one metadata-sized dim shuffle") {
     val plan = planOf("embedding_dim_stats")
     assert(!plan.contains("Join"), s"profile must be join-free:\n$plan")
