@@ -243,4 +243,31 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L },
       s"unrelated doc must never enter the truth set: ${rows.keys}")
   }
+
+  test("dedup_containment: a contained doc scores 1.0 while its Jaccard stays low") {
+    import spark.implicits._
+    // docShort is a verbatim token PREFIX of docLong (~quote/subset
+    // inclusion): every shingle of short appears in long, so
+    // containment = 1.0, while Jaccard ≈ |short|/|long| — the
+    // asymmetric case the symmetric verifier under-scores.
+    val longToks = (0 until 120).map(i => s"w$i")
+    val shortToks = longToks.take(104) // J ≈ 0.86 keeps LSH candidacy
+    val docs = Seq(
+      (0L, longToks.mkString(" "), "en", "srcA", 100L),
+      (1L, shortToks.mkString(" "), "en", "srcB", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("containment-docs")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val cont = SparkEntry.queries("dedup_containment")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (nCommon, nA, nB, c) = cont((0L, 1L))
+    assert(c == 1000000L, s"full containment must score 1.0: $c")
+    assert(nCommon == nB && nB < nA,
+      "the smaller side's shingles are all shared")
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(jac((0L, 1L)) < 0.9,
+      s"Jaccard under-scores the subset pair: ${jac((0L, 1L))}")
+  }
 }
