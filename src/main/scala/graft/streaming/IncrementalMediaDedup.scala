@@ -32,18 +32,23 @@ import graft.etl.Sinks
   */
 object IncrementalMediaDedup {
 
-  /** Fingerprint banding per modality: (kernel, nBands, maxHamming) —
-    * the same parameters the batch `mm_*_dedup` queries pin. */
+  /** Fingerprint kernel + band count per modality — the SAME pairs the
+    * batch `mm_*_dedup` queries pin (image: 8×8-bit aHash bands;
+    * audio/video: 4×16-bit bands). The band count travels WITH the
+    * kernel: hamming must be summed over every band the kernel emits,
+    * or pairs agreeing on a fingerprint prefix read as duplicates (the
+    * round-9 streaming-image bug: a fixed nBands=4 compared only the
+    * top half of the 64-bit aHash, admitting false pairs the batch
+    * `mm_image_dedup` contract rejects). */
   private def fingerprints(
       items: Dataset[Multimodal.MediaItem],
-      modality: String): DataFrame = modality match {
-    case "image" => Multimodal.imageAHashes(items).toDF()
-    case "audio" => Multimodal.audioFingerprints(items).toDF()
-    case "video" => Multimodal.videoFingerprints(items).toDF()
+      modality: String): (DataFrame, Int) = modality match {
+    case "image" => (Multimodal.imageAHashes(items).toDF(), 8)
+    case "audio" => (Multimodal.audioFingerprints(items).toDF(), 4)
+    case "video" => (Multimodal.videoFingerprints(items).toDF(), 4)
     case m => throw new IllegalArgumentException(s"unknown modality $m")
   }
 
-  private final val NBands = 4
   private final val MaxHamming = 2
 
   /** One micro-batch step over MediaItem-shaped rows: fingerprint,
@@ -56,10 +61,10 @@ object IncrementalMediaDedup {
     import spark.implicits._
     // The CPU-heavy codec pass runs once: the hash frame feeds the
     // intra pass, the standing probe, and the index append.
-    val newHashes =
-      fingerprints(items.as[Multimodal.MediaItem], modality).cut(false)
+    val (hashFrame, nBands) = fingerprints(items.as[Multimodal.MediaItem], modality)
+    val newHashes = hashFrame.cut(false)
     val intra = MultimodalQueries
-      .incrementalMediaPairsBetween(newHashes, newHashes, NBands, MaxHamming)
+      .incrementalMediaPairsBetween(newHashes, newHashes, nBands, MaxHamming)
       .filter(col("new_item") > col("corpus_item"))
     val exists = {
       val p = new org.apache.hadoop.fs.Path(indexDir)
@@ -69,7 +74,7 @@ object IncrementalMediaDedup {
       if (exists)
         MultimodalQueries
           .incrementalMediaPairsBetween(
-            newHashes, spark.read.parquet(indexDir), NBands, MaxHamming)
+            newHashes, spark.read.parquet(indexDir), nBands, MaxHamming)
           .unionByName(intra)
       else intra
     val pairs = emitted.cut(false)

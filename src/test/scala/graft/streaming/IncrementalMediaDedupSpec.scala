@@ -54,6 +54,52 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image probe verifies hamming over ALL 8 aHash bands, not a 4-band prefix") {
+    import spark.implicits._
+    // Two images whose aHashes agree on bands 0-3 (same top-half
+    // checkerboard → they collide on those band keys and become
+    // candidates) and are complementary on bands 4-7 (bottom half
+    // inverted; global mean unchanged, so top bits stay put): true
+    // hamming = 32, far above MaxHamming. A probe summing only a
+    // 4-band prefix would read hamming 0 and emit a false pair —
+    // the round-9 streaming-image bug this spec pins closed.
+    def checker(id: Long, invertBottom: Boolean): Multimodal.MediaItem = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val (bi, bj) = (x / 2, y / 2)
+        val base = (bi + bj) % 2 == 0
+        val bright = if (invertBottom && bj >= 4) !base else base
+        img.setRGB(x, y, if (bright) 0xFFFFFF else 0x000000)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaItem(id, "image", bos.toByteArray, Map.empty)
+    }
+    // Pin the fixture geometry: top bands equal, bottom bands far apart.
+    val ha = Multimodal.imageAHash(checker(1L, invertBottom = false)).bands
+    val hb = Multimodal.imageAHash(checker(2L, invertBottom = true)).bands
+    assert(ha.take(4).toSeq == hb.take(4).toSeq,
+      "fixture: bands 0-3 must collide")
+    assert(ha.drop(4).zip(hb.drop(4))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum > 2,
+      "fixture: bands 4-7 must diverge beyond MaxHamming")
+    val indexDir = tmpDir("med-band-index") + "/hashes"
+    val pairsDir = tmpDir("med-band-pairs") + "/pairs"
+    IncrementalMediaDedup.processBatch(
+      Seq(checker(1L, invertBottom = false), checker(2L, invertBottom = true))
+        .toDF(), "image", indexDir, pairsDir)
+    assert(!new java.io.File(pairsDir).exists(),
+      "a pair diverging only in bands 4-7 must NOT dedup")
+    // A true duplicate probing the same standing index still pairs —
+    // and still skips the bands-4-7 divergent neighbor.
+    IncrementalMediaDedup.processBatch(
+      Seq(checker(9L, invertBottom = false)).toDF(), "image", indexDir, pairsDir)
+    val got = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((9L, 1L, 0L)))
+  }
+
   test("duplicates landing in the SAME micro-batch pair with each other") {
     import spark.implicits._
     val indexDir = tmpDir("med-ib-index") + "/hashes"
