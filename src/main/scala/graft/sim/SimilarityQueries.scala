@@ -131,12 +131,44 @@ object SimilarityQueries {
       .mkString("(", " + ", ")") + " AS BIGINT)"
 
   /** (vec_id, bucket, embedding) rows for an arbitrary embeddings
-    * frame — the standing-index rows of the streaming semantic dedup
-    * loop ([[graft.streaming.IncrementalSemDedup]]). */
+    * frame — the SINGLE-table standing-index rows (one LSH table; the
+    * production loop uses [[multiBucketRowsOf]] — one table's ~1%
+    * threshold-grade recall is what `embedding_recall_eval` measured). */
   private[graft] def bucketRowsOf(
       emb: DataFrame, nPlanes: Int = DefaultPlanes): DataFrame =
     emb.select(col("vec_id"), bucket(col("embedding"), nPlanes).as("bucket"),
       col("embedding"))
+
+  /** OR-amplified multi-table standing-index rows: one row per
+    * (vector, table), table t's bucket computed over the DISJOINT plane
+    * set [t·nPlanes, (t+1)·nPlanes) — `embedding_near_dup_multi`'s
+    * batch scheme (measured 114→382 caught threshold-grade pairs on
+    * the audit truth set) carried into the standing index. The table
+    * ordinal is PACKED into the bucket id (`bucket = t << nPlanes |
+    * raw`): tables can never collide with each other, and every
+    * single-key consumer — the probe's semi-join + rank cap
+    * ([[incrementalSemPairsBetween]]), the capped pairing
+    * ([[scoredPairsOfRows]]), the `BucketedIndex(bucket)` zero-Exchange
+    * layout — applies unchanged, just over L·2^nPlanes key values.
+    *
+    * Storage trade: the embedding payload rides on each of the L rows
+    * (the probe scores cosine on the collision frame), so the index
+    * costs L× the single-table bytes — the standard price of an
+    * L-table LSH index; a key-only layout with one payload table would
+    * save the bytes at the cost of a payload join per probe. */
+  private[graft] def multiBucketRowsOf(
+      emb: DataFrame, nTables: Int = NearDupTables,
+      nPlanes: Int = DefaultPlanes): DataFrame =
+    emb.select(
+      col("vec_id"),
+      explode(array((0 until nTables).map(tb =>
+        lit(tb.toLong << nPlanes) +
+          bucketAt(col("embedding"), tb * nPlanes, nPlanes)): _*)).as("bucket"),
+      col("embedding"))
+
+  /** DuckDB mirror of one [[multiBucketRowsOf]] table's packed bucket. */
+  private def sqlMultiBucketAt(e: String, tb: Int, n: Int): String =
+    s"(${tb.toLong << n} + ${sqlBucketAt(e, tb * n, n)})"
 
   /** Batch-vs-standing semantic near-dup pairs — the embedding twin of
     * [[graft.dedup.DedupQueries.incrementalPairsBetween]], same
@@ -1429,15 +1461,28 @@ object SimilarityQueries {
          |       CAST(CASE WHEN s % 20 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_new
          |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
-    import graft.dedup.DedupQueries.componentLabelsOf
     val t = Tables(s, dir)
+    incrementalSemComponentsOf(
+      bucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding"))))
+  }
+
+  /** Shared incremental-components body over an arbitrary pre-bucketed
+    * (vec_id, bucket, embedding) index-row frame — the single-table
+    * declared query feeds [[bucketRowsOf]], the production-shaped
+    * multi-table one feeds [[multiBucketRowsOf]] (identical merge
+    * contract; only the index layout differs). */
+  private def incrementalSemComponentsOf(indexRows: DataFrame): DataFrame = {
+    import graft.dedup.DedupQueries.componentLabelsOf
     val isNew = col("vec_id") % 20 === 0
     // ONE bucketing pass feeds the standing graph and the probe.
-    val rows = bucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding")))
-      .cut(false)
+    val rows = indexRows.cut(false)
     val standingPairs =
       scoredPairsOfRows(rows.filter(!isNew), MaxBucketPairVecs)
         .filter(col("sim_e6") >= NearDupSimE6)
+        // Cross-table duplicate edges collapse here (no-op for the
+        // single-table layout): the propagation engine is
+        // duplicate-insensitive, but edge volume shouldn't be L×.
+        .select(col("vec_a"), col("vec_b")).distinct()
     val standing = componentLabelsOf(
       standingPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .cut(false)
@@ -1545,6 +1590,90 @@ object SimilarityQueries {
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(min(col("sim_e6")).as("sim_e6"), count(lit(1)).as("n_tables"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** One incremental table's CTE quadruple over planes [tb·8, tb·8+8):
+    * ib$tb (corpus + is_new flag + bucket), ir$tb (standing side
+    * ranked), icp$tb (capped standing pairs ≥ threshold), iin$tb
+    * (new-vs-standing probe pairs ≥ threshold) — the per-table mirror
+    * of what [[incrementalSemComponentsOf]] derives from one
+    * [[multiBucketRowsOf]] key range. */
+  private def sqlIncrTableCte(tb: Int): String = {
+    val b = sqlBucketAt("embedding", tb * DefaultPlanes, DefaultPlanes)
+    val simNC = sqlSimE6("n.embedding", "c.embedding")
+    s"""ib$tb AS (
+       |  SELECT vec_id, embedding, (vec_id % 20 = 0) AS is_new, $b AS bucket
+       |  FROM embeddings
+       |), ir$tb AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY bucket) AS m
+       |  FROM ib$tb WHERE NOT is_new
+       |), icp$tb AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |           ${sqlSimE6("l.embedding", "r.embedding")} AS sim_e6
+       |    FROM ir$tb l JOIN ir$tb r
+       |      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |    WHERE l.m > 1 AND l.rk <= $MaxBucketPairVecs AND r.rk <= $MaxBucketPairVecs
+       |    UNION ALL
+       |    SELECT h.vec_id, t.vec_id,
+       |           ${sqlSimE6("h.embedding", "t.embedding")}
+       |    FROM ir$tb t JOIN ir$tb h
+       |      ON t.bucket = h.bucket AND h.rk = 1
+       |    WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
+       |  ) WHERE sim_e6 >= $NearDupSimE6
+       |), iin$tb AS (
+       |  SELECT DISTINCT n.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM ib$tb n JOIN ir$tb c ON n.bucket = c.bucket
+       |  WHERE n.is_new AND c.rk <= $MaxBucketPairVecs
+       |    AND $simNC >= $NearDupSimE6
+       |)""".stripMargin
+  }
+
+  /** INCREMENTAL semantic components over the OR-AMPLIFIED 4-table
+    * standing index — the production-shaped variant of
+    * `embedding_incremental_components`, closing the round-9 audit →
+    * fix loop for the STANDING state: the single-table index catches
+    * ~1.2% of threshold-grade true pairs (`embedding_recall_eval`
+    * 114/9221) while the 4-disjoint-plane-table batch scheme
+    * (`embedding_near_dup_multi`) catches 382 — this query runs the
+    * identical contract-then-merge pipeline over [[multiBucketRowsOf]]
+    * rows, i.e. exactly what [[graft.streaming.IncrementalSemDedup]]'s
+    * loop now maintains. Same merge contract, same caps, same
+    * threshold; tables are disjoint ranges of the packed bucket key,
+    * so per-table rank caps fall out of the one bucket window. Oracle:
+    * recursive closure over the UNION of all four tables' capped
+    * standing pairs and probe pairs. */
+  private val embeddingIncrementalComponentsMulti = Q(
+    "embedding_incremental_components_multi", {
+      val ctes = (0 until NearDupTables).map(sqlIncrTableCte).mkString(",\n")
+      val union = (0 until NearDupTables)
+        .flatMap(tb => Seq(s"SELECT vec_a, vec_b FROM icp$tb",
+          s"SELECT vec_a, vec_b FROM iin$tb"))
+        .mkString("\n  UNION ")
+      s"""WITH RECURSIVE $ctes,
+         |alledges AS (
+         |  $union
+         |), nodes AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_a AS vec_id FROM alledges
+         |    UNION ALL SELECT vec_b FROM alledges)
+         |), edges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM alledges
+         |  UNION SELECT vec_b, vec_a FROM alledges
+         |), reach(s, t) AS (
+         |  SELECT vec_id, vec_id FROM nodes
+         |  UNION SELECT a, b FROM edges
+         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+         |)
+         |SELECT s AS vec_id, min(t) AS component,
+         |       CAST(CASE WHEN s % 20 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_new
+         |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    incrementalSemComponentsOf(
+      multiBucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding"))))
   }
 
   /** Sign-LSH near-dup RECALL audit — the embedding twin of the dedup
@@ -1742,5 +1871,5 @@ object SimilarityQueries {
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
-      embeddingIncrementalComponents)
+      embeddingIncrementalComponents, embeddingIncrementalComponentsMulti)
 }

@@ -39,7 +39,10 @@ class IncrementalSemDedupSpec extends SparkSpec {
       input.addData((1L, base), (2L, far))
       q.processAllAvailable()
       assert(pairs().isEmpty)
-      assert(spark.read.parquet(indexDir).count() == 2)
+      // 4 OR-amplified table rows per vector, 2 vectors.
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.select("vec_id").distinct().count() == 2)
+      assert(idx.count() == 8)
 
       // Batch 2: a scaled copy of vec 1 (cosine exactly 1.0) pairs
       // with it through the standing index; nothing pairs with `far`.
@@ -53,6 +56,69 @@ class IncrementalSemDedupSpec extends SparkSpec {
       assert(pairs() == Set(
         (20L, 1L, 1000000L), (40L, 1L, 1000000L), (40L, 20L, 1000000L)))
     } finally q.stop()
+  }
+
+  test("3-batch replay over real embeddings = the batch 4-table query, and beats one table") {
+    import org.apache.spark.sql.functions.col
+    // Replay the sf0.001 embeddings corpus through the streaming loop
+    // in 3 micro-batches and compare the accumulated pair set against
+    // the BATCH OR-amplified query (embedding_near_dup_multi) on the
+    // same corpus: the standing index must catch exactly what the
+    // batch sweep catches — the round-9 verdict's gap (a single-table
+    // standing index missing ~96% of the pairs the batch query finds)
+    // pinned closed at the streaming surface.
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // Parity precondition: no (table, bucket) cell near the rank cap —
+    // beyond it, batch star edges and per-arrival probe ranks may
+    // legitimately diverge; this corpus stays well under.
+    val maxCell = graft.sim.SimilarityQueries.multiBucketRowsOf(emb)
+      .groupBy("bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxCell <= 64, s"fixture: cells must stay under the cap, got $maxCell")
+    val indexDir = tmpDir("sem-replay-index") + "/buckets"
+    val pairsDir = tmpDir("sem-replay-pairs") + "/pairs"
+    (0 until 3).foreach { b =>
+      IncrementalSemDedup.processBatch(
+        emb.filter(col("vec_id") % 3 === b), indexDir, pairsDir)
+    }
+    def norm(a: Long, b: Long): (Long, Long) = (math.min(a, b), math.max(a, b))
+    val streamed = spark.read.parquet(pairsDir)
+      .select("new_vec", "corpus_vec").collect()
+      .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+    val batchMulti = graft.SparkEntry.queries("embedding_near_dup_multi")(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchMulti,
+      s"streaming replay (${streamed.size}) must equal the batch 4-table sweep (${batchMulti.size})")
+    // And the amplification gain is real on this corpus too: one table
+    // (the round-9 standing index) finds strictly fewer pairs.
+    val single = graft.SparkEntry.queries("embedding_near_dup")(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(batchMulti) && single.size < batchMulti.size,
+      s"4 tables (${batchMulti.size}) must strictly extend 1 table (${single.size})")
+    info(s"pairs: 1-table ${single.size} -> 4-table ${batchMulti.size} (streamed ${streamed.size})")
+
+    // Downstream CONSUMER parity — components/survivors read off the
+    // streaming pair table equal clustering the batch pair graph.
+    val streamLabels = IncrementalSemDedup.components(spark, pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchLabels = graft.dedup.DedupQueries.componentLabelsOf(
+      graft.SparkEntry.queries("embedding_near_dup_multi")(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamLabels == batchLabels,
+      "labels off the streaming pair table must equal the batch clustering")
+    // Survivors: unpaired corpus rows + each cluster's min-id rep
+    // (component ids ARE the min member under min-label propagation).
+    val survIds = IncrementalSemDedup
+      .survivors(emb.select(col("vec_id")), pairsDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = (all -- streamLabels.map(_._1)) ++ streamLabels.map(_._2)
+    assert(survIds == expected, "survivors = unpaired + cluster representatives")
   }
 
   test("duplicates landing in the SAME micro-batch pair with each other") {
