@@ -33,6 +33,16 @@ object DedupQueries {
   private val R = 4
   private val B = 3
 
+  // Amplified re-banding of the SAME K signatures: 6 bands of 2 rows.
+  // Moves the S-curve knee from J≈0.77 to J≈0.35 — P(candidate|J=0.5)
+  // rises from 1-(1-0.5^4)^3 ≈ 17% to 1-(1-0.5^2)^6 ≈ 82% — at zero
+  // extra signature cost (the banding is a projection of computed
+  // min-hashes). Every R=4 band match is two R=2 band matches, so the
+  // amplified candidate set contains the standard one (modulo the
+  // shared over-cap star-edge policy on degenerate buckets).
+  private[dedup] final val AmpB = 6
+  private[dedup] final val AmpR = 2
+
   /** 3-token shingles over an ALREADY-MATERIALIZED token array column,
     * via the native codegen'd [[org.apache.spark.sql.graft.Shingles]]
     * expression — one tight loop per row instead of the interpreted
@@ -99,14 +109,18 @@ object DedupQueries {
 
   /** md5 over the ':'-joined band signature; NULL if any row is NULL
     * (short doc), so degenerate docs never collide. */
-  private def bandHash(b: Int): Column =
+  private def bandHash(b: Int): Column = bandHashBR(b, R)
+
+  private def bandHashBR(b: Int, rr: Int): Column =
     md5(concat(
-      (0 until R)
-        .flatMap(j => Seq(col(s"mh${R * b + j}").cast("string"), lit(":")))
+      (0 until rr)
+        .flatMap(j => Seq(col(s"mh${rr * b + j}").cast("string"), lit(":")))
         .dropRight(1): _*))
 
-  private def sqlBandHash(b: Int): String =
-    "md5(" + (0 until R).map(j => s"CAST(mh${R * b + j} AS VARCHAR)")
+  private def sqlBandHash(b: Int): String = sqlBandHashBR(b, R)
+
+  private def sqlBandHashBR(b: Int, rr: Int): String =
+    "md5(" + (0 until rr).map(j => s"CAST(mh${rr * b + j} AS VARCHAR)")
       .mkString(" || ':' || ") + ")"
 
   /** (doc_id, band, band_hash) rows — B per doc, from ONE signature
@@ -115,12 +129,20 @@ object DedupQueries {
 
   /** [[bands]] over any (doc_id, text) frame — the band index the
     * streaming incremental loop appends per micro-batch. */
-  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame = {
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame =
+    bandsOfDocsBR(docs, B, R)
+
+  /** [[bandsOfDocs]] re-banded as `bb` bands of `rr` rows over the
+    * same K-signature family (bb·rr ≤ K): amplified banding reuses the
+    * one signature pass — only the band projection changes. */
+  private[dedup] def bandsOfDocsBR(
+      docs: DataFrame, bb: Int, rr: Int): DataFrame = {
+    require(bb * rr <= K, s"banding $bb x $rr exceeds K=$K signatures")
     val sig = signaturesOfDocs(docs)
     sig.select(
       col("doc_id"),
-      explode(array((0 until B).map(b =>
-        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
+      explode(array((0 until bb).map(b =>
+        struct(lit(b).as("band"), bandHashBR(b, rr).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .filter(col("bh").isNotNull)
   }
@@ -132,10 +154,12 @@ object DedupQueries {
     * the Spark side drops — divergence on any corpus with > cap short
     * docs (proven by the /tmp/sfdeg counter-test: oracle 368 vs spark
     * 352 rows without this filter). */
-  private def sqlBandsCte: String = {
+  private def sqlBandsCte: String = sqlBandsCteBR(B, R)
+
+  private def sqlBandsCteBR(bb: Int, rr: Int): String = {
     val sig = (0 until K).map(sqlSignature).mkString(",\n         ")
-    val union = (0 until B)
-      .map(b => s"SELECT doc_id, $b AS band, ${sqlBandHash(b)} AS bh FROM sig")
+    val union = (0 until bb)
+      .map(b => s"SELECT doc_id, $b AS band, ${sqlBandHashBR(b, rr)} AS bh FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH sig AS (
        |  SELECT doc_id,
@@ -220,8 +244,10 @@ object DedupQueries {
     * ranked ≤ [[MaxBucketPairDocs]] expand all-pairs, tail docs emit a
     * star edge to the bucket min), so the contract holds on ANY corpus,
     * not just ones where no bucket reaches the cap. */
-  private def sqlCandCte: String =
-    s"""$sqlBandsCte, ranked AS (
+  private def sqlCandCte: String = sqlCandCteBR(B, R)
+
+  private def sqlCandCteBR(bb: Int, rr: Int): String =
+    s"""${sqlBandsCteBR(bb, rr)}, ranked AS (
        |  SELECT doc_id, band, bh,
        |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk,
        |         count(*) OVER (PARTITION BY band, bh) AS m,
@@ -262,6 +288,27 @@ object DedupQueries {
        |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     candidatePairs(Tables(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Amplified-banding MinHash candidates — the text twin of
+    * `embedding_near_dup_multi`, closing the audit→fix loop
+    * `dedup_recall_eval` exposes: the standard B=3/R=4 banding catches
+    * ≈17% of J=0.5 true near-dups (the audit's measured cliff);
+    * re-banding the SAME K=12 signatures as [[AmpB]]=6 bands of
+    * [[AmpR]]=2 rows lifts P(candidate|J=0.5) to ≈82% at zero extra
+    * signature cost — one band projection over min-hashes already
+    * computed, the same one-shuffle bucket groupBy downstream. Since
+    * every 4-row band match implies two 2-row band matches, these
+    * candidates CONTAIN the standard set (up to the shared over-cap
+    * star policy); the extra low-J candidates are the precision trade
+    * the exact-Jaccard verifier downstream already prunes. */
+  private val dedupMinhashLshMulti = Q(
+    "dedup_minhash_lsh_multi",
+    s"""${sqlCandCteBR(AmpB, AmpR)}
+       |SELECT doc_a, doc_b FROM cand
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    candidatePairsOf(bandsOfDocsBR(Tables(s, dir).documents, AmpB, AmpR))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-doc 16-bit SimHash (per-bit majority vote over token hashes),
@@ -1649,7 +1696,8 @@ object DedupQueries {
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
-      dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+      dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
+      dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,

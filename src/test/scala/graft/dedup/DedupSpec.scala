@@ -244,6 +244,40 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc must never enter the truth set: ${rows.keys}")
   }
 
+  test("amplified banding lifts mid-J recall and contains the standard candidates") {
+    import spark.implicits._
+    // 60 planted pairs at shingle Jaccard ≈ 0.5 — exactly the S-curve
+    // cliff dedup_recall_eval measures (B=3/R=4: P(candidate) ≈ 17%;
+    // B=6/R=2 over the same signatures: ≈ 82%). Vocabulary is disjoint
+    // across pairs so nothing pairs across plants. Deterministic
+    // hashes → the caught counts below are exact, not flaky.
+    def words(tag: String, i: Int, n: Int): String =
+      (0 until n).map(j => s"${tag}${i}x$j").mkString(" ")
+    val docs = (0 until 60).flatMap { i =>
+      val common = words("c", i, 30)
+      Seq((i.toLong, s"$common ${words("a", i, 12)}"),
+        (i + 1000L, s"$common ${words("b", i, 12)}"))
+    }.toDF("doc_id", "text")
+    val planted = (0 until 60).map(i => (i.toLong, i + 1000L)).toSet
+    def caughtBy(bands: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      DedupQueries.candidatePairsOf(bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(planted)
+    val std = caughtBy(DedupQueries.bandsOfDocs(docs))
+    val amp = caughtBy(DedupQueries.bandsOfDocsBR(docs, DedupQueries.AmpB,
+      DedupQueries.AmpR))
+    info(s"J≈0.5 planted pairs caught: standard ${std.size}/60, amplified ${amp.size}/60")
+    assert(std.subsetOf(amp), "amplified candidates must contain standard ones")
+    assert(amp.size > 2 * std.size,
+      s"amplified banding must lift mid-J recall (std ${std.size}, amp ${amp.size})")
+    // And on the declared-surface corpus: multi ⊇ standard candidates.
+    val stdQ = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiQ = SparkEntry.queries("dedup_minhash_lsh_multi")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stdQ.subsetOf(multiQ))
+  }
+
   test("dedup_containment: a contained doc scores 1.0 while its Jaccard stays low") {
     import spark.implicits._
     // docShort is a verbatim token PREFIX of docLong (~quote/subset
