@@ -678,10 +678,36 @@ object DedupQueries {
     //    graphs converge in 1-2 batches either way, but genuine
     //    near-dup CHAINS (the image hamming graph, round 7) went from
     //    ~10 batches of AQE scheduling-floor jobs to 3.
-    val edges = edgeFrame.cut(false)
+    // The loop compiles under AQE-off + a narrowed shuffle width — the
+    // right conf for dup-graph-sized frames, the wrong one for anything
+    // else compiling on the session meanwhile. So the loop runs on a
+    // CLONED session ([[org.apache.spark.sql.graft.IsolatedConf]]):
+    // conf mutations are clone-local (concurrent queries on the
+    // caller's session keep their width and AQE), while SparkContext,
+    // cache and catalog stay shared. Plans cross sessions by re-rooting
+    // the analyzed tree — metadata-only, never a data copy.
+    val callerSession = edgeFrame.sparkSession
+    val callerParts =
+      callerSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val loopSession = org.apache.spark.sql.graft.IsolatedConf.sessionFor(
+      edgeFrame, Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        // Re-sync the checkpoint-mode key per call: the clone is
+        // cached per thread, and the caller may have configured
+        // reliable checkpointing after the clone was first minted.
+        graft.ops.Checkpoints.DirKey ->
+          callerSession.conf.get(graft.ops.Checkpoints.DirKey, "")))
+    val edges = org.apache.spark.sql.graft.IsolatedConf
+      .reRoot(loopSession, edgeFrame).cut(false)
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cut()
+    // Width chosen from MEASURED edge volume before ANY loop frame
+    // plans (lazy cuts still force physical planning at declaration,
+    // so the init aggregate below must already see the narrow width):
+    // see the wide comment above the loop.
+    loopSession.conf.set("spark.sql.shuffle.partitions",
+      loopShufflePartitions(bi.count(), callerParts).toString)
     val compType = bi.schema("src").dataType
     var labels = bi.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
@@ -708,7 +734,8 @@ object DedupQueries {
     // costs one scheduling-floor JOB per exchange per batch (~8
     // jobs/batch measured at sf0.1). Compiling the loop with AQE off
     // makes each batch ONE job; the pair-generation pipeline before the
-    // loop and every consumer after it still compile under AQE.
+    // loop and every consumer after it still compile under AQE — on
+    // the CALLER's session, which the clone never touches.
     //
     // With AQE off the loop's shuffle width must be chosen here — and
     // it must be chosen from MEASURED edge volume, not a constant. The
@@ -717,28 +744,17 @@ object DedupQueries {
     // keeps each batch at the scheduling minimum), but dup-rate ×
     // corpus on a 100 TB crawl (billions of rows at a realistic 30-50%
     // dup rate — the exact frames [[graft.ops.ScaleGates]] refuses to
-    // broadcast). `bi` is eagerly cut, so the count below is a
+    // broadcast). `bi` is eagerly cut, so the width count above is a
     // cached-partition scan, and the width scales linearly with edge
-    // rows up to the session's configured parallelism — the cluster
-    // operator's own ceiling.
-    val conf = bi.sparkSession.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    // rows up to the caller session's configured parallelism — the
+    // cluster operator's own ceiling.
     var changed = 1L
     var batches = 0
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      loopShufflePartitions(bi.count(), shufWas.toInt).toString)
-    try {
-      while (changed > 0 && batches < 16) {
-        val next = jump(step(step(labels))).cut(false)
-        changed = next.filter(col("comp") =!= col("old")).count()
-        labels = next
-        batches += 1
-      }
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeWas)
-      conf.set("spark.sql.shuffle.partitions", shufWas)
+    while (changed > 0 && batches < 16) {
+      val next = jump(step(step(labels))).cut(false)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next
+      batches += 1
     }
     // Non-convergence must fail loudly: the oracle computes the full
     // transitive closure, so returning partially-propagated labels would
@@ -749,7 +765,12 @@ object DedupQueries {
     if (sys.env.contains("GRAFT_DEBUG_CC"))
       println(s"[cc-debug] converged in $batches batches")
     require(changed == 0, s"components not converged after $batches batches")
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    // Hand the labels back rooted in the CALLER's session (the frame is
+    // a checkpointed leaf + projection): downstream consumers compose
+    // it with their own frames and must compile under their own conf.
+    org.apache.spark.sql.graft.IsolatedConf.reRoot(
+      callerSession,
+      labels.select(col("id").as("doc_id"), col("comp").as("component")))
   }
 
   /** Survivor selection — the step that closes the near-dedup pipeline

@@ -244,6 +244,49 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc must never enter the truth set: ${rows.keys}")
   }
 
+  test("propagation loop leaves the shared session conf untouched while it runs") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val widthBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // A 2000-node chain converges in ~9 pointer-jump batches (seconds
+    // of wall time) — long enough for a concurrent thread to observe
+    // the session conf DURING the loop. The pre-round-10 loop flipped
+    // AQE off and narrowed the width on the SHARED conf for exactly
+    // this window; the cloned-session loop must leave both alone, so
+    // a query compiling on the session meanwhile keeps its plan.
+    val chain = (0L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    @volatile var done = false
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Boolean)]()
+    val watcher = Future {
+      var polls = 0
+      while (!done) {
+        // What a concurrent caller would see: the conf values AND the
+        // plan shape of a freshly-compiled aggregate.
+        val agg = spark.range(100).groupBy(($"id" % 10).as("k")).count()
+        val adaptive = agg.queryExecution.executedPlan
+          .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+        observed.add((spark.conf.get("spark.sql.shuffle.partitions"),
+          spark.conf.get("spark.sql.adaptive.enabled", "true"), adaptive))
+        polls += 1
+        Thread.sleep(5)
+      }
+      polls
+    }
+    val labels = DedupQueries.componentLabelsOf(chain)
+    val rows = labels.collect()
+    done = true
+    val polls = Await.result(watcher, 60.seconds)
+    assert(rows.length == 2001 && rows.map(_.getLong(1)).distinct.sameElements(Array(0L)),
+      "chain must collapse to one component labeled by its min node")
+    assert(polls >= 10, s"watcher must sample during the loop (got $polls polls)")
+    import scala.jdk.CollectionConverters._
+    assert(observed.asScala.toSet == Set((widthBefore, aqeBefore, true)),
+      s"shared conf/plans must be stable during the loop, saw: ${observed.asScala}")
+  }
+
   test("amplified banding lifts mid-J recall and contains the standard candidates") {
     import spark.implicits._
     // 60 planted pairs at shingle Jaccard ≈ 0.5 — exactly the S-curve
