@@ -25,15 +25,22 @@ import graft.etl.Sinks
   * State lives in storage, not the state store — the index is the
   * product, exactly like the batch pipeline's, so batch and streaming
   * runs are interchangeable mid-corpus. The checkpoint gives
-  * restart-without-reprocessing on planned restarts; the appends
-  * themselves are AT-LEAST-ONCE (standard foreachBatch contract): a
-  * crash between the pairs append and the index append replays the
-  * epoch and can duplicate rows in either table. Both duplications are
-  * made harmless downstream — pair edges are distinct-emitted and
-  * set-semantics for the components consumer, and the probe collapses
-  * duplicate standing band rows on the bucket-pruned slice BEFORE cap
-  * ranking ([[DedupQueries.incrementalPairsBetween]]), so replays
-  * never consume degenerate-bucket cap headroom.
+  * restart-without-reprocessing on planned restarts; the appends are
+  * EFFECTIVELY-ONCE: every row is stamped with the epoch's `batch_id`
+  * and written via dynamic partition overwrite on that id, so an epoch
+  * replay (crash anywhere between the first write and the checkpoint
+  * commit) REWRITES its own batch_id partitions instead of doubling
+  * them — re-running a batch converges, the
+  * [[graft.etl.Sinks.overwritePartitions]] backfill contract applied
+  * to streaming state. (A crashed write job itself leaves no visible
+  * files — the committer only publishes on job commit.) The bucketed
+  * index layout cannot partition-overwrite (bucketBy and insertInto
+  * don't compose), so it guards with a batch_id existence check
+  * instead; and the probe still collapses duplicate standing rows on
+  * the bucket-pruned slice BEFORE cap ranking
+  * ([[DedupQueries.incrementalPairsBetween]]) as defense in depth, so
+  * even a hand-fed duplicate batch never consumes degenerate-bucket
+  * cap headroom.
   */
 object IncrementalDedup {
 
@@ -55,7 +62,9 @@ object IncrementalDedup {
   sealed trait BandIndex {
     def exists(spark: org.apache.spark.sql.SparkSession): Boolean
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame
-    def append(bands: DataFrame): Unit
+    /** Lands `bands` stamped with `batchId`, EFFECTIVELY-ONCE: calling
+      * again with the same id must converge, not double. */
+    def append(bands: DataFrame, batchId: Long): Unit
   }
 
   final case class DirIndex(dir: String) extends BandIndex {
@@ -65,7 +74,9 @@ object IncrementalDedup {
     }
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
       spark.read.parquet(dir)
-    def append(bands: DataFrame): Unit = Sinks.appendParquet(bands, dir)
+    def append(bands: DataFrame, batchId: Long): Unit =
+      Sinks.overwritePartitions(
+        bands.withColumn("batch_id", lit(batchId)), dir, "batch_id")
   }
 
   final case class BucketedIndex(table: String, buckets: Int = 32)
@@ -74,18 +85,35 @@ object IncrementalDedup {
       spark.catalog.tableExists(table)
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
       spark.table(table)
-    def append(bands: DataFrame): Unit =
-      graft.ops.Bucketing.appendBucketed(bands, table, "bh", buckets)
+    /** bucketBy and insertInto don't compose (no partition overwrite
+      * into a bucketed table), so replay idempotence comes from a
+      * batch_id EXISTENCE GUARD: a replayed epoch whose rows already
+      * landed is skipped whole. Safe because a crashed append job
+      * publishes nothing (committer semantics) — the id is either
+      * fully present or fully absent. The guard probe is one
+      * filter-pushed scan (each append's files carry a constant
+      * batch_id, so row-group stats skip everything else). */
+    def append(bands: DataFrame, batchId: Long): Unit = {
+      val spark = bands.sparkSession
+      val landed = exists(spark) &&
+        !read(spark).filter(col("batch_id") === batchId).isEmpty
+      if (!landed)
+        graft.ops.Bucketing.appendBucketed(
+          bands.withColumn("batch_id", lit(batchId)), table, "bh", buckets)
+    }
   }
 
   /** One micro-batch step: probe, emit pairs, grow the index.
-    * Exposed for specs; [[start]] wires it behind a checkpoint. */
+    * Exposed for specs; [[start]] wires it behind a checkpoint,
+    * passing the epoch id that makes replays idempotent. */
   private[streaming] def processBatch(
-      docs: DataFrame, indexDir: String, pairsDir: String): Unit =
-    processBatch(docs, DirIndex(indexDir), pairsDir)
+      docs: DataFrame, indexDir: String, pairsDir: String,
+      batchId: Long): Unit =
+    processBatch(docs, DirIndex(indexDir), pairsDir, batchId)
 
   private[streaming] def processBatch(
-      docs: DataFrame, index: BandIndex, pairsDir: String): Unit = {
+      docs: DataFrame, index: BandIndex, pairsDir: String,
+      batchId: Long): Unit = {
     if (docs.isEmpty) return
     val spark = docs.sparkSession
     // The batch is re-read below the pair join AND the index append;
@@ -102,16 +130,33 @@ object IncrementalDedup {
       .filter(col("new_doc") > col("corpus_doc"))
     val emitted =
       if (index.exists(spark))
-        DedupQueries.incrementalPairsBetween(newBands, index.read(spark))
+        DedupQueries.incrementalPairsBetween(
+          newBands, committedBefore(index.read(spark), batchId))
           .unionByName(intra)
       else intra
     // Checkpointed: isEmpty is an action, and without the pin the
     // append below would re-run the whole standing-index probe
     // (semi-join + rank window + pair join) a second time.
     val pairs = emitted.cut(false)
-    if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
-    index.append(newBands)
+    if (!pairs.isEmpty)
+      Sinks.overwritePartitions(
+        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+    index.append(newBands, batchId)
   }
+
+  /** Standing rows from epochs STRICTLY BEFORE `batchId` — the probe's
+    * view of the index. On the happy path this filter is a no-op
+    * (epoch ids are monotone, so everything stored is older); on an
+    * epoch REPLAY it excludes the epoch's own already-landed rows, so
+    * the replay probes the exact pre-epoch standing state and emits
+    * the exact same pairs (no self-pairs, no mirror orientations of
+    * same-batch dups) — the read-side half of the effectively-once
+    * contract. Shared by the three incremental loops. */
+  private[streaming] def committedBefore(
+      index: DataFrame, batchId: Long): DataFrame =
+    if (index.columns.contains("batch_id"))
+      index.filter(col("batch_id") < batchId)
+    else index // pre-batch_id layout: at-least-once semantics unchanged
 
   /** Starts the loop over a stream of (doc_id, text) documents against
     * a directory-layout index; pass a [[BucketedIndex]] to the overload
@@ -136,8 +181,8 @@ object IncrementalDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.toDF(), index, pairsDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), index, pairsDir, batchId)
       }
       .start()
 }

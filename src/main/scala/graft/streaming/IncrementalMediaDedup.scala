@@ -25,10 +25,12 @@ import graft.etl.Sinks
   * payload: decode happens once per item at ingest, and only band
   * keys ever cross the wire afterwards, the same
   * payloads-never-shuffle property as the batch media pipeline. All
-  * appends are AT-LEAST-ONCE (standard foreachBatch), made harmless
-  * the same way as the sibling loops (probe-side collapse, pair
-  * distinct). At 100 TB the index is a table bucketed on the band
-  * key and the probe reads matching buckets only.
+  * appends are EFFECTIVELY-ONCE (the sibling loops' contract): rows
+  * are stamped with the epoch's batch_id and land via dynamic
+  * partition overwrite on it, so a replayed epoch rewrites its own
+  * partitions; the probe-side collapse remains as defense in depth.
+  * At 100 TB the index is a table bucketed on the band key and the
+  * probe reads matching buckets only.
   */
 object IncrementalMediaDedup {
 
@@ -55,7 +57,7 @@ object IncrementalMediaDedup {
     * probe, emit pairs, grow the index. */
   private[streaming] def processBatch(
       items: DataFrame, modality: String,
-      indexDir: String, pairsDir: String): Unit = {
+      indexDir: String, pairsDir: String, batchId: Long): Unit = {
     if (items.isEmpty) return
     val spark = items.sparkSession
     import spark.implicits._
@@ -74,12 +76,18 @@ object IncrementalMediaDedup {
       if (exists)
         MultimodalQueries
           .incrementalMediaPairsBetween(
-            newHashes, spark.read.parquet(indexDir), nBands, MaxHamming)
+            newHashes,
+            IncrementalDedup.committedBefore(
+              spark.read.parquet(indexDir), batchId),
+            nBands, MaxHamming)
           .unionByName(intra)
       else intra
     val pairs = emitted.cut(false)
-    if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
-    Sinks.appendParquet(newHashes, indexDir)
+    if (!pairs.isEmpty)
+      Sinks.overwritePartitions(
+        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+    Sinks.overwritePartitions(
+      newHashes.withColumn("batch_id", lit(batchId)), indexDir, "batch_id")
   }
 
   /** Starts the loop over a stream of MediaItem-shaped rows of ONE
@@ -93,8 +101,8 @@ object IncrementalMediaDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.toDF(), modality, indexDir, pairsDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), modality, indexDir, pairsDir, batchId)
       }
       .start()
 }

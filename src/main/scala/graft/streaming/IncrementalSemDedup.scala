@@ -22,10 +22,11 @@ import graft.etl.Sinks
   *
   * Same-batch duplicates pair through the batch-vs-itself pass
   * (orientation-filtered), closing the recall gap the text loop closed
-  * in round 9. Appends are AT-LEAST-ONCE (standard foreachBatch): a
-  * replay can duplicate index rows, which the probe collapses on the
-  * bucket-pruned slice before cap ranking, and pair rows, which are
-  * distinct-emitted and set-semantics downstream.
+  * in round 9. Appends are EFFECTIVELY-ONCE (the text loop's
+  * contract): rows are stamped with the epoch's batch_id and land via
+  * dynamic partition overwrite on it, so a replayed epoch rewrites its
+  * own partitions instead of doubling them; the probe's
+  * pruned-slice collapse remains as defense in depth.
   *
   * The index is OR-AMPLIFIED ([[SimilarityQueries.multiBucketRowsOf]]):
   * 4 sign-LSH tables over disjoint plane sets, table ordinal packed
@@ -51,7 +52,8 @@ object IncrementalSemDedup {
     * pairs, grow the index. Exposed for specs; [[start]] wires it
     * behind a checkpoint. */
   private[streaming] def processBatch(
-      vecs: DataFrame, indexDir: String, pairsDir: String): Unit = {
+      vecs: DataFrame, indexDir: String, pairsDir: String,
+      batchId: Long): Unit = {
     if (vecs.isEmpty) return
     val spark = vecs.sparkSession
     // Bucketing (the plane dot products) runs once: the batch frame is
@@ -74,12 +76,18 @@ object IncrementalSemDedup {
     val emitted =
       if (exists)
         SimilarityQueries
-          .incrementalSemPairsBetween(newRows, spark.read.parquet(indexDir))
+          .incrementalSemPairsBetween(
+            newRows,
+            IncrementalDedup.committedBefore(
+              spark.read.parquet(indexDir), batchId))
           .unionByName(intra)
       else intra
     val pairs = emitted.cut(false)
-    if (!pairs.isEmpty) Sinks.appendParquet(pairs, pairsDir)
-    Sinks.appendParquet(newRows, indexDir)
+    if (!pairs.isEmpty)
+      Sinks.overwritePartitions(
+        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+    Sinks.overwritePartitions(
+      newRows.withColumn("batch_id", lit(batchId)), indexDir, "batch_id")
   }
 
   /** Periodic COMPONENTS consumer over the loop's accumulated pair
@@ -125,8 +133,8 @@ object IncrementalSemDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.toDF(), indexDir, pairsDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), indexDir, pairsDir, batchId)
       }
       .start()
 }

@@ -64,17 +64,71 @@ class IncrementalDedupSpec extends SparkSpec {
     // self or mirror edges.
     IncrementalDedup.processBatch(
       Seq((1L, base), (2L, far), (3L, base)).toDF("doc_id", "text"),
-      indexDir, pairsDir)
+      indexDir, pairsDir, 0L)
     val got = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)))
     // The next batch's copy still pairs with BOTH same-batch copies
     // through the standing index.
     IncrementalDedup.processBatch(
-      Seq((9L, base)).toDF("doc_id", "text"), indexDir, pairsDir)
+      Seq((9L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
     val got2 = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
+  }
+
+  test("epoch replay converges instead of doubling (effectively-once appends)") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-eo-index") + "/bands"
+    val pairsDir = tmpDir("incr-eo-pairs") + "/pairs"
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    IncrementalDedup.processBatch(
+      Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
+    def rows(dir: String): Seq[String] =
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val (idx1, prs1) = (rows(indexDir), rows(pairsDir))
+    // Crash between epoch 1's appends and its checkpoint commit → the
+    // engine replays the epoch VERBATIM. The batch_id partition
+    // overwrite must rewrite, not double.
+    IncrementalDedup.processBatch(
+      Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
+    assert(rows(indexDir) == idx1,
+      "replayed epoch must rewrite its index partition, not double it")
+    assert(rows(pairsDir) == prs1,
+      "replayed epoch must rewrite its pairs partition, not double it")
+    // Probe results and cap headroom unchanged: the next epoch sees
+    // the same standing state as if no replay had happened — exactly
+    // one band row set per doc, so replay never consumes
+    // degenerate-bucket cap slots.
+    IncrementalDedup.processBatch(
+      Seq((40L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 2L)
+    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 1L), (40L, 1L), (40L, 20L)))
+  }
+
+  test("bucketed index: a replayed epoch is skipped whole by the batch_id guard") {
+    import spark.implicits._
+    val tbl = "incr_eo_bucketed_spec"
+    val pairsDir = tmpDir("incr-eob-pairs") + "/pairs"
+    val index = IncrementalDedup.BucketedIndex(tbl, 8)
+    try {
+      IncrementalDedup.processBatch(
+        Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir, 0L)
+      IncrementalDedup.processBatch(
+        Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir, 1L)
+      val before = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+      IncrementalDedup.processBatch(
+        Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir, 1L)
+      assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq == before,
+        "the bucketed index guard must skip a replayed epoch whole")
+      IncrementalDedup.processBatch(
+        Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir, 2L)
+      val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 1L), (40L, 1L), (40L, 20L)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("bucketed standing index: pairs accumulate identically, standing side moves zero rows") {
@@ -89,12 +143,12 @@ class IncrementalDedupSpec extends SparkSpec {
       // Same three-batch script as the directory-index test: behavior
       // parity is the point — the layout changes, the answers don't.
       IncrementalDedup.processBatch(
-        Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir)
+        Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir, 0L)
       IncrementalDedup.processBatch(
-        Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir)
+        Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir, 1L)
       assert(pairs() == Set((20L, 1L)))
       IncrementalDedup.processBatch(
-        Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir)
+        Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir, 2L)
       assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)),
         "the bucketed index grows across appends like the directory layout")
 

@@ -88,13 +88,14 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     val pairsDir = tmpDir("med-band-pairs") + "/pairs"
     IncrementalMediaDedup.processBatch(
       Seq(checker(1L, invertBottom = false), checker(2L, invertBottom = true))
-        .toDF(), "image", indexDir, pairsDir)
+        .toDF(), "image", indexDir, pairsDir, 0L)
     assert(!new java.io.File(pairsDir).exists(),
       "a pair diverging only in bands 4-7 must NOT dedup")
     // A true duplicate probing the same standing index still pairs —
     // and still skips the bands-4-7 divergent neighbor.
     IncrementalMediaDedup.processBatch(
-      Seq(checker(9L, invertBottom = false)).toDF(), "image", indexDir, pairsDir)
+      Seq(checker(9L, invertBottom = false)).toDF(), "image", indexDir,
+      pairsDir, 1L)
     val got = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((9L, 1L, 0L)))
@@ -106,13 +107,13 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     val pairsDir = tmpDir("med-ib-pairs") + "/pairs"
     IncrementalMediaDedup.processBatch(
       Seq(item(1L, 7L), item(2L, 99L), item(3L, 7L)).toDF(),
-      "image", indexDir, pairsDir)
+      "image", indexDir, pairsDir, 0L)
     val got = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)),
       "same-batch dup items must pair, oriented new > corpus")
     IncrementalMediaDedup.processBatch(
-      Seq(item(9L, 7L)).toDF(), "image", indexDir, pairsDir)
+      Seq(item(9L, 7L)).toDF(), "image", indexDir, pairsDir, 1L)
     val got2 = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))

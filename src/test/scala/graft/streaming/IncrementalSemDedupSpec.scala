@@ -81,7 +81,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
     val pairsDir = tmpDir("sem-replay-pairs") + "/pairs"
     (0 until 3).foreach { b =>
       IncrementalSemDedup.processBatch(
-        emb.filter(col("vec_id") % 3 === b), indexDir, pairsDir)
+        emb.filter(col("vec_id") % 3 === b), indexDir, pairsDir, b.toLong)
     }
     def norm(a: Long, b: Long): (Long, Long) = (math.min(a, b), math.max(a, b))
     val streamed = spark.read.parquet(pairsDir)
@@ -128,14 +128,14 @@ class IncrementalSemDedupSpec extends SparkSpec {
     IncrementalSemDedup.processBatch(
       Seq((1L, base), (2L, far), (3L, scaledDup))
         .toDF("vec_id", "embedding"),
-      indexDir, pairsDir)
+      indexDir, pairsDir, 0L)
     val got = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)),
       "same-batch near-dups must pair, oriented new > corpus")
     // The next batch still pairs with both through the standing index.
     IncrementalSemDedup.processBatch(
-      Seq((9L, base)).toDF("vec_id", "embedding"), indexDir, pairsDir)
+      Seq((9L, base)).toDF("vec_id", "embedding"), indexDir, pairsDir, 1L)
     val got2 = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
