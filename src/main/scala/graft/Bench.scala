@@ -70,13 +70,42 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Machine-readable regression gate: tools/steady_states.json holds
+    // each query's recorded steady minimum at sf0.1; any cell beyond
+    // 1.5× steady + 0.25 s (the absolute floor absorbs job-scheduling
+    // jitter on sub-second cells) is flagged in the output line. Only
+    // applied when this run's SF matches the recorded one — steadies
+    // at sf0.1 say nothing about an sf0.01 smoke run. A missing or
+    // unreadable file degrades to an empty flag set, never a failure.
+    val flagged: Map[String, (Double, Double)] = try {
+      val f = java.nio.file.Paths.get("tools/steady_states.json")
+      if (!java.nio.file.Files.exists(f) || !sfDir.endsWith("sf0.1")) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+        val steady = root.get("queries")
+        results.toMap.collect {
+          case (name, v)
+              if v >= 0 && steady.has(name) &&
+                v > steady.get(name).asDouble() * 1.5 + 0.25 =>
+            name -> (v, steady.get(name).asDouble())
+        }
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] steady-state gate skipped: $e")
+      Map.empty
+    }
+    val flaggedJson = flagged.toSeq.sortBy(_._1)
+      .map { case (k, (v, s)) =>
+        "\"" + k + "\":{\"run_s\":" + v + ",\"steady_s\":" + s + "}" }
+      .mkString("{", ",", "}")
     // total_s repeats the headline number at the END of the line: the
     // driver keeps only the tail of stdout, which truncated the leading
     // "value" field away once the query map grew past 2,000 chars. The
     // full line is also written to bench_out.json so every per-query
     // figure survives regardless of how much of stdout is kept.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagged":$flaggedJson,"n_flagged":${flagged.size},"total_s":$total}"""
     println(line)
     // Best-effort mirror: the stdout line above is the contract; a
     // read-only or unexpected cwd must not turn a COMPLETED bench run

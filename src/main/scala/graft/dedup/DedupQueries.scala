@@ -532,8 +532,15 @@ object DedupQueries {
         inter.as("n_common"),
         size(col("a.sh")).cast("long").as("n_a"),
         size(col("b.sh")).cast("long").as("n_b"))
+      // least(n_a, n_b) ≥ 1 is an INVARIANT here, not an assumption:
+      // both endpoints came through candidatePairs, whose band rows
+      // exist only for docs with ≥ R non-NULL min-hashes — i.e. at
+      // least one shingle — and `sh` computes the same shingle rule.
+      // A shingle-less doc can't reach this division; nullif keeps the
+      // row NULL-safe (never x/0) if that invariant is ever broken
+      // upstream, instead of throwing mid-scan.
       .withColumn("containment_e6",
-        expr("n_common * 1000000 DIV least(n_a, n_b)"))
+        expr("n_common * 1000000 DIV nullif(least(n_a, n_b), 0)"))
       .orderBy("doc_a", "doc_b")
   }
 

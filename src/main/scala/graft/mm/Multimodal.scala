@@ -677,6 +677,26 @@ object Multimodal {
 
   // ------------------------------------------------------------------
   // Spark plumbing (schema, batching, partition behavior).
+  //
+  // MEMORY POSTURE (the contract that keeps a 100 TB media scan inside
+  // executor memory): every kernel below streams items through
+  // mapPartitions ONE AT A TIME — no payload ever enters an
+  // aggregation buffer or a collect_list, and no kernel holds more
+  // than the current item plus (video only) one previous luma plane.
+  // So a task's live set is
+  //     input split (≤ spark.sql.files.maxPartitionBytes of encoded
+  //     payload pages, 128 MiB default)
+  //   + ONE item's decoded footprint:
+  //     image ≈ 8 B/px  (ARGB int raster + the px copy)
+  //     video ≈ 12 B/px (raster + current & previous luma planes)
+  //     audio ≈ 6 B/sample (byte PCM + widened ints)
+  // — a bound that depends only on the LARGEST SINGLE ITEM, never on
+  // corpus size, partition count, or rows per split. Sizing rule for
+  // a real cluster: maxPartitionBytes + 12·max_item_pixels must fit
+  // the per-task memory share; an 8K video frame (33 MP) peaks ~400
+  // MiB and is the item class to cap at ingest validation, not at
+  // query time. MultimodalSpec pins the measured worst-item footprint
+  // on the driver corpus against these constants.
   // ------------------------------------------------------------------
 
   /** Per-partition image decode — one kernel per partition, rows

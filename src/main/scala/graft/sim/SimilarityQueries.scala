@@ -534,8 +534,19 @@ object SimilarityQueries {
     * oracle — see [[DefaultPlanes]]' note. */
   def semDedupScaled(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val nCells = cellsFor(t.embeddings.count())
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val trained = sampleTrainedCentroids(emb, cellsFor(t.embeddings.count()))
+    semDedupPairsOf(lloydAssign(emb, trained))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sample-trained coarse quantizer: 2 Lloyd rounds over a
+    * content-independent hash-ranked sample of 64·nCells vectors
+    * (sublinear training — only the caller's final assignment touches
+    * the corpus). Seeds are the nCells hash-smallest of the sample.
+    * Shared by [[semDedupScaled]] and the scaled ANN entry. */
+  private def sampleTrainedCentroids(
+      emb: DataFrame, nCells: Int): DataFrame = {
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
     val sample = emb.orderBy(seedOrd: _*).limit(64 * nCells).cut()
     // Re-sort below the checkpoint: cut() materializes rows without an
@@ -545,10 +556,44 @@ object SimilarityQueries {
       .select(
         (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
-    val trained =
-      lloydReaverage(lloydAssign(sample, lloydReaverage(lloydAssign(sample, cent0))))
-    semDedupPairsOf(lloydAssign(emb, trained))
-      .orderBy("vec_a", "vec_b")
+    lloydReaverage(lloydAssign(sample, lloydReaverage(lloydAssign(sample, cent0))))
+  }
+
+  /** Sample-trained IVF ANN at the corpus-scaled cell count — the
+    * DECLARED surface for the production O(n^1.5) path (the statically
+    * pinned `similarity_ivf` trains full-corpus at [[NCells]]=8 cells
+    * for its Lloyd-unrolled oracle; this entry is what actually runs
+    * at scale: √n cells, 64·cells sample training, ONE full-corpus
+    * assignment, nprobe = ⌈√cells⌉ — the standard recall/cost knob
+    * scaling, so probed volume grows as n^(1/4) of cells while scan
+    * cost stays cells^(-1/2) of the corpus). No static oracle by
+    * design — the cell
+    * count and centroids are corpus-derived, so a DuckDB mirror would
+    * need data-dependent CTE arity; correctness is bounded instead by
+    * SimilaritySpec's recall assertion against the exact
+    * `similarity_topk` baseline (the `ann_recall_eval` honest-audit
+    * pattern). */
+  private val similarityIvfScaled = Q.noOracle("similarity_ivf_scaled") { (s, dir) =>
+    val t = Tables(s, dir)
+    val nCells = cellsFor(t.embeddings.count())
+    val nProbe =
+      math.max(NProbe, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val trained = sampleTrainedCentroids(emb, nCells).cut()
+    val probed = trained
+      .crossJoin(broadcast(queryVec(t)))
+      .select(col("cell"), simE6(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    lloydAssign(emb, trained)
+      .join(broadcast(probed), "cell")
+      .crossJoin(broadcast(queryVec(t)))
+      .select(
+        col("vec_id"), col("cell"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: seeded deterministic
@@ -1751,8 +1796,12 @@ object SimilarityQueries {
     * broadcast-candidate probe into the vector table, the query
     * vectors are a broadcast handful, and both ranking windows run
     * over ≤ 50 rows per query. Docs without a vector (the corpus
-    * subset contract at sf0.1) fall out of the inner join and rank
-    * lexically only — documented, deterministic. */
+    * subset contract at sf0.1) fall out of the inner join and are
+    * EXCLUDED from the hybrid result entirely (both engines) — the
+    * deliberate strict-hybrid semantics: a doc that cannot be scored
+    * on both axes does not compete. A lexical-only fallback would be
+    * the left-join variant with cosine ranked nulls-last; `search_bm25`
+    * is the pure-lexical surface when that behavior is wanted. */
   private val searchHybrid = Q(
     "search_hybrid", {
       val qids = graft.text.TextQueries.Bm25Queries.map(_._1).distinct
@@ -1871,5 +1920,6 @@ object SimilarityQueries {
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
-      embeddingIncrementalComponents, embeddingIncrementalComponentsMulti)
+      embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
+      similarityIvfScaled)
 }

@@ -22,7 +22,8 @@ import graft.{Sessions, SparkEntry}
 object ScaleStress {
 
   private val DocQueries = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_multi",
+    "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_chunk_lsh", "dedup_chunk_doc_edges",
     "dedup_simhash_pairs", "token_count",
     "text_quality", "lang_id", "doc_fingerprint", "text_pii_redact",
@@ -43,7 +44,9 @@ object ScaleStress {
     "dsir_importance")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
-    "embedding_near_dup", "similarity_rerank", "ann_recall_eval",
+    "similarity_ivf_scaled",
+    "embedding_near_dup", "embedding_near_dup_multi",
+    "similarity_rerank", "ann_recall_eval",
     "sim_pq_adc", "similarity_knn_graph", "embedding_components",
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats")
 

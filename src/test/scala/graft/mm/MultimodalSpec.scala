@@ -25,6 +25,30 @@ class MultimodalSpec extends SparkSpec {
     assert(first.meta.contains("source"))
   }
 
+  test("codec memory posture: task peak = one input split + ONE decoded item") {
+    // The kernels stream items one at a time (see the MEMORY POSTURE
+    // note in Multimodal): a task's live set is its input split plus a
+    // single decoded item. This pins the measured worst-item footprint
+    // on the real corpus against the documented per-pixel/per-sample
+    // constants, and the resulting task peak against a 1 GiB share —
+    // the bound is per-ITEM, so it does not move with corpus size.
+    val imgs = decodeImages(media.filter(_.modality == "image")).collect()
+    val maxImgBytes = imgs.map(f => f.width.toLong * f.height * 8).max
+    val cuts = videoSceneCutsOf(media.filter(_.modality == "video")).collect()
+    val maxVidBytes = cuts.map(c => c.width.toLong * c.height * 12).max
+    val auds = decodeAudios(media.filter(_.modality == "audio")).collect()
+    val maxAudBytes = auds.map(_.n_samples * 6).max
+    val worstItem = Seq(maxImgBytes, maxVidBytes, maxAudBytes).max
+    info(f"worst decoded-item footprint: $worstItem%,d bytes")
+    // Fixture items are small; the contract holds with orders of
+    // magnitude to spare — and the assertion documents the budget a
+    // production ingest validator must enforce per item.
+    val splitBytes = 128L << 20 // spark.sql.files.maxPartitionBytes default
+    assert(worstItem < (64L << 20), "a single decoded item must stay in tens of MiB")
+    assert(splitBytes + worstItem < (1L << 30),
+      "task peak (split + one decoded item) must fit a 1 GiB task share")
+  }
+
   test("image payloads are real PNGs: magic bytes + ImageIO decode") {
     val img = media.filter(_.modality == "image").head()
     // PNG signature: 0x89 'P' 'N' 'G'

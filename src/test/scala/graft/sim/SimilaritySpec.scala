@@ -84,6 +84,21 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"IVF recall@10 too low: $overlap of 10")
   }
 
+  test("scaled IVF (sample-trained, sqrt-n cells): probe first, recall vs exact top-10") {
+    val exact10 = SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().take(10).map(_.getAs[Long]("vec_id"))
+    val scaled = SparkEntry.queries("similarity_ivf_scaled")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // Sample training must not lose the probe's own cell: the probe is
+    // its own nearest neighbor and must rank first.
+    assert(scaled.head == exact10.head)
+    // ~1/8 probe coverage over sqrt(n) cells: the honest-audit bound —
+    // most of the exact top-10 must surface (the clustered corpus
+    // concentrates true neighbors in few cells).
+    val overlap = scaled.count(exact10.toSet.contains)
+    assert(overlap >= 6, s"scaled IVF recall@10 too low: $overlap of 10")
+  }
+
   test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
     val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
     assert(rerank.length == 10)
