@@ -156,16 +156,18 @@ object DedupQueries {
     * 352 rows without this filter). */
   private def sqlBandsCte: String = sqlBandsCteBR(B, R)
 
-  private def sqlBandsCteBR(bb: Int, rr: Int): String = {
+  /** `p` prefixes every CTE name so two banding chains can coexist in
+    * one statement (the tradeoff audit); "" keeps the classic names. */
+  private def sqlBandsCteBR(bb: Int, rr: Int, p: String = ""): String = {
     val sig = (0 until K).map(sqlSignature).mkString(",\n         ")
     val union = (0 until bb)
-      .map(b => s"SELECT doc_id, $b AS band, ${sqlBandHashBR(b, rr)} AS bh FROM sig")
+      .map(b => s"SELECT doc_id, $b AS band, ${sqlBandHashBR(b, rr)} AS bh FROM ${p}sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH sig AS (
+    s"""WITH ${p}sig AS (
        |  SELECT doc_id,
        |         $sig
        |  FROM documents
-       |), bands AS (
+       |), ${p}bands AS (
        |  SELECT * FROM (
        |  $union
        |  ) WHERE bh IS NOT NULL
@@ -246,22 +248,22 @@ object DedupQueries {
     * not just ones where no bucket reaches the cap. */
   private def sqlCandCte: String = sqlCandCteBR(B, R)
 
-  private def sqlCandCteBR(bb: Int, rr: Int): String =
-    s"""${sqlBandsCteBR(bb, rr)}, ranked AS (
+  private def sqlCandCteBR(bb: Int, rr: Int, p: String = ""): String =
+    s"""${sqlBandsCteBR(bb, rr, p)}, ${p}ranked AS (
        |  SELECT doc_id, band, bh,
        |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk,
        |         count(*) OVER (PARTITION BY band, bh) AS m,
        |         min(doc_id) OVER (PARTITION BY band, bh) AS bmin
-       |  FROM bands
-       |), cand AS (
+       |  FROM ${p}bands
+       |), ${p}cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |    FROM ranked l JOIN ranked r
+       |    FROM ${p}ranked l JOIN ${p}ranked r
        |      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |    WHERE l.rk <= $MaxBucketPairDocs AND r.rk <= $MaxBucketPairDocs
        |    UNION ALL
        |    SELECT bmin AS doc_a, doc_id AS doc_b
-       |    FROM ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
+       |    FROM ${p}ranked WHERE m > 1 AND rk > $MaxBucketPairDocs
        |  )
        |)""".stripMargin
 
@@ -309,6 +311,79 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     candidatePairsOf(bandsOfDocsBR(Tables(s, dir).documents, AmpB, AmpR))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Banding precision/volume tradeoff audit — the OTHER half of the
+    * recall story `dedup_recall_eval` + `dedup_minhash_lsh_multi`
+    * tell: OR-amplification buys mid-J recall by admitting low-J
+    * candidates, and this query MEASURES that price per scheme. For
+    * each banding (standard B=3/R=4, amplified B=6/R=2) it verifies
+    * every candidate pair with the exact distinct-3-shingle Jaccard
+    * (the same ground-truth rule as the recall audit, τ =
+    * [[RecallTauE6]]) and reports candidate count, verified-true
+    * count, and precision ppm — the table an index tuner reads to
+    * choose a banding for a corpus. Scale: the verify join is
+    * candidate-bounded (shingle sets semi-pruned to candidate
+    * endpoints, the `dedup_containment` plan), so audit cost follows
+    * the candidate volume it is measuring. */
+  private val dedupBandingTradeoff = Q(
+    "dedup_banding_tradeoff", {
+      val tau = RecallTauE6
+      s"""${sqlCandCteBR(B, R, "s_")},
+         |${sqlCandCteBR(AmpB, AmpR, "a_").stripPrefix("WITH ")},
+         |cand_all AS (
+         |  SELECT 'b3r4' AS scheme, doc_a, doc_b FROM s_cand
+         |  UNION ALL
+         |  SELECT 'b6r2' AS scheme, doc_a, doc_b FROM a_cand
+         |), shs AS (
+         |  SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents
+         |), jj AS (
+         |  SELECT scheme,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS ni,
+         |         CAST(len(a.sh) AS BIGINT) AS na,
+         |         CAST(len(b.sh) AS BIGINT) AS nb
+         |  FROM cand_all
+         |  JOIN shs a ON cand_all.doc_a = a.doc_id
+         |  JOIN shs b ON cand_all.doc_b = b.doc_id
+         |), agg AS (
+         |  SELECT scheme,
+         |         CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(sum(CASE WHEN ni * 1000000 // (na + nb - ni) >= $tau
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |  FROM jj GROUP BY scheme
+         |)
+         |SELECT scheme, n_candidates, n_true,
+         |       n_true * 1000000 // n_candidates AS precision_ppm
+         |FROM agg ORDER BY scheme""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val cand = candidatePairs(t).withColumn("scheme", lit("b3r4"))
+      .unionByName(
+        candidatePairsOf(bandsOfDocsBR(t.documents, AmpB, AmpR))
+          .withColumn("scheme", lit("b6r2")))
+      .cut()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = tokenized(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("toks"))).as("sh"))
+      .cut()
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("scheme"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("ni"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"))
+      .groupBy(col("scheme"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(expr(s"ni * 1000000 DIV (na + nb - ni)") >= RecallTauE6, 1L)
+          .otherwise(0L)).as("n_true"))
+      .withColumn("precision_ppm", expr("n_true * 1000000 DIV n_candidates"))
+      .orderBy("scheme")
   }
 
   /** Per-doc 16-bit SimHash (per-bit majority vote over token hashes),
@@ -1725,7 +1800,7 @@ object DedupQueries {
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
-      dedupSimhash, dedupSimhashPairs,
+      dedupBandingTradeoff, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,

@@ -144,6 +144,18 @@ object IncrementalDedup {
     index.append(newBands, batchId)
   }
 
+  /** Periodic components consumer over the loop's pair table — the
+    * streaming analog of `dedup_incremental_components`' final labels,
+    * read off the loop's own state ([[PairConsumers]]). */
+  def components(
+      spark: org.apache.spark.sql.SparkSession, pairsDir: String): DataFrame =
+    PairConsumers.componentsOf(spark, pairsDir, "new_doc", "corpus_doc", "doc_id")
+
+  /** Periodic survivors consumer: min-doc_id representative per
+    * cluster + unpaired corpus rows, with cluster sizes. */
+  def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
+    PairConsumers.survivorsOf(corpus, pairsDir, "new_doc", "corpus_doc", "doc_id")
+
   /** Standing rows from epochs STRICTLY BEFORE `batchId` — the probe's
     * view of the index. On the happy path this filter is a no-op
     * (epoch ids are monotone, so everything stored is older); on an

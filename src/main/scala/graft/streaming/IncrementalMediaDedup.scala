@@ -90,6 +90,18 @@ object IncrementalMediaDedup {
       newHashes.withColumn("batch_id", lit(batchId)), indexDir, "batch_id")
   }
 
+  /** Periodic components consumer over the loop's pair table — the
+    * streaming analog of the batch `mm_*_components` labels, read off
+    * the loop's own state ([[PairConsumers]]). */
+  def components(
+      spark: org.apache.spark.sql.SparkSession, pairsDir: String): DataFrame =
+    PairConsumers.componentsOf(spark, pairsDir, "new_item", "corpus_item", "item_id")
+
+  /** Periodic survivors consumer: min-item_id representative per
+    * cluster + unpaired corpus rows, with cluster sizes. */
+  def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
+    PairConsumers.survivorsOf(corpus, pairsDir, "new_item", "corpus_item", "item_id")
+
   /** Starts the loop over a stream of MediaItem-shaped rows of ONE
     * modality (production runs one loop per modality against the
     * modality-partitioned ingest, same as the batch layout). */

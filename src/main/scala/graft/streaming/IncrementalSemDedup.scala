@@ -100,11 +100,7 @@ object IncrementalSemDedup {
     * pair-graph-sized, never corpus-sized. */
   def components(
       spark: org.apache.spark.sql.SparkSession, pairsDir: String): DataFrame =
-    graft.dedup.DedupQueries.componentLabelsOf(
-      spark.read.parquet(pairsDir)
-        .select(col("new_vec").as("doc_a"), col("corpus_vec").as("doc_b"))
-        .distinct())
-      .select(col("doc_id").as("vec_id"), col("component"))
+    PairConsumers.componentsOf(spark, pairsDir, "new_vec", "corpus_vec", "vec_id")
 
   /** Periodic SURVIVORS consumer: each cosine cluster keeps its
     * min-vec_id representative, unpaired corpus rows survive, each
@@ -112,17 +108,8 @@ object IncrementalSemDedup {
     * one gated left-join-onto-corpus shape as `embedding_survivors`,
     * run off the streaming pair table. `corpus` is any frame keyed by
     * `vec_id` (the loop's index distinct'd, or the source table). */
-  def survivors(corpus: DataFrame, pairsDir: String): DataFrame = {
-    val labels = components(corpus.sparkSession, pairsDir).cut(false)
-    val sizes = labels.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    val annotated = labels.join(sizes, "component")
-    graft.ops.ScaleGates.annotateWithLabels(
-      corpus, annotated, labels.count(), "vec_id")
-      .filter(col("component").isNull || col("component") === col("vec_id"))
-      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
-      .drop("component")
-  }
+  def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
+    PairConsumers.survivorsOf(corpus, pairsDir, "new_vec", "corpus_vec", "vec_id")
 
   /** Starts the loop over a stream of (vec_id, embedding) rows. */
   def start(

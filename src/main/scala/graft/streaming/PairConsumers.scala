@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
+
+/** Shared downstream consumers over an incremental loop's PAIR TABLE —
+  * the step that closes each streaming near-dedup loop end-to-end
+  * (pairs → components → survivors), factored once because all three
+  * loops emit the same shape (a directed (new, corpus) edge list in
+  * storage) and differ only in column names and key type.
+  *
+  * Contract: the pair table is edge METADATA (ids + a score column),
+  * orders of magnitude under the corpus at any scale; the propagation
+  * engine runs over it untouched by corpus size, and survivor
+  * selection annotates the corpus with ONE gated left join
+  * ([[graft.ops.ScaleGates.annotateWithLabels]] — labels broadcast
+  * only when genuinely small). Replayed duplicate pair rows (possible
+  * only if the effectively-once batch_id contract is bypassed by
+  * hand-fed batches) collapse in the edge distinct.
+  */
+private[streaming] object PairConsumers {
+
+  /** (key, component) labels over the accumulated pair table. */
+  def componentsOf(
+      spark: org.apache.spark.sql.SparkSession, pairsDir: String,
+      aCol: String, bCol: String, keyName: String): DataFrame =
+    graft.dedup.DedupQueries.componentLabelsOf(
+      spark.read.parquet(pairsDir)
+        .select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+        .distinct())
+      .select(col("doc_id").as(keyName), col("component"))
+
+  /** Survivor selection over an arbitrary corpus frame keyed by
+    * `keyName`: each cluster keeps its min-key representative
+    * (component ids ARE the min member under min-label propagation),
+    * unpaired rows survive, every survivor reports its cluster size. */
+  def survivorsOf(
+      corpus: DataFrame, pairsDir: String,
+      aCol: String, bCol: String, keyName: String): DataFrame = {
+    val labels =
+      componentsOf(corpus.sparkSession, pairsDir, aCol, bCol, keyName)
+        .cut(false)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels.join(sizes, "component")
+    graft.ops.ScaleGates.annotateWithLabels(
+      corpus, annotated, labels.count(), keyName)
+      .filter(col("component").isNull || col("component") === col(keyName))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .drop("component")
+  }
+}

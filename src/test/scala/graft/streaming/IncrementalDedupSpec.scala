@@ -106,6 +106,16 @@ class IncrementalDedupSpec extends SparkSpec {
     val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((20L, 1L), (40L, 1L), (40L, 20L)))
+    // And the downstream consumers close the loop off this state: one
+    // cluster labeled by its min doc, survivors = representative +
+    // the unpaired doc.
+    val labels = IncrementalDedup.components(spark, pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == Set((1L, 1L), (20L, 1L), (40L, 1L)))
+    val surv = IncrementalDedup.survivors(
+      Seq(1L, 2L, 20L, 40L).toDF("doc_id"), pairsDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster_size"))).toSet
+    assert(surv == Set((1L, 3L), (2L, 1L)))
   }
 
   test("bucketed index: a replayed epoch is skipped whole by the batch_id guard") {

@@ -117,5 +117,14 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     val got2 = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
+    // Downstream consumers off the pair table: one hamming cluster
+    // labeled by its min item; survivors keep the rep + the loner.
+    val labels = IncrementalMediaDedup.components(spark, pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == Set((1L, 1L), (3L, 1L), (9L, 1L)))
+    val surv = IncrementalMediaDedup.survivors(
+      Seq(1L, 2L, 3L, 9L).toDF("item_id"), pairsDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster_size"))).toSet
+    assert(surv == Set((1L, 3L), (2L, 1L)))
   }
 }
