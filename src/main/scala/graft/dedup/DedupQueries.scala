@@ -136,9 +136,14 @@ object DedupQueries {
     * same K-signature family (bb·rr ≤ K): amplified banding reuses the
     * one signature pass — only the band projection changes. */
   private[dedup] def bandsOfDocsBR(
-      docs: DataFrame, bb: Int, rr: Int): DataFrame = {
+      docs: DataFrame, bb: Int, rr: Int): DataFrame =
+    bandsFromSig(signaturesOfDocs(docs), bb, rr)
+
+  /** Band rows from an ALREADY-COMPUTED signature frame — so a
+    * consumer comparing several bandings (the tradeoff audit) pays the
+    * corpus min-hash pass ONCE and projects each banding from it. */
+  private def bandsFromSig(sig: DataFrame, bb: Int, rr: Int): DataFrame = {
     require(bb * rr <= K, s"banding $bb x $rr exceeds K=$K signatures")
-    val sig = signaturesOfDocs(docs)
     sig.select(
       col("doc_id"),
       explode(array((0 until bb).map(b =>
@@ -357,9 +362,12 @@ object DedupQueries {
          |FROM agg ORDER BY scheme""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    val cand = candidatePairs(t).withColumn("scheme", lit("b3r4"))
+    // ONE corpus min-hash pass; both bandings are projections of it.
+    val sig = signaturesOfDocs(t.documents).cut(false)
+    val cand = candidatePairsOf(bandsFromSig(sig, B, R))
+      .withColumn("scheme", lit("b3r4"))
       .unionByName(
-        candidatePairsOf(bandsOfDocsBR(t.documents, AmpB, AmpR))
+        candidatePairsOf(bandsFromSig(sig, AmpB, AmpR))
           .withColumn("scheme", lit("b6r2")))
       .cut()
     val candIds = cand
@@ -893,6 +901,76 @@ object DedupQueries {
        |WHERE c.doc_id IS NULL OR c.component = d.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     survivorsFrame(Tables(s, dir)).orderBy("doc_id")
+  }
+
+  /** QUALITY-AWARE survivor selection — the production variant of
+    * `dedup_survivors`: real pipelines keep each near-dup cluster's
+    * BEST member (here: most tokens — the most complete copy, with
+    * doc_id as the deterministic tie-break), not its min-id member; a
+    * truncated copy must lose to the full document it duplicates.
+    * Same scale shape as the min-id variant — labels are
+    * dup-graph-sized, the corpus is annotated by ONE gated left join,
+    * and the pick is a per-COMPONENT rank window (cluster-sized
+    * partitions; unlabeled docs never enter the window, so there is
+    * no NULL-partition funnel). */
+  private val dedupSurvivorsQuality = Q(
+    "dedup_survivors_quality",
+    s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL SELECT doc_b FROM cand)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand
+       |), reach(s, t) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+       |), sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |), q AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), best AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id,
+       |           row_number() OVER (PARTITION BY c.component
+       |                              ORDER BY q.n_tokens DESC, c.doc_id) AS rk
+       |    FROM comp c JOIN q ON c.doc_id = q.doc_id
+       |  ) WHERE rk = 1
+       |)
+       |SELECT d.doc_id, q.n_tokens,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM documents d
+       |JOIN q ON d.doc_id = q.doc_id
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |LEFT JOIN best b ON d.doc_id = b.doc_id
+       |WHERE c.doc_id IS NULL OR b.doc_id IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val labels = componentLabels(t).cut(false)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val nTok = t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val annotated = graft.ops.ScaleGates.annotateWithLabels(
+      nTok, labels.join(sizes, "component"), labels.count(), "doc_id")
+    val byComp = Window.partitionBy(col("component"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val clustered = annotated.filter(col("component").isNotNull)
+      .withColumn("rk", row_number().over(byComp))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("cluster_size"))
+    annotated.filter(col("component").isNull)
+      .select(col("doc_id"), col("n_tokens"), lit(1L).as("cluster_size"))
+      .unionByName(clustered)
+      .orderBy("doc_id")
   }
 
   /** The deduped-corpus survivor frame (unordered) — the declared
@@ -1802,7 +1880,8 @@ object DedupQueries {
       dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
       dedupBandingTradeoff, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
-      dedupSurvivors, dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
+      dedupSurvivors, dedupSurvivorsQuality,
+      dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
       dedupRecallEval, dedupContainment)
 }

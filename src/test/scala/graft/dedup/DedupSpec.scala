@@ -321,6 +321,37 @@ class DedupSpec extends SparkSpec {
     assert(stdQ.subsetOf(multiQ))
   }
 
+  test("quality survivors keep the longest cluster member, not the min id") {
+    import spark.implicits._
+    // Cluster of {0: truncated copy, 5: full doc}: near-dups (0's
+    // shingles are a 97% subset of 5's), where min-id selection keeps
+    // the TRUNCATED doc and quality selection must keep the full one.
+    val full = ("spark catalyst shuffles partition data across executors " +
+      "for wide joins and aggregations at scale ") * 8 +
+      "appendix citations footnotes acknowledgments references errata"
+    val truncated = full.split(" ").dropRight(6).mkString(" ")
+    val loner = "entirely unrelated cooking content about pasta " * 10
+    val d = tmpDir("dedup-qsurv")
+    Seq(
+      (0L, truncated, "en", "s0", truncated.length.toLong),
+      (5L, full, "en", "s5", full.length.toLong),
+      (7L, loner, "en", "s7", loner.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // Precondition: the pair is actually a candidate cluster.
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)), s"fixture must band-collide, got $pairs")
+    val minId = SparkEntry.queries("dedup_survivors")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val quality = SparkEntry.queries("dedup_survivors_quality")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster_size"))).toMap
+    assert(minId == Set(0L, 7L), "min-id keeps the truncated copy")
+    assert(quality.keySet == Set(5L, 7L),
+      "quality selection must keep the FULL document instead")
+    assert(quality(5L) == 2L && quality(7L) == 1L)
+  }
+
   test("dedup_containment: a contained doc scores 1.0 while its Jaccard stays low") {
     import spark.implicits._
     // docShort is a verbatim token PREFIX of docLong (~quote/subset
