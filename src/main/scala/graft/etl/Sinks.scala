@@ -236,6 +236,56 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(tableDir)
 
+  /** Fold all epoch partitions `batch_id < upToExclusive` of a
+    * [[overwritePartitions]]-maintained table into the single BASE
+    * partition `batch_id = -1` — the maintenance pass that keeps a
+    * standing index healthy under an hourly effectively-once loop
+    * (thousands of per-epoch directories otherwise accumulate; small
+    * files and listing cost grow without bound). The base id −1 is
+    * strictly below every real epoch, so readers filtering
+    * `batch_id < current` (the probe's replay contract) see folded
+    * rows unchanged.
+    *
+    * Crash-safe by construction, not by locking:
+    *  - the base rewrite is `distinct` over (base ∪ folded epochs)
+    *    minus the partition column, so re-running after ANY crash
+    *    converges to the same base rows;
+    *  - a crash between the base write and the epoch deletes leaves
+    *    rows duplicated between base and the undeleted epochs — the
+    *    state every probe already collapses on its bucket-pruned slice
+    *    (the loops' defense-in-depth distinct), and the next
+    *    compaction run folds it away.
+    * Returns the number of epoch partitions removed. */
+  def compactEpochPartitions(
+      spark: SparkSession, tableDir: String, upToExclusive: Long): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val epochDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case s if s.startsWith("batch_id=") =>
+            s.stripPrefix("batch_id=").toLongOption
+              .filter(id => id >= 0 && id < upToExclusive).map(p -> _)
+          case _ => None
+        }
+      }
+    if (epochDirs.isEmpty) return 0L
+    val base = spark.read.parquet(tableDir)
+      .filter(col("batch_id") < upToExclusive)
+      .drop("batch_id").distinct()
+      .withColumn("batch_id", lit(-1L))
+      // Pin the folded rows BEFORE the overwrite job: the scan below
+      // reads the same files the write replaces.
+      .localCheckpoint(true)
+    overwritePartitions(base, tableDir, "batch_id")
+    epochDirs.foreach { case (p, _) => fs.delete(p, true) }
+    epochDirs.size.toLong
+  }
+
   /** `<md5(content)[0:6]>-<yyyy-MM-dd-HH-mm-ss>` — create_random_dt_prefix
     * (bpi_etl_bigquery.py:8-23): md5 over the snapshot *content* spreads
     * object-store keys across the keyspace so request autoscaling never

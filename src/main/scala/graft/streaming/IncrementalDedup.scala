@@ -67,6 +67,11 @@ object IncrementalDedup {
     def append(bands: DataFrame, batchId: Long): Unit
   }
 
+  /** Maintenance note: under an hourly loop the per-epoch partitions
+    * accumulate; fold old epochs into the base partition periodically
+    * with [[graft.etl.Sinks.compactEpochPartitions]] (base id −1 stays
+    * below every real epoch, so [[committedBefore]] reads folded rows
+    * unchanged). Applies to this index layout and the pairs table. */
   final case class DirIndex(dir: String) extends BandIndex {
     def exists(spark: org.apache.spark.sql.SparkSession): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
