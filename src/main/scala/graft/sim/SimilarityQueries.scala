@@ -491,8 +491,10 @@ object SimilarityQueries {
 
   /** The trained quantizer state itself — (final assignment, final
     * centroids) — for consumers that probe per-query instead of for
-    * the single shared probe vector ([[annRecallEval]]). */
-  private def trainedIvf(t: Tables): (DataFrame, DataFrame) =
+    * the single shared probe vector ([[annRecallEval]]); package-open
+    * so SimilaritySpec can recompute the SemDeDup keep rule
+    * independently. */
+  private[sim] def trainedIvf(t: Tables): (DataFrame, DataFrame) =
     trainedIvfCells(t, NCells)
 
   private def trainedIvfCells(t: Tables, nCells: Int): (DataFrame, DataFrame) = {
@@ -1401,6 +1403,90 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup SURVIVOR selection — closing the paper's pipeline
+    * (cluster → within-cell pairs → duplicate groups → keep rule)
+    * end-to-end with the rule Abbas et al. 2023 actually specify:
+    * within each duplicate group, KEEP the example with the LOWEST
+    * cosine similarity to its cluster centroid (the most atypical
+    * member — retaining it preserves diversity where min-id or
+    * max-quality would bias toward the cluster core), vec_id as the
+    * deterministic tie-break; unpaired vectors survive untouched.
+    * Scale shape: duplicate groups come from the shared propagation
+    * engine over the (tiny) sempairs frame; centroid similarity is a
+    * broadcast-centroid map-side pass over the assignment the IVF
+    * store already materializes; the pick is a per-component rank
+    * window (unlabeled vectors never enter it). Oracle: recursive
+    * closure over the identically-capped thresholded pairs + the same
+    * centroid ranking. */
+  private val semdedupSurvivors = Q(
+    "semdedup_survivors",
+    s"""WITH RECURSIVE ${sqlSemPairsCte.stripPrefix("WITH ")}, nodes AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT vec_a AS vec_id FROM sempairs
+       |    UNION ALL SELECT vec_b FROM sempairs)
+       |), sedges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM sempairs
+       |  UNION SELECT vec_b, vec_a FROM sempairs
+       |), reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION SELECT a, b FROM sedges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN sedges e ON r.t = e.a
+       |), comp AS (
+       |  SELECT s AS vec_id, min(t) AS component FROM reach GROUP BY s
+       |), sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |), ws AS (
+       |  SELECT a.vec_id, a.cell,
+       |         ${sqlSimE6("a.embedding", "c.centroid")} AS centroid_sim_e6
+       |  FROM assign2 a JOIN cent2 c USING (cell)
+       |), best AS (
+       |  SELECT vec_id FROM (
+       |    SELECT p.vec_id,
+       |           row_number() OVER (PARTITION BY p.component
+       |                              ORDER BY w.centroid_sim_e6, p.vec_id) AS rk
+       |    FROM comp p JOIN ws w ON p.vec_id = w.vec_id
+       |  ) WHERE rk = 1
+       |)
+       |SELECT w.vec_id, w.cell, w.centroid_sim_e6,
+       |       CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+       |FROM ws w
+       |LEFT JOIN comp c ON w.vec_id = c.vec_id
+       |LEFT JOIN sizes z ON z.component = c.component
+       |LEFT JOIN best b ON w.vec_id = b.vec_id
+       |WHERE c.vec_id IS NULL OR b.vec_id IS NOT NULL
+       |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
+    import graft.dedup.DedupQueries.componentLabelsOf
+    val t = Tables(s, dir)
+    val (assign2, cent2) = trainedIvf(t)
+    val assign = assign2.cut(false)
+    val labels = componentLabelsOf(
+      semDedupPairsOf(assign)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .cut(false)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val withSim = assign.join(broadcast(cent2), "cell")
+      .select(col("vec_id"), col("cell"),
+        simE6(col("embedding"), col("centroid")).as("centroid_sim_e6"))
+    val annotated = graft.ops.ScaleGates.annotateWithLabels(
+      withSim,
+      labels.join(sizes, "component").withColumnRenamed("doc_id", "vec_id"),
+      labels.count(), "vec_id")
+    val byComp = Window.partitionBy(col("component"))
+      .orderBy(col("centroid_sim_e6"), col("vec_id"))
+    val clustered = annotated.filter(col("component").isNotNull)
+      .withColumn("rk", row_number().over(byComp))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("centroid_sim_e6"),
+        col("cluster_size"))
+    annotated.filter(col("component").isNull)
+      .select(col("vec_id"), col("cell"), col("centroid_sim_e6"),
+        lit(1L).as("cluster_size"))
+      .unionByName(clustered)
+      .orderBy("vec_id")
+  }
+
   /** Per-cell semantic-duplication report — the SemDeDup paper's
     * cluster-level accounting (how much of each cluster is duplicate
     * mass): vectors, surviving pairs, distinct deduplicable vectors,
@@ -1918,7 +2004,8 @@ object SimilarityQueries {
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, embeddingComponents, embeddingSurvivors,
-      embeddingDimStats, semdedupPairs, semdedupCellStats, searchHybrid,
+      embeddingDimStats, semdedupPairs, semdedupCellStats,
+      semdedupSurvivors, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
       similarityIvfScaled)

@@ -99,6 +99,50 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"scaled IVF recall@10 too low: $overlap of 10")
   }
 
+  test("semdedup survivors keep each duplicate group's most-atypical member") {
+    // Recompute the paper rule independently: groups from the pair
+    // graph (driver-side union-find — the frame is tiny at sf0.001),
+    // per-vector centroid similarity from the trained state with the
+    // SAME left-fold op order as the engine, survivor = argmin(sim,
+    // vec_id) per group plus every unpaired vector.
+    val pairs = SparkEntry.queries("semdedup_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val (assignDf, centDf) =
+      SimilarityQueries.trainedIvf(graft.Tables(spark, sf))
+    val cents = centDf.collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Double]]("centroid").toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val sims = assignDf.collect().map { r =>
+      val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+      val c = cents(r.getAs[Int]("cell"))
+      val s = math.floor(
+        dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))) * 1e6 + 0.5).toLong
+      r.getAs[Long]("vec_id") -> s
+    }.toMap
+    val groups = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val expectedReps = groups.values.map(_.minBy(v => (sims(v), v))).toSet
+    val expectedSurvivors =
+      (sims.keySet -- pairs.flatMap(p => Seq(p._1, p._2))) ++ expectedReps
+    val got = SparkEntry.queries("semdedup_survivors")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster_size")))
+    assert(got.map(_._1).toSet == expectedSurvivors,
+      "survivor set must follow the lowest-centroid-sim keep rule")
+    val repSizes = got.filter(_._2 > 1).map(_._1).toSet
+    assert(repSizes == expectedReps.filter(v => groups(find(v)).length > 1),
+      "multi-member groups must be represented by their argmin member")
+  }
+
   test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
     val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
     assert(rerank.length == 10)
