@@ -903,6 +903,57 @@ object DedupQueries {
     survivorsFrame(Tables(s, dir)).orderBy("doc_id")
   }
 
+  /** DEDUP-AWARE split assignment — the operator that FIXES what
+    * `split_leakage` audits: a doc's train/val/test split is the
+    * content-independent hash rule (`split_assign`'s exact buckets)
+    * applied to its near-dup COMPONENT REPRESENTATIVE instead of its
+    * own id, so every member of a near-dup cluster lands in the same
+    * split by construction and contamination across splits is
+    * structurally impossible (for the pairs the index catches).
+    * Unpaired docs keep their own id as representative — their split
+    * equals `split_assign`'s. Scale: labels are dup-graph-sized, the
+    * corpus is annotated by ONE gated left join, the split is a
+    * narrow projection. */
+  private val splitAssignDedup = Q(
+    "split_assign_dedup", {
+      val b = s"${graft.util.Hashes.sqlTokHash("CAST(rep AS VARCHAR)")} % 100"
+      s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand)
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach(s, t) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION SELECT a, b FROM edges
+         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+         |), comp AS (
+         |  SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+         |), r AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id, rep, CAST($b AS BIGINT) AS bucket,
+         |       CASE WHEN $b < 90 THEN 'train'
+         |            WHEN $b < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM r
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = componentLabels(t).cut(false)
+    val annotated = graft.ops.ScaleGates.annotateWithLabels(
+      t.documents.select(col("doc_id")), labels, labels.count(), "doc_id")
+    val rep = coalesce(col("component"), col("doc_id"))
+    val bucket = pmod(Hashes.tokHash(rep.cast("string")), lit(100L))
+    annotated.select(
+      col("doc_id"), rep.as("rep"), bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** QUALITY-AWARE survivor selection — the production variant of
     * `dedup_survivors`: real pipelines keep each near-dup cluster's
     * BEST member (here: most tokens — the most complete copy, with
@@ -1880,7 +1931,7 @@ object DedupQueries {
       dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
       dedupBandingTradeoff, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
-      dedupSurvivors, dedupSurvivorsQuality,
+      dedupSurvivors, dedupSurvivorsQuality, splitAssignDedup,
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
       dedupRecallEval, dedupContainment)

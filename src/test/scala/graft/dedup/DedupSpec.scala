@@ -352,6 +352,28 @@ class DedupSpec extends SparkSpec {
     assert(quality(5L) == 2L && quality(7L) == 1L)
   }
 
+  test("dedup-aware splits: no candidate pair straddles splits; loners match split_assign") {
+    val dir001 = "/root/testdata/sf0.001"
+    val splits = SparkEntry.queries("split_assign_dedup")(spark, dir001)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // The leakage the audit counts is structurally impossible now.
+    assert(pairs.forall { case (a, b) => splits(a) == splits(b) },
+      "every near-dup candidate pair must share a split")
+    // Unpaired docs keep split_assign's content-independent fate.
+    val plain = SparkEntry.queries("split_assign")(spark, dir001)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val loners = splits.keySet -- clustered
+    assert(loners.nonEmpty && loners.forall(d => splits(d) == plain(d)))
+    // And the rule genuinely MOVES some clustered doc (the point of
+    // the operator — deterministic on this fixed corpus).
+    assert(clustered.exists(d => splits(d) != plain(d)),
+      "at least one clustered doc must be re-assigned to its rep's split")
+  }
+
   test("dedup_containment: a contained doc scores 1.0 while its Jaccard stays low") {
     import spark.implicits._
     // docShort is a verbatim token PREFIX of docLong (~quote/subset
