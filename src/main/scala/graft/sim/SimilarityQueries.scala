@@ -1458,8 +1458,12 @@ object SimilarityQueries {
        |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
     import graft.dedup.DedupQueries.componentLabelsOf
     val t = Tables(s, dir)
-    val (assign2, cent2) = trainedIvf(t)
-    val assign = assign2.cut(false)
+    // ONE pinned training pass: centroids re-derive from the CUT
+    // assignment (same values — cent2 IS lloydReaverage(assign2));
+    // deriving them from trainedIvf's uncut frame would re-run both
+    // Lloyd rounds under the broadcast (measured ~1.7 s of the cell).
+    val assign = trainedIvf(t)._1.cut(false)
+    val cent2 = lloydReaverage(assign)
     val labels = componentLabelsOf(
       semDedupPairsOf(assign)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
