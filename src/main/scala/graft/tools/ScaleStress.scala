@@ -41,14 +41,16 @@ object ScaleStress {
     "mm_video_dedup", "mm_dedup_report",
     "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits",
     "dedup_recall_eval", "mixture_plan", "dedup_containment",
-    "dsir_importance")
+    "dsir_importance", "dedup_banding_tradeoff", "dedup_survivors_quality",
+    "split_assign_dedup")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",
     "embedding_near_dup", "embedding_near_dup_multi",
     "similarity_rerank", "ann_recall_eval",
     "sim_pq_adc", "similarity_knn_graph", "embedding_components",
-    "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats")
+    "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
+    "semdedup_survivors")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
