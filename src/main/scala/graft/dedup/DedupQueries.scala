@@ -1006,21 +1006,32 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(s, dir)
     val labels = componentLabels(t).cut(false)
+    val labelRows = labels.count()
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
-    val nTok = t.documents.select(col("doc_id"),
+    def nTok = t.documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val annotated = graft.ops.ScaleGates.annotateWithLabels(
-      nTok, labels.join(sizes, "component"), labels.count(), "doc_id")
-    val byComp = Window.partitionBy(col("component"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
-    val clustered = annotated.filter(col("component").isNotNull)
-      .withColumn("rk", row_number().over(byComp))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("n_tokens"), col("cluster_size"))
-    annotated.filter(col("component").isNull)
-      .select(col("doc_id"), col("n_tokens"), lit(1L).as("cluster_size"))
-      .unionByName(clustered)
+    // Survivors = corpus MINUS the per-component losers: the ranked
+    // frame is DUP-GRAPH-SIZED (token counts inner-joined down to
+    // labeled docs, pinned once), so the window and both gated joins
+    // against the corpus move label-bounded rows only — and the
+    // corpus is consumed by exactly ONE scan chain, not re-evaluated
+    // per union branch (the first draft's union re-ran the scan and
+    // the label join twice; the plan audit caught it).
+    val ranked = nTok.join(labels, "doc_id").join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("n_tokens"),
+        col("cluster_size"),
+        row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))).as("rk"))
+      .cut()
+    val losers = ranked.filter(col("rk") > 1).select(col("doc_id"))
+    val bestSizes = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_size"))
+    graft.ops.ScaleGates.annotateWithLabels(
+      graft.ops.ScaleGates.dropByKeys(nTok, losers, labelRows, "doc_id"),
+      bestSizes, labelRows, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .orderBy("doc_id")
   }
 

@@ -36,4 +36,16 @@ object ScaleGates {
     if (labelRows < LabelsBroadcastMaxRows)
       corpus.join(broadcast(labels), Seq(key), "left")
     else corpus.join(labels, Seq(key), "left")
+
+  /** Anti-joins a corpus-scale frame against a drop-list on `key`,
+    * same gate discipline: the drop side broadcasts only below the
+    * measured row gate (survivor-selection's "remove the losers"
+    * step — the drop list is dup-graph-sized, which earns broadcast
+    * at test SFs and must NOT assume it at crawl scale). */
+  def dropByKeys(
+      corpus: DataFrame, drops: DataFrame, dropRows: Long,
+      key: String): DataFrame =
+    if (dropRows < LabelsBroadcastMaxRows)
+      corpus.join(broadcast(drops), Seq(key), "left_anti")
+    else corpus.join(drops, Seq(key), "left_anti")
 }

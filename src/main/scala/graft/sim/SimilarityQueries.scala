@@ -1468,26 +1468,36 @@ object SimilarityQueries {
       semDedupPairsOf(assign)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .cut(false)
+    val labelRows = labels.count()
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
+    // Centroid sim for every vector rides the assignment scan once.
     val withSim = assign.join(broadcast(cent2), "cell")
       .select(col("vec_id"), col("cell"),
         simE6(col("embedding"), col("centroid")).as("centroid_sim_e6"))
-    val annotated = graft.ops.ScaleGates.annotateWithLabels(
-      withSim,
-      labels.join(sizes, "component").withColumnRenamed("doc_id", "vec_id"),
-      labels.count(), "vec_id")
-    val byComp = Window.partitionBy(col("component"))
-      .orderBy(col("centroid_sim_e6"), col("vec_id"))
-    val clustered = annotated.filter(col("component").isNotNull)
-      .withColumn("rk", row_number().over(byComp))
-      .filter(col("rk") === 1)
+      .cut(false)
+    // Survivors = corpus minus per-group losers — the ranked frame is
+    // dup-graph-sized (sims inner-joined down to labeled vectors,
+    // pinned once); the corpus-side frame is consumed by ONE chain
+    // (a union over the annotated frame would re-run the scoring join
+    // per branch — the same defect the quality-survivor plan audit
+    // caught on the text side).
+    val ranked = withSim
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(sizes, "component")
+      .select(col("vec_id"), col("component"), col("centroid_sim_e6"),
+        col("cluster_size"),
+        row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("centroid_sim_e6"), col("vec_id"))).as("rk"))
+      .cut()
+    val losers = ranked.filter(col("rk") > 1).select(col("vec_id"))
+    val bestSizes = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster_size"))
+    graft.ops.ScaleGates.annotateWithLabels(
+      graft.ops.ScaleGates.dropByKeys(withSim, losers, labelRows, "vec_id"),
+      bestSizes, labelRows, "vec_id")
       .select(col("vec_id"), col("cell"), col("centroid_sim_e6"),
-        col("cluster_size"))
-    annotated.filter(col("component").isNull)
-      .select(col("vec_id"), col("cell"), col("centroid_sim_e6"),
-        lit(1L).as("cluster_size"))
-      .unionByName(clustered)
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .orderBy("vec_id")
   }
 
