@@ -352,6 +352,39 @@ class DedupSpec extends SparkSpec {
     assert(quality(5L) == 2L && quality(7L) == 1L)
   }
 
+  test("survivor-family invariant: every selection partitions the corpus") {
+    // Structural contract shared by min-id, quality and SemDeDup
+    // survivors: (a) sizes sum to the corpus row count (survivors
+    // REPRESENT the corpus, none dropped, none double-counted);
+    // (b) exactly one survivor per near-dup component.
+    val dir001 = "/root/testdata/sf0.001"
+    val nDocs = graft.Tables(spark, dir001).documents.count()
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val groups = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    for (q <- Seq("dedup_survivors", "dedup_survivors_quality")) {
+      val rows = SparkEntry.queries(q)(spark, dir001).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("cluster_size"))
+      assert(rows.map(_._2).sum == nDocs, s"$q: sizes must sum to the corpus")
+      val survivorSet = rows.map(_._1).toSet
+      groups.values.foreach { g =>
+        assert(g.count(survivorSet.contains) == 1,
+          s"$q: each component needs exactly one survivor, got $g")
+      }
+    }
+    // Embedding side, same contract over its own pair graph.
+    val nVecs = graft.Tables(spark, dir001).embeddings.count()
+    val sizesSum = SparkEntry.queries("semdedup_survivors")(spark, dir001)
+      .collect().map(_.getAs[Long]("cluster_size")).sum
+    assert(sizesSum == nVecs, "semdedup_survivors: sizes must sum to the corpus")
+  }
+
   test("dedup-aware splits: no candidate pair straddles splits; loners match split_assign") {
     val dir001 = "/root/testdata/sf0.001"
     val splits = SparkEntry.queries("split_assign_dedup")(spark, dir001)
