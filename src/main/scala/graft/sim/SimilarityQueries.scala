@@ -1201,6 +1201,79 @@ object SimilarityQueries {
       .filter(col("rnk") <= KnnK)
   }
 
+  /** kNN LABEL-CONSISTENCY audit — the mislabel detector a curated
+    * training set runs over its embedding space (Confident-Learning
+    * family, kNN form): each vector's stored label is compared to the
+    * MAJORITY label among its top-K approximate neighbors (the
+    * [[knnDirected]] graph; ties break to the lexicographically
+    * smallest label — deterministic on both engines). A vector whose
+    * own label loses the vote is a relabel/review candidate
+    * (`is_suspect`); `n_agree`/`n_neighbors` grade the confidence.
+    * Vectors without neighbors (singleton buckets) have no vote and
+    * are absent — the honest ANN contract of the graph they audit.
+    * Scale: the vote is a groupBy over the K-bounded edge frame; the
+    * only corpus-side joins are key lookups of neighbor labels. */
+  private val knnLabelConsistency = Q(
+    "knn_label_consistency",
+    s"""$sqlEmbPairsCte, directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, sim_e6 FROM pairs
+       |), knn AS (
+       |  SELECT vec_id, nbr_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim_e6 DESC, nbr_id) AS rnk
+       |  FROM directed
+       |), kn AS (
+       |  SELECT vec_id, nbr_id FROM knn WHERE rnk <= $KnnK
+       |), lbl AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), votes AS (
+       |  SELECT k.vec_id, l.label AS nbr_label, count(*) AS n
+       |  FROM kn k JOIN lbl l ON k.nbr_id = l.vec_id
+       |  GROUP BY k.vec_id, l.label
+       |), top AS (
+       |  SELECT vec_id, nbr_label, n FROM (
+       |    SELECT vec_id, nbr_label, n,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY n DESC, nbr_label) AS rk
+       |    FROM votes) WHERE rk = 1
+       |), totals AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+       |  FROM kn GROUP BY vec_id
+       |)
+       |SELECT l.vec_id, l.label, t.nbr_label AS knn_label,
+       |       z.n_neighbors, CAST(t.n AS BIGINT) AS n_agree,
+       |       CAST(CASE WHEN l.label <> t.nbr_label THEN 1 ELSE 0 END
+       |            AS INTEGER) AS is_suspect
+       |FROM lbl l
+       |JOIN top t ON l.vec_id = t.vec_id
+       |JOIN totals z ON l.vec_id = z.vec_id
+       |ORDER BY l.vec_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val kn = knnDirected(t).select(col("vec_id"), col("nbr_id")).cut(false)
+    val votes = kn
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy(col("vec_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n"))
+    val top = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("n").desc, col("nbr_label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nbr_label").as("knn_label"),
+        col("n").as("n_agree"))
+    val totals = kn.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    labels.join(top, "vec_id").join(totals, "vec_id")
+      .select(col("vec_id"), col("label"), col("knn_label"),
+        col("n_neighbors"), col("n_agree"),
+        (col("label") =!= col("knn_label")).cast("int").as("is_suspect"))
+      .orderBy("vec_id")
+  }
+
   /** Mutual-kNN clustering — semantic clusters from RECIPROCAL
     * nearest-neighbor edges: an undirected edge survives only when
     * BOTH endpoints rank each other inside their top-K, and the shared
@@ -2017,7 +2090,8 @@ object SimilarityQueries {
     Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
-      similarityMutualKnn, embeddingComponents, embeddingSurvivors,
+      similarityMutualKnn, knnLabelConsistency,
+      embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats,
       semdedupSurvivors, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,

@@ -99,6 +99,31 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"scaled IVF recall@10 too low: $overlap of 10")
   }
 
+  test("knn label audit flags exactly the planted mislabel on clustered data") {
+    import spark.implicits._
+    // Two tight direction clusters (scaled copies share every sign-LSH
+    // bucket, so each member's kNN = its own cluster) with consistent
+    // labels, except vec 3 planted with the other cluster's label: the
+    // audit must flag vec 3 with the true majority and nothing else.
+    val a: Seq[Float] = (0 until 64).map(i => 0.1f + 0.01f * i)
+    val b: Seq[Float] = (0 until 64).map(i =>
+      if (i % 2 == 0) 0.1f + 0.01f * i else -(0.1f + 0.01f * i))
+    def v(dir: Seq[Float], s: Float): Seq[Float] = dir.map(_ * s)
+    val rows =
+      (1 to 5).map(i => (i.toLong, v(a, 1f + i * 0.1f), if (i == 3) 2 else 1)) ++
+        (11 to 15).map(i => (i.toLong, v(b, 1f + i * 0.05f), 2))
+    val d = tmpDir("klc")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("knn_label_consistency")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(5)))).toMap
+    assert(out(3L) == ((1, 1)),
+      s"planted mislabel must be flagged with the true majority, got ${out(3L)}")
+    assert(out.filter(_._1 != 3L).values.forall(_._2 == 0),
+      s"no false positives expected, got $out")
+  }
+
   test("semdedup survivors keep each duplicate group's most-atypical member") {
     // Recompute the paper rule independently: groups from the pair
     // graph (driver-side union-find — the frame is tiny at sf0.001),

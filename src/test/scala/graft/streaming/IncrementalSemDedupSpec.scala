@@ -121,6 +121,38 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(survIds == expected, "survivors = unpaired + cluster representatives")
   }
 
+  test("restart from checkpoint neither reprocesses nor loses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val indexDir = tmpDir("sem-r-index") + "/buckets"
+    val pairsDir = tmpDir("sem-r-pairs") + "/pairs"
+    val ckpt = tmpDir("sem-r-ckpt")
+    def run(): Unit = {
+      val q = IncrementalSemDedup.start(
+        input.toDF().toDF("vec_id", "embedding"),
+        indexDir, pairsDir, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    input.addData((1L, base), (2L, far))
+    run()
+    val rowsAfter1 = spark.read.parquet(indexDir).count()
+    assert(rowsAfter1 == 8, "4 table rows per vector, 2 vectors")
+    // Restart with one new duplicate: batch 1's offsets are recovered
+    // (its rows are NOT re-appended — the epoch partition overwrite
+    // would converge anyway, but the checkpoint must not even replay),
+    // and the new vector dedups against the standing state.
+    input.addData((20L, scaledDup))
+    run()
+    assert(spark.read.parquet(indexDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .count() == 4, "vec 1's table rows must appear exactly once")
+    val got = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((20L, 1L, 1000000L)))
+  }
+
   test("duplicates landing in the SAME micro-batch pair with each other") {
     import spark.implicits._
     val indexDir = tmpDir("sem-ib-index") + "/buckets"
