@@ -84,7 +84,13 @@ object IncrementalDedup {
         bands.withColumn("batch_id", lit(batchId)), dir, "batch_id")
   }
 
-  final case class BucketedIndex(table: String, buckets: Int = 32)
+  /** `key` is the bucketing column — "bh" for the text band index,
+    * "bucket" for the semantic loop's packed (table, bucket) key:
+    * HashPartitioning(key) satisfies every key-clustered requirement
+    * downstream of either probe (subset-of-clustering rule), so the
+    * zero-Exchange standing side is layout-generic. */
+  final case class BucketedIndex(
+      table: String, buckets: Int = 32, key: String = "bh")
       extends BandIndex {
     def exists(spark: org.apache.spark.sql.SparkSession): Boolean =
       spark.catalog.tableExists(table)
@@ -104,7 +110,7 @@ object IncrementalDedup {
         !read(spark).filter(col("batch_id") === batchId).isEmpty
       if (!landed)
         graft.ops.Bucketing.appendBucketed(
-          bands.withColumn("batch_id", lit(batchId)), table, "bh", buckets)
+          bands.withColumn("batch_id", lit(batchId)), table, key, buckets)
     }
   }
 

@@ -53,6 +53,11 @@ object IncrementalSemDedup {
     * behind a checkpoint. */
   private[streaming] def processBatch(
       vecs: DataFrame, indexDir: String, pairsDir: String,
+      batchId: Long): Unit =
+    processBatch(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir, batchId)
+
+  private[streaming] def processBatch(
+      vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
       batchId: Long): Unit = {
     if (vecs.isEmpty) return
     val spark = vecs.sparkSession
@@ -69,25 +74,19 @@ object IncrementalSemDedup {
     val intra = SimilarityQueries
       .incrementalSemPairsBetween(newRows, newRows)
       .filter(col("new_vec") > col("corpus_vec"))
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
     val emitted =
-      if (exists)
+      if (index.exists(spark))
         SimilarityQueries
           .incrementalSemPairsBetween(
             newRows,
-            IncrementalDedup.committedBefore(
-              spark.read.parquet(indexDir), batchId))
+            IncrementalDedup.committedBefore(index.read(spark), batchId))
           .unionByName(intra)
       else intra
     val pairs = emitted.cut(false)
     if (!pairs.isEmpty)
       Sinks.overwritePartitions(
         pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
-    Sinks.overwritePartitions(
-      newRows.withColumn("batch_id", lit(batchId)), indexDir, "batch_id")
+    index.append(newRows, batchId)
   }
 
   /** Periodic COMPONENTS consumer over the loop's accumulated pair
@@ -111,9 +110,25 @@ object IncrementalSemDedup {
   def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
     PairConsumers.survivorsOf(corpus, pairsDir, "new_vec", "corpus_vec", "vec_id")
 
-  /** Starts the loop over a stream of (vec_id, embedding) rows. */
+  /** Starts the loop over a stream of (vec_id, embedding) rows; pass
+    * the BandIndex overload a
+    * `BucketedIndex(table, buckets, key = "bucket")` for the
+    * zero-Exchange standing side. */
   def start(
       vecs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    start(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir,
+      checkpointDir, trigger)
+
+  def start(
+      vecs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir,
+      checkpointDir, Streaming.HourlyTrigger)
+
+  def start(
+      vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
       checkpointDir: String,
       trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
     vecs.writeStream
@@ -121,7 +136,7 @@ object IncrementalSemDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), indexDir, pairsDir, batchId)
+        processBatch(batch.toDF(), index, pairsDir, batchId)
       }
       .start()
 }

@@ -121,6 +121,47 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(survIds == expected, "survivors = unpaired + cluster representatives")
   }
 
+  test("bucketed standing index: pair parity, standing side moves zero rows") {
+    import spark.implicits._
+    val tbl = "sem_bucket_index_spec"
+    val pairsDir = tmpDir("sem-b-pairs") + "/pairs"
+    val index = IncrementalDedup.BucketedIndex(tbl, 8, key = "bucket")
+    try {
+      def pairs(): Set[(Long, Long)] =
+        spark.read.parquet(pairsDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Same three-batch script as the directory-layout tests.
+      IncrementalSemDedup.processBatch(
+        Seq((1L, base), (2L, far)).toDF("vec_id", "embedding"),
+        index, pairsDir, 0L)
+      IncrementalSemDedup.processBatch(
+        Seq((20L, scaledDup)).toDF("vec_id", "embedding"),
+        index, pairsDir, 1L)
+      assert(pairs() == Set((20L, 1L)))
+      IncrementalSemDedup.processBatch(
+        Seq((40L, base)).toDF("vec_id", "embedding"), index, pairsDir, 2L)
+      assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)))
+
+      // The scale claim, pinned like the text twin: the standing side
+      // is read through the bucket layout and crosses NO shuffle —
+      // HashPartitioning(bucket) satisfies the probe's distinct, rank
+      // window and pair join (bucket is a subset of each clustering).
+      val probe = graft.sim.SimilarityQueries.incrementalSemPairsBetween(
+        graft.sim.SimilarityQueries.multiBucketRowsOf(
+          Seq((99L, base)).toDF("vec_id", "embedding")),
+        IncrementalDedup.committedBefore(spark.table(tbl), 3L))
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"standing scan must use the bucket layout:\n$plan")
+      val shufflesOverIndex = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.collectLeaves().exists(_.toString.contains(tbl)) => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"standing-index rows must never cross a shuffle:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("restart from checkpoint neither reprocesses nor loses batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
