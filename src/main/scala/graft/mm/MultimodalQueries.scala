@@ -690,10 +690,21 @@ object MultimodalQueries {
         .toDF(),
       nBands = 4, maxHamming = 2)
 
+  /** (item_id, band, key, bands) rows from an (item_id, bands) hash
+    * frame — the STORED layout of the streaming media index: with the
+    * band key a real column (not derived by a post-scan posexplode),
+    * a table bucketed on `key` feeds the probe with zero Exchange,
+    * exactly like the text and embedding standing indexes. */
+  private[graft] def mediaBandRows(
+      hashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hashes.select(col("item_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+
   /** Batch-vs-standing media near-dup pairs — the fingerprint twin of
     * the text loop's `incrementalPairsBetween` and the embedding
     * loop's `incrementalSemPairsBetween`, same contract: the (small)
-    * batch's band keys broadcast; the standing hash index is
+    * batch's band keys broadcast; the standing index — EXPLODED
+    * [[mediaBandRows]], so its (band, key) are stored columns — is
     * semi-narrowed to COLLIDING (band, key) buckets before anything
     * wide; replayed duplicate index rows collapse on the pruned slice
     * BEFORE cap ranking; the corpus side keeps the family's
@@ -704,7 +715,7 @@ object MultimodalQueries {
     * probe does not). */
   private[graft] def incrementalMediaPairsBetween(
       newHashes: org.apache.spark.sql.DataFrame,
-      corpusHashes: org.apache.spark.sql.DataFrame,
+      corpusBandRows: org.apache.spark.sql.DataFrame,
       nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def hamming(a: Column, b: Column): Column =
@@ -715,9 +726,7 @@ object MultimodalQueries {
       col("item_id").as("new_item"), col("bands").as("nbands"),
       posexplode(col("bands")).as(Seq("band", "key")))
     val bucketKeys = newRows.select(col("band"), col("key")).distinct()
-    val corpusRanked = corpusHashes
-      .select(col("item_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("band", "key")))
+    val corpusRanked = corpusBandRows
       .join(broadcast(bucketKeys), Seq("band", "key"), "left_semi")
       .select(col("item_id"), col("bands"), col("band"), col("key"))
       .distinct()

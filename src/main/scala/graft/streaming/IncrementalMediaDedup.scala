@@ -54,10 +54,21 @@ object IncrementalMediaDedup {
   private final val MaxHamming = 2
 
   /** One micro-batch step over MediaItem-shaped rows: fingerprint,
-    * probe, emit pairs, grow the index. */
+    * probe, emit pairs, grow the index. The index stores EXPLODED
+    * band rows ([[MultimodalQueries.mediaBandRows]] — (item_id, band,
+    * key, bands)): with the band key a stored column, a
+    * [[IncrementalDedup.BucketedIndex]] on `key` feeds the probe with
+    * zero Exchange, same as the text/embedding standing indexes. */
   private[streaming] def processBatch(
       items: DataFrame, modality: String,
-      indexDir: String, pairsDir: String, batchId: Long): Unit = {
+      indexDir: String, pairsDir: String, batchId: Long): Unit =
+    processBatch(items, modality, IncrementalDedup.DirIndex(indexDir),
+      pairsDir, batchId)
+
+  private[streaming] def processBatch(
+      items: DataFrame, modality: String,
+      index: IncrementalDedup.BandIndex,
+      pairsDir: String, batchId: Long): Unit = {
     if (items.isEmpty) return
     val spark = items.sparkSession
     import spark.implicits._
@@ -66,19 +77,16 @@ object IncrementalMediaDedup {
     val (hashFrame, nBands) = fingerprints(items.as[Multimodal.MediaItem], modality)
     val newHashes = hashFrame.cut(false)
     val intra = MultimodalQueries
-      .incrementalMediaPairsBetween(newHashes, newHashes, nBands, MaxHamming)
+      .incrementalMediaPairsBetween(
+        newHashes, MultimodalQueries.mediaBandRows(newHashes),
+        nBands, MaxHamming)
       .filter(col("new_item") > col("corpus_item"))
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
     val emitted =
-      if (exists)
+      if (index.exists(spark))
         MultimodalQueries
           .incrementalMediaPairsBetween(
             newHashes,
-            IncrementalDedup.committedBefore(
-              spark.read.parquet(indexDir), batchId),
+            IncrementalDedup.committedBefore(index.read(spark), batchId),
             nBands, MaxHamming)
           .unionByName(intra)
       else intra
@@ -86,8 +94,7 @@ object IncrementalMediaDedup {
     if (!pairs.isEmpty)
       Sinks.overwritePartitions(
         pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
-    Sinks.overwritePartitions(
-      newHashes.withColumn("batch_id", lit(batchId)), indexDir, "batch_id")
+    index.append(MultimodalQueries.mediaBandRows(newHashes), batchId)
   }
 
   /** Periodic components consumer over the loop's pair table — the
@@ -109,12 +116,20 @@ object IncrementalMediaDedup {
       items: DataFrame, modality: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
       trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
+    start(items, modality, IncrementalDedup.DirIndex(indexDir), pairsDir,
+      checkpointDir, trigger)
+
+  def start(
+      items: DataFrame, modality: String,
+      index: IncrementalDedup.BandIndex,
+      pairsDir: String, checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
     items.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), modality, indexDir, pairsDir, batchId)
+        processBatch(batch.toDF(), modality, index, pairsDir, batchId)
       }
       .start()
 }

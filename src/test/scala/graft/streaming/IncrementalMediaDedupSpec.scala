@@ -40,7 +40,10 @@ class IncrementalMediaDedupSpec extends SparkSpec {
       input.addData(item(1L, seed = 7L), item(2L, seed = 99L))
       q.processAllAvailable()
       assert(pairs().isEmpty)
-      assert(spark.read.parquet(indexDir).count() == 2)
+      // Exploded band-row layout: 8 aHash band rows per image.
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.select("item_id").distinct().count() == 2)
+      assert(idx.count() == 16)
 
       // A same-seed copy pairs with the standing original at hamming 0.
       input.addData(item(20L, seed = 7L))
@@ -99,6 +102,44 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     val got = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((9L, 1L, 0L)))
+  }
+
+  test("bucketed standing index: pair parity, standing side moves zero rows") {
+    import spark.implicits._
+    val tbl = "media_bucket_index_spec"
+    val pairsDir = tmpDir("med-b-pairs") + "/pairs"
+    val index = IncrementalDedup.BucketedIndex(tbl, 8, key = "key")
+    try {
+      def pairs(): Set[(Long, Long)] =
+        spark.read.parquet(pairsDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      IncrementalMediaDedup.processBatch(
+        Seq(item(1L, 7L), item(2L, 99L)).toDF(), "image", index, pairsDir, 0L)
+      IncrementalMediaDedup.processBatch(
+        Seq(item(20L, 7L)).toDF(), "image", index, pairsDir, 1L)
+      assert(pairs() == Set((20L, 1L)))
+      IncrementalMediaDedup.processBatch(
+        Seq(item(40L, 7L)).toDF(), "image", index, pairsDir, 2L)
+      assert(pairs() == Set((20L, 1L), (40L, 1L), (40L, 20L)),
+        "the bucketed index accumulates like the directory layout")
+      // The standing side is read through the bucket layout and
+      // crosses NO shuffle: HashPartitioning(key) satisfies the
+      // probe's (band, key)-clustered distinct, rank window and join.
+      val probe = graft.mm.MultimodalQueries.incrementalMediaPairsBetween(
+        graft.mm.Multimodal.imageAHashes(
+          Seq(item(99L, 7L)).toDS()).toDF(),
+        IncrementalDedup.committedBefore(spark.table(tbl), 3L),
+        nBands = 8, maxHamming = 2)
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"standing scan must use the bucket layout:\n$plan")
+      val shufflesOverIndex = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.collectLeaves().exists(_.toString.contains(tbl)) => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"standing-index rows must never cross a shuffle:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("duplicates landing in the SAME micro-batch pair with each other") {
