@@ -48,7 +48,8 @@ object ScaleStress {
     "similarity_ivf_scaled",
     "embedding_near_dup", "embedding_near_dup_multi",
     "similarity_rerank", "ann_recall_eval",
-    "sim_pq_adc", "similarity_knn_graph", "embedding_components",
+    "sim_pq_adc", "similarity_knn_graph", "knn_label_consistency",
+    "embedding_components",
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
     "semdedup_survivors")
 
