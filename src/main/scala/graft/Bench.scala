@@ -79,11 +79,18 @@ object Bench {
     // unreadable file degrades to an empty flag set, never a failure.
     val flagged: Map[String, (Double, Double)] = try {
       val f = java.nio.file.Paths.get("tools/steady_states.json")
-      if (!java.nio.file.Files.exists(f) || !sfDir.endsWith("sf0.1")) Map.empty
+      if (!java.nio.file.Files.exists(f)) Map.empty
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
         val steady = root.get("queries")
+        // Gate only at the SF the steadies were RECORDED at — read
+        // from the file itself, not a hardcoded name, so re-recording
+        // at another scale moves the gate with it.
+        val recordedSf = root.get("sf").asText()
+        if (sfDir.stripSuffix("/").split('/').last != recordedSf)
+          Map.empty[String, (Double, Double)]
+        else
         results.toMap.collect {
           case (name, v)
               if v >= 0 && steady.has(name) &&

@@ -787,8 +787,15 @@ object DedupQueries {
         // reliable checkpointing after the clone was first minted.
         graft.ops.Checkpoints.DirKey ->
           callerSession.conf.get(graft.ops.Checkpoints.DirKey, "")))
+    // ORDER IS LOAD-BEARING: the edge pipeline is lineage-cut (and
+    // therefore PHYSICALLY PLANNED) on the CALLER's session first, so
+    // the corpus-scale pair generation compiles under the caller's
+    // conf — AQE on, full width. Only the resulting checkpointed LEAF
+    // crosses into the clone; re-rooting the un-cut frame would
+    // compile that whole upstream pipeline AQE-off and, on a cached
+    // clone, under a PREVIOUS call's narrowed loop width.
     val edges = org.apache.spark.sql.graft.IsolatedConf
-      .reRoot(loopSession, edgeFrame).cut(false)
+      .reRoot(loopSession, edgeFrame.cut(false))
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cut()
@@ -1396,6 +1403,13 @@ object DedupQueries {
     corpusRanked
       .join(broadcast(newSide),
         col("band") === col("nband") && col("bh") === col("nbh"))
+      // Self-pair exclusion, defense in depth like the sem/media
+      // probes: unreachable through the loops (the epoch filter keeps
+      // a batch's own rows out of its standing view) and through the
+      // batch query (is_new splits are disjoint), but a hand-fed
+      // standing frame containing the batch must not pair docs with
+      // themselves.
+      .filter(col("doc_id") =!= col("new_doc"))
       .select(col("new_doc"), col("doc_id").as("corpus_doc"))
       .distinct()
   }

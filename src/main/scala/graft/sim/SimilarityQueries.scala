@@ -166,9 +166,6 @@ object SimilarityQueries {
           bucketAt(col("embedding"), tb * nPlanes, nPlanes)): _*)).as("bucket"),
       col("embedding"))
 
-  /** DuckDB mirror of one [[multiBucketRowsOf]] table's packed bucket. */
-  private def sqlMultiBucketAt(e: String, tb: Int, n: Int): String =
-    s"(${tb.toLong << n} + ${sqlBucketAt(e, tb * n, n)})"
 
   /** Batch-vs-standing semantic near-dup pairs — the embedding twin of
     * [[graft.dedup.DedupQueries.incrementalPairsBetween]], same

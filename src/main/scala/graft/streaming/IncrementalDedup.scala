@@ -127,6 +127,7 @@ object IncrementalDedup {
       batchId: Long): Unit = {
     if (docs.isEmpty) return
     val spark = docs.sparkSession
+    requireEpochContinuity(index, spark, batchId)
     // The batch is re-read below the pair join AND the index append;
     // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
     val newBands = DedupQueries.bandsOfDocs(docs).cut(false)
@@ -166,6 +167,33 @@ object IncrementalDedup {
     * cluster + unpaired corpus rows, with cluster sizes. */
   def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
     PairConsumers.survivorsOf(corpus, pairsDir, "new_doc", "corpus_doc", "doc_id")
+
+  /** Refuses epoch-id recycling — the one ops move that would make the
+    * partition-overwrite contract DESTRUCTIVE: foreachBatch ids are
+    * checkpoint-scoped, so pointing a loop with a fresh (or reset)
+    * checkpoint at an existing index restarts ids at 0 and each new
+    * epoch would silently overwrite the old epoch's partition while
+    * the probe (batch_id < 0) sees an empty standing state. Detected
+    * exactly at the fresh-checkpoint signature — batch 0 over an index
+    * already holding epochs > 0 — so the steady path pays nothing.
+    * Recovery: fold the old epochs into the base partition
+    * ([[graft.etl.Sinks.compactEpochPartitions]] with upToExclusive >
+    * max epoch) — base rows live at batch_id = −1, below every new
+    * epoch, so both the probe and new appends compose correctly. */
+  private[streaming] def requireEpochContinuity(
+      index: BandIndex, spark: org.apache.spark.sql.SparkSession,
+      batchId: Long): Unit =
+    if (batchId == 0L && index.exists(spark)) {
+      val stored = index.read(spark)
+      if (stored.columns.contains("batch_id") &&
+        !stored.filter(col("batch_id") > 0).isEmpty)
+        throw new IllegalStateException(
+          "fresh checkpoint over a standing index with epochs > 0: " +
+            "recycled batch ids would overwrite prior epochs and hide " +
+            "the index from the probe. Fold the index (and pairs table) " +
+            "into the base partition first: " +
+            "Sinks.compactEpochPartitions(spark, dir, maxEpoch + 1).")
+    }
 
   /** Standing rows from epochs STRICTLY BEFORE `batchId` — the probe's
     * view of the index. On the happy path this filter is a no-op

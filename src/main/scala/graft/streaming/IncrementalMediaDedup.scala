@@ -71,6 +71,7 @@ object IncrementalMediaDedup {
       pairsDir: String, batchId: Long): Unit = {
     if (items.isEmpty) return
     val spark = items.sparkSession
+    IncrementalDedup.requireEpochContinuity(index, spark, batchId)
     import spark.implicits._
     // The CPU-heavy codec pass runs once: the hash frame feeds the
     // intra pass, the standing probe, and the index append.

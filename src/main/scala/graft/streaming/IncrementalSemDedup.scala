@@ -61,6 +61,7 @@ object IncrementalSemDedup {
       batchId: Long): Unit = {
     if (vecs.isEmpty) return
     val spark = vecs.sparkSession
+    IncrementalDedup.requireEpochContinuity(index, spark, batchId)
     // Bucketing (the plane dot products) runs once: the batch frame is
     // consumed by the intra pass, the standing probe, and the append.
     // OR-AMPLIFIED index rows (4 disjoint-plane tables, table ordinal

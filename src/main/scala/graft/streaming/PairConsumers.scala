@@ -21,15 +21,28 @@ import graft.ops.Checkpoints.CheckpointOps
   */
 private[streaming] object PairConsumers {
 
-  /** (key, component) labels over the accumulated pair table. */
+  /** (key, component) labels over the accumulated pair table. A loop
+    * that has not emitted any pair yet has no pairs directory at all
+    * (the write is gated on non-empty batches) — the consumers treat
+    * that as the empty graph instead of failing the maintenance job. */
   def componentsOf(
       spark: org.apache.spark.sql.SparkSession, pairsDir: String,
-      aCol: String, bCol: String, keyName: String): DataFrame =
+      aCol: String, bCol: String, keyName: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pairsDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            keyName, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "component", org.apache.spark.sql.types.LongType))))
     graft.dedup.DedupQueries.componentLabelsOf(
       spark.read.parquet(pairsDir)
         .select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
         .distinct())
       .select(col("doc_id").as(keyName), col("component"))
+  }
 
   /** Survivor selection over an arbitrary corpus frame keyed by
     * `keyName`: each cluster keeps its min-key representative

@@ -41,19 +41,24 @@ object IsolatedConf {
     * hazard this object exists to prevent is CROSS-thread). `confs`
     * are re-applied on every fetch, so per-call values (the measured
     * loop width) always win over a previous call's. */
-  private val cache =
-    ThreadLocal.withInitial[java.util.WeakHashMap[SparkSession, SparkSession]](
-      () => new java.util.WeakHashMap[SparkSession, SparkSession]())
+  // The VALUE is held through a WeakReference: a clone strongly
+  // references its parent (parentSessionState), so a strong value
+  // would pin the weak KEY forever (the classic WeakHashMap
+  // value→key leak) and stopped sessions would never collect. A
+  // cleared reference just costs one re-clone.
+  private val cache = ThreadLocal.withInitial[
+    java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[SparkSession]]](
+    () => new java.util.WeakHashMap())
 
   def sessionFor(
       df: DataFrame,
       confs: Map[String, String]): org.apache.spark.sql.SparkSession = {
     val caller = df.sparkSession.asInstanceOf[SparkSession]
     val perThread = cache.get()
-    var s = perThread.get(caller)
+    var s = Option(perThread.get(caller)).map(_.get).orNull
     if (s == null) {
       s = caller.cloneSession()
-      perThread.put(caller, s)
+      perThread.put(caller, new java.lang.ref.WeakReference(s))
     }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     s

@@ -179,6 +179,30 @@ class SinksSpec extends SparkSpec {
     assert(parts() == Set("batch_id=-1", "batch_id=2"))
   }
 
+  test("adoptLegacyTable folds flat pre-epoch files into the base partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("legacy-adopt") + "/t"
+    // The old blind-append layout: flat parquet files at the root.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    assert(Sinks.adoptLegacyTable(spark, dir), "flat files must be adopted")
+    val rows = spark.read.parquet(dir)
+    assert(rows.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(rows.selectExpr("cast(batch_id as long)").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L),
+      "adopted rows live in the base partition")
+    // Idempotent: a second call finds nothing flat to adopt.
+    assert(!Sinks.adoptLegacyTable(spark, dir))
+    // And the epoch machinery composes on top of the adopted table.
+    Sinks.overwritePartitions(
+      Seq((3L, "c")).toDF("id", "v").withColumn("batch_id", lit(0L)),
+      dir, "batch_id")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("materializeDedupedCorpus writes survivors with payloads, partitioned by source") {
     import spark.implicits._
     // Planted near-dup corpus (the DedupSpec fixture): doc 1 is an

@@ -118,6 +118,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(surv == Set((1L, 3L), (2L, 1L)))
   }
 
+  test("fresh checkpoint over a standing index is refused; folding to base unlocks it") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-fresh-index") + "/bands"
+    val pairsDir = tmpDir("incr-fresh-pairs") + "/pairs"
+    IncrementalDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    IncrementalDedup.processBatch(
+      Seq((2L, far)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
+    // Checkpoint reset: epoch ids restart at 0 over stored epochs
+    // {0, 1} — recycled ids would OVERWRITE epoch partitions and hide
+    // the whole index from the strictly-earlier probe. Must refuse.
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(
+        Seq((3L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // The prescribed recovery: fold epochs into the base partition —
+    // base rows sit below every new epoch, so the restart composes.
+    assert(graft.etl.Sinks.compactEpochPartitions(spark, indexDir, 2L) == 2L)
+    IncrementalDedup.processBatch(
+      Seq((3L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L)), "the restarted epoch must probe the folded base")
+  }
+
+  test("consumers on a loop that has emitted no pairs return the empty graph") {
+    import spark.implicits._
+    val pairsDir = tmpDir("no-pairs-yet") + "/pairs"
+    assert(IncrementalDedup.components(spark, pairsDir).isEmpty,
+      "no pairs directory = empty component graph, not a failed job")
+    val surv = IncrementalDedup.survivors(
+      Seq(1L, 2L).toDF("doc_id"), pairsDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster_size"))).toSet
+    assert(surv == Set((1L, 1L), (2L, 1L)),
+      "everything survives (size 1) when nothing has paired yet")
+  }
+
   test("bucketed index: a replayed epoch is skipped whole by the batch_id guard") {
     import spark.implicits._
     val tbl = "incr_eo_bucketed_spec"
