@@ -14,6 +14,48 @@ package graft
   * number, never as a fast one.
   */
 object Bench {
+
+  /** Flag rule of the regression gate: a cell regresses when it runs
+    * beyond 1.5× its recorded steady plus a 0.25 s absolute floor
+    * (the floor absorbs job-scheduling jitter on sub-second cells). */
+  private[graft] def isRegression(runS: Double, steadyS: Double): Boolean =
+    runS > steadyS * 1.5 + 0.25
+
+  /** The machine-readable regression gate: `steadyPath` (default
+    * tools/steady_states.json) holds each query's recorded steady
+    * minimum and the SF it was recorded at; cells beyond
+    * [[isRegression]] are returned as name → (run_s, steady_s). The
+    * gate applies only when this run's SF matches the RECORDED one
+    * (read from the file, so re-recording at another scale moves the
+    * gate with it) — steadies at sf0.1 say nothing about an sf0.01
+    * smoke run. A missing or unreadable file degrades to an empty
+    * flag set, never a failure. */
+  private[graft] def flaggedCells(
+      results: Map[String, Double], sfDir: String,
+      steadyPath: String = "tools/steady_states.json")
+      : Map[String, (Double, Double)] = try {
+    val f = java.nio.file.Paths.get(steadyPath)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+      val steady = root.get("queries")
+      val recordedSf = root.get("sf").asText()
+      if (sfDir.stripSuffix("/").split('/').last != recordedSf)
+        Map.empty[String, (Double, Double)]
+      else
+        results.collect {
+          case (name, v)
+              if v >= 0 && steady.has(name) &&
+                isRegression(v, steady.get(name).asDouble()) =>
+            name -> (v, steady.get(name).asDouble())
+        }
+    }
+  } catch { case e: Exception =>
+    System.err.println(s"[bench] steady-state gate skipped: $e")
+    Map.empty
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(Sessions.cpusFromEnv)
@@ -77,31 +119,7 @@ object Bench {
     // applied when this run's SF matches the recorded one — steadies
     // at sf0.1 say nothing about an sf0.01 smoke run. A missing or
     // unreadable file degrades to an empty flag set, never a failure.
-    val flagged: Map[String, (Double, Double)] = try {
-      val f = java.nio.file.Paths.get("tools/steady_states.json")
-      if (!java.nio.file.Files.exists(f)) Map.empty
-      else {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
-        val steady = root.get("queries")
-        // Gate only at the SF the steadies were RECORDED at — read
-        // from the file itself, not a hardcoded name, so re-recording
-        // at another scale moves the gate with it.
-        val recordedSf = root.get("sf").asText()
-        if (sfDir.stripSuffix("/").split('/').last != recordedSf)
-          Map.empty[String, (Double, Double)]
-        else
-        results.toMap.collect {
-          case (name, v)
-              if v >= 0 && steady.has(name) &&
-                v > steady.get(name).asDouble() * 1.5 + 0.25 =>
-            name -> (v, steady.get(name).asDouble())
-        }
-      }
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] steady-state gate skipped: $e")
-      Map.empty
-    }
+    val flagged = flaggedCells(results.toMap, sfDir)
     val flaggedJson = flagged.toSeq.sortBy(_._1)
       .map { case (k, (v, s)) =>
         "\"" + k + "\":{\"run_s\":" + v + ",\"steady_s\":" + s + "}" }
