@@ -1,5 +1,7 @@
 package graft.dedup
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.Checkpoints.CheckpointOps
@@ -745,7 +747,84 @@ object DedupQueries {
     math.max(4L, math.min(sessionParts.toLong,
       edgeRows / LoopEdgeRowsPerPartition)).toInt
 
+  /** Edge-count gate below which components run as a DRIVER union-find
+    * instead of the distributed propagation loop — the [[graft.ops
+    * .ScaleGates]] discipline applied to the loop itself. The loop's
+    * cost at small scale is pure fixed overhead (5+ driver actions,
+    * each paying scheduling + compile floor — ~2 s per call measured
+    * at sf0.1 regardless of data); a dup graph under a million edges
+    * is label-frame-sized by the broadcast gate's own argument
+    * (~100 MB of transient boxed rows at the gate, one collect + one
+    * parallelize), so the driver pass answers in the time ONE of the
+    * loop's actions costs. Above the gate — the 100 TB regime where
+    * edge frames are billions of rows — the distributed loop runs
+    * unchanged. Override per session with `graft.cc.driverMaxEdges`
+    * (0 forces the distributed path; specs pin both paths' parity). */
+  private[graft] val LoopDriverMaxEdges: Long =
+    graft.ops.ScaleGates.LabelsBroadcastMaxRows
+
+  /** Driver-side exact connected components for gate-sized edge
+    * frames: path-halving union-find, then min-member labeling — the
+    * same (node, min id in component) contract as the distributed
+    * loop, bit-identical on any graph both can run. */
+  private def driverComponents(
+      edgeLeaf: DataFrame, edgeRows: Long): DataFrame = {
+    val spark = edgeLeaf.sparkSession
+    val dt = edgeLeaf.schema.fields(0).dataType
+    val ord: Ordering[Any] = dt match {
+      case org.apache.spark.sql.types.LongType =>
+        Ordering.by(_.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType =>
+        Ordering.by(_.asInstanceOf[Int])
+      case org.apache.spark.sql.types.StringType =>
+        Ordering.by(_.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"driverComponents: unsupported node id type $other")
+    }
+    val parent = new java.util.HashMap[Any, Any]((edgeRows * 3).toInt)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) {
+        // Path halving: point r at its grandparent as we walk.
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    // One job: a collect of ≤ gate rows (the gate's memory argument);
+    // toLocalIterator would pay one scheduling floor PER partition.
+    for (row <- edgeLeaf.collect()) {
+      val (a, b) = (row.get(0), row.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // Min member per root, then every node labeled with its root's min
+    // — union order never shows through.
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().asScala.foreach { v =>
+      val r = find(v)
+      val m = minOf.get(r)
+      if (m == null || ord.lt(v, m)) minOf.put(r, v)
+    }
+    val out = parent.keySet().asScala.toSeq
+      .map(v => org.apache.spark.sql.Row(v, minOf.get(find(v))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, (out.size / 65536) + 1)), schema)
+  }
+
   private[graft] def componentLabelsOf(edgeFrame: DataFrame): DataFrame = {
+    // TWO engines behind one contract, picked by measured edge count
+    // ([[LoopDriverMaxEdges]]): gate-sized graphs run a driver
+    // union-find (one collect + one parallelize — the whole answer
+    // costs what ONE distributed action's scheduling floor costs);
+    // larger graphs run the distributed propagation loop below.
+    //
     // The loop's fixed cost is DRIVER actions, not executor work (the
     // frames are candidate-sized): every eager action pays scheduling +
     // optimization gaps that round-3 measured at ~half the query's wall
@@ -776,40 +855,62 @@ object DedupQueries {
     // caller's session keep their width and AQE), while SparkContext,
     // cache and catalog stay shared. Plans cross sessions by re-rooting
     // the analyzed tree — metadata-only, never a data copy.
+    val ccDebug = sys.env.contains("GRAFT_DEBUG_CC")
+    val ccT0 = System.nanoTime()
+    def ccMark(label: String): Unit =
+      if (ccDebug)
+        println(f"[cc-debug] $label at ${(System.nanoTime() - ccT0) / 1e9}%.3f s")
     val callerSession = edgeFrame.sparkSession
     val callerParts =
       callerSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    ccMark("start")
+    // The edge pipeline is lineage-cut (and therefore PHYSICALLY
+    // PLANNED) on the CALLER's session: the corpus-scale pair
+    // generation compiles under the caller's conf — AQE on, full
+    // width. The count both materializes the leaf and feeds the
+    // driver-vs-distributed gate (and, above it, the loop width).
+    val edgeLeaf = edgeFrame.cut(false)
+    val edgeRows = edgeLeaf.count()
+    ccMark(s"edges counted ($edgeRows)")
+    if (edgeRows <= callerSession.conf
+        .get("graft.cc.driverMaxEdges", LoopDriverMaxEdges.toString).toLong) {
+      val labels = driverComponents(edgeLeaf, edgeRows)
+      ccMark("driver union-find done")
+      return labels.select(
+        col("doc_id"), col("component"))
+    }
     val loopSession = org.apache.spark.sql.graft.IsolatedConf.sessionFor(
       edgeFrame, Map(
         "spark.sql.adaptive.enabled" -> "false",
+        // Width chosen from the MEASURED edge volume before ANY loop
+        // frame plans (lazy cuts still force physical planning at
+        // declaration, so the init aggregate below must already see
+        // the narrow width): see the wide comment above the loop.
+        "spark.sql.shuffle.partitions" ->
+          loopShufflePartitions(2 * edgeRows, callerParts).toString,
         // Re-sync the checkpoint-mode key per call: the clone is
         // cached per thread, and the caller may have configured
         // reliable checkpointing after the clone was first minted.
         graft.ops.Checkpoints.DirKey ->
           callerSession.conf.get(graft.ops.Checkpoints.DirKey, "")))
-    // ORDER IS LOAD-BEARING: the edge pipeline is lineage-cut (and
-    // therefore PHYSICALLY PLANNED) on the CALLER's session first, so
-    // the corpus-scale pair generation compiles under the caller's
-    // conf — AQE on, full width. Only the resulting checkpointed LEAF
-    // crosses into the clone; re-rooting the un-cut frame would
-    // compile that whole upstream pipeline AQE-off and, on a cached
-    // clone, under a PREVIOUS call's narrowed loop width.
+    // Only the checkpointed LEAF crosses into the clone; re-rooting
+    // the un-cut frame would compile the whole upstream pipeline
+    // AQE-off and, on a cached clone, under a PREVIOUS call's
+    // narrowed loop width.
+    ccMark("clone fetched")
     val edges = org.apache.spark.sql.graft.IsolatedConf
-      .reRoot(loopSession, edgeFrame.cut(false))
+      .reRoot(loopSession, edgeLeaf)
+    ccMark("edges re-rooted")
     val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cut()
-    // Width chosen from MEASURED edge volume before ANY loop frame
-    // plans (lazy cuts still force physical planning at declaration,
-    // so the init aggregate below must already see the narrow width):
-    // see the wide comment above the loop.
-    loopSession.conf.set("spark.sql.shuffle.partitions",
-      loopShufflePartitions(bi.count(), callerParts).toString)
+    ccMark("bi declared")
     val compType = bi.schema("src").dataType
     var labels = bi.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .cut(false)
+    ccMark("labels init declared")
     def step(prev: DataFrame): DataFrame = {
       val nbr = bi
         .join(prev.select(col("id").as("src"), col("comp")), "src")
@@ -849,7 +950,9 @@ object DedupQueries {
     var batches = 0
     while (changed > 0 && batches < 16) {
       val next = jump(step(step(labels))).cut(false)
+      ccMark(s"batch $batches declared")
       changed = next.filter(col("comp") =!= col("old")).count()
+      ccMark(s"batch $batches counted")
       labels = next
       batches += 1
     }

@@ -65,6 +65,13 @@ object IncrementalDedup {
     /** Lands `bands` stamped with `batchId`, EFFECTIVELY-ONCE: calling
       * again with the same id must converge, not double. */
     def append(bands: DataFrame, batchId: Long): Unit
+    /** The checkpoint-identity marker persisted alongside the index —
+      * which streaming checkpoint owns this index's epoch sequence.
+      * None when no marker has been written (pre-marker index, or a
+      * layout with nowhere durable to put one). */
+    def owner(spark: org.apache.spark.sql.SparkSession): Option[String]
+    def writeOwner(
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit
   }
 
   /** Maintenance note: under an hourly loop the per-epoch partitions
@@ -79,9 +86,37 @@ object IncrementalDedup {
     }
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
       spark.read.parquet(dir)
-    def append(bands: DataFrame, batchId: Long): Unit =
+    /** Auto-adopts a LEGACY FLAT layout first: pre-epoch indexes hold
+      * bare .parquet files at the dir root, and writing batch_id=N
+      * subdirs next to them would poison partition discovery for every
+      * later read ("conflicting directory structures" one epoch after
+      * the upgrade). [[Sinks.adoptLegacyTable]] folds the flat files
+      * into the batch_id=-1 base partition (a no-op costing one
+      * listStatus on an already-partitioned index), so an upgraded
+      * loop keeps its standing state instead of breaking on it. */
+    def append(bands: DataFrame, batchId: Long): Unit = {
+      Sinks.adoptLegacyTable(bands.sparkSession, dir)
       Sinks.overwritePartitions(
         bands.withColumn("batch_id", lit(batchId)), dir, "batch_id")
+    }
+    private def ownerPath = new org.apache.hadoop.fs.Path(dir, "_graft_owner")
+    def owner(spark: org.apache.spark.sql.SparkSession): Option[String] = {
+      val fs = ownerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(ownerPath)) None
+      else {
+        val in = fs.open(ownerPath)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    }
+    // Underscore-prefixed, so parquet partition discovery ignores it.
+    def writeOwner(
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit = {
+      val fs = ownerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(ownerPath, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** `key` is the bucketing column — "bh" for the text band index,
@@ -106,12 +141,40 @@ object IncrementalDedup {
       * batch_id, so row-group stats skip everything else). */
     def append(bands: DataFrame, batchId: Long): Unit = {
       val spark = bands.sparkSession
-      val landed = exists(spark) &&
-        !read(spark).filter(col("batch_id") === batchId).isEmpty
+      val landed = exists(spark) && {
+        val stored = read(spark)
+        // A pre-epoch bucketed table has no batch_id column; probing it
+        // would throw AnalysisException (inconsistent with
+        // committedBefore / requireEpochContinuity, which both check
+        // first). Appending epoch-stamped rows is not an option either:
+        // insertInto matches columns POSITIONALLY, so the extra column
+        // would silently corrupt the table. Fail with the migration.
+        if (!stored.columns.contains("batch_id"))
+          throw new IllegalStateException(
+            s"standing bucketed index '$table' uses the pre-epoch layout " +
+              "(no batch_id column); epoch-stamped appends cannot mix with " +
+              "it. Rebuild it once with the batch_id column: " +
+              "Bucketing.appendBucketed(read(table).withColumn(\"batch_id\", " +
+              "lit(-1L)), freshTable, key, buckets) and point the loop at " +
+              "the fresh table.")
+        !stored.filter(col("batch_id") === batchId).isEmpty
+      }
       if (!landed)
         graft.ops.Bucketing.appendBucketed(
           bands.withColumn("batch_id", lit(batchId)), table, key, buckets)
     }
+    /** Marker lives in the table's catalog properties — survives
+      * exactly as long as the table itself. */
+    def owner(spark: org.apache.spark.sql.SparkSession): Option[String] =
+      if (!exists(spark)) None
+      else spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.get("graft.owner")
+    def writeOwner(
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit =
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.owner' = '$id')")
   }
 
   /** One micro-batch step: probe, emit pairs, grow the index.
@@ -120,14 +183,14 @@ object IncrementalDedup {
   private[streaming] def processBatch(
       docs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
-    processBatch(docs, DirIndex(indexDir), pairsDir, batchId)
+    processBatch(docs, DirIndex(indexDir), pairsDir, batchId, None)
 
   private[streaming] def processBatch(
       docs: DataFrame, index: BandIndex, pairsDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, ownerId: Option[String] = None): Unit = {
     if (docs.isEmpty) return
     val spark = docs.sparkSession
-    requireEpochContinuity(index, spark, batchId)
+    requireEpochContinuity(index, spark, batchId, ownerId)
     // The batch is re-read below the pair join AND the index append;
     // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
     val newBands = DedupQueries.bandsOfDocs(docs).cut(false)
@@ -154,6 +217,7 @@ object IncrementalDedup {
       Sinks.overwritePartitions(
         pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
     index.append(newBands, batchId)
+    stampOwner(index, spark, ownerId)
   }
 
   /** Periodic components consumer over the loop's pair table — the
@@ -175,15 +239,30 @@ object IncrementalDedup {
     * epoch would silently overwrite the old epoch's partition while
     * the probe (batch_id < 0) sees an empty standing state. Detected
     * exactly at the fresh-checkpoint signature — batch 0 over an index
-    * already holding epochs > 0 — so the steady path pays nothing.
-    * Recovery: fold the old epochs into the base partition
-    * ([[graft.etl.Sinks.compactEpochPartitions]] with upToExclusive >
-    * max epoch) — base rows live at batch_id = −1, below every new
-    * epoch, so both the probe and new appends compose correctly. */
+    * already holding epochs > 0, OR over an index whose persisted
+    * owner marker names a DIFFERENT checkpoint (the marker closes the
+    * blind spot where the prior run only ever committed epoch 0, which
+    * the epoch scan alone cannot tell apart from a legitimate epoch-0
+    * replay). Steady path pays nothing — both probes run at batch 0
+    * only. Residual blind spot: a pre-marker index holding only epoch
+    * 0 under a fresh checkpoint still looks like a replay; the first
+    * batch of any marker-aware run stamps ownership, so the window is
+    * exactly one legacy-index upgrade. Recovery: fold the old epochs
+    * into the base partition ([[graft.etl.Sinks.compactEpochPartitions]]
+    * with upToExclusive > max epoch) — base rows live at batch_id = −1,
+    * below every new epoch, so both the probe and new appends compose
+    * correctly — then delete/rewrite the `_graft_owner` marker. */
   private[streaming] def requireEpochContinuity(
       index: BandIndex, spark: org.apache.spark.sql.SparkSession,
-      batchId: Long): Unit =
+      batchId: Long, ownerId: Option[String] = None): Unit =
     if (batchId == 0L && index.exists(spark)) {
+      for (o <- ownerId; m <- index.owner(spark); if m != o)
+        throw new IllegalStateException(
+          s"fresh checkpoint '$o' over a standing index owned by " +
+            s"checkpoint '$m': recycled batch ids would overwrite the " +
+            "prior run's epochs. Fold the index (and pairs table) into " +
+            "the base partition (Sinks.compactEpochPartitions) and " +
+            "remove the _graft_owner marker to transfer ownership.")
       val stored = index.read(spark)
       if (stored.columns.contains("batch_id") &&
         !stored.filter(col("batch_id") > 0).isEmpty)
@@ -194,6 +273,16 @@ object IncrementalDedup {
             "into the base partition first: " +
             "Sinks.compactEpochPartitions(spark, dir, maxEpoch + 1).")
     }
+
+  /** First-write ownership stamp: records which checkpoint drives this
+    * index so [[requireEpochContinuity]] can refuse a different one at
+    * its batch 0. Idempotent and cheap (one marker existence probe per
+    * batch); never overwrites an existing marker. */
+  private[streaming] def stampOwner(
+      index: BandIndex, spark: org.apache.spark.sql.SparkSession,
+      ownerId: Option[String]): Unit =
+    for (id <- ownerId; if index.owner(spark).isEmpty)
+      index.writeOwner(spark, id)
 
   /** Standing rows from epochs STRICTLY BEFORE `batchId` — the probe's
     * view of the index. On the happy path this filter is a no-op
@@ -233,7 +322,11 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), index, pairsDir, batchId)
+        // The checkpoint dir IS the epoch sequence's identity: batch
+        // ids are scoped to it, so it is what the index's owner marker
+        // must name ([[requireEpochContinuity]]).
+        processBatch(batch.toDF(), index, pairsDir, batchId,
+          Some(checkpointDir))
       }
       .start()
 }

@@ -63,15 +63,16 @@ object IncrementalMediaDedup {
       items: DataFrame, modality: String,
       indexDir: String, pairsDir: String, batchId: Long): Unit =
     processBatch(items, modality, IncrementalDedup.DirIndex(indexDir),
-      pairsDir, batchId)
+      pairsDir, batchId, None)
 
   private[streaming] def processBatch(
       items: DataFrame, modality: String,
       index: IncrementalDedup.BandIndex,
-      pairsDir: String, batchId: Long): Unit = {
+      pairsDir: String, batchId: Long,
+      ownerId: Option[String] = None): Unit = {
     if (items.isEmpty) return
     val spark = items.sparkSession
-    IncrementalDedup.requireEpochContinuity(index, spark, batchId)
+    IncrementalDedup.requireEpochContinuity(index, spark, batchId, ownerId)
     import spark.implicits._
     // The CPU-heavy codec pass runs once: the hash frame feeds the
     // intra pass, the standing probe, and the index append.
@@ -96,6 +97,7 @@ object IncrementalMediaDedup {
       Sinks.overwritePartitions(
         pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
     index.append(MultimodalQueries.mediaBandRows(newHashes), batchId)
+    IncrementalDedup.stampOwner(index, spark, ownerId)
   }
 
   /** Periodic components consumer over the loop's pair table — the
@@ -130,7 +132,8 @@ object IncrementalMediaDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), modality, index, pairsDir, batchId)
+        processBatch(batch.toDF(), modality, index, pairsDir, batchId,
+          Some(checkpointDir))
       }
       .start()
 }

@@ -54,14 +54,15 @@ object IncrementalSemDedup {
   private[streaming] def processBatch(
       vecs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
-    processBatch(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir, batchId)
+    processBatch(
+      vecs, IncrementalDedup.DirIndex(indexDir), pairsDir, batchId, None)
 
   private[streaming] def processBatch(
       vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, ownerId: Option[String] = None): Unit = {
     if (vecs.isEmpty) return
     val spark = vecs.sparkSession
-    IncrementalDedup.requireEpochContinuity(index, spark, batchId)
+    IncrementalDedup.requireEpochContinuity(index, spark, batchId, ownerId)
     // Bucketing (the plane dot products) runs once: the batch frame is
     // consumed by the intra pass, the standing probe, and the append.
     // OR-AMPLIFIED index rows (4 disjoint-plane tables, table ordinal
@@ -71,6 +72,14 @@ object IncrementalSemDedup {
     // scheme of embedding_near_dup_multi (382/9221) is what a standing
     // production index must run. Probe/cap/append machinery is
     // unchanged — tables are disjoint key ranges of one bucket column.
+    // MIGRATION (single-table -> multi-table index): a standing index
+    // written by the single-table layout stores RAW buckets, which
+    // only collide in the packed key's table-0 range — pre-upgrade
+    // vectors would get ~1-table recall forever. Like the media band
+    // layout change, the index is derived state: drop the index dir
+    // (keep the pairs table) and replay the corpus through one batch,
+    // or rebuild offline via multiBucketRowsOf over the stored
+    // (vec_id, embedding) rows written into a fresh dir.
     val newRows = SimilarityQueries.multiBucketRowsOf(vecs).cut(false)
     val intra = SimilarityQueries
       .incrementalSemPairsBetween(newRows, newRows)
@@ -88,6 +97,7 @@ object IncrementalSemDedup {
       Sinks.overwritePartitions(
         pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
     index.append(newRows, batchId)
+    IncrementalDedup.stampOwner(index, spark, ownerId)
   }
 
   /** Periodic COMPONENTS consumer over the loop's accumulated pair
@@ -137,7 +147,8 @@ object IncrementalSemDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), index, pairsDir, batchId)
+        processBatch(batch.toDF(), index, pairsDir, batchId,
+          Some(checkpointDir))
       }
       .start()
 }

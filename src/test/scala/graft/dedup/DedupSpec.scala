@@ -258,6 +258,10 @@ class DedupSpec extends SparkSpec {
     // this window; the cloned-session loop must leave both alone, so
     // a query compiling on the session meanwhile keeps its plan.
     val chain = (0L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // Force the DISTRIBUTED loop: a 2000-edge chain is far under the
+    // driver union-find gate, and this test is about the loop's conf
+    // isolation window specifically.
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
     @volatile var done = false
     val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Boolean)]()
     val watcher = Future {
@@ -275,7 +279,9 @@ class DedupSpec extends SparkSpec {
       }
       polls
     }
-    val labels = DedupQueries.componentLabelsOf(chain)
+    val labels =
+      try DedupQueries.componentLabelsOf(chain)
+      finally spark.conf.unset("graft.cc.driverMaxEdges")
     val rows = labels.collect()
     done = true
     val polls = Await.result(watcher, 60.seconds)
@@ -285,6 +291,31 @@ class DedupSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(observed.asScala.toSet == Set((widthBefore, aqeBefore, true)),
       s"shared conf/plans must be stable during the loop, saw: ${observed.asScala}")
+  }
+
+  test("driver union-find and distributed loop label identically (gate parity)") {
+    import spark.implicits._
+    // Chain (long diameter), clique (dense), disjoint pair, duplicate
+    // edges, and both edge orientations — every shape that could make
+    // the two engines disagree.
+    val edges = ((0L until 50L).map(i => (i, i + 1)) ++ // chain 0..50
+      (for (a <- 100L until 106L; b <- 100L until 106L if a < b)
+        yield (a, b)) ++ // clique
+      Seq((200L, 201L), (201L, 200L), (200L, 201L)) ++ // dup + mirror
+      Seq((300L, 400L))).toDF("doc_a", "doc_b")
+    def labelsOf(maxEdges: String): Map[Long, Long] = {
+      spark.conf.set("graft.cc.driverMaxEdges", maxEdges)
+      try DedupQueries.componentLabelsOf(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.cc.driverMaxEdges")
+    }
+    val driver = labelsOf(Long.MaxValue.toString)
+    val distributed = labelsOf("0")
+    assert(driver == distributed,
+      s"gate paths must agree:\ndriver=$driver\ndistributed=$distributed")
+    assert(driver(50L) == 0L && driver(105L) == 100L &&
+      driver(201L) == 200L && driver(400L) == 300L)
+    assert(driver.size == 51 + 6 + 2 + 2)
   }
 
   test("amplified banding lifts mid-J recall and contains the standard candidates") {

@@ -294,4 +294,90 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((20L, 1L)))
   }
+
+  test("legacy flat index dir is auto-adopted before the first partitioned append") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-legacy-index") + "/bands"
+    val pairsDir = tmpDir("incr-legacy-pairs") + "/pairs"
+    // A pre-epoch index: bare parquet files at the dir root, no
+    // batch_id anywhere (what a pre-upgrade loop left behind).
+    graft.dedup.DedupQueries.bandsOfDocs(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"))
+      .write.mode("append").parquet(indexDir)
+    assert(new java.io.File(indexDir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "fixture must be the flat legacy layout")
+    // The upgraded loop appends epoch partitions; without adoption the
+    // mixed flat-plus-partitioned layout breaks partition discovery on
+    // the NEXT epoch's standing read. Adoption folds the flat rows to
+    // the base partition, so the probe still sees them.
+    IncrementalDedup.processBatch(
+      Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 1L)),
+      "the adopted standing state must still catch the duplicate")
+    IncrementalDedup.processBatch(
+      Seq((40L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.filter(org.apache.spark.sql.functions.col("batch_id") === -1L)
+      .select("doc_id").distinct().count() == 2,
+      "flat legacy rows must land in the batch_id=-1 base partition")
+    val got2 = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((20L, 1L), (40L, 1L), (40L, 20L)),
+      "epochs after the adoption must read the mixed history cleanly")
+  }
+
+  test("owner marker refuses a foreign checkpoint even over a single-epoch index") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-owner-index") + "/bands"
+    val pairsDir = tmpDir("incr-owner-pairs") + "/pairs"
+    val index = IncrementalDedup.DirIndex(indexDir)
+    // Run A commits ONLY epoch 0 — the epoch scan alone cannot tell a
+    // later fresh checkpoint apart from run A replaying its batch 0.
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir,
+      0L, Some("ckpt-A"))
+    assert(index.owner(spark).contains("ckpt-A"),
+      "the first batch must stamp the index with its checkpoint identity")
+    // Run A replays epoch 0 (crash before commit): same owner, allowed.
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"), index, pairsDir,
+      0L, Some("ckpt-A"))
+    // Run B (fresh checkpoint) starts at batch 0 over run A's index:
+    // without the marker this would silently overwrite epoch 0 while
+    // probing empty standing state. The marker catches it.
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(
+        Seq((3L, base)).toDF("doc_id", "text"), index, pairsDir,
+        0L, Some("ckpt-B"))
+    }
+    assert(e.getMessage.contains("ckpt-A") && e.getMessage.contains("ckpt-B"))
+    assert(spark.read.parquet(indexDir)
+      .select("doc_id").distinct().count() == 2,
+      "the refused batch must not have touched the index")
+  }
+
+  test("bucketed index: pre-epoch layout fails the append with the migration message") {
+    import spark.implicits._
+    val tbl = "incr_legacy_bucketed_spec"
+    val pairsDir = tmpDir("incr-lb-pairs") + "/pairs"
+    try {
+      // A legacy bucketed table: band rows WITHOUT the batch_id column.
+      graft.ops.Bucketing.appendBucketed(
+        graft.dedup.DedupQueries.bandsOfDocs(
+          Seq((1L, base)).toDF("doc_id", "text")), tbl, "bh", 8)
+      // Appending epoch-stamped rows would corrupt it positionally;
+      // probing batch_id would throw AnalysisException mid-append. The
+      // guard must fail FIRST, with the migration path in the message.
+      val e = intercept[IllegalStateException] {
+        IncrementalDedup.processBatch(
+          Seq((20L, base)).toDF("doc_id", "text"),
+          IncrementalDedup.BucketedIndex(tbl, 8), pairsDir, 0L)
+      }
+      assert(e.getMessage.contains("pre-epoch layout"))
+      assert(e.getMessage.contains("batch_id"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
