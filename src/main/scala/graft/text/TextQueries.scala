@@ -53,6 +53,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-EXACT token accounting: per-doc BPE token counts under
+    * the pinned merges table ([[Bpe]]) — what `mixture_plan_bpe` and
+    * `pack_sequences_bpe` bill against, alongside `token_count`'s
+    * cheap estimates. The whitespace count rides along so the
+    * compression ratio (chars the merges saved) is read off one row.
+    * One narrow projection, zero shuffle; the oracle replays the SAME
+    * rank-ordered merge chain on the same builtins. */
+  private val tokenCountBpe = Q(
+    "token_count_bpe", {
+      val m = Bpe.sqlMergedSymbols("text")
+      s"""WITH m AS (SELECT doc_id, $m AS s FROM documents)
+         |SELECT doc_id, ${Bpe.sqlCountFromMerged("s")} AS n_bpe_tokens
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), Bpe.mergedSymbols(col("text")).as("s"))
+      .select(col("doc_id"),
+        Bpe.countFromMerged(col("s")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length/stopword-ratio heuristics. Ratios are
     * int/int divisions — exact on both engines. */
   private val textQuality = Q(
@@ -438,22 +459,26 @@ object TextQueries {
     * the same global (split, doc_id) concatenation order. */
   private val SeqLen = 2048
 
-  /** The (doc_id, split, n_tokens) frame both packer forms consume. */
-  private[text] def packInput(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, split, n_tokens) frame both packer forms consume;
+    * `nTokens` is the billing column (whitespace estimate for
+    * `pack_sequences`, tokenizer-exact [[Bpe]] for the `_bpe` twin). */
+  private[text] def packInput(
+      s: SparkSession, dir: String,
+      nTokens: Column = size(toks).cast("long")): DataFrame = {
     val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
     Tables(s, dir).documents
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+        nTokens.as("n_tokens"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))
   }
 
-  private val packSequences = Q(
-    "pack_sequences", {
-      val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
-      val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
-      s"""WITH d AS (
+  /** Oracle twin of the packer: windowed prefix-sum form over the
+    * given per-doc token count SQL. */
+  private def sqlPackSequences(nTok: String): String = {
+    val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH d AS (
          |  SELECT doc_id, $nTok AS n_tokens,
          |         CASE WHEN $bucket < 90 THEN 'train'
          |              WHEN $bucket < 95 THEN 'val'
@@ -471,8 +496,29 @@ object TextQueries {
          |       CAST((start_offset + n_tokens - 1) // $SeqLen AS BIGINT) AS seq_last
          |FROM w
          |ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-    PackSequences.twoPhase(s, packInput(s, dir), SeqLen)
+  }
+
+  private val packSequences = Q(
+    "pack_sequences",
+    sqlPackSequences("CAST(len(string_split(text, ' ')) AS BIGINT)")) {
+    (s, dir) =>
+      PackSequences.twoPhase(s, packInput(s, dir), SeqLen)
+        .select("doc_id", "split", "n_tokens", "start_offset",
+          "seq_first", "seq_last")
+        .orderBy("doc_id")
+  }
+
+  /** Sequence packing billed in TOKENIZER-EXACT counts ([[Bpe]]) —
+    * the layout a training run actually materializes (whitespace
+    * estimates mis-place every downstream boundary once one doc's
+    * estimate is off). Identical two-phase distributed packer; only
+    * the billing column changes. */
+  private val packSequencesBpe = Q(
+    "pack_sequences_bpe",
+    sqlPackSequences(Bpe.sqlCountFromMerged(
+      s"(${Bpe.sqlMergedSymbols("text")})"))) { (s, dir) =>
+    PackSequences.twoPhase(
+      s, packInput(s, dir, Bpe.tokenCount(col("text"))), SeqLen)
       .select("doc_id", "split", "n_tokens", "start_offset",
         "seq_first", "seq_last")
       .orderBy("doc_id")
@@ -1185,30 +1231,11 @@ object TextQueries {
     * totals join. At 100 TB this is a single aggregation pass — the
     * cheapest query in the curation suite, run before every mixture
     * decision. */
-  private val mixturePlan = Q(
-    "mixture_plan",
-    """WITH per AS (
-      |  SELECT source, count(*) AS n_docs,
-      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source
-      |), tot AS (
-      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-      |         count(*) AS n_sources
-      |  FROM per
-      |)
-      |SELECT source, n_docs, n_tokens,
-      |       CAST(n_tokens * 1000 // total_tokens AS BIGINT) AS share_e3,
-      |       CAST(total_tokens // 2 // n_sources AS BIGINT) AS target_tokens,
-      |       CAST(least(1000, (total_tokens // 2 // n_sources) * 1000 // n_tokens)
-      |            AS BIGINT) AS rate_e3,
-      |       CAST((total_tokens // 2 // n_sources) * 1000 // n_tokens
-      |            AS BIGINT) AS epochs_e3
-      |FROM per CROSS JOIN tot
-      |ORDER BY source""".stripMargin) { (s, dir) =>
-    val per = Tables(s, dir).documents
-      .select(col("source"), size(toks).cast("long").as("tk"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+  /** The shared plan body: per-source (n_docs, n_tokens) → shares,
+    * targets, sampling rates. Both the estimate-token and BPE-token
+    * mixture queries feed it; the token definition is the ONLY
+    * difference between them. */
+  private def mixturePlanFrom(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(tot))
@@ -1221,6 +1248,52 @@ object TextQueries {
         expr("(total_tokens DIV 2 DIV n_sources) * 1000 DIV n_tokens")
           .as("epochs_e3"))
       .orderBy("source")
+  }
+
+  /** Oracle twin of [[mixturePlanFrom]]: takes the SQL for the per-doc
+    * token count and emits the full plan query. */
+  private def sqlMixturePlan(perDocTokens: String): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum($perDocTokens) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         count(*) AS n_sources
+       |  FROM per
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |       CAST(n_tokens * 1000 // total_tokens AS BIGINT) AS share_e3,
+       |       CAST(total_tokens // 2 // n_sources AS BIGINT) AS target_tokens,
+       |       CAST(least(1000, (total_tokens // 2 // n_sources) * 1000 // n_tokens)
+       |            AS BIGINT) AS rate_e3,
+       |       CAST((total_tokens // 2 // n_sources) * 1000 // n_tokens
+       |            AS BIGINT) AS epochs_e3
+       |FROM per CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
+  private val mixturePlan = Q(
+    "mixture_plan",
+    sqlMixturePlan("len(string_split(text, ' '))")) { (s, dir) =>
+    mixturePlanFrom(Tables(s, dir).documents
+      .select(col("source"), size(toks).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens")))
+  }
+
+  /** The mixture plan billed in TOKENIZER-EXACT counts ([[Bpe]]) —
+    * the production budget (a source whose docs compress well under
+    * the merges weighs measurably less than its whitespace estimate,
+    * shifting shares and epoch rates). Same single-pass plan shape as
+    * `mixture_plan`; only the per-doc count expression changes. */
+  private val mixturePlanBpe = Q(
+    "mixture_plan_bpe",
+    sqlMixturePlan(Bpe.sqlCountFromMerged(
+      s"(${Bpe.sqlMergedSymbols("text")})"))) { (s, dir) =>
+    mixturePlanFrom(Tables(s, dir).documents
+      .select(col("source"), Bpe.tokenCount(col("text")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens")))
   }
 
   /** Hashed-feature buckets for the importance scorer. Small enough
@@ -1302,13 +1375,14 @@ object TextQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(textNormalize, textTokens, tokenCount, textQuality, langId, docFingerprint,
+    Seq(textNormalize, textTokens, tokenCount, tokenCountBpe, textQuality,
+      langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
-      packSequences, textDecontaminate,
+      packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textPerplexityBits, textBigramBits, sampleUniformHash,
-      textQualityTiers, mixturePlan, dsirImportance)
+      textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression
