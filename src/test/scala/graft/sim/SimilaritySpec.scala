@@ -168,6 +168,26 @@ class SimilaritySpec extends SparkSpec {
       "multi-member groups must be represented by their argmin member")
   }
 
+  test("graph search: probe first, beats bucket-only LSH, recall vs exact top-10") {
+    val exact10 = SparkEntry.queries("similarity_topk")(spark, sf)
+      .collect().take(10).map(_.getAs[Long]("vec_id"))
+    val gs = SparkEntry.queries("similarity_graph_search")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // The probe's own bucket seeds the walk, so the probe scores
+    // itself and must rank first.
+    assert(gs.head == exact10.head)
+    val overlap = gs.count(exact10.toSet.contains)
+    assert(overlap >= 6, s"graph-search recall@10 too low: $overlap of 10")
+    // The point of the walk: it must recover at least as much of the
+    // exact top-10 as the bucket-pruned LSH entry it starts from
+    // (measured at sf0.01: 8/10 vs 1/10).
+    val lsh = SparkEntry.queries("similarity_ann_lsh")(spark, sf)
+      .collect().take(10).map(_.getAs[Long]("vec_id"))
+    val lshOverlap = lsh.count(exact10.toSet.contains)
+    assert(overlap >= lshOverlap,
+      s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
+  }
+
   test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
     val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
     assert(rerank.length == 10)
