@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** The streaming incremental loops as REPLAYABLE bench cells — the
+  * spec-only surface brought under the regression gate (each cell is a
+  * deterministic 3-epoch run of one loop's `processBatch` against
+  * fresh state dirs, so a timing regression in the probe/append
+  * machinery reads as a flagged cell, not a silent drift).
+  *
+  * Batches split the SF corpus by key mod 3 — every row passes through
+  * the loop exactly once, so the cell prices the full standing-index
+  * lifecycle at that SF: epoch 0 cold (no standing side), epochs 1-2
+  * probing + growing it. Wall time is the three calls end to end,
+  * including the effectively-once partitioned appends.
+  */
+object BenchStreams {
+
+  /** name → (session, sfDir, scratchDir) => Unit. Callers provide a
+    * FRESH scratch dir per attempt (state is the product; reusing one
+    * would trip the epoch-continuity guard by design). */
+  val cells: Seq[(String, (SparkSession, String, String) => Unit)] = Seq(
+    "stream_dedup_loop" -> { (spark, sfDir, dir) =>
+      val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+      for (b <- 0L to 2L)
+        streaming.IncrementalDedup.processBatch(
+          docs.filter(col("doc_id") % 3 === b),
+          s"$dir/index", s"$dir/pairs", b)
+    },
+    "stream_semdedup_loop" -> { (spark, sfDir, dir) =>
+      val vecs = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+      for (b <- 0L to 2L)
+        streaming.IncrementalSemDedup.processBatch(
+          vecs.filter(col("vec_id") % 3 === b),
+          s"$dir/index", s"$dir/pairs", b)
+    },
+    "stream_media_loop" -> { (spark, sfDir, dir) =>
+      val items = mm.Multimodal.mediaItems(spark, sfDir, "image").toDF()
+      for (b <- 0L to 2L)
+        streaming.IncrementalMediaDedup.processBatch(
+          items.filter(col("item_id") % 3 === b), "image",
+          s"$dir/index", s"$dir/pairs", b)
+    })
+
+  /** Run one cell in a fresh scratch dir; returns wall seconds or -1
+    * on failure. Scratch is deleted afterwards — the cell prices the
+    * loop, not the disk it leaves behind. */
+  def runCell(
+      spark: SparkSession, sfDir: String,
+      cell: (String, (SparkSession, String, String) => Unit)): Double = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("bench-" + cell._1).toString
+    val t0 = System.nanoTime()
+    val wall =
+      try { cell._2(spark, sfDir, scratch); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${cell._1} failed: ${e.getMessage}")
+        -1.0
+      }
+    try {
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    } catch { case _: Throwable => () }
+    wall
+  }
+}

@@ -180,12 +180,12 @@ object IncrementalDedup {
   /** One micro-batch step: probe, emit pairs, grow the index.
     * Exposed for specs; [[start]] wires it behind a checkpoint,
     * passing the epoch id that makes replays idempotent. */
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       docs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
     processBatch(docs, DirIndex(indexDir), pairsDir, batchId, None)
 
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       docs: DataFrame, index: BandIndex, pairsDir: String,
       batchId: Long, ownerId: Option[String] = None): Unit = {
     if (docs.isEmpty) return

@@ -59,13 +59,13 @@ object IncrementalMediaDedup {
     * key, bands)): with the band key a stored column, a
     * [[IncrementalDedup.BucketedIndex]] on `key` feeds the probe with
     * zero Exchange, same as the text/embedding standing indexes. */
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       items: DataFrame, modality: String,
       indexDir: String, pairsDir: String, batchId: Long): Unit =
     processBatch(items, modality, IncrementalDedup.DirIndex(indexDir),
       pairsDir, batchId, None)
 
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       items: DataFrame, modality: String,
       index: IncrementalDedup.BandIndex,
       pairsDir: String, batchId: Long,

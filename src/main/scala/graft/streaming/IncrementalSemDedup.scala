@@ -51,13 +51,13 @@ object IncrementalSemDedup {
   /** One micro-batch step over (vec_id, embedding) rows: probe, emit
     * pairs, grow the index. Exposed for specs; [[start]] wires it
     * behind a checkpoint. */
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       vecs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
     processBatch(
       vecs, IncrementalDedup.DirIndex(indexDir), pairsDir, batchId, None)
 
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
       batchId: Long, ownerId: Option[String] = None): Unit = {
     if (vecs.isEmpty) return

@@ -28,11 +28,18 @@ object BenchOne {
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (q <- name.split(',').map(_.trim).filter(_.nonEmpty)) {
-      val fn = SparkEntry.queries(q)
+      // Stream cells (BenchStreams) run by the same name scheme as
+      // declared queries; their wall time includes their own writes.
+      val streamCell = graft.BenchStreams.cells.find(_._1 == q)
+      val fn = if (streamCell.isEmpty) SparkEntry.queries(q) else null
       val walls = for (i <- 1 to n) yield {
         jobLog.clear()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        streamCell match {
+          case Some(cell) => graft.BenchStreams.runCell(spark, sfDir, cell)
+          case None =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // let listener drain
         import scala.jdk.CollectionConverters._

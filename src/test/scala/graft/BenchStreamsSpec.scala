@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** The streaming bench cells: replayable, state-producing, and
+  * self-cleaning — so the bench gate prices the loops without leaving
+  * scratch behind. */
+class BenchStreamsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup cell runs the full corpus through 3 epochs and emits pairs") {
+    val dir = tmpDir("bench-stream-spec")
+    val cell = BenchStreams.cells.find(_._1 == "stream_dedup_loop").get
+    cell._2(spark, sf, dir)
+    val idx = spark.read.parquet(s"$dir/index")
+    // Every doc banded exactly once, across the three epoch partitions.
+    assert(idx.select("doc_id").distinct().count() == 500)
+    assert(idx.select("batch_id").distinct().count() == 3)
+    // The planted duplicates in the corpus cross epochs, so the loop
+    // must have emitted pairs.
+    assert(spark.read.parquet(s"$dir/pairs").count() > 0)
+  }
+
+  test("runCell times an attempt and removes its scratch") {
+    val before = java.nio.file.Files.list(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(_.getFileName.toString.startsWith("bench-stream_semdedup_loop"))
+      .count()
+    val wall = BenchStreams.runCell(spark, sf,
+      BenchStreams.cells.find(_._1 == "stream_semdedup_loop").get)
+    assert(wall > 0, "cell must complete and report wall seconds")
+    val after = java.nio.file.Files.list(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(_.getFileName.toString.startsWith("bench-stream_semdedup_loop"))
+      .count()
+    assert(after == before, "scratch dirs must be deleted")
+  }
+
+  test("all three cells are declared and keyed as stream_*") {
+    assert(BenchStreams.cells.map(_._1).sorted ==
+      Seq("stream_dedup_loop", "stream_media_loop", "stream_semdedup_loop"))
+    BenchStreams.cells.foreach { case (name, _) =>
+      assert(name.startsWith("stream_"))
+    }
+  }
+}
