@@ -1,0 +1,108 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gap replay over the partition-overwrite sink: plans from storage,
+  * converges through crashes, and corrects in place — the
+  * catchup-knob the reference DAG (`catchup=False`) hands to its
+  * operator. */
+class BackfillSpec extends SparkSpec {
+
+  // Hour-partitioned synthetic table: hour h holds rows h*10..h*10+9.
+  private def hourFrame(s: SparkSession, h: String): DataFrame = {
+    import s.implicits._
+    (0 until 10).map(i => (h.toInt * 10 + i, h)).toDF("v", "hour")
+  }
+
+  // Partition discovery reads `hour=0` back as an integer column;
+  // stringify for comparison.
+  private def tableRows(dir: String): Set[(Int, String)] =
+    spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Int]("v"),
+        String.valueOf(r.getAs[Any]("hour")))).toSet
+
+  private val hours = Seq("0", "1", "2", "3", "4")
+
+  test("plan derives from storage; only gaps replay; re-run is a no-op") {
+    val dir = tmpDir("backfill") + "/t"
+    for (h <- Seq("0", "1", "3")) // hole at 2 and 4
+      Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
+    assert(Backfill.missingPartitions(spark, dir, "hour", hours)
+      == Seq("2", "4"))
+    var computed = Vector.empty[String]
+    val r = Backfill.run(spark, dir, "hour", hours) { (s, h) =>
+      computed :+= h; hourFrame(s, h)
+    }
+    assert(r.replayed == Seq("2", "4") && computed == Vector("2", "4"),
+      "only the gaps may be recomputed")
+    assert(r.skipped.toSet == Set("0", "1", "3"))
+    assert(tableRows(dir) ==
+      (0 until 50).map(v => (v, (v / 10).toString)).toSet)
+    // Converged: the next run finds nothing to do and computes nothing.
+    val r2 = Backfill.run(spark, dir, "hour", hours)(
+      (_, h) => fail(s"no gap left, must not recompute $h"))
+    assert(r2.replayed.isEmpty && r2.forced.isEmpty)
+  }
+
+  test("a crashed partial replay converges on re-run") {
+    val dir = tmpDir("backfill-crash") + "/t"
+    for (h <- Seq("0", "3")) // holes at 1, 2, 4
+      Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
+    // First attempt dies after landing hour 1 (mid-outage re-crash).
+    intercept[RuntimeException] {
+      Backfill.run(spark, dir, "hour", hours) { (s, h) =>
+        if (h == "2") throw new RuntimeException("spark died")
+        hourFrame(s, h)
+      }
+    }
+    assert(Backfill.existingPartitions(spark, dir, "hour")
+      == Set("0", "1", "3"), "completed partitions survive the crash")
+    // The re-run's plan no longer contains hour 1: it fills 2 and 4
+    // and the table converges to the no-crash result.
+    val r = Backfill.run(spark, dir, "hour", hours)((s, h) => hourFrame(s, h))
+    assert(r.replayed == Seq("2", "4"))
+    assert(tableRows(dir) ==
+      (0 until 50).map(v => (v, (v / 10).toString)).toSet)
+  }
+
+  test("force recomputes exactly the named partitions (late-data correction)") {
+    val dir = tmpDir("backfill-force") + "/t"
+    for (h <- hours)
+      Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
+    import spark.implicits._
+    val r = Backfill.run(spark, dir, "hour", hours, force = Seq("1")) {
+      (s, h) => Seq((999, h)).toDF("v", "hour")
+    }
+    assert(r.forced == Seq("1") && r.replayed.isEmpty)
+    assert(tableRows(dir) ==
+      ((0 until 50).filter(v => v / 10 != 1).map(v => (v, (v / 10).toString))
+        :+ (999, "1")).toSet,
+      "only hour 1 was swapped; every other partition untouched")
+  }
+
+  test("a compute straying outside its partition is refused before writing") {
+    val dir = tmpDir("backfill-stray") + "/t"
+    Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")
+    val before = tableRows(dir)
+    val e = intercept[IllegalArgumentException] {
+      Backfill.run(spark, dir, "hour", Seq("0", "1")) { (s, h) =>
+        hourFrame(s, h).withColumn("hour", lit("0")) // clobbers hour 0
+      }
+    }
+    assert(e.getMessage.contains("refusing"))
+    assert(tableRows(dir) == before, "nothing may have been written")
+  }
+
+  test("empty recomputes are reported, not written") {
+    val dir = tmpDir("backfill-empty") + "/t"
+    Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")
+    val r = Backfill.run(spark, dir, "hour", Seq("0", "1")) { (s, h) =>
+      hourFrame(s, h).filter(lit(false))
+    }
+    assert(r.empty == Seq("1") && r.replayed.isEmpty)
+    assert(Backfill.existingPartitions(spark, dir, "hour") == Set("0"),
+      "an empty frame cannot fill a partition")
+  }
+}
