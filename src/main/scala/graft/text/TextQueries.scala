@@ -108,38 +108,67 @@ object TextQueries {
   /** Language ID by marker-word counts with a deterministic argmax
     * (n-gram-heuristic family; marker lists kept tiny for oracle parity).
     */
+  /** Pinned char-trigram language model — langid/fastText-class in
+    * SHAPE (additive integer feature weights over character n-grams,
+    * argmax over per-language scores), pinned-fixture in VALUES (the
+    * weights are public-knowledge characteristic trigrams per
+    * language, integer log-likelihood-ratio-style; production swaps
+    * in a trained table). Single source of truth for the Spark side
+    * AND the oracle — both replay these exact literals. */
+  private[text] val LangModel: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("the" -> 4, "and" -> 3, "ing" -> 3, "ion" -> 2, " a " -> 2),
+    "fr" -> Seq(" le" -> 4, "les" -> 3, "ent" -> 2, "que" -> 3, "eur" -> 2),
+    "es" -> Seq(" el" -> 4, "los" -> 3, "ado" -> 2, "nte" -> 2, "ara" -> 2),
+    "de" -> Seq("der" -> 4, "sch" -> 3, "ein" -> 3, "und" -> 3, "ich" -> 2))
+
+  /** Language ID — char-n-gram scoring with the pinned integer model
+    * ([[LangModel]]): each language's score is Σ weight × occurrences
+    * of its trigrams (non-overlapping left-to-right substring counts —
+    * `(len(text) − len(remove(g)))/len(g)`, identical semantics on
+    * both engines), predicted language is the deterministic argmax
+    * (ties resolve in model order). One narrow projection of integer
+    * arithmetic, zero shuffle, linear scans per trigram — the same
+    * scan-bound posture as `token_count` at 100 TB. */
   private val langId = Q(
-    "lang_id",
-    """SELECT doc_id, c_en, c_fr, c_es, c_de,
-      |       CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
-      |            WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
-      |            WHEN c_es >= c_de THEN 'es'
-      |            ELSE 'de' END AS pred_lang
-      |FROM (
-      |  SELECT doc_id,
-      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS c_en,
-      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les'))) AS BIGINT) AS c_fr,
-      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las'))) AS BIGINT) AS c_es,
-      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS BIGINT) AS c_de
-      |  FROM documents
-      |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    def cnt(words: String*): Column =
-      size(filter(toks, t => t.isin(words: _*))).cast("long")
-    Tables(s, dir).documents
-      .select(
-        col("doc_id"),
-        cnt("the", "a").as("c_en"),
-        cnt("le", "la", "les").as("c_fr"),
-        cnt("el", "los", "las").as("c_es"),
-        cnt("der", "die", "das").as("c_de"))
+    "lang_id", {
+      val scores = LangModel.map { case (lang, grams) =>
+        grams.map { case (g, w) =>
+          val lit = g.replace("'", "''")
+          s"$w * CAST((length(text) - length(replace(text, '$lit', ''))) // ${g.length} AS BIGINT)"
+        }.mkString(" + ") + s" AS s_$lang"
+      }.mkString(",\n         ")
+      """SELECT doc_id, s_en, s_fr, s_es, s_de,
+        |       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |            WHEN s_es >= s_de THEN 'es'
+        |            ELSE 'de' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |         """.stripMargin + scores + """
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    langScored(Tables(s, dir).documents).orderBy("doc_id")
+  }
+
+  /** [[LangModel]] scoring + argmax over any (doc_id, text) frame —
+    * the `lang_id` body, factored so specs can plant texts. */
+  private[text] def langScored(docs: DataFrame): DataFrame = {
+    def score(grams: Seq[(String, Int)]): Column =
+      grams.map { case (g, w) =>
+        (length(col("text")) - length(replace(col("text"), lit(g), lit(""))))
+          .divide(lit(g.length)).cast("long") * lit(w.toLong)
+      }.reduce(_ + _)
+    docs
+      .select(col("doc_id") +:
+        LangModel.map { case (lang, grams) => score(grams).as(s"s_$lang") }: _*)
       .withColumn(
         "pred_lang",
-        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es")
-            && col("c_en") >= col("c_de"), "en")
-          .when(col("c_fr") >= col("c_es") && col("c_fr") >= col("c_de"), "fr")
-          .when(col("c_es") >= col("c_de"), "es")
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_es") >= col("s_de"), "es")
           .otherwise("de"))
-      .orderBy("doc_id")
   }
 
   /** Document fingerprinting: whole-text md5, min-token-hash (1-function

@@ -10,6 +10,28 @@ class CorpusAnalysisSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("lang_id: planted texts score and argmax under the pinned n-gram model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the thing and more things"), // en markers: the/and/ing
+      (2L, "der schein und ich"), // de markers: der/sch/ein/und/ich
+      (3L, "les valeurs que le meilleur"), // fr: les/ le /que/eur
+      (4L, "los ganado parante parara"), // es: los/ado/nte/ara
+      (5L, "zz qq xx")) // no n-gram hits anywhere -> en tie-break
+      .toDF("doc_id", "text")
+    val scored = TextQueries.langScored(df).collect()
+    val got = scored.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("pred_lang")).toMap
+    // Hand-check one score: doc 1 "the thing and more things" —
+    // "the" 1x (w4), "and" 1x (w3), "ing" 2x (w3 each): s_en = 13.
+    val r1 = scored.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("s_en") == 13L,
+      s"hand-computed en score mismatch: ${r1.getAs[Long]("s_en")}")
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr",
+      4L -> "es", 5L -> "en"))
+  }
+
   test("text_line_dedup: survivors are an in-order segment subsequence; boilerplate actually drops") {
     val rows = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
