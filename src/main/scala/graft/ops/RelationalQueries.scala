@@ -615,6 +615,63 @@ object RelationalQueries {
       .orderBy("s_nationkey")
   }
 
+  /** The planted power-law join key: ~70% of lineitem rows collapse
+    * onto supplier key 1 (the hot key), the rest keep their real
+    * supplier — the worst-case shape the salting machinery and AQE's
+    * skew-join both exist for, derived deterministically from the
+    * driver tables so both engines and every SF see the same skew. */
+  private def skewKey: Column =
+    when(pmod(col("l_orderkey"), lit(10)) < 7, lit(1L))
+      .otherwise(col("l_suppkey"))
+
+  private val sqlSkewJoin =
+    s"""SELECT s_nationkey,
+       |       count(*) AS n_items,
+       |       ${Det.sqlDsum("l_extendedprice")} AS sum_price
+       |FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+       |                  ELSE l_suppkey END AS skew_key,
+       |             l_extendedprice
+       |      FROM lineitem)
+       |JOIN supplier ON skew_key = s_suppkey
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin
+
+  /** The skewed join DECLARED PLAIN — the AQE path: no salting, the
+    * optimizer's skew-join split handles the hot key at runtime
+    * (SkewJoinSpec forces the thresholds locally and pins the
+    * `skew=true` rewrite in the final adaptive plan; at 100 TB the
+    * default thresholds trip on their own). Same oracle as the salted
+    * twin — the equivalence the pair exists to prove. */
+  private val joinSkewAqe = Q("join_skew_aqe", sqlSkewJoin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .select(skewKey.as("skew_key"), col("l_extendedprice"))
+      .join(t.supplier, col("skew_key") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  /** The same skewed join through explicit salting ([[Salting
+    * .saltedJoin]]) — the belt-and-suspenders path for engines or
+    * shapes AQE doesn't cover (broadcast-disabled builds, non-SMJ
+    * plans). Bit-identical results to [[joinSkewAqe]] by shared
+    * oracle; the hot key's rows spread across 8 reducers by the
+    * rotating salt. */
+  private val joinSkewSalted = Q("join_skew_salted", sqlSkewJoin) { (s, dir) =>
+    val t = Tables(s, dir)
+    Salting.saltedJoin(
+      t.lineitem.select(skewKey.as("skew_key"), col("l_extendedprice")),
+      t.supplier, "skew_key", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
   /** Exact interpolated quantiles (R-7, the definition both engines'
     * exact percentile implements) per group. Values go through Det
     * integer units first: with integer-valued doubles and dyadic
@@ -2045,7 +2102,7 @@ object RelationalQueries {
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, aggApproxTopk, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
-    aggSalted, joinSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
+    aggSalted, joinSalted, joinSkewAqe, joinSkewSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
     joinAsofForward, joinAsofTolerance,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
