@@ -396,6 +396,137 @@ object DedupQueries {
       .orderBy("scheme")
   }
 
+  /** Candidate (B,R) factorizations of the K=12 signature the tuner
+    * chooses among — every banding is a projection of the ONE shared
+    * min-hash pass, so widening the menu costs re-banding, never
+    * re-hashing. */
+  private val BandSchemes: Seq[(String, Int, Int)] =
+    Seq(("b2r6", 2, 6), ("b3r4", 3, 4), ("b4r3", 4, 3), ("b6r2", 6, 2))
+
+  /** The tuner's recall floor: a banding must catch ≥ this fraction
+    * (ppm) of the reference true-pair set to be eligible. */
+  private[dedup] final val BandTargetRecallPpm = 900000L
+
+  /** BANDING AUTO-TUNER — closes the `dedup_banding_tradeoff` loop:
+    * instead of reporting the precision/volume table for a human, this
+    * SELECTS the (B,R) scheme to run with. Every candidate pair of
+    * every scheme is verified with exact shingle Jaccard at the recall
+    * audit's τ; the reference set is the DISTINCT union of verified
+    * true pairs across all schemes (the measurable denominator — an
+    * honest relative-recall basis, since exact corpus-wide truth is
+    * quadratic); each scheme scores recall vs that reference and
+    * precision over its own candidates. Selection rule, deterministic:
+    * the cheapest scheme (fewest candidates) among those clearing
+    * [[BandTargetRecallPpm]]; if none clears, the max-recall scheme —
+    * ties break by scheme name. Output is the full scored menu with a
+    * `selected` flag, so the decision is auditable next to the
+    * evidence. Cost: ONE corpus min-hash pass projected into four
+    * bandings, candidate-bounded verify joins semi-pruned to touched
+    * docs — the tradeoff query's posture times two more projections. */
+  private val dedupBandingSelect = Q(
+    "dedup_banding_select", {
+      val tau = RecallTauE6
+      val ctes = BandSchemes.map { case (n, bb, rr) =>
+        sqlCandCteBR(bb, rr, s"${n}_").stripPrefix("WITH ")
+      }.mkString(",\n")
+      val union = BandSchemes.map { case (n, bb, rr) =>
+        s"SELECT '$n' AS scheme, $bb AS bands, $rr AS rows_per_band, doc_a, doc_b FROM ${n}_cand"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $ctes,
+         |cand_all AS (
+         |  $union
+         |), shs AS (
+         |  SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents
+         |), jj AS (
+         |  SELECT scheme, bands, rows_per_band, cand_all.doc_a, cand_all.doc_b,
+         |         CASE WHEN CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+         |                   // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |                   >= $tau THEN 1 ELSE 0 END AS is_true
+         |  FROM cand_all
+         |  JOIN shs a ON cand_all.doc_a = a.doc_id
+         |  JOIN shs b ON cand_all.doc_b = b.doc_id
+         |), ref AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_ref FROM (
+         |    SELECT DISTINCT doc_a, doc_b FROM jj WHERE is_true = 1)
+         |), agg AS (
+         |  SELECT scheme, bands, rows_per_band,
+         |         CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(sum(is_true) AS BIGINT) AS n_true
+         |  FROM jj GROUP BY scheme, bands, rows_per_band
+         |), scored AS (
+         |  SELECT scheme, bands, rows_per_band, n_candidates, n_true,
+         |         n_true * 1000000 // n_candidates AS precision_ppm,
+         |         n_true * 1000000 // n_ref AS recall_ppm
+         |  FROM agg CROSS JOIN ref
+         |), sel AS (
+         |  SELECT scheme AS sel_scheme FROM scored
+         |  ORDER BY (recall_ppm >= $BandTargetRecallPpm) DESC,
+         |           CASE WHEN recall_ppm >= $BandTargetRecallPpm
+         |                THEN n_candidates ELSE 1000000 - recall_ppm END ASC,
+         |           scheme
+         |  LIMIT 1
+         |)
+         |SELECT scheme, CAST(bands AS BIGINT) AS bands,
+         |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |       n_candidates, n_true, precision_ppm, recall_ppm,
+         |       (scheme = sel_scheme) AS selected
+         |FROM scored CROSS JOIN sel
+         |ORDER BY scheme""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val sig = signaturesOfDocs(t.documents).cut(false)
+    val cand = BandSchemes.map { case (n, bb, rr) =>
+      candidatePairsOf(bandsFromSig(sig, bb, rr))
+        .select(lit(n).as("scheme"), lit(bb.toLong).as("bands"),
+          lit(rr.toLong).as("rows_per_band"), col("doc_a"), col("doc_b"))
+    }.reduce(_.unionByName(_)).cut()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = tokenized(t)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("toks"))).as("sh"))
+      .cut()
+    val jj = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("scheme"), col("bands"), col("rows_per_band"),
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("ni"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"))
+      .select(col("scheme"), col("bands"), col("rows_per_band"),
+        col("doc_a"), col("doc_b"),
+        when(expr("ni * 1000000 DIV (na + nb - ni)") >= RecallTauE6, 1L)
+          .otherwise(0L).as("is_true"))
+      .cut(false)
+    val ref = jj.filter(col("is_true") === 1L)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .agg(count(lit(1)).as("n_ref"))
+    val scored = jj
+      .groupBy(col("scheme"), col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("is_true")).as("n_true"))
+      .crossJoin(broadcast(ref))
+      .select(col("scheme"), col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true"),
+        expr("n_true * 1000000 DIV n_candidates").as("precision_ppm"),
+        expr("n_true * 1000000 DIV n_ref").as("recall_ppm"))
+    val sel = scored
+      .orderBy((col("recall_ppm") >= BandTargetRecallPpm).desc,
+        when(col("recall_ppm") >= BandTargetRecallPpm, col("n_candidates"))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scheme"))
+      .limit(1)
+      .select(col("scheme").as("sel_scheme"))
+    scored.crossJoin(broadcast(sel))
+      .select(col("scheme"), col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true"),
+        col("precision_ppm"), col("recall_ppm"),
+        (col("scheme") === col("sel_scheme")).as("selected"))
+      .orderBy("scheme")
+  }
+
   /** Per-doc 16-bit SimHash (per-bit majority vote over token hashes),
     * shared by the fingerprint query and the hamming-pair query. */
   private def simhashOf(t: Tables): DataFrame = {
@@ -2057,7 +2188,7 @@ object DedupQueries {
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
       dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
-      dedupBandingTradeoff, dedupSimhash, dedupSimhashPairs,
+      dedupBandingTradeoff, dedupBandingSelect, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
       dedupSurvivors, dedupSurvivorsQuality, splitAssignDedup,
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,

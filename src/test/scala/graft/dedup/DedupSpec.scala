@@ -293,6 +293,32 @@ class DedupSpec extends SparkSpec {
       s"shared conf/plans must be stable during the loop, saw: ${observed.asScala}")
   }
 
+  test("banding auto-tuner: exactly one selection, obeying the recall-floor rule") {
+    val rows = graft.SparkEntry.queries("dedup_banding_select")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[String]("scheme")).toSeq ==
+      Seq("b2r6", "b3r4", "b4r3", "b6r2"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bands") * r.getAs[Long]("rows_per_band") == 12L,
+        "every scheme must factorize the shared K=12 signature")
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+    assert(selected.length == 1, "exactly one scheme is the decision")
+    // Replay the declared rule on the reported table.
+    val target = graft.dedup.DedupQueries.BandTargetRecallPpm
+    val eligible = rows.filter(_.getAs[Long]("recall_ppm") >= target)
+    val expected =
+      if (eligible.nonEmpty)
+        eligible.minBy(r =>
+          (r.getAs[Long]("n_candidates"), r.getAs[String]("scheme")))
+      else rows.minBy(r =>
+        (1000000L - r.getAs[Long]("recall_ppm"), r.getAs[String]("scheme")))
+    assert(selected.head.getAs[String]("scheme")
+      == expected.getAs[String]("scheme"))
+  }
+
   test("driver union-find and distributed loop label identically (gate parity)") {
     import spark.implicits._
     // Chain (long diameter), clique (dense), disjoint pair, duplicate
