@@ -1737,8 +1737,11 @@ object SimilarityQueries {
        |            AS BIGINT) AS dup_ppm
        |FROM cv LEFT JOIN pc USING (cell) LEFT JOIN dv USING (cell)
        |ORDER BY cell""".stripMargin) { (s, dir) =>
-    val assign = trainedIvf(Tables(s, dir))._1.cut()
-    val pairs = semDedupPairsOf(assign).cut()
+    // Lazy cuts: both pins still materialize exactly once (shared by
+    // their two consumers), but inside the final action's job chain
+    // instead of as separate eager driver round-trips.
+    val assign = trainedIvf(Tables(s, dir))._1.cut(false)
+    val pairs = semDedupPairsOf(assign).cut(false)
     val pc = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
     val dv = pairs
       .select(col("cell"),
