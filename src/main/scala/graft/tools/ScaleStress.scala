@@ -42,7 +42,11 @@ object ScaleStress {
     "dedup_chunk_survivors", "text_perplexity_bits", "text_bigram_bits",
     "dedup_recall_eval", "mixture_plan", "dedup_containment",
     "dsir_importance", "dedup_banding_tradeoff", "dedup_survivors_quality",
-    "split_assign_dedup")
+    "split_assign_dedup",
+    // r11 additions (the stress dir holds documents+embeddings only,
+    // so the TPC-H-table skew pair is stressed by its own spec instead)
+    "token_count_bpe", "mixture_plan_bpe", "pack_sequences_bpe",
+    "dedup_banding_select")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",
@@ -51,7 +55,7 @@ object ScaleStress {
     "sim_pq_adc", "similarity_knn_graph", "knn_label_consistency",
     "embedding_components",
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
-    "semdedup_survivors")
+    "semdedup_survivors", "similarity_graph_search")
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
