@@ -37,7 +37,7 @@ object SimilarityQueries {
     * [[planesFor]](n) at every driver scale (n=500 at sf0.01, n=2000
     * at sf0.1); scale-sensitive callers (ScaleStress, production use)
     * go through [[planesFor]] + [[nearDupPairs]] instead. */
-  private[sim] val DefaultPlanes = 8
+  private[graft] val DefaultPlanes = 8
 
   /** Degenerate-bucket bound for [[nearDupPairs]], same policy as
     * [[graft.dedup.DedupQueries.MaxBucketPairDocs]]: all-pairs within a

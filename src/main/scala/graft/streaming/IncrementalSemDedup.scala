@@ -63,6 +63,7 @@ object IncrementalSemDedup {
     if (vecs.isEmpty) return
     val spark = vecs.sparkSession
     IncrementalDedup.requireEpochContinuity(index, spark, batchId, ownerId)
+    requireMultiTableIndex(index, spark, batchId)
     // Bucketing (the plane dot products) runs once: the batch frame is
     // consumed by the intra pass, the standing probe, and the append.
     // OR-AMPLIFIED index rows (4 disjoint-plane tables, table ordinal
@@ -99,6 +100,39 @@ object IncrementalSemDedup {
     index.append(newRows, batchId)
     IncrementalDedup.stampOwner(index, spark, ownerId)
   }
+
+  /** Refuses a SINGLE-TABLE legacy standing index — the silent-recall
+    * degradation the multi-table upgrade note warns about, made a
+    * hard stop: pre-upgrade rows store RAW buckets, which only
+    * collide in the packed key's table-0 range, so pre-upgrade
+    * vectors would get ~1-table recall forever. Detection is exact
+    * for any non-empty index: [[SimilarityQueries.multiBucketRowsOf]]
+    * emits one row per table per vector with table ordinals packed
+    * above bit [[SimilarityQueries.DefaultPlanes]], so a multi-table
+    * index always holds a bucket ≥ 2^planes while a legacy one never
+    * does. Runs at batch 0 only (one max() over the index — the same
+    * once-per-restart budget as the epoch guard); steady epochs pay
+    * nothing. Recovery: the index is derived state — drop the dir
+    * (keep the pairs table) and replay the corpus through one batch,
+    * or rebuild offline via multiBucketRowsOf into a fresh dir. */
+  private[streaming] def requireMultiTableIndex(
+      index: IncrementalDedup.BandIndex,
+      spark: org.apache.spark.sql.SparkSession, batchId: Long): Unit =
+    if (batchId == 0L && index.exists(spark)) {
+      val stored = index.read(spark)
+      if (stored.columns.contains("bucket")) {
+        val mx = stored.agg(max(col("bucket"))).collect()(0)
+        if (!mx.isNullAt(0) &&
+          mx.getLong(0) < (1L << SimilarityQueries.DefaultPlanes))
+          throw new IllegalStateException(
+            "standing semantic index stores single-table (raw) buckets: " +
+              "pre-upgrade vectors would get ~1-table recall forever. " +
+              "Rebuild the index (it is derived state): drop the index " +
+              "dir, keep the pairs table, and replay the corpus through " +
+              "one batch — or rebuild offline via " +
+              "SimilarityQueries.multiBucketRowsOf into a fresh dir.")
+      }
+    }
 
   /** Periodic COMPONENTS consumer over the loop's accumulated pair
     * table — the step that closes streaming semantic dedup end-to-end

@@ -213,4 +213,29 @@ class IncrementalSemDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
   }
+
+  test("a single-table legacy standing index is refused with the rebuild path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val indexDir = tmpDir("sem-legacy-index") + "/buckets"
+    val pairsDir = tmpDir("sem-legacy-pairs") + "/pairs"
+    // A pre-upgrade index: RAW single-table buckets (all < 2^planes),
+    // epoch-stamped like any index the old loop left behind.
+    graft.sim.SimilarityQueries
+      .bucketRowsOf(Seq((1L, base), (2L, far)).toDF("vec_id", "embedding"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(indexDir)
+    assert(spark.read.parquet(indexDir)
+      .agg(max(col("bucket"))).collect()(0).getLong(0) < 256L,
+      "fixture must be the raw single-table bucket range")
+    // Restarting the upgraded loop over it must stop, not silently
+    // serve ~1-table recall to every pre-upgrade vector forever.
+    val e = intercept[IllegalStateException] {
+      IncrementalSemDedup.processBatch(
+        Seq((3L, scaledDup)).toDF("vec_id", "embedding"),
+        indexDir, pairsDir, 0L)
+    }
+    assert(e.getMessage.contains("single-table"))
+    assert(e.getMessage.contains("Rebuild"))
+  }
 }
