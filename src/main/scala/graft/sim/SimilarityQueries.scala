@@ -1206,6 +1206,55 @@ object SimilarityQueries {
     * room for edges from DIFFERENT tables (the long-range links). */
   private val GsDegree = 8
 
+  /** The navigable search graph's CTE chain, ending in
+    * `knn(vec_id, nbr_id)` (and exposing `b0` for bucket seeding) —
+    * shared by the single-probe search and the multi-probe recall
+    * audit. */
+  private def sqlNavGraphCte: String = {
+    val tables = (0 until NearDupTables).map(sqlEmbPairsTableCte)
+      .mkString(",\n")
+    val union = (0 until NearDupTables)
+      .map(tb => s"SELECT * FROM pairs$tb").mkString("\n  UNION ALL ")
+    s"""$tables,
+       |allp AS (
+       |  SELECT DISTINCT vec_a, vec_b, sim_e6 FROM (
+       |  $union)
+       |), directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM allp
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, sim_e6 FROM allp
+       |), knn AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
+       |    FROM directed)
+       |  WHERE rnk <= $GsDegree
+       |)""".stripMargin
+  }
+
+  /** The navigable graph itself: multi-table candidate union, top-
+    * [[GsDegree]] out-edges per vector. */
+  private def navigableGraph(t: Tables): DataFrame = {
+    val allp = (0 until NearDupTables)
+      .map(tb =>
+        scoredPairsAt(t, tb * DefaultPlanes, DefaultPlanes, MaxBucketPairVecs)
+          .select(col("vec_a"), col("vec_b"), col("sim_e6")))
+      .reduce(_.unionByName(_))
+      .distinct()
+    val directed = allp
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"),
+        col("sim_e6"))
+      .unionByName(allp.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("nbr_id"), col("sim_e6")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_e6").desc, col("nbr_id"))
+    directed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= GsDegree)
+      .select("vec_id", "nbr_id")
+  }
+
   /** GRAPH-TRAVERSAL ANN — beam search over a NAVIGABLE kNN graph
     * (the HNSW-family query path, single-layer form). The graph must
     * be navigable to walk: single-table LSH candidates only connect
@@ -1255,26 +1304,7 @@ object SimilarityQueries {
            |  FROM embeddings e JOIN fresh$i USING (vec_id) CROSS JOIN q
            |)""".stripMargin
       }.mkString(", ")
-      val tables = (0 until NearDupTables).map(sqlEmbPairsTableCte)
-        .mkString(",\n")
-      val union = (0 until NearDupTables)
-        .map(tb => s"SELECT * FROM pairs$tb").mkString("\n  UNION ALL ")
-      s"""WITH $tables,
-         |allp AS (
-         |  SELECT DISTINCT vec_a, vec_b, sim_e6 FROM (
-         |  $union)
-         |), directed AS (
-         |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM allp
-         |  UNION ALL
-         |  SELECT vec_b, vec_a, sim_e6 FROM allp
-         |), knn AS (
-         |  SELECT vec_id, nbr_id FROM (
-         |    SELECT vec_id, nbr_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
-         |    FROM directed)
-         |  WHERE rnk <= $GsDegree
-         |), q AS (
+      s"""WITH ${sqlNavGraphCte}, q AS (
          |  SELECT embedding AS q_emb, ${sqlBucket("embedding")} AS q_bucket
          |  FROM embeddings ORDER BY vec_id LIMIT 1
          |), seeds AS (
@@ -1289,23 +1319,7 @@ object SimilarityQueries {
          |ORDER BY sim_e6 DESC, vec_id LIMIT 10""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    val allp = (0 until NearDupTables)
-      .map(tb =>
-        scoredPairsAt(t, tb * DefaultPlanes, DefaultPlanes, MaxBucketPairVecs)
-          .select(col("vec_a"), col("vec_b"), col("sim_e6")))
-      .reduce(_.unionByName(_))
-      .distinct()
-    val directed = allp
-      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"),
-        col("sim_e6"))
-      .unionByName(allp.select(col("vec_b").as("vec_id"),
-        col("vec_a").as("nbr_id"), col("sim_e6")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim_e6").desc, col("nbr_id"))
-    val graph = directed
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= GsDegree)
-      .select("vec_id", "nbr_id").cut(false)
+    val graph = navigableGraph(t).cut(false)
     val q = t.embeddings.orderBy("vec_id").limit(1)
       .select(col("embedding").as("q_emb"),
         bucket(col("embedding")).as("q_bucket"))
@@ -1339,6 +1353,138 @@ object SimilarityQueries {
     scored.filter(col("vec_id").isin(top: _*))
       .orderBy(col("sim_e6").desc, col("vec_id"))
       .select("vec_id", "label", "sim_e6")
+  }
+
+  /** Multi-probe recall audit for the graph-traversal ANN — the
+    * `ann_recall_eval` honest-audit pattern applied to beam search:
+    * the first [[NEvalQueries]] vectors each run the SAME navigable-
+    * graph walk as `similarity_graph_search` (bucket-seeded entry,
+    * [[GsHops]]×[[GsBeam]] beam, per-probe windows instead of LIMITs)
+    * and score their top-10 against the exact per-probe top-10. The
+    * whole multi-probe search stays deterministic, so it unrolls into
+    * per-qid hop CTEs — ORACLE-keyed recall numbers, not a spec
+    * assertion. Scale posture matches the single-probe entry: one
+    * corpus scoring pass per probe batch (the exact baseline needs it
+    * anyway), then beam-bounded driver state (≤ probes·(seeds +
+    * hops·beam·K) rows) driving key-lookup joins. */
+  private val graphSearchRecallEval = Q(
+    "graph_search_recall_eval", {
+      val hops = (1 to GsHops).map { i =>
+        s"""beam${i - 1} AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY sim DESC, vec_id) AS rk
+           |    FROM v${i - 1}) WHERE rk <= $GsBeam
+           |), fresh$i AS (
+           |  SELECT DISTINCT b.qid, k.nbr_id AS vec_id
+           |  FROM beam${i - 1} b JOIN knn k ON b.vec_id = k.vec_id
+           |  LEFT JOIN v${i - 1} v ON v.qid = b.qid AND v.vec_id = k.nbr_id
+           |  WHERE v.vec_id IS NULL
+           |), v$i AS (
+           |  SELECT * FROM v${i - 1}
+           |  UNION
+           |  SELECT f.qid, f.vec_id, s.sim
+           |  FROM fresh$i f JOIN scored s
+           |    ON s.qid = f.qid AND s.vec_id = f.vec_id
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $sqlNavGraphCte,
+         |qs AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb,
+         |         ${sqlBucket("embedding")} AS q_bucket
+         |  FROM embeddings ORDER BY vec_id LIMIT $NEvalQueries
+         |), scored AS (
+         |  SELECT q.qid, b.vec_id,
+         |         ${sqlSimE6("b.embedding", "q.q_emb")} AS sim,
+         |         (b.bucket = q.q_bucket) AS inb
+         |  FROM b0 b CROSS JOIN qs q
+         |), exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 10
+         |), v0 AS (
+         |  SELECT qid, vec_id, sim FROM (
+         |    SELECT qid, vec_id, sim,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY inb DESC,
+         |                                       md5(CAST(vec_id AS VARCHAR)),
+         |                                       vec_id) AS rk
+         |    FROM scored) WHERE rk <= $GsSeeds
+         |), $hops,
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, vec_id) AS rk
+         |    FROM v$GsHops) WHERE rk <= 10
+         |), hits AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx
+         |    ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+         |  GROUP BY exact.qid
+         |)
+         |SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(coalesce(h.hits, 0) * 10 AS BIGINT) AS recall_pct
+         |FROM qs q LEFT JOIN hits h USING (qid)
+         |ORDER BY qid""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val graph = navigableGraph(t).cut(false)
+    val qs = t.embeddings.orderBy("vec_id").limit(NEvalQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        bucket(col("embedding")).as("q_bucket"))
+    // ONE corpus scoring pass against the probe batch — the exact
+    // baseline needs every (probe, vector) score anyway; seeds, walk
+    // lookups, and the exact top-10 all read this pinned frame.
+    val scored = bucketed(t).crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        simE6(col("embedding"), col("q_emb")).as("sim"),
+        (col("bucket") === col("q_bucket")).as("inb"))
+      .cut(false)
+    val wSeed = Window.partitionBy(col("qid"))
+      .orderBy(col("inb").desc, md5(col("vec_id").cast("string")),
+        col("vec_id"))
+    var visited: Map[(Long, Long), Long] = scored
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= GsSeeds)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (_ <- 1 to GsHops) {
+      val beams = visited.toSeq
+        .map { case ((qid, id), sim) => (qid, id, sim) }
+        .groupBy(_._1).toSeq
+        .flatMap { case (_, rows) =>
+          rows.sortBy { case (_, id, sim) => (-sim, id) }.take(GsBeam)
+        }
+        .map { case (qid, id, _) => (qid, id) }
+      val fresh = graph
+        .join(broadcast(beams.toDF("qid", "vec_id")), "vec_id")
+        .select(col("qid"), col("nbr_id").as("vec_id")).distinct()
+        .join(scored, Seq("qid", "vec_id"))
+        .select("qid", "vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .filterNot { case (k, _) => visited.contains(k) }
+      visited ++= fresh
+    }
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= 10).select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qids = qs.select("qid").collect().map(_.getLong(0)).toSeq.sorted
+    val rows = qids.map { qid =>
+      val approx = visited.toSeq
+        .collect { case ((q, id), sim) if q == qid => (id, sim) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(10).map(_._1).toSet
+      val hits = (approx & exact.getOrElse(qid, Set.empty)).size.toLong
+      (qid, hits, hits * 10L)
+    }
+    rows.toDF("qid", "hits", "recall_pct").orderBy("qid")
   }
 
   /** kNN LABEL-CONSISTENCY audit — the mislabel detector a curated
@@ -2239,5 +2385,5 @@ object SimilarityQueries {
       semdedupSurvivors, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
-      similarityIvfScaled, similarityGraphSearch)
+      similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval)
 }
