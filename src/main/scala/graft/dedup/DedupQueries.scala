@@ -901,7 +901,7 @@ object DedupQueries {
   private def driverComponents(
       edgeLeaf: DataFrame, edgeRows: Long): DataFrame = {
     val spark = edgeLeaf.sparkSession
-    val dt = edgeLeaf.schema.fields(0).dataType
+    val dt = edgeLeaf.schema("doc_a").dataType
     val ord: Ordering[Any] = dt match {
       case org.apache.spark.sql.types.LongType =>
         Ordering.by(_.asInstanceOf[Long])
@@ -924,7 +924,9 @@ object DedupQueries {
     }
     // One job: a collect of ≤ gate rows (the gate's memory argument);
     // toLocalIterator would pay one scheduling floor PER partition.
-    for (row <- edgeLeaf.collect()) {
+    // Columns resolved BY NAME, like the distributed path — the two
+    // engines must agree on any edge frame shape.
+    for (row <- edgeLeaf.select(col("doc_a"), col("doc_b")).collect()) {
       val (a, b) = (row.get(0), row.get(1))
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)

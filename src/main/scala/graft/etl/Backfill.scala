@@ -52,7 +52,12 @@ object Backfill {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(partitionCol + "="))
-      .map(_.stripPrefix(partitionCol + "="))
+      // Directory names carry Spark's partition-path escaping (':' in
+      // hour stamps becomes %3A, etc.); the plan compares against RAW
+      // values, so unescape — otherwise an escaped partition looks
+      // like a permanent gap and is rewritten on every run.
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(partitionCol + "=")))
       .toSet
   }
 
@@ -79,11 +84,22 @@ object Backfill {
       compute: (SparkSession, String) => DataFrame): Report = {
     val have = existingPartitions(spark, tableDir, partitionCol)
     val gaps = expected.filterNot(have)
+    // A force value that neither exists nor is expected is an operator
+    // mistake (typo'd hour, wrong table): surfacing it beats silently
+    // dropping an explicit request.
+    val unknown = force.filterNot(p => have(p) || expected.contains(p))
+    require(unknown.isEmpty,
+      s"force partitions ${unknown.mkString(", ")} neither exist under " +
+        s"$tableDir nor appear in the expected range — nothing to recompute")
     val forced = force.filter(have)
     var replayed = Vector.empty[String]
     var emptied = Vector.empty[String]
     for (p <- gaps ++ forced) {
-      val df = compute(spark, p)
+      // Pinned: the guard below and the write must see the SAME rows
+      // (an unpinned nondeterministic recompute could pass the guard
+      // and then write different partitions), and the recompute plan
+      // runs once, not once per consumer.
+      val df = compute(spark, p).localCheckpoint(true)
       // The guard is one distinct over the recompute (partition-sized).
       val vals = df.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSeq

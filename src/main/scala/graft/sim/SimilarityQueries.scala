@@ -1445,11 +1445,19 @@ object SimilarityQueries {
         simE6(col("embedding"), col("q_emb")).as("sim"),
         (col("bucket") === col("q_bucket")).as("inb"))
       .cut(false)
-    val wSeed = Window.partitionBy(col("qid"))
-      .orderBy(col("inb").desc, md5(col("vec_id").cast("string")),
-        col("vec_id"))
+    // Salted two-phase rank (the [[topKPerQuery]] shape): qid has only
+    // NEvalQueries distinct values, so a bare per-qid window would
+    // funnel each probe's full corpus of scores through one task.
+    val seedOrd = Seq(col("inb").desc,
+      md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val wSeed1 = Window
+      .partitionBy(col("qid"), pmod(col("vec_id"), lit(32L)))
+      .orderBy(seedOrd: _*)
+    val wSeed2 = Window.partitionBy(col("qid")).orderBy(seedOrd: _*)
     var visited: Map[(Long, Long), Long] = scored
-      .withColumn("rk", row_number().over(wSeed))
+      .withColumn("rk", row_number().over(wSeed1))
+      .filter(col("rk") <= GsSeeds).drop("rk")
+      .withColumn("rk", row_number().over(wSeed2))
       .filter(col("rk") <= GsSeeds)
       .select("qid", "vec_id", "sim").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -1470,10 +1478,9 @@ object SimilarityQueries {
         .filterNot { case (k, _) => visited.contains(k) }
       visited ++= fresh
     }
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val exact = scored.withColumn("rk", row_number().over(wExact))
-      .filter(col("rk") <= 10).select("qid", "vec_id").collect()
+    val exact = topKPerQuery(
+      scored.select(col("qid"), col("vec_id"), col("sim").as("sim_e6")), 10)
+      .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     val qids = qs.select("qid").collect().map(_.getLong(0)).toSeq.sorted

@@ -111,11 +111,19 @@ object IncrementalDedup {
       }
     }
     // Underscore-prefixed, so parquet partition discovery ignores it.
+    // Written via temp + rename (atomic on local FS and HDFS): a crash
+    // mid-write must not leave a truncated marker that locks out the
+    // index's own rightful checkpoint on restart.
     def writeOwner(
         spark: org.apache.spark.sql.SparkSession, id: String): Unit = {
       val fs = ownerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(ownerPath, true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, s"_graft_owner.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, ownerPath)) { // target existed: lost a race
+        fs.delete(tmp, false)
+      }
     }
   }
 
@@ -171,10 +179,15 @@ object IncrementalDedup {
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .properties.get("graft.owner")
+    // The value is a SQL string literal: escape embedded quotes (a
+    // checkpoint path may contain them; the catalog stores the
+    // unescaped value, so the read side needs no inverse).
     def writeOwner(
-        spark: org.apache.spark.sql.SparkSession, id: String): Unit =
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit = {
+      val lit = id.replace("'", "''")
       spark.sql(
-        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.owner' = '$id')")
+        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.owner' = '$lit')")
+    }
   }
 
   /** One micro-batch step: probe, emit pairs, grow the index.
@@ -188,9 +201,13 @@ object IncrementalDedup {
   private[graft] def processBatch(
       docs: DataFrame, index: BandIndex, pairsDir: String,
       batchId: Long, ownerId: Option[String] = None): Unit = {
-    if (docs.isEmpty) return
     val spark = docs.sparkSession
+    // Guards BEFORE the empty-batch shortcut: a fresh checkpoint whose
+    // batch 0 happens to be empty (no-data micro-batch) must still be
+    // refused at batch 0 — batch 1 would otherwise start overwriting
+    // the prior run's epochs with every guard skipped.
     requireEpochContinuity(index, spark, batchId, ownerId)
+    if (docs.isEmpty) return
     // The batch is re-read below the pair join AND the index append;
     // checkpoint so banding (the CPU-heavy md5/minhash pass) runs once.
     val newBands = DedupQueries.bandsOfDocs(docs).cut(false)

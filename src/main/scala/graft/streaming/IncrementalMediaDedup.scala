@@ -70,9 +70,10 @@ object IncrementalMediaDedup {
       index: IncrementalDedup.BandIndex,
       pairsDir: String, batchId: Long,
       ownerId: Option[String] = None): Unit = {
-    if (items.isEmpty) return
     val spark = items.sparkSession
+    // Guards before the empty-batch shortcut (see IncrementalDedup).
     IncrementalDedup.requireEpochContinuity(index, spark, batchId, ownerId)
+    if (items.isEmpty) return
     import spark.implicits._
     // The CPU-heavy codec pass runs once: the hash frame feeds the
     // intra pass, the standing probe, and the index append.

@@ -60,10 +60,11 @@ object IncrementalSemDedup {
   private[graft] def processBatch(
       vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
       batchId: Long, ownerId: Option[String] = None): Unit = {
-    if (vecs.isEmpty) return
     val spark = vecs.sparkSession
+    // Guards before the empty-batch shortcut (see IncrementalDedup).
     IncrementalDedup.requireEpochContinuity(index, spark, batchId, ownerId)
-    requireMultiTableIndex(index, spark, batchId)
+    requireMultiTableIndex(index, spark)
+    if (vecs.isEmpty) return
     // Bucketing (the plane dot products) runs once: the batch frame is
     // consumed by the intra pass, the standing probe, and the append.
     // OR-AMPLIFIED index rows (4 disjoint-plane tables, table ordinal
@@ -101,6 +102,15 @@ object IncrementalSemDedup {
     IncrementalDedup.stampOwner(index, spark, ownerId)
   }
 
+  /** One verdict per index per driver lifetime: a resumed checkpoint
+    * never passes through batch 0, so gating the check on the batch id
+    * would let an UPGRADED loop resume over a legacy index unguarded —
+    * the check must run on the first batch this process handles,
+    * whatever its id. Keyed by the index value (case classes), so two
+    * loops over different dirs each get their own verdict. */
+  private val multiTableChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[IncrementalDedup.BandIndex]()
+
   /** Refuses a SINGLE-TABLE legacy standing index — the silent-recall
     * degradation the multi-table upgrade note warns about, made a
     * hard stop: pre-upgrade rows store RAW buckets, which only
@@ -110,15 +120,17 @@ object IncrementalSemDedup {
     * emits one row per table per vector with table ordinals packed
     * above bit [[SimilarityQueries.DefaultPlanes]], so a multi-table
     * index always holds a bucket ≥ 2^planes while a legacy one never
-    * does. Runs at batch 0 only (one max() over the index — the same
-    * once-per-restart budget as the epoch guard); steady epochs pay
-    * nothing. Recovery: the index is derived state — drop the dir
-    * (keep the pairs table) and replay the corpus through one batch,
-    * or rebuild offline via multiBucketRowsOf into a fresh dir. */
+    * does. Runs on the FIRST batch each driver processes against the
+    * index (one max() over it — a genuinely once-per-restart budget;
+    * batch 0 alone would miss a resumed checkpoint); steady epochs
+    * pay one set lookup. Recovery: the index is derived state — drop
+    * the dir (keep the pairs table) and replay the corpus through one
+    * batch, or rebuild offline via multiBucketRowsOf into a fresh
+    * dir. */
   private[streaming] def requireMultiTableIndex(
       index: IncrementalDedup.BandIndex,
-      spark: org.apache.spark.sql.SparkSession, batchId: Long): Unit =
-    if (batchId == 0L && index.exists(spark)) {
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!multiTableChecked.contains(index) && index.exists(spark)) {
       val stored = index.read(spark)
       if (stored.columns.contains("bucket")) {
         val mx = stored.agg(max(col("bucket"))).collect()(0)
@@ -132,6 +144,7 @@ object IncrementalSemDedup {
               "one batch — or rebuild offline via " +
               "SimilarityQueries.multiBucketRowsOf into a fresh dir.")
       }
+      multiTableChecked.add(index)
     }
 
   /** Periodic COMPONENTS consumer over the loop's accumulated pair

@@ -95,6 +95,32 @@ class BackfillSpec extends SparkSpec {
     assert(tableRows(dir) == before, "nothing may have been written")
   }
 
+  test("escaped partition values (':' hour stamps) round-trip; re-run is a no-op") {
+    val dir = tmpDir("backfill-escape") + "/t"
+    import spark.implicits._
+    val hrs = Seq("2024-01-01T00:00", "2024-01-01T01:00")
+    def frame(h: String) = Seq((1, h)).toDF("v", "hour")
+    Sinks.overwritePartitions(frame(hrs.head), dir, "hour")
+    // The ':' is %3A on disk; the plan must still see the partition.
+    assert(Backfill.existingPartitions(spark, dir, "hour") == Set(hrs.head))
+    val r = Backfill.run(spark, dir, "hour", hrs)((s, h) => frame(h))
+    assert(r.replayed == Seq(hrs(1)) && r.skipped == Seq(hrs.head))
+    val r2 = Backfill.run(spark, dir, "hour", hrs)(
+      (_, h) => fail(s"converged table must not recompute $h"))
+    assert(r2.replayed.isEmpty && r2.skipped.toSet == hrs.toSet)
+  }
+
+  test("an unknown force partition is refused, not silently dropped") {
+    val dir = tmpDir("backfill-unknown") + "/t"
+    Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")
+    val e = intercept[IllegalArgumentException] {
+      Backfill.run(spark, dir, "hour", Seq("0"), force = Seq("25")) {
+        (s, h) => hourFrame(s, h)
+      }
+    }
+    assert(e.getMessage.contains("25"))
+  }
+
   test("empty recomputes are reported, not written") {
     val dir = tmpDir("backfill-empty") + "/t"
     Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")

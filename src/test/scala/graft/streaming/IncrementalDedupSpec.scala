@@ -359,6 +359,25 @@ class IncrementalDedupSpec extends SparkSpec {
       "the refused batch must not have touched the index")
   }
 
+  test("an EMPTY batch 0 from a foreign checkpoint is still refused") {
+    import spark.implicits._
+    val indexDir = tmpDir("incr-empty0-index") + "/bands"
+    val pairsDir = tmpDir("incr-empty0-pairs") + "/pairs"
+    val index = IncrementalDedup.DirIndex(indexDir)
+    IncrementalDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), index, pairsDir,
+      0L, Some("ckpt-A"))
+    // Run B's batch 0 happens to be a no-data micro-batch. Skipping
+    // the guards here would let B's batch 1 overwrite A's epochs with
+    // every check bypassed — the guard must fire on the empty batch.
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), index, pairsDir,
+        0L, Some("ckpt-B"))
+    }
+    assert(e.getMessage.contains("ckpt-A"))
+  }
+
   test("bucketed index: pre-epoch layout fails the append with the migration message") {
     import spark.implicits._
     val tbl = "incr_legacy_bucketed_spec"

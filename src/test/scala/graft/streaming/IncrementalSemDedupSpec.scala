@@ -229,11 +229,13 @@ class IncrementalSemDedupSpec extends SparkSpec {
       .agg(max(col("bucket"))).collect()(0).getLong(0) < 256L,
       "fixture must be the raw single-table bucket range")
     // Restarting the upgraded loop over it must stop, not silently
-    // serve ~1-table recall to every pre-upgrade vector forever.
+    // serve ~1-table recall to every pre-upgrade vector forever —
+    // and a RESUMED checkpoint never passes through batch 0, so the
+    // guard must fire on the first batch whatever its id.
     val e = intercept[IllegalStateException] {
       IncrementalSemDedup.processBatch(
         Seq((3L, scaledDup)).toDF("vec_id", "embedding"),
-        indexDir, pairsDir, 0L)
+        indexDir, pairsDir, 7L)
     }
     assert(e.getMessage.contains("single-table"))
     assert(e.getMessage.contains("Rebuild"))
