@@ -2343,6 +2343,81 @@ object SimilarityQueries {
     * engines produce bit-identical doubles. Plan at 100 TB: one
     * posexplode scan → partial hash aggregate (64 groups) — no joins,
     * one metadata-sized shuffle. */
+  private val KCenters = 8
+
+  /** DIVERSITY sampling — greedy k-center (farthest-point) selection,
+    * the coreset picker data-pruning pipelines run to keep a maximally
+    * spread exemplar set: seed with the lowest vec_id, then K−1 rounds
+    * of "add the vector farthest (max cosine distance, e6 integer
+    * units) from everything selected so far". Output is the selection
+    * ORDER with each pick's distance-at-selection — the coverage radii
+    * (round k's dist_e6 bounds how far ANY corpus vector is from the
+    * first k−1 centers, the classic 2-approximation certificate). The
+    * seed reports the max possible distance (2e6) as its radius.
+    *
+    * Scale: K corpus scans, each a narrow projection against ONE
+    * broadcast center plus a running `least` — no pairwise matrix, no
+    * shuffle except the TakeOrdered argmax per round; driver state is
+    * K rows. Deterministic (integer distances, vec_id tie-breaks), so
+    * the oracle unrolls the K rounds as CTE pairs. */
+  private val sampleKcenter = Q(
+    "sample_kcenter", {
+      val rounds = (2 to KCenters).map { i =>
+        s"""c$i AS (
+           |  SELECT vec_id, embedding, d FROM m${i - 1}
+           |  ORDER BY d DESC, vec_id LIMIT 1
+           |), m$i AS (
+           |  SELECT m.vec_id, m.embedding,
+           |         least(m.d, 1000000 - ${sqlSimE6("m.embedding", "c.embedding")}) AS d
+           |  FROM m${i - 1} m CROSS JOIN c$i c
+           |)""".stripMargin
+      }.mkString(", ")
+      val outs = (2 to KCenters)
+        .map(i => s"SELECT $i AS round, vec_id, d AS dist_e6 FROM c$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH c1 AS (
+         |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+         |), m1 AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         1000000 - ${sqlSimE6("e.embedding", "c.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN c1 c
+         |), $rounds
+         |SELECT CAST(round AS BIGINT) AS round, vec_id,
+         |       CAST(dist_e6 AS BIGINT) AS dist_e6
+         |FROM (
+         |  SELECT 1 AS round, vec_id, 2000000 AS dist_e6 FROM c1
+         |  UNION ALL $outs)
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val seed = emb.orderBy("vec_id").limit(1).collect()(0)
+    var picks = Vector((1L, seed.getLong(0), 2000000L))
+    def centerDF(row: org.apache.spark.sql.Row) =
+      s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(row.get(1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_emb",
+            emb.schema("embedding").dataType))))
+    var minD = emb.crossJoin(broadcast(centerDF(seed)))
+      .select(col("vec_id"), col("embedding"),
+        (lit(1000000L) - simE6(col("embedding"), col("c_emb"))).as("d"))
+      .cut(false)
+    for (i <- 2 to KCenters) {
+      // TakeOrdered argmax — never a single-partition window.
+      val next = minD.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picks :+= ((i.toLong, next.getLong(0), next.getLong(2)))
+      minD = minD.crossJoin(broadcast(centerDF(next)))
+        .select(col("vec_id"), col("embedding"),
+          least(col("d"),
+            lit(1000000L) - simE6(col("embedding"), col("c_emb"))).as("d"))
+        .cut(false)
+    }
+    picks.toDF("round", "vec_id", "dist_e6").orderBy("round")
+  }
+
   private val embeddingDimStats = Q(
     "embedding_dim_stats",
     """WITH ex AS (
@@ -2392,5 +2467,6 @@ object SimilarityQueries {
       semdedupSurvivors, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
-      similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval)
+      similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval,
+      sampleKcenter)
 }

@@ -188,6 +188,36 @@ class SimilaritySpec extends SparkSpec {
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
   }
 
+  test("k-center sampling: greedy-selection invariants hold") {
+    val rows = SparkEntry.queries("sample_kcenter")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (1L to 8L))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "centers must be distinct")
+    assert(ids.head == 0L, "seed is the lowest vec_id")
+    // Coverage radii are non-increasing: each pick was the farthest
+    // point, so later picks can never sit farther from a LARGER
+    // selected set than earlier picks did from a smaller one.
+    val radii = rows.map(_.getAs[Long]("dist_e6")).toSeq
+    assert(radii == radii.sorted.reverse, s"radii must not increase: $radii")
+    assert(radii.head == 2000000L, "seed reports the max possible distance")
+    // Hand-verify round 2 against the definition: its distance equals
+    // the max cosine distance from the seed over the corpus.
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def distE6(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      1000000L - math.floor(dot / (n(a) * n(b)) * 1e6 + 0.5).toLong
+    }
+    val seedEmb = emb(0L)
+    val expect = emb.toSeq.map { case (id, e) => (distE6(seedEmb, e), id) }
+      .sortBy { case (d, id) => (-d, id) }.head
+    assert((radii(1), ids(1)) == (expect._1, expect._2),
+      s"round 2 must be the farthest-from-seed vector: $expect")
+  }
+
   test("two-stage rerank: probe first, exact scores, recall vs exact top-10") {
     val rerank = SparkEntry.queries("similarity_rerank")(spark, sf).collect()
     assert(rerank.length == 10)
