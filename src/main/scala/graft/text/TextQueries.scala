@@ -553,6 +553,98 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val DriftBuckets = 64L
+
+  /** SPLIT DRIFT report — is the validation (or test) split still
+    * distributionally representative of train? The check every
+    * training pipeline should run beside `split_leakage`: per split,
+    * a hashed-unigram distribution over [[DriftBuckets]] buckets (the
+    * DSIR hashing argument — collisions average out, the frame stays
+    * metadata-sized), then the TOTAL-VARIATION distance of each
+    * non-train split against train. TV is exact integer work until
+    * the single final division ([[graft.util.Det]]'s discipline):
+    * Σ|n_s·T_train − n_train·T_s| over the bucket spine is an int64
+    * sum of cross-multiplied counts (documented headroom: products
+    * stay in-range below ~3·10⁹ tokens per split at the e0 scale used
+    * here; a 100 TB corpus pre-scales counts per the staged-division
+    * policy), divided once by 2·T_train·T_s into a double both
+    * engines compute identically. Plan: one token pass → (split,
+    * bucket) partial agg (≤ 3·64 rows), everything after is
+    * metadata-sized joins over the 64-bucket spine. */
+  private val splitDriftReport = Q(
+    "split_drift_report", {
+      val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
+      s"""WITH d AS (
+         |  SELECT CASE WHEN $bucket < 90 THEN 'train'
+         |              WHEN $bucket < 95 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         text
+         |  FROM documents
+         |), tok AS (
+         |  SELECT split, unnest(string_split(text, ' ')) AS t FROM d
+         |), b AS (
+         |  SELECT split, ${sqlTokHash("t")} % $DriftBuckets AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY split, bucket
+         |), tot AS (
+         |  SELECT split, CAST(sum(n) AS BIGINT) AS tt FROM b GROUP BY split
+         |), spine AS (
+         |  SELECT s.split, i.range AS bucket
+         |  FROM (SELECT DISTINCT split FROM d WHERE split <> 'train') s
+         |  CROSS JOIN range(0, $DriftBuckets) i
+         |), filled AS (
+         |  SELECT spine.split, spine.bucket,
+         |         coalesce(o.n, 0) AS n_s, coalesce(tr.n, 0) AS n_tr
+         |  FROM spine
+         |  LEFT JOIN b o ON o.split = spine.split AND o.bucket = spine.bucket
+         |  LEFT JOIN (SELECT bucket, n FROM b WHERE split = 'train') tr
+         |    ON tr.bucket = spine.bucket
+         |)
+         |SELECT f.split, t.tt AS n_tokens,
+         |       CAST(sum(abs(f.n_s * trt.tt - f.n_tr * t.tt)) AS DOUBLE)
+         |         / (2.0 * trt.tt * t.tt) AS tv
+         |FROM filled f
+         |JOIN tot t ON t.split = f.split
+         |JOIN (SELECT tt FROM tot WHERE split = 'train') trt ON TRUE
+         |GROUP BY f.split, t.tt, trt.tt
+         |ORDER BY f.split""".stripMargin
+    }) { (s, dir) =>
+    val docBucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
+    val d = Tables(s, dir).documents
+      .select(
+        when(docBucket < 90, "train").when(docBucket < 95, "val")
+          .otherwise("test").as("split"),
+        col("text"))
+    val b = d.select(col("split"), explode(toks).as("t"))
+      .groupBy(col("split"),
+        pmod(tokHash(col("t")), lit(DriftBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tot = b.groupBy(col("split")).agg(sum(col("n")).as("tt"))
+    val spine = d.select(col("split")).filter(col("split") =!= "train")
+      .distinct()
+      .crossJoin(s.range(DriftBuckets).select(col("id").as("bucket")))
+    val trainB = b.filter(col("split") === "train")
+      .select(col("bucket"), col("n").as("n_tr_raw"))
+    val filled = spine
+      .join(b, Seq("split", "bucket"), "left")
+      .join(broadcast(trainB), Seq("bucket"), "left")
+      .select(col("split"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_s"),
+        coalesce(col("n_tr_raw"), lit(0L)).as("n_tr"))
+    val trainT = tot.filter(col("split") === "train")
+      .select(col("tt").as("t_tr"))
+    filled
+      .join(broadcast(tot), Seq("split"))
+      .crossJoin(broadcast(trainT))
+      .groupBy(col("split"), col("tt"), col("t_tr"))
+      .agg(sum(abs(col("n_s") * col("t_tr") - col("n_tr") * col("tt")))
+        .as("dsum"))
+      .select(col("split"), col("tt").as("n_tokens"),
+        (col("dsum").cast("double") / (lit(2.0) * col("t_tr") * col("tt")))
+          .as("tv"))
+      .orderBy("split")
+  }
+
   /** Benchmark decontamination — flag training docs sharing any 3-gram
     * with a held-out corpus. The n-gram-overlap check every serious
     * pretraining pipeline runs before training. The benchmark is a
@@ -1411,7 +1503,8 @@ object TextQueries {
       packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textPerplexityBits, textBigramBits, sampleUniformHash,
-      textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance)
+      textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance,
+      splitDriftReport)
 }
 
 /** Spec fixture surface for [[TextQueries]]: the redaction expression

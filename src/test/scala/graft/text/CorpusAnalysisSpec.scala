@@ -32,6 +32,32 @@ class CorpusAnalysisSpec extends SparkSpec {
       4L -> "es", 5L -> "en"))
   }
 
+  test("split_drift_report: identical distributions drift zero; real corpus stays bounded") {
+    import org.apache.spark.sql.functions._
+    // Every doc carries the SAME text → every split's hashed-unigram
+    // distribution is proportional → total variation is exactly 0.
+    val dir = tmpDir("drift-zero")
+    spark.range(300).select(
+      col("id").as("doc_id"),
+      lit("alpha beta gamma delta").as("text"),
+      lit("en").as("lang"), lit("src0").as("source"),
+      lit(22L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val zero = SparkEntry.queries("split_drift_report")(spark, dir).collect()
+    assert(zero.map(_.getAs[String]("split")).toSeq == Seq("test", "val"))
+    zero.foreach(r => assert(r.getAs[Double]("tv") == 0.0,
+      s"identical distributions must not drift: $r"))
+    // The driver corpus: TV is a distance in [0, 1], and the uniform
+    // synthetic vocabulary should keep splits representative (low
+    // drift), not degenerate.
+    val real = SparkEntry.queries("split_drift_report")(spark, sf).collect()
+    real.foreach { r =>
+      val tv = r.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0)
+      assert(tv < 0.2, s"synthetic splits should be representative: $r")
+    }
+  }
+
   test("text_line_dedup: survivors are an in-order segment subsequence; boilerplate actually drops") {
     val rows = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
