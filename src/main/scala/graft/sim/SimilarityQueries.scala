@@ -2343,6 +2343,66 @@ object SimilarityQueries {
     * engines produce bit-identical doubles. Plan at 100 TB: one
     * posexplode scan → partial hash aggregate (64 groups) — no joins,
     * one metadata-sized shuffle. */
+  private val MrlDims = 16
+  private val MrlCands = 100
+
+  /** MATRYOSHKA-style truncation cascade — the dimension-adaptive
+    * retrieval pattern (Kusupati et al. 2022: nested representations
+    * stay meaningful under prefix truncation): stage 1 scores the
+    * corpus on only the FIRST [[MrlDims]] of [[Dim]] dimensions (4× 
+    * cheaper dot products and 4× smaller scan on a column pruned to
+    * the prefix), keeps the top [[MrlCands]] by truncated cosine, and
+    * stage 2 re-scores just those candidates at full dimension for
+    * the exact final top-10 — `similarity_rerank`'s cascade shape
+    * with truncation instead of int8 as the coarse code (the two
+    * compose in production: truncate THEN quantize). `trunc_rank`
+    * rides along so the audit "how far did stage 1 mis-rank?" reads
+    * off the result. Plan: one corpus scan + TakeOrdered for stage 1,
+    * candidate-bounded exact scoring for stage 2 — no windows, no
+    * shuffle beyond the two top-k's. */
+  private val similarityRerankMrl = Q(
+    "similarity_rerank_mrl", {
+      val qs = s"embedding[1:$MrlDims]"
+      s"""WITH q AS (
+         |  SELECT embedding AS q_emb, $qs AS q_trunc
+         |  FROM embeddings ORDER BY vec_id LIMIT 1
+         |), coarse AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${sqlSimE6(s"embedding[1:$MrlDims]", "q_trunc")} AS trunc_e6
+         |  FROM embeddings CROSS JOIN q
+         |), cut AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY trunc_e6 DESC, vec_id)
+         |                 AS BIGINT) AS trunc_rank
+         |  FROM coarse QUALIFY trunc_rank <= $MrlCands
+         |)
+         |SELECT vec_id, label, trunc_rank, trunc_e6,
+         |       ${sqlSimE6("cut.embedding", "q.q_emb")} AS sim_e6
+         |FROM cut CROSS JOIN q
+         |ORDER BY sim_e6 DESC, vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val q = t.embeddings.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("q_emb"),
+        slice(col("embedding"), 1, MrlDims).as("q_trunc"))
+    val cut = t.embeddings
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"),
+        simE6(slice(col("embedding"), 1, MrlDims), col("q_trunc"))
+          .as("trunc_e6"))
+      .orderBy(col("trunc_e6").desc, col("vec_id"))
+      .limit(MrlCands)
+      .withColumn("trunc_rank",
+        row_number().over(Window.orderBy(col("trunc_e6").desc, col("vec_id")))
+          .cast("long"))
+    cut
+      .select(col("vec_id"), col("label"), col("trunc_rank"),
+        col("trunc_e6"),
+        simE6(col("embedding"), col("q_emb")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+      .limit(10)
+  }
+
   private val KCenters = 8
 
   /** DIVERSITY sampling — greedy k-center (farthest-point) selection,
@@ -2468,5 +2528,5 @@ object SimilarityQueries {
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
       similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval,
-      sampleKcenter)
+      sampleKcenter, similarityRerankMrl)
 }

@@ -188,6 +188,28 @@ class SimilaritySpec extends SparkSpec {
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
   }
 
+  test("matryoshka cascade: exact final scores, probe first, recall vs exact top-10") {
+    val exact = SparkEntry.queries("similarity_topk")(spark, sf).collect()
+    val exact10 = exact.take(10).map(_.getAs[Long]("vec_id"))
+    val exactSims = exact.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e6")).toMap
+    val mrl = SparkEntry.queries("similarity_rerank_mrl")(spark, sf).collect()
+    // Stage 2 re-scores at FULL dimension: every returned sim_e6 must
+    // equal the exact scan's score for that vector.
+    mrl.foreach { r =>
+      exactSims.get(r.getAs[Long]("vec_id")).foreach(s =>
+        assert(r.getAs[Long]("sim_e6") == s,
+          s"final scores must be exact: $r"))
+    }
+    // The probe survives its own truncation (prefix of itself).
+    assert(mrl.head.getAs[Long]("vec_id") == exact10.head)
+    val overlap = mrl.map(_.getAs[Long]("vec_id")).count(exact10.toSet)
+    assert(overlap >= 6, s"truncation recall@10 too low: $overlap of 10")
+    // Stage-1 ranks are an audit column: within the top-100 cut.
+    mrl.foreach(r => assert(r.getAs[Long]("trunc_rank") >= 1L &&
+      r.getAs[Long]("trunc_rank") <= 100L))
+  }
+
   test("k-center sampling: greedy-selection invariants hold") {
     val rows = SparkEntry.queries("sample_kcenter")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("round")).toSeq == (1L to 8L))
