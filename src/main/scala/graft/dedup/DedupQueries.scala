@@ -1178,9 +1178,7 @@ object DedupQueries {
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |)
          |SELECT doc_id, rep, CAST($b AS BIGINT) AS bucket,
-         |       CASE WHEN $b < 90 THEN 'train'
-         |            WHEN $b < 95 THEN 'val'
-         |            ELSE 'test' END AS split
+         |       ${graft.util.Hashes.sqlSplitOf("rep")} AS split
          |FROM r
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
@@ -1189,11 +1187,10 @@ object DedupQueries {
     val annotated = graft.ops.ScaleGates.annotateWithLabels(
       t.documents.select(col("doc_id")), labels, labels.count(), "doc_id")
     val rep = coalesce(col("component"), col("doc_id"))
-    val bucket = pmod(Hashes.tokHash(rep.cast("string")), lit(100L))
     annotated.select(
-      col("doc_id"), rep.as("rep"), bucket.as("bucket"),
-      when(bucket < 90, "train").when(bucket < 95, "val")
-        .otherwise("test").as("split"))
+      col("doc_id"), rep.as("rep"),
+      pmod(Hashes.tokHash(rep.cast("string")), lit(100L)).as("bucket"),
+      Hashes.splitOf(rep).as("split"))
       .orderBy("doc_id")
   }
 
@@ -1779,10 +1776,7 @@ object DedupQueries {
     * the corpus. */
   private val splitLeakage = Q(
     "split_leakage", {
-      def sqlSplit(c: String) = {
-        val b = s"${graft.util.Hashes.sqlTokHash(s"CAST($c AS VARCHAR)")} % 100"
-        s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
-      }
+      def sqlSplit(c: String) = graft.util.Hashes.sqlSplitOf(c)
       s"""$sqlCandCte
          |SELECT doc_a, doc_b,
          |       ${sqlSplit("doc_a")} AS split_a,
@@ -1791,10 +1785,7 @@ object DedupQueries {
          |WHERE ${sqlSplit("doc_a")} <> ${sqlSplit("doc_b")}
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
-    def splitOf(c: Column): Column = {
-      val b = pmod(graft.util.Hashes.tokHash(c.cast("string")), lit(100L))
-      when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    }
+    def splitOf(c: Column): Column = graft.util.Hashes.splitOf(c)
     candidatePairs(Tables(s, dir))
       .select(
         col("doc_a"), col("doc_b"),

@@ -2358,8 +2358,11 @@ object SimilarityQueries {
     * compose in production: truncate THEN quantize). `trunc_rank`
     * rides along so the audit "how far did stage 1 mis-rank?" reads
     * off the result. Plan: one corpus scan + TakeOrdered for stage 1,
-    * candidate-bounded exact scoring for stage 2 — no windows, no
-    * shuffle beyond the two top-k's. */
+    * candidate-bounded exact scoring for stage 2; the only window is
+    * the trunc_rank numbering over the 100 POST-limit rows (bounded
+    * by construction, like the vocab two-level rank's documented
+    * exception) — no corpus-sized window, no shuffle beyond the two
+    * top-k's. */
   private val similarityRerankMrl = Q(
     "similarity_rerank_mrl", {
       val qs = s"embedding[1:$MrlDims]"
@@ -2418,8 +2421,16 @@ object SimilarityQueries {
     * Scale: K corpus scans, each a narrow projection against ONE
     * broadcast center plus a running `least` — no pairwise matrix, no
     * shuffle except the TakeOrdered argmax per round; driver state is
-    * K rows. Deterministic (integer distances, vec_id tie-breaks), so
-    * the oracle unrolls the K rounds as CTE pairs. */
+    * K rows (the loop is eager, so the returned frame is the K-row
+    * result itself — plan-shape audits see the rounds' plans only via
+    * this scaladoc's contract: every round joins ONE broadcast
+    * center, never an unhinted cross). Deterministic (integer
+    * distances, vec_id tie-breaks), so the oracle unrolls the K
+    * rounds as CTE pairs. Degenerate corpora follow the oracle
+    * exactly: an empty table yields an empty result, and a corpus
+    * with fewer than K distinct vectors re-picks the lowest vec_id at
+    * distance 0 once exhausted — the zero radius IS the exhaustion
+    * signal (coverage is complete), not a distinct-pick guarantee. */
   private val sampleKcenter = Q(
     "sample_kcenter", {
       val rounds = (2 to KCenters).map { i =>
@@ -2451,7 +2462,11 @@ object SimilarityQueries {
     }) { (s, dir) =>
     import s.implicits._
     val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val seed = emb.orderBy("vec_id").limit(1).collect()(0)
+    val seedRows = emb.orderBy("vec_id").limit(1).collect()
+    if (seedRows.isEmpty)
+      Seq.empty[(Long, Long, Long)].toDF("round", "vec_id", "dist_e6")
+    else {
+    val seed = seedRows(0)
     var picks = Vector((1L, seed.getLong(0), 2000000L))
     def centerDF(row: org.apache.spark.sql.Row) =
       s.createDataFrame(
@@ -2476,6 +2491,7 @@ object SimilarityQueries {
         .cut(false)
     }
     picks.toDF("round", "vec_id", "dist_e6").orderBy("round")
+    }
   }
 
   private val embeddingDimStats = Q(

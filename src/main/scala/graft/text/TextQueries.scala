@@ -287,19 +287,15 @@ object TextQueries {
     "split_assign", {
       val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
       s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
-         |       CASE WHEN $bucket < 90 THEN 'train'
-         |            WHEN $bucket < 95 THEN 'val'
-         |            ELSE 'test' END AS split
+         |       ${graft.util.Hashes.sqlSplitOf("doc_id")} AS split
          |FROM documents
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
     Tables(s, dir).documents
       .select(
         col("doc_id"),
-        bucket.as("bucket"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"))
+        pmod(tokHash(col("doc_id").cast("string")), lit(100L)).as("bucket"),
+        graft.util.Hashes.splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
 
@@ -493,25 +489,19 @@ object TextQueries {
     * `pack_sequences`, tokenizer-exact [[Bpe]] for the `_bpe` twin). */
   private[text] def packInput(
       s: SparkSession, dir: String,
-      nTokens: Column = size(toks).cast("long")): DataFrame = {
-    val bucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
+      nTokens: Column = size(toks).cast("long")): DataFrame =
     Tables(s, dir).documents
       .select(
         col("doc_id"),
         nTokens.as("n_tokens"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"))
-  }
+        graft.util.Hashes.splitOf(col("doc_id")).as("split"))
 
   /** Oracle twin of the packer: windowed prefix-sum form over the
     * given per-doc token count SQL. */
   private def sqlPackSequences(nTok: String): String = {
-    val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
     s"""WITH d AS (
          |  SELECT doc_id, $nTok AS n_tokens,
-         |         CASE WHEN $bucket < 90 THEN 'train'
-         |              WHEN $bucket < 95 THEN 'val'
-         |              ELSE 'test' END AS split
+         |         ${graft.util.Hashes.sqlSplitOf("doc_id")} AS split
          |  FROM documents
          |), w AS (
          |  SELECT doc_id, split, n_tokens,
@@ -573,11 +563,8 @@ object TextQueries {
     * metadata-sized joins over the 64-bucket spine. */
   private val splitDriftReport = Q(
     "split_drift_report", {
-      val bucket = s"${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100"
       s"""WITH d AS (
-         |  SELECT CASE WHEN $bucket < 90 THEN 'train'
-         |              WHEN $bucket < 95 THEN 'val'
-         |              ELSE 'test' END AS split,
+         |  SELECT ${graft.util.Hashes.sqlSplitOf("doc_id")} AS split,
          |         text
          |  FROM documents
          |), tok AS (
@@ -589,8 +576,11 @@ object TextQueries {
          |), tot AS (
          |  SELECT split, CAST(sum(n) AS BIGINT) AS tt FROM b GROUP BY split
          |), spine AS (
+         |  -- split set read off the metadata-sized totals, NOT a
+         |  -- second corpus scan (every doc yields >= 1 token, so a
+         |  -- split with docs always appears in tot)
          |  SELECT s.split, i.range AS bucket
-         |  FROM (SELECT DISTINCT split FROM d WHERE split <> 'train') s
+         |  FROM (SELECT split FROM tot WHERE split <> 'train') s
          |  CROSS JOIN range(0, $DriftBuckets) i
          |), filled AS (
          |  SELECT spine.split, spine.bucket,
@@ -609,19 +599,22 @@ object TextQueries {
          |GROUP BY f.split, t.tt, trt.tt
          |ORDER BY f.split""".stripMargin
     }) { (s, dir) =>
-    val docBucket = pmod(tokHash(col("doc_id").cast("string")), lit(100L))
     val d = Tables(s, dir).documents
-      .select(
-        when(docBucket < 90, "train").when(docBucket < 95, "val")
-          .otherwise("test").as("split"),
+      .select(graft.util.Hashes.splitOf(col("doc_id")).as("split"),
         col("text"))
+    // Pinned: b is referenced four times below (o-side, train-side,
+    // totals, spine) and Catalyst does not CSE across joins — without
+    // the cut each reference would re-run the corpus token pass.
     val b = d.select(col("split"), explode(toks).as("t"))
       .groupBy(col("split"),
         pmod(tokHash(col("t")), lit(DriftBuckets)).as("bucket"))
       .agg(count(lit(1)).as("n"))
+      .cut(false)
     val tot = b.groupBy(col("split")).agg(sum(col("n")).as("tt"))
-    val spine = d.select(col("split")).filter(col("split") =!= "train")
-      .distinct()
+    // Spine splits from the metadata-sized totals — never a second
+    // corpus scan (every doc yields >= 1 token, so tot covers every
+    // populated split).
+    val spine = tot.filter(col("split") =!= "train").select("split")
       .crossJoin(s.range(DriftBuckets).select(col("id").as("bucket")))
     val trainB = b.filter(col("split") === "train")
       .select(col("bucket"), col("n").as("n_tr_raw"))

@@ -21,6 +21,21 @@ object Hashes {
   def sqlTokHash(expr: String): String =
     s"CAST(CAST('0x' || substr(md5($expr), 1, 8) AS UBIGINT) AS BIGINT)"
 
+  /** THE 90/5/5 content-independent train/val/test split — the ONE
+    * split policy every split-aware operator must agree on
+    * (assignment, leakage audit, drift report, packers): change it
+    * here and the whole board moves in lockstep on both engines. */
+  def splitOf(docId: Column): Column = {
+    val b = pmod(tokHash(docId.cast("string")), lit(100L))
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB SQL mirroring [[splitOf]]. */
+  def sqlSplitOf(expr: String): String = {
+    val b = s"${sqlTokHash(s"CAST($expr AS VARCHAR)")} % 100"
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+  }
+
   /** Universal hash family over a 32-bit base hash: h_i = (a_i·h + b_i)
     * mod p, p prime > 2^32. One md5 per value, k cheap affine
     * transforms — exact int64 arithmetic, identical on both engines:

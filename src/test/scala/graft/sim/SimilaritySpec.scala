@@ -191,15 +191,24 @@ class SimilaritySpec extends SparkSpec {
   test("matryoshka cascade: exact final scores, probe first, recall vs exact top-10") {
     val exact = SparkEntry.queries("similarity_topk")(spark, sf).collect()
     val exact10 = exact.take(10).map(_.getAs[Long]("vec_id"))
-    val exactSims = exact.map(r =>
-      r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e6")).toMap
     val mrl = SparkEntry.queries("similarity_rerank_mrl")(spark, sf).collect()
-    // Stage 2 re-scores at FULL dimension: every returned sim_e6 must
-    // equal the exact scan's score for that vector.
+    // Stage 2 re-scores at FULL dimension: EVERY returned sim_e6 must
+    // equal a hand-computed full-dim cosine against the probe — not
+    // just the rows that happen to land in the exact top-20.
+    val embAll = graft.Tables(spark, sf).embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def simE6(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      math.floor(dot / (n(a) * n(b)) * 1e6 + 0.5).toLong
+    }
+    val qEmb = embAll(embAll.keys.min)
     mrl.foreach { r =>
-      exactSims.get(r.getAs[Long]("vec_id")).foreach(s =>
-        assert(r.getAs[Long]("sim_e6") == s,
-          s"final scores must be exact: $r"))
+      assert(r.getAs[Long]("sim_e6")
+        == simE6(embAll(r.getAs[Long]("vec_id")), qEmb),
+        s"final scores must be exact full-dim cosine: $r")
     }
     // The probe survives its own truncation (prefix of itself).
     assert(mrl.head.getAs[Long]("vec_id") == exact10.head)
