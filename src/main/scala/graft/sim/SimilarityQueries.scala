@@ -2406,6 +2406,52 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** EMBEDDING-SPACE OUTLIER scan — the curation pass that flags
+    * vectors sitting far from their own cluster's center (noise,
+    * mislabels, off-distribution strays — review candidates before
+    * they enter a training mix): per-vector centroid cosine from the
+    * trained quantizer state (the SemDeDup machinery's `ws` frame),
+    * then the exact per-cell IQR fence of `agg_outliers_iqr` applied
+    * on the LOW side (sim < Q1 − 1.5·IQR, all integer arithmetic at
+    * ×8/×16 scale — dyadic quantile interpolation is exact on both
+    * engines). Plan: centroid sims ride the assignment scan once;
+    * the per-cell quantile frame is ≤ NCells rows broadcast back; the
+    * flag is a narrow filter. */
+  private val embeddingOutliers = Q(
+    "embedding_outliers",
+    s"""$sqlSemPairsCte, ws AS (
+       |  SELECT a.vec_id, a.cell,
+       |         ${sqlSimE6("a.embedding", "c.centroid")} AS centroid_sim_e6
+       |  FROM assign2 a JOIN cent2 c USING (cell)
+       |), qf AS (
+       |  SELECT cell,
+       |         CAST(quantile_cont(centroid_sim_e6, 0.25) * 8 AS BIGINT) AS q1_8,
+       |         CAST(quantile_cont(centroid_sim_e6, 0.75) * 8 AS BIGINT) AS q3_8
+       |  FROM ws GROUP BY cell
+       |)
+       |SELECT w.vec_id, w.cell, w.centroid_sim_e6
+       |FROM ws w JOIN qf USING (cell)
+       |WHERE w.centroid_sim_e6 * 16 < 2 * qf.q1_8 - 3 * (qf.q3_8 - qf.q1_8)
+       |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
+    val assign = trainedIvf(Tables(s, dir))._1.cut(false)
+    val cent2 = lloydReaverage(assign)
+    val ws = assign.join(broadcast(cent2), "cell")
+      .select(col("vec_id"), col("cell"),
+        simE6(col("embedding"), col("centroid")).as("centroid_sim_e6"))
+      .cut(false)
+    val qf = ws.groupBy(col("cell"))
+      .agg(
+        (expr("percentile(centroid_sim_e6, 0.25)") * 8).cast("long")
+          .as("q1_8"),
+        (expr("percentile(centroid_sim_e6, 0.75)") * 8).cast("long")
+          .as("q3_8"))
+    ws.join(broadcast(qf), Seq("cell"))
+      .filter(col("centroid_sim_e6") * 16
+        < lit(2) * col("q1_8") - lit(3) * (col("q3_8") - col("q1_8")))
+      .select(col("vec_id"), col("cell"), col("centroid_sim_e6"))
+      .orderBy("vec_id")
+  }
+
   private val KCenters = 8
 
   /** DIVERSITY sampling — greedy k-center (farthest-point) selection,
@@ -2544,5 +2590,5 @@ object SimilarityQueries {
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
       similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval,
-      sampleKcenter, similarityRerankMrl)
+      sampleKcenter, similarityRerankMrl, embeddingOutliers)
 }

@@ -219,6 +219,43 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("trunc_rank") <= 100L))
   }
 
+  test("embedding outliers: flags exactly the hand-computed IQR stragglers") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("embedding_outliers")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("centroid_sim_e6")).toMap
+    // Recompute independently: trained state → per-vector centroid
+    // cosine → per-cell R-7 quartiles ×8 → low fence, all by hand.
+    val (assignDf, centDf) = SimilarityQueries.trainedIvf(graft.Tables(spark, sf01))
+    val cents = centDf.collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Double]]("centroid").toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val rows = assignDf.collect().map { r =>
+      val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+      val c = cents(r.getAs[Int]("cell"))
+      val s = math.floor(
+        dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))) * 1e6 + 0.5).toLong
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), s)
+    }
+    def q8(sorted: Seq[Long], p: Double): Long = { // R-7 quantile, ×8
+      val pos = p * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.ceil(pos).toInt))
+      ((lo + (hi - lo) * (pos - pos.toInt)) * 8).toLong
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (_, cell) =>
+      val sims = cell.map(_._3).sorted.toSeq
+      val (q1, q3) = (q8(sims, 0.25), q8(sims, 0.75))
+      cell.filter(r => r._3 * 16 < 2 * q1 - 3 * (q3 - q1))
+        .map(r => r._1 -> r._3).toSeq
+    }.toMap
+    assert(got == expected,
+      s"flag set must match the hand-computed fence:\n got=$got\n exp=$expected")
+    assert(expected.nonEmpty, "the sf0.01 corpus must exercise the flag path")
+  }
+
   test("k-center sampling: greedy-selection invariants hold") {
     val rows = SparkEntry.queries("sample_kcenter")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("round")).toSeq == (1L to 8L))
