@@ -37,9 +37,12 @@ object BenchStreams {
     },
     "stream_media_loop" -> { (spark, sfDir, dir) =>
       val items = mm.Multimodal.mediaItems(spark, sfDir, "image").toDF()
+      // Image item ids are ≡ 0 (mod 3) by the modality layout, so the
+      // epoch split keys on id/3 — a bare mod-3 would funnel the whole
+      // corpus into one epoch and silently skip the other two.
       for (b <- 0L to 2L)
         streaming.IncrementalMediaDedup.processBatch(
-          items.filter(col("item_id") % 3 === b), "image",
+          items.filter((col("item_id") / 3).cast("long") % 3 === b), "image",
           s"$dir/index", s"$dir/pairs", b)
     })
 

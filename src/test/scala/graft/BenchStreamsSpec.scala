@@ -22,6 +22,24 @@ class BenchStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pairs").count() > 0)
   }
 
+  test("semantic and media cells run the full corpus through 3 epochs") {
+    val semDir = tmpDir("bench-stream-sem")
+    BenchStreams.cells.find(_._1 == "stream_semdedup_loop").get._2(spark, sf, semDir)
+    val semIdx = spark.read.parquet(s"$semDir/index")
+    assert(semIdx.select("vec_id").distinct().count() == 500)
+    assert(semIdx.select("batch_id").distinct().count() == 3)
+    // 4 OR-amplified table rows per vector.
+    assert(semIdx.count() == 4 * 500)
+
+    val mmDir = tmpDir("bench-stream-mm")
+    BenchStreams.cells.find(_._1 == "stream_media_loop").get._2(spark, sf, mmDir)
+    val mmIdx = spark.read.parquet(s"$mmDir/index")
+    val nImages = graft.mm.Multimodal.mediaItems(spark, sf, "image").count()
+    assert(nImages > 0)
+    assert(mmIdx.select("item_id").distinct().count() == nImages)
+    assert(mmIdx.select("batch_id").distinct().count() == 3)
+  }
+
   test("runCell times an attempt and removes its scratch") {
     val before = java.nio.file.Files.list(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))

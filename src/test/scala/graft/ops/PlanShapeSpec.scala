@@ -418,6 +418,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("similarity_rerank_mrl: TakeOrdered cascades, window only above the 100-row cut") {
+    val df = SparkEntry.queries("similarity_rerank_mrl")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // Three TakeOrdereds: the 1-row probe, the stage-1 top-100, the
+    // final top-10 — the cascade never ranks through a corpus window.
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length == 3, plan)
+    // The trunc_rank window is allowed ONLY above a TakeOrdered (the
+    // bounded 100-row form); a Window below every limit would be the
+    // corpus-sized single-task funnel this query's doc rules out.
+    val winIdx = plan.indexOf("Window")
+    if (winIdx >= 0)
+      assert(plan.indexOf("TakeOrderedAndProject", winIdx) >= 0,
+        s"window must sit above a TakeOrdered cut:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"the cascade needs no shuffle beyond broadcasts:\n$plan")
+  }
+
+  test("split_drift_report: one corpus token pass; everything after reads the pin") {
+    val df = SparkEntry.queries("split_drift_report")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The (split, bucket) aggregate is checkpoint-pinned, so the four
+    // plan branches that reference it read the materialized leaf
+    // (ExistingRDD) — a `Scan parquet` of documents anywhere in THIS
+    // plan would mean a branch re-running the corpus token pass.
+    assert(!plan.contains("Scan parquet"),
+      s"a plan branch re-scans the corpus instead of the pin:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    // Post-pin joins are all metadata-sized → broadcast.
+    assert(!plan.contains("SortMergeJoin"),
+      s"metadata joins must broadcast:\n$plan")
+  }
+
   test("join_runtime_filter: the shape takes an injected bloom filter at scale thresholds") {
     // Locally the 10 GB application-side threshold keeps injection off;
     // drop it (as a 100 TB fact scan would clear it) and the optimizer
