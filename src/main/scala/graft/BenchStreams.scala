@@ -57,7 +57,10 @@ object BenchStreams {
     val t0 = System.nanoTime()
     val wall =
       try { cell._2(spark, sfDir, scratch); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // Fatal JVM errors (OOM, StackOverflow) propagate — a bench
+        // run on a corrupted JVM would record garbage for every
+        // remaining cell.
         System.err.println(s"[bench] ${cell._1} failed: ${e.getMessage}")
         -1.0
       }
@@ -65,7 +68,7 @@ object BenchStreams {
       val root = new org.apache.hadoop.fs.Path(scratch)
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(root, true)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     wall
   }
 }

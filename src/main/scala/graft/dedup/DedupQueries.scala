@@ -912,7 +912,12 @@ object DedupQueries {
       case other => throw new IllegalArgumentException(
         s"driverComponents: unsupported node id type $other")
     }
-    val parent = new java.util.HashMap[Any, Any]((edgeRows * 3).toInt)
+    // Capacity clamped: a conf-raised gate (`graft.cc.driverMaxEdges`)
+    // above ~715M edges would overflow Int in `edgeRows * 3` and throw
+    // on a negative capacity — clamp to the HashMap's own ceiling (the
+    // collect would OOM long before a clamped map matters).
+    val parent = new java.util.HashMap[Any, Any](
+      math.min(edgeRows * 3, Int.MaxValue.toLong - 8).toInt)
     def find(x: Any): Any = {
       var r = x
       while (parent.get(r) != r) {
