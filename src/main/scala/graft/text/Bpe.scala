@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
   * match, so of k adjacent overlapping occurrences it merges the
   * odd ones; the survivors are then isolated (separated by merged
   * symbols), so the second application completes them — two passes
-  * are exact for ANY run length, keeping rank order intact before
-  * the next rule runs.
+  * are exact for any run length PROVIDED the rule's two symbols
+  * differ (a = b admits runs like `a a a a a` where left-to-right
+  * greed diverges from the min-rank loop on odd runs ≥ 5; the
+  * constructor rejects such rules, see the guard below). Released
+  * tokenizer merges files that contain identical-pair rules need the
+  * native min-rank kernel
+  * ([[org.apache.spark.sql.graft.BpeTokenCount]]) instead.
   *
   * Scale: ~64 literal scans over a ~2× symbolized copy of each text —
   * linear per row, embarrassingly parallel, zero shuffle. At 100 TB
@@ -49,6 +54,14 @@ object Bpe {
     "d" -> "er", "or" -> "der", "or" -> "t", "s" -> "ort",
     "par" -> "t", "u" -> "p", "a" -> "g", "ag" -> "g",
     "a" -> "lu", "alu" -> "e", "v" -> "alue", "in" -> "e")
+
+  // Declared-semantics guard: the two-pass replace trick is only exact
+  // when a rule's symbols differ (doc above). Identical-pair rules are
+  // legal BPE and appear in released merges files — they must go
+  // through the min-rank kernel, not this chain.
+  require(Merges.forall { case (a, b) => a != b },
+    "Bpe.Merges: identical-pair rules (a,a) are not exact under the " +
+      "two-pass replace chain; use the min-rank BPE kernel instead")
 
   /** Word separator sentinel in the symbol string: space becomes `|`
     * BEFORE per-char symbolization, so no merge pattern (always of
@@ -81,9 +94,21 @@ object Bpe {
       - (length(s) - length(replace(s, lit(Sep), lit("")))))
       .cast("long")
 
-  /** Per-row BPE token count of a text column. */
+  /** Per-row BPE token count of a text column — the replace-chain
+    * formulation (exact, but linear in merge count; fixture-grade). */
   def tokenCount(text: Column): Column =
     countFromMerged(mergedSymbols(text))
+
+  /** Per-row BPE token count via the NATIVE min-rank merge-loop kernel
+    * ([[org.apache.spark.sql.graft.BpeTokenCount]]) bound to the same
+    * pinned table — the same function as [[tokenCount]] (BpeSpec pins
+    * bit-parity; every `*_bpe` oracle replays the chain against it),
+    * at production-tokenizer cost: table size only enters through O(1)
+    * hash lookups, so a released ~50k-merge table prices like this
+    * 32-rule one. The billing queries run THIS; the chain remains as
+    * the cross-engine oracle twin. */
+  def tokenCountNative(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnOps.bpeTokenCount(text, Merges)
 
   // ---- DuckDB oracle twins: the same algorithm, same builtins. ----
 

@@ -68,9 +68,8 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
     Tables(s, dir).documents
-      .select(col("doc_id"), Bpe.mergedSymbols(col("text")).as("s"))
       .select(col("doc_id"),
-        Bpe.countFromMerged(col("s")).as("n_bpe_tokens"))
+        Bpe.tokenCountNative(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 
@@ -537,7 +536,7 @@ object TextQueries {
     sqlPackSequences(Bpe.sqlCountFromMerged(
       s"(${Bpe.sqlMergedSymbols("text")})"))) { (s, dir) =>
     PackSequences.twoPhase(
-      s, packInput(s, dir, Bpe.tokenCount(col("text"))), SeqLen)
+      s, packInput(s, dir, Bpe.tokenCountNative(col("text"))), SeqLen)
       .select("doc_id", "split", "n_tokens", "start_offset",
         "seq_first", "seq_last")
       .orderBy("doc_id")
@@ -1405,7 +1404,7 @@ object TextQueries {
     sqlMixturePlan(Bpe.sqlCountFromMerged(
       s"(${Bpe.sqlMergedSymbols("text")})"))) { (s, dir) =>
     mixturePlanFrom(Tables(s, dir).documents
-      .select(col("source"), Bpe.tokenCount(col("text")).as("tk"))
+      .select(col("source"), Bpe.tokenCountNative(col("text")).as("tk"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens")))
   }

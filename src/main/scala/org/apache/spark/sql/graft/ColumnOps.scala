@@ -29,4 +29,10 @@ object ColumnOps {
     * hash) via the native [[TokenHashStats]] expression. */
   def tokenHashStats(c: Column): Column =
     ExpressionUtils.column(TokenHashStats(ExpressionUtils.expression(c)))
+
+  /** Per-row BPE token count under a bound merges table via the native
+    * min-rank merge-loop kernel ([[BpeTokenCount]]) — cost a function
+    * of the text, not the table size. */
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeTokenCount(ExpressionUtils.expression(c), merges))
 }

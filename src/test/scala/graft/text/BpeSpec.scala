@@ -74,6 +74,97 @@ class BpeSpec extends SparkSpec {
       s"expected real compression, got $totalBpe tokens over $totalChars chars")
   }
 
+  // ---- The native min-rank kernel (BpeTokenCount) ----
+
+  private def nativeCountsOf(texts: String*): Seq[Long] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(Bpe.tokenCountNative(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("native kernel: bit-parity with the replace chain on the pinned table") {
+    // Hand cases first (cheap failure localization)...
+    val cases = Seq(
+      "window", "column", "order", "part", "value", "scan", "the",
+      "line", "the window order", "", "a  b", "erer", "ererer", "rere",
+      "windowwindow", "partpart", "scancolumnorder", "zzz qqq",
+      "valuevaluevalue", "inine inein", "x", " ", "  ", "a", "er",
+      "sortsort", "aggagg upup", "colucolu mm nn")
+    assert(nativeCountsOf(cases: _*) == countsOf(cases: _*))
+    // ...then the whole sf0.001 corpus, row for row.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf).documents
+    val diff = docs.select(
+      Bpe.tokenCountNative(col("text")).as("native"),
+      Bpe.tokenCount(col("text")).as("chain"))
+      .filter(col("native") =!= col("chain"))
+    assert(diff.count() == 0L)
+  }
+
+  test("native kernel: identical-pair rules run exactly (the chain's excluded case)") {
+    import org.apache.spark.sql.graft.ColumnOps
+    import spark.implicits._
+    def countsUnder(merges: Seq[(String, String)], texts: String*): Seq[Long] =
+      texts.toDF("text")
+        .select(ColumnOps.bpeTokenCount(col("text"), merges).as("n"))
+        .collect().map(_.getLong(0)).toSeq
+    // Rule (a,a): GPT-2-style left-to-right merge of the min-rank pair —
+    // "aaaaa" → [aa, aa, a] (3), the case where a replace chain diverges.
+    val aa = Seq("a" -> "a")
+    assert(countsUnder(aa, "aa", "aaa", "aaaa", "aaaaa", "aaaaaa")
+      == Seq(1L, 2L, 2L, 3L, 3L))
+    // Stacked identical-pair rules: (a,a) then (aa,aa).
+    val aaaa = Seq("a" -> "a", "aa" -> "aa")
+    assert(countsUnder(aaaa, "aaaa", "aaaaa", "aaaaaaaa")
+      == Seq(1L, 2L, 2L))
+    // Rank order beats position: with (b,c) ranked above (a,b), "abc"
+    // merges b+c first → [a, bc], not [ab, c].
+    assert(countsUnder(Seq("b" -> "c", "a" -> "b"), "abc", "ab") == Seq(2L, 1L))
+  }
+
+  test("native kernel: ~50k-rule table prices like the 32-rule one (scan-bound)") {
+    import org.apache.spark.sql.graft.ColumnOps
+    // A released-size merges table: the pinned 32 rules first (same
+    // semantics on this corpus), then ~50k deterministic filler rules
+    // over synthetic symbols no document can produce — exactly the
+    // shape of a real tokenizer's table, where on any given word
+    // almost no rule fires. Cost must depend on the TEXT, not the
+    // table: the chain formulation would be ~1500× slower here.
+    val filler = (0 until 50000).map { i =>
+      s"#${i % 223}#" -> s"#${i / 223}#"
+    }
+    val big = Bpe.Merges ++ filler
+    assert(big.length > 50000)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf).documents.cache()
+    docs.count()
+    def sumUnder(merges: Seq[(String, String)]): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val s = docs.select(org.apache.spark.sql.functions.sum(
+        ColumnOps.bpeTokenCount(col("text"), merges)).as("s"))
+        .collect()(0).getLong(0)
+      (s, (System.nanoTime() - t0) / 1e9)
+    }
+    sumUnder(Bpe.Merges) // JIT warm-up
+    val (sumSmall, tSmall) = sumUnder(Bpe.Merges)
+    val (sumBig, tBig) = sumUnder(big)
+    docs.unpersist()
+    // Same function (filler never fires)...
+    assert(sumBig == sumSmall)
+    // ...at the same cost order. The bound is deliberately loose (host
+    // variance, one-off table compile) — the failure mode it guards is
+    // cost LINEAR in merge count, which would blow past 100×.
+    assert(tBig < tSmall * 10 + 1.0,
+      s"50k-rule table cost $tBig s vs 32-rule $tSmall s — not scan-bound")
+  }
+
+  test("native kernel: SQL registration under the pinned table") {
+    assert(spark.sql("SELECT graft_bpe_count('the window order') AS n")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT graft_bpe_count(NULL) AS n").head().isNullAt(0))
+  }
+
   test("bpe packer packs the bpe counts, not the estimates") {
     val sf = "/root/testdata/sf0.001"
     val packed =
