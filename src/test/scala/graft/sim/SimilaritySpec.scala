@@ -177,15 +177,32 @@ class SimilaritySpec extends SparkSpec {
     // itself and must rank first.
     assert(gs.head == exact10.head)
     val overlap = gs.count(exact10.toSet.contains)
-    assert(overlap >= 6, s"graph-search recall@10 too low: $overlap of 10")
+    // NN-descent-refined graph: 9/10 measured at both sf0.001 and
+    // sf0.01; floor leaves one neighbor of slack.
+    assert(overlap >= 8, s"graph-search recall@10 too low: $overlap of 10")
     // The point of the walk: it must recover at least as much of the
     // exact top-10 as the bucket-pruned LSH entry it starts from
-    // (measured at sf0.01: 8/10 vs 1/10).
+    // (measured at sf0.01: 9/10 vs 1/10).
     val lsh = SparkEntry.queries("similarity_ann_lsh")(spark, sf)
       .collect().take(10).map(_.getAs[Long]("vec_id"))
     val lshOverlap = lsh.count(exact10.toSet.contains)
     assert(overlap >= lshOverlap,
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
+  }
+
+  test("graph search audit: mean recall >= 85% over the probe batch") {
+    // The multi-probe audit over the NN-descent-refined navigable
+    // graph (deterministic end to end, so these are pinned values,
+    // not a flaky floor): mean 87% @ sf0.001, 85% @ sf0.01 — up from
+    // 69% with LSH-only edges.
+    val rows = SparkEntry.queries("graph_search_recall_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_pct") == r.getAs[Long]("hits") * 10)
+    }
+    val mean = rows.map(_.getAs[Long]("recall_pct")).sum / rows.length.toDouble
+    assert(mean >= 85.0, s"graph-search audit mean recall too low: $mean")
   }
 
   test("matryoshka cascade: exact final scores, probe first, recall vs exact top-10") {
