@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CheckpointOps
 import graft.{Q, Tables}
 
 /** Declared queries derived from the reference's transform surface
@@ -200,7 +201,86 @@ object EtlQueries {
       .orderBy("entity", "entity_id", "violation")
   }
 
+  /** Stable per-sfDir suffix so the planted layout from different
+    * scale factors never collides in the shared tmp (the
+    * StorageQueries.digest pattern). */
+  private def digest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
+  /** The [[Backfill]] gap PLAN as a declared query — the operational
+    * knob the reference leaves to the operator (`catchup=False`,
+    * bpi_etl_bigquery.py:27-29: missed ticks are replayed by hand)
+    * made oracle-checkable. A partitioned twin of `events` (by event
+    * day) is planted ONCE per sfDir with every day where
+    * day-of-month % 5 == 0 deliberately absent (the outage); the
+    * query then derives the replay plan exactly the way
+    * [[Backfill.missingPartitions]] does in production — expected =
+    * the full calendar spine of the data's day range, existing = one
+    * REAL filesystem listing of the planted layout (not the rule that
+    * planted it) — and classifies each gap: `deleted` (data exists,
+    * partition lost — the outage hole) vs `never_landed` (no source
+    * rows for that calendar day — stays on every plan until data
+    * shows up, the [[Backfill.Report]] `empty` contract). The oracle
+    * replays the same listing algebra relationally. Scale: the plan
+    * is metadata-only — one FS listing + a calendar-sized driver list
+    * (days of the range, not rows); per-day row counts ride the same
+    * bounded groupBy the spine is derived from. */
+  private val backfillPlan = Q(
+    "backfill_plan",
+    """WITH days AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1
+      |), span AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM days
+      |), expected AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), have AS (
+      |  SELECT day FROM days WHERE date_part('day', day) % 5 <> 0
+      |)
+      |SELECT CAST(e.day AS VARCHAR) AS day,
+      |       CASE WHEN d.day IS NULL THEN 'never_landed'
+      |            ELSE 'deleted' END AS gap_kind,
+      |       CAST(coalesce(d.n, 0) AS BIGINT) AS n_rows_expected
+      |FROM expected e
+      |LEFT JOIN days d ON d.day = e.day
+      |LEFT JOIN have h ON h.day = e.day
+      |WHERE h.day IS NULL
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val days = t.events.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .cut()
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_backfill_events_${digest(dir)}")
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      t.events.withColumn("day", to_date(col("ts")))
+        .filter(dayofmonth(col("day")) % 5 =!= 0)
+        .write.mode("overwrite").partitionBy("day").parquet(root.toString)
+    }
+    val expected = days
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .collect().map(_.getDate(0).toString).toSeq
+    val missing =
+      Backfill.missingPartitions(s, root.toString, "day", expected)
+    import s.implicits._
+    missing.toDF("day")
+      .join(days.select(col("day").cast("string").as("day"), col("n")),
+        Seq("day"), "left")
+      .select(col("day"),
+        when(col("n").isNull, lit("never_landed"))
+          .otherwise(lit("deleted")).as("gap_kind"),
+        coalesce(col("n"), lit(0L)).as("n_rows_expected"))
+      .orderBy("day")
+  }
+
   val queries: Seq[Q] = Seq(
     scanProject, filterPredicate, colRenameSnake, flattenJson,
-    enrichScalarRate, datetimeFormat, md5Prefix, validateConstraints)
+    enrichScalarRate, datetimeFormat, md5Prefix, validateConstraints,
+    backfillPlan)
 }
