@@ -1,0 +1,304 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Snapshot-isolated table format — the missing transactional layer
+  * over the staging machinery in [[Sinks]]/[[graft.ops.Compaction]]:
+  * the thing a 100-TB pipeline owner hits the first time a reader
+  * races the compactor. Directory-swap layouts (dynamic partition
+  * overwrite, [[Sinks.compactEpochPartitions]]) replace FILES in
+  * place, so a reader that listed before the swap can read a torn
+  * mix of old and new files, or hit deleted ones. This format is the
+  * public Iceberg/Delta-family fix, reduced to its load-bearing core:
+  *
+  *  - DATA FILES ARE IMMUTABLE and uniquely named
+  *    (`data/snap<id>-<uuid>.parquet`) — no writer ever touches a
+  *    file a reader might hold;
+  *  - A SNAPSHOT IS A MANIFEST (`manifests/snap-<id>.manifest`): the
+  *    full list of data files visible at that version, plus a
+  *    row-count stat. Publishing a snapshot = creating that one
+  *    file; nothing else moves;
+  *  - COMMIT IS CREATE-IF-ABSENT on the next manifest id (HDFS and
+  *    object stores give this atomically; a concurrent committer
+  *    loses the race, re-resolves the head, and retries on the next
+  *    id — optimistic concurrency, no locks);
+  *  - TORN WRITES ARE DETECTABLE, not prevented: a manifest is valid
+  *    only if its declared file count matches and its terminator
+  *    line is present. Readers resolve the newest VALID manifest, so
+  *    a crash mid-publish (half-written manifest, orphan data files)
+  *    is simply invisible — the planted-crash case in
+  *    SnapshotTableSpec;
+  *  - READERS PIN A SNAPSHOT: [[read]] resolves the manifest once
+  *    and reads exactly its files. A compaction committing underneath
+  *    cannot change or delete them — old files die only in
+  *    [[expire]], the explicit GC that keeps the last K snapshots
+  *    (the reader-grace window a table owner sizes to their longest
+  *    query).
+  *
+  * Scale: every table operation here is metadata-sized — one listing
+  * of `manifests/` (K files, not data files) + one manifest read;
+  * the data plane is untouched parquet. [[compact]] rewrites rows
+  * through one repartition pass, the irreducible cost of small-file
+  * folding, and publishes the result as an ordinary commit.
+  */
+object SnapshotTable {
+
+  private val ManifestDir = "manifests"
+  private val DataDir = "data"
+  private val Terminator = "commit"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(tableDir: String, id: Long): Path =
+    new Path(s"$tableDir/$ManifestDir/" + f"snap-$id%08d.manifest")
+
+  private def idOf(name: String): Option[Long] =
+    if (name.startsWith("snap-") && name.endsWith(".manifest"))
+      name.stripPrefix("snap-").stripSuffix(".manifest").toLongOption
+    else None
+
+  /** All manifest ids present (committed or torn), ascending. */
+  private def manifestIds(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val dir = new Path(s"$tableDir/$ManifestDir")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => idOf(s.getPath.getName)).sorted
+  }
+
+  /** Parse a manifest if it is VALID (count line matches, terminator
+    * present) — a torn half-commit parses to None and is skipped. */
+  private def readManifest(
+      fs: FileSystem, tableDir: String, id: Long): Option[Manifest] = {
+    val p = manifestPath(tableDir, id)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    for {
+      head <- lines.headOption
+      if head.startsWith("files=")
+      n <- head.stripPrefix("files=").toIntOption
+      rows <- lines.lift(1).filter(_.startsWith("rows="))
+        .flatMap(_.stripPrefix("rows=").toLongOption)
+      if lines.length == n + 3 && lines.last == Terminator
+    } yield Manifest(id, lines.slice(2, 2 + n), rows)
+  }
+
+  final case class Manifest(id: Long, files: Seq[String], rows: Long)
+
+  /** The newest VALID snapshot, skipping torn manifests. */
+  def currentSnapshot(
+      spark: SparkSession, tableDir: String): Option[Manifest] = {
+    val fs = fsOf(spark, tableDir)
+    manifestIds(fs, tableDir).reverse.view
+      .flatMap(readManifest(fs, tableDir, _)).headOption
+  }
+
+  /** All committed (valid) snapshots, ascending — the time-travel
+    * surface. */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[Manifest] = {
+    val fs = fsOf(spark, tableDir)
+    manifestIds(fs, tableDir).flatMap(readManifest(fs, tableDir, _))
+  }
+
+  /** Read the table at a pinned snapshot (default: current head).
+    * The returned plan reads EXACTLY the manifest's files — commits
+    * or compactions landing afterwards cannot change the result, and
+    * cannot delete the files before [[expire]]'s grace window does. */
+  def read(
+      spark: SparkSession, tableDir: String,
+      snapshot: Option[Long] = None): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val m = snapshot
+      .map(id => readManifest(fs, tableDir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id of $tableDir does not exist or is torn")))
+      .orElse(currentSnapshot(spark, tableDir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tableDir has no committed snapshot"))
+    if (m.files.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshot ${m.id} of $tableDir is empty")
+    spark.read.parquet(m.files.map(f => s"$tableDir/$f"): _*)
+  }
+
+  /** Stage `df` as immutable uniquely-named data files under `data/`
+    * and return their table-relative paths. A crash after this and
+    * before publish leaves only invisible orphans ([[expire]] sweeps
+    * them). */
+  private def stage(
+      df: DataFrame, fs: FileSystem, tableDir: String,
+      tag: String): Seq[String] = {
+    val tmp = new Path(
+      s"$tableDir/$DataDir/.stage-$tag-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val dst = new Path(
+        s"$tableDir/$DataDir/$tag-${tmp.getName.stripPrefix(".stage-")}-$i.parquet")
+      require(fs.rename(p, dst), s"staging rename failed: $p -> $dst")
+      s"$DataDir/${dst.getName}"
+    }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** Publish `files` as the next snapshot. Create-if-absent on the
+    * manifest path is the commit point; losing the race to a
+    * concurrent committer re-resolves the head and retries (bounded
+    * — each loser's next attempt targets a strictly larger id). */
+  private def publish(
+      fs: FileSystem, tableDir: String, files: Seq[String],
+      rows: Long): Long = {
+    fs.mkdirs(new Path(s"$tableDir/$ManifestDir"))
+    var attempt = manifestIds(fs, tableDir).lastOption.getOrElse(-1L) + 1
+    while (true) {
+      val p = manifestPath(tableDir, attempt)
+      val created =
+        try Some(fs.create(p, false))
+        catch {
+          // Both the Hadoop and java.nio flavors surface here
+          // depending on the FileSystem impl; any other IOException
+          // is a real fault and must propagate, not spin the loop.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      created match {
+        case Some(out) =>
+          try {
+            val body = (s"files=${files.length}" +: s"rows=$rows" +:
+              files :+ Terminator).mkString("", "\n", "\n")
+            out.write(body.getBytes("UTF-8"))
+          } finally out.close()
+          return attempt
+        case None =>
+          attempt = math.max(
+            attempt + 1,
+            manifestIds(fs, tableDir).lastOption.getOrElse(-1L) + 1)
+      }
+    }
+    attempt
+  }
+
+  /** Commit `df` as a new snapshot REPLACING the table contents.
+    * Returns the snapshot id. */
+  def overwrite(df: DataFrame, tableDir: String): Long = {
+    val fs = fsOf(df.sparkSession, tableDir)
+    val pinned = df.localCheckpoint(true)
+    val rows = pinned.count()
+    publish(fs, tableDir, stage(pinned, fs, tableDir, "w"), rows)
+  }
+
+  /** Commit `df` as a new snapshot APPENDED to the current head (or
+    * as the first snapshot of an empty table): the new manifest lists
+    * head's files plus the staged ones — no data file is rewritten. */
+  def append(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val pinned = df.localCheckpoint(true)
+    val added = pinned.count()
+    val staged = stage(pinned, fs, tableDir, "a")
+    // Resolve head AFTER staging so the retry loop in publish is the
+    // only concurrency window; a commit landing between resolve and
+    // publish is the documented lost-update limit of file-list
+    // appends (same as Iceberg's fast-append without a catalog) —
+    // single-writer-per-table is this format's write contract,
+    // MULTI-READER isolation is its guarantee.
+    val head = currentSnapshot(spark, tableDir)
+    publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
+      head.map(_.rows).getOrElse(0L) + added)
+  }
+
+  /** Fold the current head's files into `numFiles` rewritten ones and
+    * commit the result as a new snapshot. Readers holding the old
+    * head (or any unexpired snapshot) keep reading their exact files:
+    * compaction creates, it never mutates or deletes. Returns the new
+    * snapshot id. */
+  def compact(
+      spark: SparkSession, tableDir: String, numFiles: Int = 1): Long = {
+    val head = currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed snapshot to compact"))
+    val rows = read(spark, tableDir, Some(head.id))
+      .repartition(numFiles).localCheckpoint(true)
+    val fs = fsOf(spark, tableDir)
+    publish(fs, tableDir, stage(rows, fs, tableDir, "c"), head.rows)
+  }
+
+  /** Adopt an existing plain parquet directory table (the
+    * [[Sinks.appendParquet]] layout) as snapshot 0 — ZERO data
+    * movement: the existing files are listed once and published as
+    * the first manifest, so the cutover from directory-listing reads
+    * to pinned-snapshot reads is one metadata commit. Files must
+    * live directly under the table dir (partitioned layouts carry
+    * values in dir names, which a flat manifest cannot preserve —
+    * rewrite those through [[overwrite]] instead). No-op (returns
+    * None) if the table already has a committed snapshot. */
+  def adopt(spark: SparkSession, tableDir: String): Option[Long] = {
+    val fs = fsOf(spark, tableDir)
+    if (currentSnapshot(spark, tableDir).nonEmpty) return None
+    val root = new Path(tableDir)
+    val flat = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    require(
+      !fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$tableDir holds partition directories — adopt covers flat " +
+        "layouts only; rewrite partitioned tables through overwrite()")
+    require(flat.nonEmpty, s"$tableDir has no flat parquet files to adopt")
+    // Adopted files stay IN PLACE (top level, not data/) — manifests
+    // carry table-relative paths, so expire() GC and pinned reads
+    // treat them like any staged file.
+    val rows = spark.read.parquet(flat.map(_.toString): _*).count()
+    Some(publish(fs, tableDir, flat.map(_.getName), rows))
+  }
+
+  /** Explicit GC — the only operation that deletes anything. Keeps
+    * the newest `keepLast` VALID snapshots; drops older manifests,
+    * torn manifests below the kept window, and every data file (or
+    * stage leftover) no kept manifest references. Run it on a cadence
+    * longer than the longest reader — the reader-grace contract.
+    * Returns (manifests deleted, data files deleted). */
+  def expire(
+      spark: SparkSession, tableDir: String,
+      keepLast: Int = 2): (Long, Long) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = fsOf(spark, tableDir)
+    val valid = snapshots(spark, tableDir)
+    val kept = valid.takeRight(keepLast)
+    val keptIds = kept.map(_.id).toSet
+    val keptFiles = kept.flatMap(_.files).toSet
+    val floorId = kept.headOption.map(_.id).getOrElse(Long.MinValue)
+    val mDeleted = manifestIds(fs, tableDir)
+      .filter(id => !keptIds(id) && id < floorId)
+      .map { id => fs.delete(manifestPath(tableDir, id), false); 1L }
+      .sum
+    val dataDir = new Path(s"$tableDir/$DataDir")
+    val staged =
+      if (!fs.exists(dataDir)) 0L
+      else fs.listStatus(dataDir).toSeq.map { s =>
+        val rel = s"$DataDir/${s.getPath.getName}"
+        if (keptFiles(rel)) 0L
+        else { fs.delete(s.getPath, true); 1L }
+      }.sum
+    // Adopted files live at top level under their bare names — sweep
+    // the ones no kept manifest references, same rule as data/.
+    val adopted = fs.listStatus(new Path(tableDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        if (keptFiles(s.getPath.getName)) 0L
+        else { fs.delete(s.getPath, false); 1L }
+      }.sum
+    (mDeleted, staged + adopted)
+  }
+}

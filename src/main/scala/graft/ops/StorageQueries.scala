@@ -477,8 +477,72 @@ object StorageQueries {
       .orderBy("n_lines")
   }
 
+  /** Snapshot-isolated TIME TRAVEL as a declared query — the
+    * [[graft.etl.SnapshotTable]] format driven end-to-end through its
+    * real commit protocol and checked against a relational oracle. A
+    * snapshot table of `orders` is planted once per sfDir with three
+    * commits: overwrite(even keys) → append(odd keys) → compact — so
+    * its history IS derivable from the source table, and the query
+    * reads EVERY snapshot through the pinned-manifest path and
+    * aggregates each (row count + cents-exact price sum). The oracle
+    * replays the same history relationally: snapshot 0 = the even
+    * half, snapshots 1 and 2 = the full table (compaction rewrites
+    * files, never rows — the hash match IS the isolation proof, since
+    * a torn or mutated snapshot would shift a sum). Scale: each
+    * time-travel read is a manifest-pinned scan of exactly that
+    * snapshot's files; the plant is write-once and amortized like the
+    * other layouts. */
+  private val snapshotTimeTravel = Q(
+    "snapshot_time_travel", {
+      val cents = Det.sqlUnits("o_totalprice", 100L)
+      s"""WITH evens AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum($cents) AS BIGINT) AS sum_cents
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |), alls AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum($cents) AS BIGINT) AS sum_cents
+         |  FROM orders
+         |)
+         |SELECT CAST(0 AS BIGINT) AS snap_seq, n_rows, sum_cents FROM evens
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), n_rows, sum_cents FROM alls
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), n_rows, sum_cents FROM alls
+         |ORDER BY snap_seq""".stripMargin
+    }) { (s, dir) =>
+    import graft.etl.SnapshotTable
+    val t = Tables(s, dir)
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snaptable_orders_${digest(dir)}").toString
+    if (SnapshotTable.snapshots(s, root).length < 3) {
+      // Half-planted leftovers (a killed earlier run) re-plant from
+      // scratch — the snapshot history must be exactly the 3 commits
+      // the oracle replays.
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      SnapshotTable.overwrite(
+        t.orders.filter(col("o_orderkey") % 2 === 0), root)
+      SnapshotTable.append(
+        t.orders.filter(col("o_orderkey") % 2 === 1), root)
+      SnapshotTable.compact(s, root, numFiles = 2)
+    }
+    SnapshotTable.snapshots(s, root).take(3).zipWithIndex
+      .map { case (m, i) =>
+        SnapshotTable.read(s, root, Some(m.id))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(Det.toUnits(col("o_totalprice"), 100L)).cast("long")
+              .as("sum_cents"))
+          .select(lit(i.toLong).as("snap_seq"),
+            col("n_rows"), col("sum_cents"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("snap_seq")
+  }
+
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
       tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution,
-      tableSkewReport, aggBucketed)
+      tableSkewReport, aggBucketed, snapshotTimeTravel)
 }

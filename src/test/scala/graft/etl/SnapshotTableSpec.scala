@@ -1,0 +1,161 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** The snapshot-isolation contract of [[SnapshotTable]]: immutable
+  * data files + atomic create-if-absent manifest commits mean a
+  * reader can never observe a torn table — the two planted failure
+  * modes are a reader RACING a compaction (resolves the old head,
+  * keeps its exact files) and a CRASHED HALF-COMMIT (torn manifest +
+  * orphan data files, invisible to readers, swept by expire). */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def rows(n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+  }
+
+  private def ids(dir: String, snap: Option[Long] = None): Set[Long] =
+    SnapshotTable.read(spark, dir, snap)
+      .collect().map(_.getLong(0)).toSet
+
+  test("overwrite/append commit; read pins head; time travel works") {
+    val dir = tmpDir("snaptab") + "/t"
+    val s1 = SnapshotTable.overwrite(rows(3), dir)
+    assert(ids(dir) == Set(0L, 1L, 2L))
+    val s2 = SnapshotTable.append(rows(2, from = 10), dir)
+    assert(s2 > s1)
+    assert(ids(dir) == Set(0L, 1L, 2L, 10L, 11L))
+    // time travel: the old snapshot still reads its exact contents
+    assert(ids(dir, Some(s1)) == Set(0L, 1L, 2L))
+    val snaps = SnapshotTable.snapshots(spark, dir)
+    assert(snaps.map(_.id) == Seq(s1, s2))
+    assert(snaps.map(_.rows) == Seq(3L, 5L))
+    // append reuses head's files — no rewrite of committed data
+    val m1 = snaps.head.files.toSet
+    assert(m1.subsetOf(snaps.last.files.toSet))
+  }
+
+  test("reader racing a compaction keeps its pinned snapshot's files") {
+    val dir = tmpDir("snaptab-race") + "/t"
+    SnapshotTable.overwrite(rows(4), dir)
+    val s2 = SnapshotTable.append(rows(4, from = 100), dir)
+    // Reader resolves the head BEFORE the compactor runs — the race.
+    val pinnedReader = SnapshotTable.read(spark, dir, Some(s2))
+    val oldFiles = SnapshotTable.snapshots(spark, dir).last.files
+    val s3 = SnapshotTable.compact(spark, dir, numFiles = 1)
+    // Compaction folded the files down but MUTATED NOTHING: every
+    // file of the reader's snapshot still exists byte-for-byte.
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    oldFiles.foreach(f => assert(fs.exists(new Path(s"$dir/$f")),
+      s"compaction deleted a file a live reader holds: $f"))
+    // The racing reader's already-resolved plan returns the full,
+    // un-torn contents.
+    assert(pinnedReader.collect().map(_.getLong(0)).toSet ==
+      (0 until 4).map(_.toLong).toSet ++ (100 until 104).map(_.toLong))
+    // The new head has the same rows from fewer files.
+    val head = SnapshotTable.snapshots(spark, dir).last
+    assert(head.id == s3 && head.files.length == 1)
+    assert(ids(dir) == ids(dir, Some(s2)))
+  }
+
+  test("a crashed half-commit is invisible and does not block commits") {
+    val dir = tmpDir("snaptab-crash") + "/t"
+    val s1 = SnapshotTable.overwrite(rows(3), dir)
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // Plant the crash: orphan data file + manifest cut off mid-write
+    // (no terminator) at the next id — exactly what a writer dying
+    // between create() and close() leaves behind.
+    val orphan = new Path(s"$dir/data/w-dead-0.parquet")
+    val o = fs.create(orphan, false); o.write(1); o.close()
+    val torn = new Path(s"$dir/manifests/snap-00000001.manifest")
+    val t = fs.create(torn, false)
+    t.write("files=2\nrows=9\ndata/w-dead-0.parquet\n".getBytes("UTF-8"))
+    t.close()
+    // Readers resolve past the torn manifest to the last good commit.
+    assert(SnapshotTable.currentSnapshot(spark, dir).get.id == s1)
+    assert(ids(dir) == Set(0L, 1L, 2L))
+    // The next commit lands ABOVE the torn id (never overwrites it).
+    val s3 = SnapshotTable.append(rows(1, from = 50), dir)
+    assert(s3 == 2L)
+    assert(ids(dir) == Set(0L, 1L, 2L, 50L))
+    // GC sweeps the orphan once the grace window passes it by.
+    SnapshotTable.expire(spark, dir, keepLast = 1)
+    assert(!fs.exists(orphan), "expire must sweep orphaned data files")
+    assert(ids(dir) == Set(0L, 1L, 2L, 50L))
+  }
+
+  test("expire keeps the grace window readable and deletes the rest") {
+    val dir = tmpDir("snaptab-gc") + "/t"
+    val s1 = SnapshotTable.overwrite(rows(2), dir)
+    val s2 = SnapshotTable.overwrite(rows(2, from = 10), dir)
+    val s3 = SnapshotTable.append(rows(1, from = 20), dir)
+    val (m, f) = SnapshotTable.expire(spark, dir, keepLast = 2)
+    assert(m == 1L, s"expected 1 manifest deleted, got $m")
+    // s1's files are unreferenced by the kept window (s2 overwrote).
+    assert(f >= 1L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, dir, Some(s1))
+    }
+    // Both kept snapshots still read clean.
+    assert(ids(dir, Some(s2)) == Set(10L, 11L))
+    assert(ids(dir, Some(s3)) == Set(10L, 11L, 20L))
+  }
+
+  test("adopt converts a plain parquet dir in place; expire sweeps it after overwrite") {
+    val dir = tmpDir("snaptab-adopt") + "/t"
+    // The pre-snapshot layout: a blind-append parquet directory.
+    Sinks.appendParquet(rows(3), dir)
+    Sinks.appendParquet(rows(2, from = 7), dir)
+    val s0 = SnapshotTable.adopt(spark, dir)
+    assert(s0.contains(0L))
+    assert(ids(dir) == Set(0L, 1L, 2L, 7L, 8L))
+    // Zero data movement: adopted files stay at top level.
+    assert(SnapshotTable.snapshots(spark, dir).head.files
+      .forall(!_.contains("/")))
+    // Adopting twice is a no-op, not a duplicate snapshot.
+    assert(SnapshotTable.adopt(spark, dir).isEmpty)
+    // Ordinary commits continue on top; once the adopted snapshot
+    // ages out of the grace window its files are swept like any other.
+    SnapshotTable.overwrite(rows(1, from = 99), dir)
+    SnapshotTable.expire(spark, dir, keepLast = 1)
+    assert(ids(dir) == Set(99L))
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new Path(dir)).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")),
+      "expire must sweep unreferenced adopted files")
+    // A partitioned layout is refused, not silently flattened.
+    val pdir = tmpDir("snaptab-adopt-p") + "/t"
+    rows(4).withColumn("p", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(2L)))
+      .write.partitionBy("p").parquet(pdir)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.adopt(spark, pdir)
+    }
+  }
+
+  test("concurrent committers: loser of the create race retries upward") {
+    val dir = tmpDir("snaptab-cc") + "/t"
+    SnapshotTable.overwrite(rows(2), dir)
+    // Simulate the competing committer winning id 1 first: a valid
+    // manifest appears at the id our committer would target.
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val winner = SnapshotTable.snapshots(spark, dir).head
+    val p = new Path(s"$dir/manifests/snap-00000001.manifest")
+    val w = fs.create(p, false)
+    w.write((s"files=${winner.files.length}" +: s"rows=${winner.rows}" +:
+      winner.files :+ "commit").mkString("", "\n", "\n").getBytes("UTF-8"))
+    w.close()
+    // Our commit must land at id 2, not clobber id 1.
+    val s = SnapshotTable.overwrite(rows(3, from = 30), dir)
+    assert(s == 2L)
+    assert(SnapshotTable.snapshots(spark, dir).map(_.id) == Seq(0L, 1L, 2L))
+    assert(ids(dir) == Set(30L, 31L, 32L))
+  }
+}
