@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions.col
   * the loop exactly once, so the cell prices the full standing-index
   * lifecycle at that SF: epoch 0 cold (no standing side), epochs 1-2
   * probing + growing it. Wall time is the three calls end to end,
-  * including the effectively-once partitioned appends.
+  * including the effectively-once partitioned appends, PLUS the
+  * downstream closure — each cell finishes with the loop's
+  * components+survivors consumers over the accumulated pair table
+  * (the [[streaming.PairConsumers]] steps), so a regression in the
+  * propagation/survivor path is a flagged cell, not a silent drift.
   */
 object BenchStreams {
 
@@ -27,6 +31,8 @@ object BenchStreams {
         streaming.IncrementalDedup.processBatch(
           docs.filter(col("doc_id") % 3 === b),
           s"$dir/index", s"$dir/pairs", b)
+      streaming.IncrementalDedup.survivors(docs, s"$dir/pairs")
+        .write.format("noop").mode("overwrite").save()
     },
     "stream_semdedup_loop" -> { (spark, sfDir, dir) =>
       val vecs = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
@@ -34,6 +40,8 @@ object BenchStreams {
         streaming.IncrementalSemDedup.processBatch(
           vecs.filter(col("vec_id") % 3 === b),
           s"$dir/index", s"$dir/pairs", b)
+      streaming.IncrementalSemDedup.survivors(vecs, s"$dir/pairs")
+        .write.format("noop").mode("overwrite").save()
     },
     "stream_media_loop" -> { (spark, sfDir, dir) =>
       val items = mm.Multimodal.mediaItems(spark, sfDir, "image").toDF()
@@ -44,6 +52,12 @@ object BenchStreams {
         streaming.IncrementalMediaDedup.processBatch(
           items.filter((col("item_id") / 3).cast("long") % 3 === b), "image",
           s"$dir/index", s"$dir/pairs", b)
+      // Survivor selection is a labels-over-keys step (payloads join
+      // back only in materialize*) — annotating the BLOB column here
+      // would price a corpus byte-shuffle the consumer never does.
+      streaming.IncrementalMediaDedup.survivors(
+          items.select("item_id"), s"$dir/pairs")
+        .write.format("noop").mode("overwrite").save()
     })
 
   /** Run one cell in a fresh scratch dir; returns wall seconds or -1

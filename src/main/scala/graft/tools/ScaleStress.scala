@@ -124,6 +124,22 @@ object ScaleStress {
       val t10 = time(spark, q, out)
       println(f"[stress] $q%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
     }
+
+    // The three streaming loop cells (full 3-epoch lifecycle incl.
+    // effectively-once appends + components/survivors consumers) at
+    // both scales — the standing-index growth path stressed with
+    // MEASUREMENT, not design argument: a super-linear ratio here
+    // means the probe cost is not bounded by collision volume.
+    graft.BenchStreams.cells
+      .filter(c => only.forall(_.contains(c._1)))
+      .foreach { cell =>
+        def t(dir: String): Double = math.min(
+          graft.BenchStreams.runCell(spark, dir, cell),
+          graft.BenchStreams.runCell(spark, dir, cell))
+        val t1 = t(sfDir)
+        val t10 = t(out)
+        println(f"[stress] ${cell._1}%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
+      }
     spark.stop()
   }
 }
