@@ -168,6 +168,26 @@ class SimilaritySpec extends SparkSpec {
       "multi-member groups must be represented by their argmin member")
   }
 
+  test("graph search persists the navgraph layout and returns a walk-bounded plan") {
+    // First invocation builds the write-once layout (the HNSW
+    // build-once cost model); the walk itself is driver-orchestrated,
+    // so the pin is twofold: the layout artifact must exist (later
+    // invocations read it — BenchOne: 13.7 s cold vs 1.47 s warm at
+    // sf0.1), and the RETURNED frame must be the final key-lookup
+    // scoring only — no rank window (the graph build's signature
+    // shape) may survive into the per-query plan.
+    val df = SparkEntry.queries("similarity_graph_search")(spark, sf)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val layout = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_navgraph_$digest")
+    assert(new java.io.File(layout, "_SUCCESS").exists(),
+      s"navgraph layout missing at $layout")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      "graph-build machinery must not survive into the per-query plan")
+  }
+
   test("graph search: probe first, beats bucket-only LSH, recall vs exact top-10") {
     val exact10 = SparkEntry.queries("similarity_topk")(spark, sf)
       .collect().take(10).map(_.getAs[Long]("vec_id"))
@@ -177,9 +197,9 @@ class SimilaritySpec extends SparkSpec {
     // itself and must rank first.
     assert(gs.head == exact10.head)
     val overlap = gs.count(exact10.toSet.contains)
-    // NN-descent-refined graph: 9/10 measured at both sf0.001 and
-    // sf0.01; floor leaves one neighbor of slack.
-    assert(overlap >= 8, s"graph-search recall@10 too low: $overlap of 10")
+    // Two-round NN-descent graph: 10/10 measured at both sf0.001
+    // and sf0.01; floor leaves one neighbor of slack.
+    assert(overlap >= 9, s"graph-search recall@10 too low: $overlap of 10")
     // The point of the walk: it must recover at least as much of the
     // exact top-10 as the bucket-pruned LSH entry it starts from
     // (measured at sf0.01: 9/10 vs 1/10).
@@ -190,11 +210,12 @@ class SimilaritySpec extends SparkSpec {
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
   }
 
-  test("graph search audit: mean recall >= 85% over the probe batch") {
-    // The multi-probe audit over the NN-descent-refined navigable
+  test("graph search audit: mean recall >= 90% over the probe batch") {
+    // The multi-probe audit over the two-round NN-descent navigable
     // graph (deterministic end to end, so these are pinned values,
-    // not a flaky floor): mean 87% @ sf0.001, 85% @ sf0.01 — up from
-    // 69% with LSH-only edges.
+    // not a flaky floor): mean 95% @ sf0.001, 98% @ sf0.01, min probe
+    // 90% at both — up from 69% with LSH-only edges, 85% with one
+    // descent round.
     val rows = SparkEntry.queries("graph_search_recall_eval")(spark, sf)
       .collect()
     assert(rows.length == 10)
@@ -202,7 +223,7 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("recall_pct") == r.getAs[Long]("hits") * 10)
     }
     val mean = rows.map(_.getAs[Long]("recall_pct")).sum / rows.length.toDouble
-    assert(mean >= 85.0, s"graph-search audit mean recall too low: $mean")
+    assert(mean >= 90.0, s"graph-search audit mean recall too low: $mean")
   }
 
   test("matryoshka cascade: exact final scores, probe first, recall vs exact top-10") {
