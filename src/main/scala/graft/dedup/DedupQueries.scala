@@ -2182,6 +2182,94 @@ object DedupQueries {
       .orderBy("qid", "doc_id")
   }
 
+  /** FUZZY benchmark decontamination — the near-dup complement of the
+    * exact n-gram `text_decontaminate` (same pinned benchmark: src0
+    * docs below [[graft.text.TextQueries.BenchmarkMaxDocId]]). Exact
+    * gram overlap misses paraphrased/edited test-set leaks; this
+    * variant runs the corpus through the SAME MinHash band index as
+    * the dedup family and band-joins it against the benchmark's
+    * bands — a candidate (doc, bench_doc) pair exists iff some band
+    * collides (the LSH S-curve gate) — then VERIFIES each collision
+    * with the exact shingle Jaccard and reports, per contaminated
+    * doc, its best-matching benchmark doc (max jaccard, bench_doc
+    * tie-break) with a `flagged` decision at J ≥ 0.5 (the B=3/R=4
+    * curve's target zone). Report-don't-delete, like the exact
+    * variant: the decision threshold is explicit in the output.
+    *
+    * Scale: the benchmark side is a FIXED SMALL set at any corpus
+    * size, so its band rows broadcast (the `text_decontaminate`
+    * broadcast story applied to the band index); candidate volume is
+    * collision-bounded (corpus-linear, never corpus × benchmark), and
+    * the exact-Jaccard verify touches only collided docs' shingles
+    * (semi-join-pruned, the `dedup_jaccard_est` shape). */
+  private val textDecontaminateFuzzy = Q(
+    "text_decontaminate_fuzzy", {
+      s"""$sqlBandsCte, bpairs AS (
+         |  SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc
+         |  FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh
+         |  JOIN documents dc ON dc.doc_id = c.doc_id
+         |  JOIN documents db ON db.doc_id = b.doc_id
+         |  WHERE NOT (dc.source = 'src0' AND dc.doc_id < ${graft.text.TextQueries.BenchmarkMaxDocId})
+         |    AND db.source = 'src0' AND db.doc_id < ${graft.text.TextQueries.BenchmarkMaxDocId}
+         |), sh AS (
+         |  SELECT doc_id, $sqlShingles AS sh FROM documents
+         |), scored AS (
+         |  SELECT p.doc_id, p.bench_doc,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+         |              // len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jaccard_e6
+         |  FROM bpairs p
+         |  JOIN sh sa ON p.doc_id = sa.doc_id
+         |  JOIN sh sb ON p.bench_doc = sb.doc_id
+         |)
+         |SELECT doc_id, bench_doc, jaccard_e6,
+         |       jaccard_e6 >= 500000 AS flagged
+         |FROM (
+         |  SELECT doc_id, bench_doc, jaccard_e6,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY jaccard_e6 DESC, bench_doc) AS rk
+         |  FROM scored) WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val inBench = col("source") === "src0" &&
+      col("doc_id") < graft.text.TextQueries.BenchmarkMaxDocId
+    val benchIds = t.documents.filter(inBench).select("doc_id")
+    val allBands = bands(t).cut()
+    val candBands = allBands.join(benchIds, Seq("doc_id"), "left_anti")
+    val benchBands = allBands.join(benchIds, Seq("doc_id"), "left_semi")
+    val bpairs = candBands.as("c")
+      .join(broadcast(benchBands.as("b")),
+        col("c.band") === col("b.band") && col("c.bh") === col("b.bh"))
+      .select(col("c.doc_id").as("doc_id"),
+        col("b.doc_id").as("bench_doc"))
+      .distinct()
+      .cut()
+    val ids = bpairs
+      .select(explode(array(col("doc_id"), col("bench_doc"))).as("doc_id"))
+      .distinct()
+    val sh = tokenized(t)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
+      .cut()
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long")
+    val uni = size(array_distinct(concat(col("sa.sh"), col("sb.sh"))))
+      .cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard_e6").desc, col("bench_doc"))
+    bpairs.as("p")
+      .join(sh.as("sa"), col("p.doc_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("p.bench_doc") === col("sb.doc_id"))
+      .select(col("p.doc_id").as("doc_id"), col("bench_doc"),
+        inter.as("c_inter"), uni.as("c_union"))
+      .select(col("doc_id"), col("bench_doc"),
+        expr("c_inter * 1000000 div c_union").as("jaccard_e6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .withColumn("flagged", col("jaccard_e6") >= 500000L)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
@@ -2191,5 +2279,5 @@ object DedupQueries {
       dedupSurvivors, dedupSurvivorsQuality, splitAssignDedup,
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
-      dedupRecallEval, dedupContainment)
+      dedupRecallEval, dedupContainment, textDecontaminateFuzzy)
 }

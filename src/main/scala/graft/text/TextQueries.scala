@@ -650,7 +650,11 @@ object TextQueries {
     * per-doc distinct shingles, count shared grams per doc. Cost scales
     * with corpus shingle volume (one scan, one constant broadcast),
     * never corpus × benchmark. */
-  private val BenchmarkMaxDocId = 500L
+  // final literal — constant-folded at compile time, immune to
+  // object-initialization order (DedupQueries' fuzzy-decontamination
+  // oracle interpolates it; a plain val read 0 during init — the
+  // MultimodalQueries cap incident, third occurrence).
+  private[graft] final val BenchmarkMaxDocId = 500L
 
   private val textDecontaminate = Q(
     "text_decontaminate", {

@@ -46,7 +46,9 @@ object ScaleStress {
     // r11 additions (the stress dir holds documents+embeddings only,
     // so the TPC-H-table skew pair is stressed by its own spec instead)
     "token_count_bpe", "mixture_plan_bpe", "pack_sequences_bpe",
-    "dedup_banding_select")
+    "dedup_banding_select",
+    // r12
+    "text_decontaminate_fuzzy")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",
