@@ -2199,7 +2199,10 @@ object DedupQueries {
     * Scale: the benchmark side is a FIXED SMALL set at any corpus
     * size, so its band rows broadcast (the `text_decontaminate`
     * broadcast story applied to the band index); candidate volume is
-    * collision-bounded (corpus-linear, never corpus × benchmark), and
+    * collision-bounded — per doc at most |benchmark| pairs even on a
+    * fully degenerate corpus (oracle parity on the /tmp/sfdeg
+    * all-collide fixture is checked), so worst case is corpus-linear
+    * with a |benchmark| constant, never quadratic in the corpus — and
     * the exact-Jaccard verify touches only collided docs' shingles
     * (semi-join-pruned, the `dedup_jaccard_est` shape). */
   private val textDecontaminateFuzzy = Q(

@@ -2091,7 +2091,72 @@ object RelationalQueries {
       .orderBy("day")
   }
 
+  /** EXACT distributed OLS via sufficient statistics — the regression
+    * analog of the engine's integerized-determinism discipline
+    * (DuckDB ships `regr_slope`/`regr_intercept`, but float fold
+    * order makes those engine-dependent; this is the cross-engine-
+    * exact form). Inputs integerize first (quantity as units, price
+    * as cents), then ONE map-side-combinable aggregation per group
+    * collects the five sufficient statistics (n, Σx, Σy, Σx², Σxy) as
+    * exact integers — at 100 TB this is a single partial-agg shuffle
+    * of 5 numbers per group, the cheapest possible regression — and
+    * the closed-form slope/intercept assemble driver-free from exact
+    * DECIMAL(38,0) cross-products (n·Σxy − Σx·Σy can pass 2^63 at
+    * warehouse scale, so the products are decimal on BOTH engines;
+    * the numerator/denominator are emitted exactly, the quotient as
+    * the correctly-rounded double of two exact integers — identical
+    * on any IEEE engine). */
+  private val regrOls = Q(
+    "regr_ols",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS HUGEINT) AS n,
+      |         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sx,
+      |         SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS sy,
+      |         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+      |             * CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sxx,
+      |         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+      |             * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS sxy
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_returnflag,
+      |       CAST(n AS BIGINT) AS n_rows,
+      |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+      |       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_qty,
+      |       CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val ux = floor(col("l_quantity") + lit(0.5)).cast("long")
+    val uy = floor(col("l_extendedprice") * 100.0 + lit(0.5)).cast("long")
+    val dec = "decimal(38,0)"
+    val stats = Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(ux).cast(dec).as("sx"),
+        sum(uy).cast(dec).as("sy"),
+        sum(ux.cast(dec) * ux.cast(dec)).as("sxx"),
+        sum(ux.cast(dec) * uy.cast(dec)).as("sxy"))
+    stats.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(dec).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast(dec).as("slope_den"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents_per_qty"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("intercept_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[Q] = Seq(
+    regrOls,
     joinRuntimeFilter, eventsNewUsersCumulative, eventsWau,
     basketAffinity,
     snapshotDiff,
