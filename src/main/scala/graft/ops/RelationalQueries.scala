@@ -2116,7 +2116,9 @@ object RelationalQueries {
       |         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
       |             * CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sxx,
       |         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
-      |             * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS sxy
+      |             * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS sxy,
+      |         SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+      |             * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS syy
       |  FROM lineitem GROUP BY 1
       |)
       |SELECT l_returnflag,
@@ -2126,7 +2128,9 @@ object RelationalQueries {
       |       CAST(n * sxy - sx * sy AS DOUBLE)
       |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_qty,
       |       CAST(sy * sxx - sx * sxy AS DOUBLE)
-      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents,
+      |       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+      |         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
       |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val ux = floor(col("l_quantity") + lit(0.5)).cast("long")
     val uy = floor(col("l_extendedprice") * 100.0 + lit(0.5)).cast("long")
@@ -2138,7 +2142,11 @@ object RelationalQueries {
         sum(ux).cast(dec).as("sx"),
         sum(uy).cast(dec).as("sy"),
         sum(ux.cast(dec) * ux.cast(dec)).as("sxx"),
-        sum(ux.cast(dec) * uy.cast(dec)).as("sxy"))
+        sum(ux.cast(dec) * uy.cast(dec)).as("sxy"),
+        sum(uy.cast(dec) * uy.cast(dec)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val sden = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     stats.select(
         col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
@@ -2146,12 +2154,10 @@ object RelationalQueries {
           .cast(dec).as("slope_num"),
         (col("n") * col("sxx") - col("sx") * col("sx"))
           .cast(dec).as("slope_den"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("slope_cents_per_qty"),
+        (num / den).as("slope_cents_per_qty"),
         ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("intercept_cents"))
+          / den).as("intercept_cents"),
+        ((num * num) / (den * sden)).as("r2"))
       .orderBy("l_returnflag")
   }
 
