@@ -204,10 +204,7 @@ object EtlQueries {
   /** Stable per-sfDir suffix so the planted layout from different
     * scale factors never collides in the shared tmp (the
     * StorageQueries.digest pattern). */
-  private def digest(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+  private def digest(dir: String): String = graft.util.Digests.short(dir)
 
   /** The [[Backfill]] gap PLAN as a declared query — the operational
     * knob the reference leaves to the operator (`catchup=False`,

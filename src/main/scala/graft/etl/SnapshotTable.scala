@@ -189,13 +189,25 @@ object SnapshotTable {
     attempt
   }
 
+  /** Row count of staged files — a footer-driven scan of exactly
+    * those files, so commits need NO driver-side pinning of the input
+    * dataset (an earlier localCheckpoint(true) held a full extra copy
+    * in executor block storage per commit and made any executor loss
+    * mid-commit unrecoverable — at the scale this format targets,
+    * pure regression). The staged files are immutable, so counting
+    * after writing reads what was actually committed. */
+  private def stagedRows(
+      spark: SparkSession, tableDir: String, files: Seq[String]): Long =
+    if (files.isEmpty) 0L
+    else spark.read.parquet(files.map(f => s"$tableDir/$f"): _*).count()
+
   /** Commit `df` as a new snapshot REPLACING the table contents.
     * Returns the snapshot id. */
   def overwrite(df: DataFrame, tableDir: String): Long = {
-    val fs = fsOf(df.sparkSession, tableDir)
-    val pinned = df.localCheckpoint(true)
-    val rows = pinned.count()
-    publish(fs, tableDir, stage(pinned, fs, tableDir, "w"), rows)
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val staged = stage(df, fs, tableDir, "w")
+    publish(fs, tableDir, staged, stagedRows(spark, tableDir, staged))
   }
 
   /** Commit `df` as a new snapshot APPENDED to the current head (or
@@ -204,9 +216,8 @@ object SnapshotTable {
   def append(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
-    val pinned = df.localCheckpoint(true)
-    val added = pinned.count()
-    val staged = stage(pinned, fs, tableDir, "a")
+    val staged = stage(df, fs, tableDir, "a")
+    val added = stagedRows(spark, tableDir, staged)
     // Resolve head AFTER staging so the retry loop in publish is the
     // only concurrency window; a commit landing between resolve and
     // publish is the documented lost-update limit of file-list
@@ -221,15 +232,16 @@ object SnapshotTable {
   /** Fold the current head's files into `numFiles` rewritten ones and
     * commit the result as a new snapshot. Readers holding the old
     * head (or any unexpired snapshot) keep reading their exact files:
-    * compaction creates, it never mutates or deletes. Returns the new
+    * compaction creates, it never mutates or deletes — which is also
+    * why the rewrite needs no pinning: it reads immutable committed
+    * files and writes fresh uniquely-named ones. Returns the new
     * snapshot id. */
   def compact(
       spark: SparkSession, tableDir: String, numFiles: Int = 1): Long = {
     val head = currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"$tableDir has no committed snapshot to compact"))
-    val rows = read(spark, tableDir, Some(head.id))
-      .repartition(numFiles).localCheckpoint(true)
+    val rows = read(spark, tableDir, Some(head.id)).repartition(numFiles)
     val fs = fsOf(spark, tableDir)
     publish(fs, tableDir, stage(rows, fs, tableDir, "c"), head.rows)
   }
@@ -266,19 +278,38 @@ object SnapshotTable {
   /** Explicit GC — the only operation that deletes anything. Keeps
     * the newest `keepLast` VALID snapshots; drops older manifests,
     * torn manifests below the kept window, and every data file (or
-    * stage leftover) no kept manifest references. Run it on a cadence
-    * longer than the longest reader — the reader-grace contract.
-    * Returns (manifests deleted, data files deleted). */
+    * stage leftover) no kept manifest references AND older than
+    * `minAgeMs`. Two guards make it safe to run on a schedule:
+    *
+    *  - a table with NO committed snapshot is REFUSED — the "wrong
+    *    path / never-adopted plain parquet dir / only-torn-commits"
+    *    states would otherwise make every top-level file look
+    *    unreferenced and expire would destroy a table it does not
+    *    own;
+    *  - `minAgeMs` (default 1 h) is the in-flight-commit grace: a
+    *    concurrent writer's staged-but-not-yet-published files are
+    *    unreferenced by any manifest for the staging→publish window,
+    *    and an age floor (Iceberg's orphan-file cutoff) keeps the
+    *    sweep from racing them. Pass 0 only when the caller KNOWS no
+    *    commit is in flight (tests, stop-the-world maintenance).
+    *
+    * Run it on a cadence longer than the longest reader — the
+    * reader-grace contract. Returns (manifests deleted, data files
+    * deleted). */
   def expire(
       spark: SparkSession, tableDir: String,
-      keepLast: Int = 2): (Long, Long) = {
+      keepLast: Int = 2, minAgeMs: Long = 3600L * 1000): (Long, Long) = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val fs = fsOf(spark, tableDir)
     val valid = snapshots(spark, tableDir)
+    require(valid.nonEmpty,
+      s"$tableDir has no committed snapshot — refusing to GC (wrong " +
+        "path, un-adopted plain table, or all commits torn)")
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val kept = valid.takeRight(keepLast)
     val keptIds = kept.map(_.id).toSet
     val keptFiles = kept.flatMap(_.files).toSet
-    val floorId = kept.headOption.map(_.id).getOrElse(Long.MinValue)
+    val floorId = kept.head.id
     val mDeleted = manifestIds(fs, tableDir)
       .filter(id => !keptIds(id) && id < floorId)
       .map { id => fs.delete(manifestPath(tableDir, id), false); 1L }
@@ -288,15 +319,16 @@ object SnapshotTable {
       if (!fs.exists(dataDir)) 0L
       else fs.listStatus(dataDir).toSeq.map { s =>
         val rel = s"$DataDir/${s.getPath.getName}"
-        if (keptFiles(rel)) 0L
+        if (keptFiles(rel) || s.getModificationTime > cutoff) 0L
         else { fs.delete(s.getPath, true); 1L }
       }.sum
     // Adopted files live at top level under their bare names — sweep
-    // the ones no kept manifest references, same rule as data/.
+    // the ones no kept manifest references, same rules as data/.
     val adopted = fs.listStatus(new Path(tableDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map { s =>
-        if (keptFiles(s.getPath.getName)) 0L
+        if (keptFiles(s.getPath.getName) || s.getModificationTime > cutoff)
+          0L
         else { fs.delete(s.getPath, false); 1L }
       }.sum
     (mDeleted, staged + adopted)

@@ -790,10 +790,7 @@ object Multimodal {
 
   /** Stable per-sfDir suffix (same convention as StorageQueries) so
     * layouts from different scale factors never collide in tmp. */
-  private def digest(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+  private def digest(dir: String): String = graft.util.Digests.short(dir)
 
   /** Write (once, idempotent) the media corpus as a parquet BLOB
     * table partitioned by modality; returns the layout root. */

@@ -2139,8 +2139,11 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast(dec).as("n"),
-        sum(ux).cast(dec).as("sx"),
-        sum(uy).cast(dec).as("sy"),
+        // decimal BEFORE the sum, like the product stats: a long sum
+        // of cents passes 2^63 around 10^13 rows and Spark's non-ANSI
+        // sum wraps silently where the DuckDB twin's HUGEINT doesn't.
+        sum(ux.cast(dec)).cast(dec).as("sx"),
+        sum(uy.cast(dec)).cast(dec).as("sy"),
         sum(ux.cast(dec) * ux.cast(dec)).as("sxx"),
         sum(ux.cast(dec) * uy.cast(dec)).as("sxy"),
         sum(uy.cast(dec) * uy.cast(dec)).as("syy"))

@@ -27,10 +27,7 @@ object StorageQueries {
 
   /** Stable per-sfDir suffix so layouts from different scale factors
     * (or test fixtures) never collide in the shared warehouse/tmp. */
-  private def digest(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+  private def digest(dir: String): String = graft.util.Digests.short(dir)
 
   // ---------------------------------------------------------------
   // join_bucketed: lineitem ⋈ orders with both sides bucketed on the

@@ -1351,19 +1351,31 @@ object SimilarityQueries {
     knn
   }
 
+  /** The navgraph layout directory for an sfDir. The key hashes the
+    * sfDir AND every parameter the graph's bytes depend on (descent
+    * rounds, degree, table count, planes, pair cap) — changing the
+    * build algorithm re-keys the layout instead of silently reusing a
+    * stale one (the one-round/two-round incident: a layout built by
+    * an older binary would diverge from the oracle's fresh rebuild on
+    * every run until someone cleared tmp). Exposed to SimilaritySpec
+    * so the layout pin checks the same path the query uses. */
+  private[sim] def navGraphDir(sfDir: String): String =
+    new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_navgraph_" + graft.util.Digests.short(
+        s"$sfDir:r$GsDescentRounds:d$GsDegree:t$NearDupTables:" +
+          s"p$DefaultPlanes:c$MaxBucketPairVecs")).toString
+
   /** The navigable graph as a WRITE-ONCE layout (the honest HNSW cost
     * model — an ANN index is built once and amortized over every
     * query, exactly the [[graft.ops.StorageQueries]] layout
-    * discipline): the first invocation per sfDir materializes
-    * [[navigableGraphFrame]] under tmp, later ones only read it. The
-    * build is deterministic, so layout and fresh build are
-    * interchangeable — the DuckDB oracle rebuilds the same graph
+    * discipline): the first invocation per (sfDir, build-params)
+    * materializes [[navigableGraphFrame]] under tmp, later ones only
+    * read it. The build is deterministic, so layout and fresh build
+    * are interchangeable — the DuckDB oracle rebuilds the same graph
     * relationally every run and still hash-matches. */
   private def navigableGraph(t: Tables): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.sfDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    val root = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_navgraph_$md")
+    val root = new org.apache.hadoop.fs.Path(navGraphDir(t.sfDir))
     val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
       navigableGraphFrame(t).repartition(8, col("vec_id"))

@@ -135,9 +135,17 @@ object ScaleStress {
     graft.BenchStreams.cells
       .filter(c => only.forall(_.contains(c._1)))
       .foreach { cell =>
-        def t(dir: String): Double = math.min(
-          graft.BenchStreams.runCell(spark, dir, cell),
-          graft.BenchStreams.runCell(spark, dir, cell))
+        // runCell returns -1 on failure — a bare min() would prefer
+        // the sentinel over a real measurement and print a garbage
+        // negative ratio; failed attempts are dropped, and a cell
+        // with NO successful attempt fails the stress run loudly.
+        def t(dir: String): Double = {
+          val ok = Seq(
+            graft.BenchStreams.runCell(spark, dir, cell),
+            graft.BenchStreams.runCell(spark, dir, cell)).filter(_ >= 0)
+          require(ok.nonEmpty, s"[stress] ${cell._1} failed both attempts at $dir")
+          ok.min
+        }
         val t1 = t(sfDir)
         val t10 = t(out)
         println(f"[stress] ${cell._1}%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")

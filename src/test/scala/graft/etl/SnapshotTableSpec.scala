@@ -83,7 +83,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(s3 == 2L)
     assert(ids(dir) == Set(0L, 1L, 2L, 50L))
     // GC sweeps the orphan once the grace window passes it by.
-    SnapshotTable.expire(spark, dir, keepLast = 1)
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
     assert(!fs.exists(orphan), "expire must sweep orphaned data files")
     assert(ids(dir) == Set(0L, 1L, 2L, 50L))
   }
@@ -93,7 +93,7 @@ class SnapshotTableSpec extends SparkSpec {
     val s1 = SnapshotTable.overwrite(rows(2), dir)
     val s2 = SnapshotTable.overwrite(rows(2, from = 10), dir)
     val s3 = SnapshotTable.append(rows(1, from = 20), dir)
-    val (m, f) = SnapshotTable.expire(spark, dir, keepLast = 2)
+    val (m, f) = SnapshotTable.expire(spark, dir, keepLast = 2, minAgeMs = 0)
     assert(m == 1L, s"expected 1 manifest deleted, got $m")
     // s1's files are unreferenced by the kept window (s2 overwrote).
     assert(f >= 1L)
@@ -121,7 +121,7 @@ class SnapshotTableSpec extends SparkSpec {
     // Ordinary commits continue on top; once the adopted snapshot
     // ages out of the grace window its files are swept like any other.
     SnapshotTable.overwrite(rows(1, from = 99), dir)
-    SnapshotTable.expire(spark, dir, keepLast = 1)
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
     assert(ids(dir) == Set(99L))
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -137,6 +137,35 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.adopt(spark, pdir)
     }
+  }
+
+  test("expire refuses tables without a committed snapshot; age floor guards in-flight files") {
+    // A plain parquet dir that was never adopted must NOT be GC'd —
+    // without the guard every top-level file looks unreferenced and
+    // expire would destroy a table it does not own.
+    val plain = tmpDir("snaptab-noexp") + "/t"
+    Sinks.appendParquet(rows(3), plain)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.expire(spark, plain, keepLast = 1, minAgeMs = 0)
+    }
+    val fs = new Path(plain).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new Path(plain)).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")),
+      "refused expire must leave the plain table untouched")
+    // In-flight grace: a freshly staged-but-unpublished file is
+    // unreferenced by every manifest, but the default age floor keeps
+    // the scheduled sweep from racing the commit that staged it.
+    val dir = tmpDir("snaptab-age") + "/t"
+    SnapshotTable.overwrite(rows(2), dir)
+    val inflight = new Path(s"$dir/data/w-inflight-0.parquet")
+    val o = fs.create(inflight, false); o.write(1); o.close()
+    SnapshotTable.expire(spark, dir, keepLast = 1) // default minAge
+    assert(fs.exists(inflight),
+      "default-age expire must not sweep fresh unreferenced files")
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
+    assert(!fs.exists(inflight),
+      "zero-age expire (stop-the-world maintenance) sweeps orphans")
   }
 
   test("concurrent committers: loser of the create race retries upward") {

@@ -177,10 +177,7 @@ class SimilaritySpec extends SparkSpec {
     // scoring only — no rank window (the graph build's signature
     // shape) may survive into the per-query plan.
     val df = SparkEntry.queries("similarity_graph_search")(spark, sf)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sf.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    val layout = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_navgraph_$digest")
+    val layout = new java.io.File(SimilarityQueries.navGraphDir(sf))
     assert(new java.io.File(layout, "_SUCCESS").exists(),
       s"navgraph layout missing at $layout")
     val plan = df.queryExecution.executedPlan.toString
