@@ -81,17 +81,24 @@ object SnapshotTable {
         new String(out.toByteArray, "UTF-8")
       } finally in.close()
     val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    // Optional `batch=` header (streaming effectively-once commits,
+    // [[appendOnce]]) sits between rows= and the file list.
+    val batch = lines.lift(2).filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+    val headerLen = if (batch.isDefined) 3 else 2
     for {
       head <- lines.headOption
       if head.startsWith("files=")
       n <- head.stripPrefix("files=").toIntOption
       rows <- lines.lift(1).filter(_.startsWith("rows="))
         .flatMap(_.stripPrefix("rows=").toLongOption)
-      if lines.length == n + 3 && lines.last == Terminator
-    } yield Manifest(id, lines.slice(2, 2 + n), rows)
+      if lines.length == n + headerLen + 1 && lines.last == Terminator
+    } yield Manifest(id, lines.slice(headerLen, headerLen + n), rows, batch)
   }
 
-  final case class Manifest(id: Long, files: Seq[String], rows: Long)
+  final case class Manifest(
+      id: Long, files: Seq[String], rows: Long,
+      batchId: Option[Long] = None)
 
   /** The newest VALID snapshot, skipping torn manifests. */
   def currentSnapshot(
@@ -158,7 +165,7 @@ object SnapshotTable {
     * — each loser's next attempt targets a strictly larger id). */
   private def publish(
       fs: FileSystem, tableDir: String, files: Seq[String],
-      rows: Long): Long = {
+      rows: Long, batch: Option[Long] = None): Long = {
     fs.mkdirs(new Path(s"$tableDir/$ManifestDir"))
     var attempt = manifestIds(fs, tableDir).lastOption.getOrElse(-1L) + 1
     while (true) {
@@ -175,8 +182,10 @@ object SnapshotTable {
       created match {
         case Some(out) =>
           try {
-            val body = (s"files=${files.length}" +: s"rows=$rows" +:
-              files :+ Terminator).mkString("", "\n", "\n")
+            val header = Seq(s"files=${files.length}", s"rows=$rows") ++
+              batch.map(b => s"batch=$b")
+            val body = (header ++ files :+ Terminator)
+              .mkString("", "\n", "\n")
             out.write(body.getBytes("UTF-8"))
           } finally out.close()
           return attempt
@@ -227,6 +236,32 @@ object SnapshotTable {
     val head = currentSnapshot(spark, tableDir)
     publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
       head.map(_.rows).getOrElse(0L) + added)
+  }
+
+  /** EFFECTIVELY-ONCE append for streaming epochs — the foreachBatch
+    * sink contract: Structured Streaming replays a batch whose commit
+    * wasn't recorded in ITS checkpoint, so a crash between the sink
+    * write and the checkpoint commit calls this again with the SAME
+    * `batchId`. The manifest chain is the ledger: if any committed
+    * snapshot already carries this batch id, the replay is a NO-OP
+    * returning that snapshot (its orphaned re-staged files, if the
+    * crash landed between stage and publish, stay invisible and age
+    * out in [[expire]]); otherwise an ordinary [[append]] commit is
+    * published with the batch id in the manifest header. Batch-id
+    * lookups read the same metadata-sized manifest listing every
+    * other operation reads. */
+  def appendOnce(df: DataFrame, tableDir: String, batchId: Long): Long = {
+    val spark = df.sparkSession
+    snapshots(spark, tableDir).find(_.batchId.contains(batchId)) match {
+      case Some(m) => m.id
+      case None =>
+        val fs = fsOf(spark, tableDir)
+        val staged = stage(df, fs, tableDir, s"b$batchId")
+        val added = stagedRows(spark, tableDir, staged)
+        val head = currentSnapshot(spark, tableDir)
+        publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
+          head.map(_.rows).getOrElse(0L) + added, Some(batchId))
+    }
   }
 
   /** Fold the current head's files into `numFiles` rewritten ones and

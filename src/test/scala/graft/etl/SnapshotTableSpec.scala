@@ -139,6 +139,33 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("appendOnce is effectively-once under foreachBatch replay") {
+    val dir = tmpDir("snaptab-once") + "/t"
+    val s0 = SnapshotTable.appendOnce(rows(2), dir, batchId = 0L)
+    assert(ids(dir) == Set(0L, 1L))
+    // Crash-replay: the stream re-runs batch 0 (same id, same rows) —
+    // the ledger says it committed, so nothing is appended.
+    assert(SnapshotTable.appendOnce(rows(2), dir, batchId = 0L) == s0)
+    assert(ids(dir) == Set(0L, 1L))
+    assert(SnapshotTable.snapshots(spark, dir).length == 1)
+    // Worse crash: batch 1 staged its files, died before publish, and
+    // replays — the orphans stay invisible, the replay commits once.
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val orphan = new Path(s"$dir/data/b1-deadstage-0.parquet")
+    val o = fs.create(orphan, false); o.write(1); o.close()
+    val s1 = SnapshotTable.appendOnce(rows(1, from = 9), dir, batchId = 1L)
+    assert(ids(dir) == Set(0L, 1L, 9L))
+    assert(SnapshotTable.snapshots(spark, dir)
+      .map(_.batchId) == Seq(Some(0L), Some(1L)))
+    assert(SnapshotTable.appendOnce(rows(1, from = 9), dir, 1L) == s1)
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+    // Interop: batch-id manifests coexist with plain commits.
+    SnapshotTable.overwrite(rows(1, from = 50), dir)
+    assert(ids(dir) == Set(50L))
+    assert(ids(dir, Some(s1)) == Set(0L, 1L, 9L))
+  }
+
   test("expire refuses tables without a committed snapshot; age floor guards in-flight files") {
     // A plain parquet dir that was never adopted must NOT be GC'd —
     // without the guard every top-level file looks unreferenced and
