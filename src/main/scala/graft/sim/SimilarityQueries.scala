@@ -2147,33 +2147,53 @@ object SimilarityQueries {
          |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    incrementalSemComponentsOf(
-      bucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding"))))
+    incrementalSemComponentsOf(t, "single", e => bucketRowsOf(e))
   }
 
-  /** Shared incremental-components body over an arbitrary pre-bucketed
-    * (vec_id, bucket, embedding) index-row frame — the single-table
-    * declared query feeds [[bucketRowsOf]], the production-shaped
-    * multi-table one feeds [[multiBucketRowsOf]] (identical merge
-    * contract; only the index layout differs). */
-  private def incrementalSemComponentsOf(indexRows: DataFrame): DataFrame = {
+  /** Shared incremental-components body — the single-table declared
+    * query feeds [[bucketRowsOf]], the production-shaped multi-table
+    * one feeds [[multiBucketRowsOf]] (identical merge contract; only
+    * the index layout differs, which is why `tag` keys the layout).
+    *
+    * Standing state (index rows + component labels) is a WRITE-ONCE
+    * layout per (sfDir, layout, params) — the stored tables a
+    * production loop keeps between batches (the text twin's
+    * standingDedupState discipline): labels/_SUCCESS written last
+    * marks the plant complete, and the per-run bucketing pass covers
+    * only the NEW batch — batch-sized, the incremental contract. */
+  private def incrementalSemComponentsOf(
+      t: Tables, tag: String,
+      rowsOf: DataFrame => DataFrame): DataFrame = {
     import graft.dedup.DedupQueries.componentLabelsOf
     val isNew = col("vec_id") % 20 === 0
-    // ONE bucketing pass feeds the standing graph and the probe.
-    val rows = indexRows.cut(false)
-    val standingPairs =
-      scoredPairsOfRows(rows.filter(!isNew), MaxBucketPairVecs)
-        .filter(col("sim_e6") >= NearDupSimE6)
-        // Cross-table duplicate edges collapse here (no-op for the
-        // single-table layout): the propagation engine is
-        // duplicate-insensitive, but edge volume shouldn't be L×.
-        .select(col("vec_a"), col("vec_b")).distinct()
-    val standing = componentLabelsOf(
-      standingPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .cut(false)
-    val incr = incrementalSemPairsBetween(rows.filter(isNew), rows.filter(!isNew))
-      .select(col("new_vec"), col("corpus_vec"))
-      .cut(false)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_standing_sem_" + graft.util.Digests.short(
+        s"${t.sfDir}:$tag:p$DefaultPlanes:t$NearDupTables:" +
+          s"c$MaxBucketPairVecs:s$NearDupSimE6:v1"))
+    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "labels/_SUCCESS"))) {
+      rowsOf(emb.filter(!isNew))
+        .write.mode("overwrite").parquet(s"$root/rows")
+      val standingPairs =
+        scoredPairsOfRows(
+          t.spark.read.parquet(s"$root/rows"), MaxBucketPairVecs)
+          .filter(col("sim_e6") >= NearDupSimE6)
+          // Cross-table duplicate edges collapse here (no-op for the
+          // single-table layout): the propagation engine is
+          // duplicate-insensitive, but edge volume shouldn't be L×.
+          .select(col("vec_a"), col("vec_b")).distinct()
+      componentLabelsOf(standingPairs
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .write.mode("overwrite").parquet(s"$root/labels")
+    }
+    val standingIdx = t.spark.read.parquet(s"$root/rows")
+    val standing = t.spark.read.parquet(s"$root/labels").cut(false)
+    val incr =
+      incrementalSemPairsBetween(rowsOf(emb.filter(isNew)), standingIdx)
+        .select(col("new_vec"), col("corpus_vec"))
+        .cut(false)
     // Standing labels are corpus-scale: semi-narrow to the touched key
     // set (broadcast batch keys) before any broadcast of labels — the
     // same 100 TB contract as the text twin.
@@ -2357,8 +2377,7 @@ object SimilarityQueries {
          |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
     val t = Tables(s, dir)
-    incrementalSemComponentsOf(
-      multiBucketRowsOf(t.embeddings.select(col("vec_id"), col("embedding"))))
+    incrementalSemComponentsOf(t, "multi", e => multiBucketRowsOf(e))
   }
 
   /** Sign-LSH near-dup RECALL audit — the embedding twin of the dedup
