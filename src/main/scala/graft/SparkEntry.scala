@@ -13,7 +13,10 @@ object SparkEntry {
 
   def allQueries: Seq[Q] =
     etl.EtlQueries.queries ++
+      etl.CdcQueries.queries ++
       ops.RelationalQueries.queries ++
+      ops.MarketQueries.queries ++
+      er.ErQueries.queries ++
       ops.TpchBreadthQueries.queries ++
       ops.StorageQueries.queries ++
       text.TextQueries.queries ++

@@ -1,0 +1,250 @@
+package graft.er
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Entity resolution [EXT] — blocking → pairwise verify → cluster →
+  * golden record, the classic master-data pipeline, run over a planted
+  * "dirty" twin of `customer` so both engines construct the identical
+  * noisy input:
+  *
+  *   clean record  rec_id = 2·custkey     — the row as loaded;
+  *   dirty record  rec_id = 2·custkey + 1 — same entity re-keyed, with
+  *     one character DELETED from the name at position
+  *     10 + (custkey % 5) (inside the digit block, never touching the
+  *     last four characters) and the balance off by one cent — the
+  *     double-entry shape dedup can't catch by exact hash.
+  *
+  * Blocking key = the name's last 3 characters (deletion-stable by
+  * construction): candidate pairs exist only WITHIN a block, so the
+  * pair volume is Σ b(b−1)/2 over block sizes — never corpus², the
+  * only posture that survives 100 TB. Blocks collide across entities
+  * (custkey % 1000), so the verifier sees genuine impostors:
+  * near-identical TPC-H names at edit distance ≤ 2 from a different
+  * entity. That is deliberate — `er_quality` measures the resulting
+  * precision against the planted ground truth instead of pretending
+  * blocking+edit-distance is exact.
+  *
+  * Scale posture: one shuffle on the block key for pairing, one on
+  * the pair for verification (levenshtein on 17/18-char keys — cheap,
+  * codegen'd builtin), components via the shared measured-gate
+  * propagation engine ([[graft.dedup.DedupQueries.componentLabelsOf]]).
+  *
+  * Block-key width is the scale knob: right(name, 3) has FIXED
+  * cardinality (10³ digit suffixes), so block size — and with it the
+  * Σ b(b−1)/2 pair volume — grows linearly–quadratically with corpus
+  * size. A production deployment widens the key (right-k, k chosen so
+  * the expected block size stays O(1), i.e. key cardinality tracks
+  * O(n)) exactly the way `dedup_banding_select` picks (B, R) from
+  * measured evidence; the declared query pins k = 3 because the oracle
+  * must replay one fixed plan. `er_candidates` IS that evidence query:
+  * its histogram shows the block-size distribution the key-width
+  * decision reads.
+  */
+object ErQueries {
+
+  /** Records CTE shared by every oracle: clean ∪ dirty with the block
+    * key attached. */
+  private val sqlRecCte =
+    """WITH rec AS (
+      |  SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_id,
+      |         c_name AS name,
+      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey * 2 + 1, c_custkey,
+      |         concat(substr(c_name, 1, 9 + c_custkey % 5),
+      |                substr(c_name, 11 + c_custkey % 5)),
+      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 1
+      |  FROM customer
+      |), blocked AS (
+      |  SELECT rec_id, entity_id, name, bal_cents,
+      |         right(name, 3) AS blk
+      |  FROM rec
+      |)""".stripMargin
+
+  /** Candidate pairs within a block, verified with edit distance. */
+  private val sqlCandCte =
+    s"""$sqlRecCte, cand AS (
+       |  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       |         a.entity_id AS ent_a, b.entity_id AS ent_b,
+       |         CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev_dist
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.rec_id < b.rec_id
+       |), m AS (
+       |  SELECT * FROM cand WHERE lev_dist <= 2
+       |)""".stripMargin
+
+  /** The dirty-twin record set — same construction as [[sqlRecCte]],
+    * column for column. */
+  private[graft] def recordsOf(t: Tables): DataFrame = {
+    val c = t.customer
+    val balCents =
+      floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val clean = c.select(
+      (col("c_custkey") * 2).as("rec_id"),
+      col("c_custkey").as("entity_id"),
+      col("c_name").as("name"),
+      balCents.as("bal_cents"))
+    val dirty = c.select(
+      (col("c_custkey") * 2 + 1).as("rec_id"),
+      col("c_custkey").as("entity_id"),
+      expr("substr(c_name, 1, 9 + c_custkey % 5)" +
+        " || substr(c_name, 11 + c_custkey % 5)").as("name"),
+      (balCents + 1).as("bal_cents"))
+    clean.unionAll(dirty)
+      .withColumn("blk", expr("right(name, 3)"))
+  }
+
+  /** Verified match pairs (edit distance ≤ 2 within a block). */
+  private[graft] def matchesOf(t: Tables): DataFrame = {
+    val recs = recordsOf(t)
+    val a = recs.select(
+      col("rec_id").as("rec_a"), col("entity_id").as("ent_a"),
+      col("name").as("name_a"), col("blk"))
+    val b = recs.select(
+      col("rec_id").as("rec_b"), col("entity_id").as("ent_b"),
+      col("name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("rec_a") < col("rec_b"))
+      .select(
+        col("rec_a"), col("rec_b"), col("ent_a"), col("ent_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long")
+          .as("lev_dist"))
+      .filter(col("lev_dist") <= 2)
+  }
+
+  /** Blocking report: the block-size histogram and the candidate-pair
+    * volume it implies — what an ER owner reads to confirm the key
+    * neither explodes (a hot block goes quadratic) nor over-splits
+    * (singleton blocks can never match). Metadata-sized output.
+    */
+  private val erCandidates = Q(
+    "er_candidates",
+    s"""$sqlRecCte, bsize AS (
+       |  SELECT blk, CAST(count(*) AS BIGINT) AS block_size
+       |  FROM blocked GROUP BY blk
+       |)
+       |SELECT block_size,
+       |       CAST(count(*) AS BIGINT) AS n_blocks,
+       |       CAST(count(*) * (block_size * (block_size - 1) // 2)
+       |            AS BIGINT) AS n_pairs
+       |FROM bsize GROUP BY block_size
+       |ORDER BY block_size""".stripMargin) { (s, dir) =>
+    recordsOf(Tables(s, dir))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("block_size"))
+      .groupBy(col("block_size"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .select(
+        col("block_size"), col("n_blocks"),
+        expr("n_blocks * ((block_size * (block_size - 1)) div 2)")
+          .as("n_pairs"))
+      .orderBy("block_size")
+  }
+
+  /** Verified match pairs with the ground-truth flag: blocked self-join,
+    * levenshtein ≤ 2, `same_entity` = whether the pair really is the
+    * planted clean/dirty twin — the labeled pair list the quality audit
+    * consumes. */
+  private val erMatches = Q(
+    "er_matches",
+    s"""$sqlCandCte
+       |SELECT rec_a, rec_b, lev_dist,
+       |       CAST(CASE WHEN ent_a = ent_b THEN 1 ELSE 0 END
+       |            AS INTEGER) AS same_entity
+       |FROM m ORDER BY rec_a, rec_b""".stripMargin) { (s, dir) =>
+    matchesOf(Tables(s, dir))
+      .select(
+        col("rec_a"), col("rec_b"), col("lev_dist"),
+        when(col("ent_a") === col("ent_b"), 1).otherwise(0)
+          .cast("int").as("same_entity"))
+      .orderBy("rec_a", "rec_b")
+  }
+
+  /** Golden records: connected components over the verified matches
+    * (shared propagation engine), every record assigned to a cluster
+    * (unmatched records survive as their own), survivorship = the
+    * lowest-rec_id member's name + the cluster's max balance. The
+    * n_entities column is the honest merge audit: clusters with
+    * n_entities > 1 are blocking-collision over-merges. */
+  private val erGolden = Q(
+    "er_golden",
+    s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, edges AS (
+       |  SELECT rec_a AS a, rec_b AS b FROM m
+       |  UNION SELECT rec_b, rec_a FROM m
+       |), reach(s, t) AS (
+       |  SELECT rec_id, rec_id FROM blocked
+       |  UNION SELECT a, b FROM edges
+       |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+       |), lab AS (
+       |  SELECT s AS rec_id, min(t) AS cluster FROM reach GROUP BY s
+       |)
+       |SELECT cluster,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities,
+       |       arg_min(name, rec_id) AS rep_name,
+       |       max(bal_cents) AS max_bal_cents
+       |FROM lab JOIN blocked USING (rec_id)
+       |GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val edges = matchesOf(t)
+      .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b"))
+    val labels = graft.dedup.DedupQueries.componentLabelsOf(edges)
+      .select(col("doc_id").as("rec_id"), col("component"))
+    recordsOf(t)
+      .join(labels, Seq("rec_id"), "left")
+      .select(
+        coalesce(col("component"), col("rec_id")).as("cluster"),
+        col("rec_id"), col("entity_id"), col("name"), col("bal_cents"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("entity_id")).as("n_entities"),
+        min(struct(col("rec_id"), col("name"))).getField("name")
+          .as("rep_name"),
+        max(col("bal_cents")).as("max_bal_cents"))
+      .orderBy("cluster")
+  }
+
+  /** Precision/recall of the blocking+threshold pipeline against the
+    * planted ground truth (each customer's clean/dirty twin is exactly
+    * one true pair). The divides are single operations on exact
+    * integers — deterministic on both engines. One row out. */
+  private val erQuality = Q(
+    "er_quality",
+    s"""$sqlCandCte, agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       |         CAST(count(*) FILTER (WHERE ent_a = ent_b) AS BIGINT)
+       |           AS tp
+       |  FROM m
+       |), gt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_true FROM customer
+       |)
+       |SELECT n_matches, tp,
+       |       n_matches - tp AS fp,
+       |       n_true - tp AS fn,
+       |       CAST(tp AS DOUBLE) / CAST(n_matches AS DOUBLE)
+       |         AS precision,
+       |       CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+       |FROM agg CROSS JOIN gt""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val agg = matchesOf(t).agg(
+      count(lit(1)).as("n_matches"),
+      count(when(col("ent_a") === col("ent_b"), 1)).as("tp"))
+    val gt = t.customer.agg(count(lit(1)).as("n_true"))
+    agg.crossJoin(broadcast(gt))
+      .select(
+        col("n_matches"), col("tp"),
+        (col("n_matches") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("n_matches").cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(erCandidates, erMatches, erGolden, erQuality)
+}

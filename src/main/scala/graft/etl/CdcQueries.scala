@@ -1,0 +1,203 @@
+package graft.etl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Change-data-capture (CDC) changelog processing [EXT] — the upstream
+  * shape a warehouse loader actually receives: a stream of
+  * insert/update/delete ops with a total order, to be collapsed into the
+  * current snapshot. Extends the latest-wins upsert
+  * (`merge_upsert`, RelationalQueries) with DELETE tombstones and
+  * multi-batch sequencing.
+  *
+  * The changelog is planted deterministically from `orders` so both
+  * engines construct the identical log:
+  *   batch 1 — INSERT every order (price in exact cents);
+  *   batch 2 — UPDATE orderkey % 7 == 0 (price + 500 cents, status 'U');
+  *   batch 3 — DELETE orderkey % 13 == 0.
+  *
+  * Scale posture: applying a changelog is ONE shuffle on the primary
+  * key (window row_number by (key, seq desc)); each batch is
+  * append-only upstream, so at 100 TB the same plan reads the log
+  * partitioned by batch and collapses with map-side-combinable
+  * partial ranking under AQE. No driver state, no iteration.
+  */
+object CdcQueries {
+
+  private def sqlCents(expr: String): String =
+    s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+
+  private val sqlLogCte =
+    s"""WITH log AS (
+       |  SELECT o_orderkey AS pk, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+       |         ${sqlCents("o_totalprice")} AS price_cents,
+       |         o_orderstatus AS status
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, CAST(2 AS BIGINT), 'U',
+       |         ${sqlCents("o_totalprice")} + 500, 'U'
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, CAST(3 AS BIGINT), 'D',
+       |         CAST(0 AS BIGINT), 'D'
+       |  FROM orders WHERE o_orderkey % 13 = 0
+       |)""".stripMargin
+
+  /** The planted changelog as a DataFrame — same construction as
+    * [[sqlLogCte]], column for column. */
+  private def logOf(t: Tables) = {
+    val o = t.orders
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+      .cast("long")
+    val ins = o.select(
+      col("o_orderkey").as("pk"), lit(1L).as("seq"), lit("I").as("op"),
+      cents.as("price_cents"), col("o_orderstatus").as("status"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey").as("pk"), lit(2L).as("seq"), lit("U").as("op"),
+      (cents + lit(500L)).as("price_cents"), lit("U").as("status"))
+    val del = o.filter(col("o_orderkey") % 13 === 0).select(
+      col("o_orderkey").as("pk"), lit(3L).as("seq"), lit("D").as("op"),
+      lit(0L).as("price_cents"), lit("D").as("status"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
+  /** Collapse the changelog to the current snapshot: latest op per key
+    * wins, DELETE tombstones drop the row. Emits the surviving rows with
+    * the op/seq that produced them — the audit columns a loader keeps.
+    */
+  private val cdcApply = Q(
+    "cdc_apply",
+    s"""$sqlLogCte, latest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY pk
+       |                               ORDER BY seq DESC) AS rn
+       |  FROM log
+       |)
+       |SELECT pk, price_cents, status, seq AS last_seq, op AS last_op
+       |FROM latest WHERE rn = 1 AND op <> 'D'
+       |ORDER BY pk""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("pk")).orderBy(col("seq").desc)
+    logOf(Tables(s, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(
+        col("pk"), col("price_cents"), col("status"),
+        col("seq").as("last_seq"), col("op").as("last_op"))
+      .orderBy("pk")
+  }
+
+  /** Per-batch changelog accounting: op counts, the batch's net effect
+    * on live-row count (inserts of new keys minus deletes of live keys;
+    * updates are count-neutral), and the cumulative live-row count after
+    * each batch — the reconciliation table an operator reads to confirm
+    * a load landed. In this planted log every insert is new and every
+    * delete hits a live key, so net = n_ins - n_del; the query still
+    * computes it from the data (first/last op per key per batch
+    * boundary), not from that assumption.
+    */
+  private val cdcBatchStats = Q(
+    "cdc_batch_stats",
+    s"""$sqlLogCte, per_batch AS (
+       |  SELECT seq,
+       |         CAST(count(*) FILTER (WHERE op = 'I') AS BIGINT) AS n_ins,
+       |         CAST(count(*) FILTER (WHERE op = 'U') AS BIGINT) AS n_upd,
+       |         CAST(count(*) FILTER (WHERE op = 'D') AS BIGINT) AS n_del
+       |  FROM log GROUP BY seq
+       |)
+       |SELECT seq, n_ins, n_upd, n_del,
+       |       n_ins - n_del AS net_rows,
+       |       CAST(sum(n_ins - n_del) OVER (ORDER BY seq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS live_rows
+       |FROM per_batch ORDER BY seq""".stripMargin) { (s, dir) =>
+    val perBatch = logOf(Tables(s, dir))
+      .groupBy(col("seq"))
+      .agg(
+        count(when(col("op") === "I", 1)).as("n_ins"),
+        count(when(col("op") === "U", 1)).as("n_upd"),
+        count(when(col("op") === "D", 1)).as("n_del"))
+    val w = Window.orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBatch
+      .withColumn("net_rows", col("n_ins") - col("n_del"))
+      .withColumn("live_rows", sum(col("net_rows")).over(w))
+      .orderBy("seq")
+  }
+
+  /** SCD2 history FROM the changelog: each op opens a version interval
+    * [seq, next_seq) per key; the latest non-delete version is current
+    * (valid_to NULL). The whole history is one lead() window over the
+    * same (pk, seq) shuffle the apply uses — a loader gets the
+    * dimension history for free from the log it already has. DELETE
+    * tombstones close the prior version but are not themselves
+    * versions. */
+  private val cdcScd2 = Q(
+    "cdc_scd2",
+    s"""$sqlLogCte, seqd AS (
+       |  SELECT *, lead(seq) OVER (PARTITION BY pk ORDER BY seq)
+       |           AS next_seq
+       |  FROM log
+       |)
+       |SELECT pk, seq AS valid_from, next_seq AS valid_to,
+       |       price_cents, status,
+       |       CAST(CASE WHEN next_seq IS NULL THEN 1 ELSE 0 END
+       |            AS INTEGER) AS is_current
+       |FROM seqd WHERE op <> 'D'
+       |ORDER BY pk, seq""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("pk")).orderBy(col("seq"))
+    logOf(Tables(s, dir))
+      .withColumn("next_seq", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(
+        col("pk"), col("seq").as("valid_from"),
+        col("next_seq").as("valid_to"),
+        col("price_cents"), col("status"),
+        when(col("next_seq").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+      .orderBy("pk", "valid_from")
+  }
+
+  /** At-least-once delivery: the feed redelivers some ops (here every
+    * (pk, seq) with pk % 11 == 0 arrives twice). Idempotent apply
+    * dedups on the (pk, seq) op identity BEFORE collapsing — the
+    * result must be bit-identical to [[cdcApply]] on the clean log
+    * (spec-asserted). The dedup rides the SAME shuffle as the collapse
+    * (both partition by pk), so exactly-once semantics cost zero extra
+    * Exchanges. */
+  private val cdcApplyIdempotent = Q(
+    "cdc_apply_idempotent",
+    s"""$sqlLogCte, delivered AS (
+       |  SELECT * FROM log
+       |  UNION ALL
+       |  SELECT * FROM log WHERE pk % 11 = 0
+       |), deduped AS (
+       |  SELECT *, row_number() OVER (PARTITION BY pk, seq
+       |                               ORDER BY seq) AS dup_rn
+       |  FROM delivered
+       |), latest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY pk
+       |                               ORDER BY seq DESC) AS rn
+       |  FROM deduped WHERE dup_rn = 1
+       |)
+       |SELECT pk, price_cents, status, seq AS last_seq, op AS last_op
+       |FROM latest WHERE rn = 1 AND op <> 'D'
+       |ORDER BY pk""".stripMargin) { (s, dir) =>
+    val log = logOf(Tables(s, dir))
+    val delivered = log.unionAll(log.filter(col("pk") % 11 === 0))
+    val wDup = Window.partitionBy(col("pk"), col("seq"))
+      .orderBy(col("seq"))
+    val wLatest = Window.partitionBy(col("pk")).orderBy(col("seq").desc)
+    delivered
+      .withColumn("dup_rn", row_number().over(wDup))
+      .filter(col("dup_rn") === 1)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(
+        col("pk"), col("price_cents"), col("status"),
+        col("seq").as("last_seq"), col("op").as("last_op"))
+      .orderBy("pk")
+  }
+
+  val queries: Seq[Q] =
+    Seq(cdcApply, cdcBatchStats, cdcScd2, cdcApplyIdempotent)
+}

@@ -1,0 +1,331 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Det
+import graft.{Q, Tables}
+
+/** Market/price time-series analytics [EXT] — the natural query surface
+  * over the reference's domain (`bpi_etl_bigquery.py` lands a bitcoin
+  * price-index series; these are the bars/VWAP/drawdown reads a price
+  * pipeline owner runs on that series). `events.value` stands in for the
+  * traded price, integerized to exact cents ([[graft.util.Det]]) so
+  * every aggregate is bit-identical to the DuckDB oracle.
+  *
+  * Scale posture: all three queries are one shuffle on their grouping
+  * keys. OHLC ranks WITHIN (instrument × hour) — fine-grained partitions
+  * whose per-partition sort is bar-sized, never corpus-sized; the bar
+  * aggregation reuses the window's hash partitioning (no second
+  * Exchange). Drawdown's running peak is per-instrument ordered — the
+  * inherently sequential shape; with few instruments and many rows the
+  * per-key scan is the honest cost (a production 100-TB variant would
+  * chunk the series and prefix-scan peaks across chunks, same algebra).
+  */
+object MarketQueries {
+
+  /** Exact cents as BIGINT on both engines. */
+  private def sqlCents(expr: String): String =
+    s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+
+  /** Hourly OHLC bars per instrument (event_type). Open/close are picked
+    * by rank within the bar — row_number over (ts, event_id) is unique,
+    * so min/max-by-rank is engine-deterministic even if two trades share
+    * a timestamp. Spark side reads open/close as min/max of a
+    * (rn, cents) struct — order-independent aggregates, no second window
+    * pass; oracle uses arg_min/arg_max on the same unique rank.
+    */
+  private val timeseriesOhlc = Q(
+    "timeseries_ohlc",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('hour', ts) AS hour,
+       |         ${sqlCents("value")} AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('hour', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |)
+       |SELECT event_type,
+       |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       arg_min(cents, rn) AS open_cents,
+       |       max(cents) AS high_cents,
+       |       min(cents) AS low_cents,
+       |       arg_max(cents, rn) AS close_cents,
+       |       count(*) AS n_trades
+       |FROM e GROUP BY event_type, hour
+       |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("rn"), col("cents"))).getField("cents")
+          .as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("rn"), col("cents"))).getField("cents")
+          .as("close_cents"),
+        count(lit(1)).as("n_trades"))
+      .select(
+        col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Daily VWAP per instrument. Volume is the deterministic synthetic
+    * `event_id % 10 + 1` (events carry no volume column); the weighted
+    * sum is exact integer cents×volume, so the only float op is ONE
+    * final divide of two exact integers — identical on both engines
+    * (the regr_ols sufficient-statistics discipline). One
+    * map-side-combinable aggregate: the shuffle carries 3 numbers per
+    * (instrument × day × partition).
+    */
+  private val timeseriesVwap = Q(
+    "timeseries_vwap",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('day', ts) AS day,
+       |         ${sqlCents("value")} AS cents,
+       |         event_id % 10 + 1 AS vol
+       |  FROM events
+       |)
+       |SELECT event_type,
+       |       strftime(day, '%Y-%m-%d') AS day,
+       |       CAST(sum(cents * vol) AS BIGINT) AS pv_cents,
+       |       CAST(sum(vol) AS BIGINT) AS volume,
+       |       (CAST(sum(cents * vol) AS DOUBLE)
+       |          / CAST(sum(vol) AS DOUBLE)) / 100.0 AS vwap
+       |FROM e GROUP BY event_type, day
+       |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"),
+        (col("event_id") % 10 + 1).as("vol"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(col("cents") * col("vol")).as("pv_cents"),
+        sum(col("vol")).as("volume"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("pv_cents"), col("volume"),
+        (col("pv_cents").cast("double") / col("volume").cast("double")
+          / lit(100.0)).as("vwap"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Maximum drawdown per instrument: running peak over the
+    * (ts, event_id)-ordered series, drawdown = peak - price in exact
+    * cents, and the depth both absolute and as a fraction of the peak
+    * at that row. The fraction is a per-row divide of two exact
+    * integers (deterministic), and MAX over those per-row doubles is
+    * order-independent — no float accumulation anywhere. ROWS frame is
+    * pinned explicitly: the default RANGE frame would include peer rows
+    * on ties (none exist — event_id is unique — but the contract should
+    * not depend on that).
+    */
+  private val timeseriesDrawdown = Q(
+    "timeseries_drawdown",
+    s"""WITH e AS (
+       |  SELECT event_type, ts, event_id,
+       |         ${sqlCents("value")} AS cents
+       |  FROM events
+       |), dd AS (
+       |  SELECT event_type, cents,
+       |         max(cents) OVER (PARTITION BY event_type
+       |           ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS peak_cents
+       |  FROM e
+       |)
+       |SELECT event_type,
+       |       count(*) AS n_trades,
+       |       max(peak_cents) AS peak_cents,
+       |       max(peak_cents - cents) AS max_dd_cents,
+       |       max(CAST(peak_cents - cents AS DOUBLE)
+       |             / CAST(peak_cents AS DOUBLE)) AS max_dd_frac
+       |FROM dd GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).events
+      .select(
+        col("event_type"), col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("peak_cents", max(col("cents")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        max(col("peak_cents")).as("peak_cents"),
+        max(col("peak_cents") - col("cents")).as("max_dd_cents"),
+        max((col("peak_cents") - col("cents")).cast("double")
+          / col("peak_cents").cast("double")).as("max_dd_frac"))
+      .orderBy("event_type")
+  }
+
+  /** Daily bars ROLLED UP FROM the hourly bars — the composition
+    * property a 100-TB bar pipeline lives on (bars re-aggregate from
+    * finer bars without touching the trade-level data, so the daily
+    * job reads ~1/4000th of the rows): open = first hour's open,
+    * close = last hour's close, high/low/volume fold. The spec proves
+    * the result is IDENTICAL to computing daily bars from raw trades.
+    */
+  private val timeseriesOhlcDaily = Q(
+    "timeseries_ohlc_daily",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('hour', ts) AS hour,
+       |         ${sqlCents("value")} AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('hour', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), hourly AS (
+       |  SELECT event_type, hour,
+       |         arg_min(cents, rn) AS open_cents,
+       |         max(cents) AS high_cents,
+       |         min(cents) AS low_cents,
+       |         arg_max(cents, rn) AS close_cents,
+       |         count(*) AS n_trades
+       |  FROM e GROUP BY event_type, hour
+       |)
+       |SELECT event_type,
+       |       strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+       |       arg_min(open_cents, hour) AS open_cents,
+       |       max(high_cents) AS high_cents,
+       |       min(low_cents) AS low_cents,
+       |       arg_max(close_cents, hour) AS close_cents,
+       |       CAST(sum(n_trades) AS BIGINT) AS n_trades
+       |FROM hourly GROUP BY event_type, date_trunc('day', hour)
+       |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val hourly = Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("rn"), col("cents"))).getField("cents")
+          .as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("rn"), col("cents"))).getField("cents")
+          .as("close_cents"),
+        count(lit(1)).as("n_trades"))
+    hourly
+      .groupBy(col("event_type"), date_trunc("day", col("hour")).as("day"))
+      .agg(
+        min(struct(col("hour"), col("open_cents"))).getField("open_cents")
+          .as("open_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        max(struct(col("hour"), col("close_cents"))).getField("close_cents")
+          .as("close_cents"),
+        sum(col("n_trades")).as("n_trades"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"))
+      .orderBy("event_type", "day")
+  }
+
+  /** 14-day rolling RSI per instrument over the daily closes. Gains and
+    * losses are exact cent deltas; the windowed sums are exact integer
+    * sums; RSI = 100·gains/(gains+losses) is ONE divide of two exact
+    * integers (flat windows pinned to the neutral 50 on both engines).
+    * The daily-close input is the OHLC machinery re-used (arg_max by
+    * rank within day), so the whole indicator is scan → two one-key
+    * shuffles (day bars, then the per-instrument ordered window).
+    */
+  private val timeseriesRsi = Q(
+    "timeseries_rsi",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('day', ts) AS day,
+       |         ${sqlCents("value")} AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('day', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), daily AS (
+       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
+       |  FROM e GROUP BY event_type, day
+       |), delta AS (
+       |  SELECT event_type, day, close_cents,
+       |         close_cents - lag(close_cents) OVER (
+       |           PARTITION BY event_type ORDER BY day) AS diff
+       |  FROM daily
+       |), gl AS (
+       |  SELECT event_type, day, close_cents,
+       |         greatest(diff, 0) AS gain,
+       |         greatest(-diff, 0) AS loss
+       |  FROM delta WHERE diff IS NOT NULL
+       |), win AS (
+       |  SELECT event_type, day, close_cents,
+       |         CAST(sum(gain) OVER (PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS gain14,
+       |         CAST(sum(loss) OVER (PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS loss14
+       |  FROM gl
+       |)
+       |SELECT event_type,
+       |       strftime(day, '%Y-%m-%d') AS day,
+       |       close_cents, gain14, loss14,
+       |       CASE WHEN gain14 + loss14 = 0 THEN 50.0
+       |            ELSE 100.0 * CAST(gain14 AS DOUBLE)
+       |                 / CAST(gain14 + loss14 AS DOUBLE) END AS rsi14
+       |FROM win ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val daily = Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
+        .as("close_cents"))
+    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wSeries.rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("diff",
+        col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
+      .filter(col("diff").isNotNull)
+      .withColumn("gain", greatest(col("diff"), lit(0L)))
+      .withColumn("loss", greatest(-col("diff"), lit(0L)))
+      .withColumn("gain14", sum(col("gain")).over(w14))
+      .withColumn("loss14", sum(col("loss")).over(w14))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("close_cents"), col("gain14"), col("loss14"),
+        when(col("gain14") + col("loss14") === 0, lit(50.0))
+          .otherwise(lit(100.0) * col("gain14").cast("double")
+            / (col("gain14") + col("loss14")).cast("double")).as("rsi14"))
+      .orderBy("event_type", "day")
+  }
+
+  val queries: Seq[Q] =
+    Seq(timeseriesOhlc, timeseriesVwap, timeseriesDrawdown,
+      timeseriesOhlcDaily, timeseriesRsi)
+}

@@ -59,6 +59,49 @@ object ScaleStress {
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
     "semdedup_survivors", "similarity_graph_search")
 
+  /** Round-12 continuation: the market/CDC families read events/orders,
+    * so the stress dir carries 10× twins of those too. ER is NOT
+    * time-stressed here by design: its last-3-chars block key has
+    * FIXED cardinality (1000), so a 10× corpus grows blocks 10× and
+    * pair volume ~100× — the measured quantity would be the known
+    * Σb(b−1)/2 formula (spec-pinned in ErQueriesSpec), not a hidden
+    * super-linear term. The production rule is documented in
+    * ErQueries: widen the key (right-k) with corpus size so block
+    * cardinality tracks O(n), exactly the dedup_banding_select
+    * discipline. */
+  private val RelQueries = Seq(
+    "timeseries_ohlc", "timeseries_ohlc_daily", "timeseries_vwap",
+    "timeseries_drawdown", "timeseries_rsi",
+    "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent")
+
+  /** 10× events/orders: fresh ids (event_id/o_orderkey re-keyed per
+    * copy), prices perturbed a cent-granular step so integerized
+    * aggregates vary per copy, timestamps kept — a denser feed over the
+    * same 30-day window, which is how event volume actually grows. */
+  private def replicateRel(
+      spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
+    val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("*"), k)
+      .select(
+        (col("event_id") * copies + col("k")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"),
+        (col("value") + col("k").cast("double") * lit(0.01)).as("value"),
+        col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("*"), k)
+      .select(
+        (col("o_orderkey") * copies + col("k")).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + col("k").cast("double") * lit(0.01))
+          .as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -117,11 +160,14 @@ object ScaleStress {
 
     if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
       replicate(spark, sfDir, out, copies = 10)
+    if (!new java.io.File(s"$out/orders.parquet/_SUCCESS").exists())
+      replicateRel(spark, sfDir, out, copies = 10)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"[stress] corpus: $nDocs docs, $nEmb embeddings (10x $sfDir)")
+    val nEv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"[stress] corpus: $nDocs docs, $nEmb embeddings, $nEv events (10x $sfDir)")
 
-    (DocQueries ++ EmbQueries).filter(q => only.forall(_.contains(q))).foreach { q =>
+    (DocQueries ++ EmbQueries ++ RelQueries).filter(q => only.forall(_.contains(q))).foreach { q =>
       val t1 = time(spark, q, sfDir)
       val t10 = time(spark, q, out)
       println(f"[stress] $q%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")

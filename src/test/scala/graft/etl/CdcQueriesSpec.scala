@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** CDC changelog collapse: the snapshot must reflect exactly the planted
+  * insert/update/delete history, and the batch accounting must reconcile
+  * with it. */
+class CdcQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cdc_apply: deletes drop, updates win, untouched rows insert-through") {
+    val t = Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (math.floor(r.getDouble(1) * 100.0 + 0.5).toLong, r.getString(2)))
+      .toMap
+    val snap = SparkEntry.queries("cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val deleted = orders.keySet.filter(_ % 13 == 0)
+    val updated = orders.keySet.filter(k => k % 7 == 0 && k % 13 != 0)
+    assert(snap.keySet == orders.keySet -- deleted,
+      "snapshot = inserts minus deletes")
+    updated.foreach { k =>
+      val (cents, status, seq, op) = snap(k)
+      assert(cents == orders(k)._1 + 500 && status == "U" &&
+        seq == 2L && op == "U", s"update not applied for $k")
+    }
+    (snap.keySet -- updated).foreach { k =>
+      val (cents, status, seq, op) = snap(k)
+      assert(cents == orders(k)._1 && status == orders(k)._2 &&
+        seq == 1L && op == "I", s"insert mutated for $k")
+    }
+  }
+
+  test("cdc_scd2: version chains are contiguous and current matches apply") {
+    val hist = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getString(4), r.getInt(5)))
+    // per key: versions ordered by valid_from chain [from, to) without
+    // gaps; exactly the non-delete ops
+    hist.groupBy(_._1).foreach { case (pk, vs) =>
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"gap in version chain for $pk")
+        case _ => ()
+      }
+      assert(sorted.init.forall(_._6 == 0))
+    }
+    val current = hist.filter(v => v._6 == 1 && v._3.isEmpty)
+      .map(v => v._1 -> (v._4, v._5)).toMap
+    val snap = SparkEntry.queries("cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every snapshot row is a current SCD2 version with the same values;
+    // current versions NOT in the snapshot are exactly the deleted keys
+    // (their last non-delete version has valid_to = the delete's seq,
+    // so they are non-current) — so the maps must be equal.
+    assert(current == snap,
+      "current SCD2 versions must equal the applied snapshot")
+  }
+
+  test("cdc_apply_idempotent equals cdc_apply despite duplicate delivery") {
+    val clean = SparkEntry.queries("cdc_apply")(spark, sf).collect()
+      .map(_.toSeq)
+    val dedup = SparkEntry.queries("cdc_apply_idempotent")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(clean.toSeq == dedup.toSeq,
+      "at-least-once delivery must collapse to the exactly-once snapshot")
+  }
+
+  test("cdc_batch_stats reconciles with the applied snapshot") {
+    val stats = SparkEntry.queries("cdc_batch_stats")(spark, sf)
+      .orderBy("seq").collect()
+    assert(stats.length == 3)
+    val nOrders = Tables(spark, sf).orders.count()
+    assert(stats(0).getLong(1) == nOrders && stats(0).getLong(5) == nOrders,
+      "batch 1 inserts everything")
+    assert(stats(1).getLong(2) > 0 && stats(1).getLong(5) == nOrders,
+      "updates are live-count-neutral")
+    val finalLive = stats(2).getLong(5)
+    assert(finalLive ==
+      SparkEntry.queries("cdc_apply")(spark, sf).count(),
+      "final live count equals the snapshot size")
+  }
+}
