@@ -158,38 +158,35 @@ object CdcQueries {
   }
 
   /** At-least-once delivery: the feed redelivers some ops (here every
-    * (pk, seq) with pk % 11 == 0 arrives twice). Idempotent apply
-    * dedups on the (pk, seq) op identity BEFORE collapsing — the
-    * result must be bit-identical to [[cdcApply]] on the clean log
-    * (spec-asserted). The dedup rides the SAME shuffle as the collapse
-    * (both partition by pk), so exactly-once semantics cost zero extra
-    * Exchanges. */
+    * (pk, seq) with pk % 11 == 0 arrives twice). A CDC op is immutable
+    * and identified by (pk, seq), so a redelivery is byte-identical to
+    * its original — which means the latest-wins row_number collapse IS
+    * the dedup: rn = 1 picks exactly one row, and whichever duplicate
+    * it picks carries the same values. Exactly-once semantics from an
+    * at-least-once feed at the cost of the apply itself — ONE shuffle,
+    * zero extra Exchanges (a separate dedup-by-(pk, seq) window would
+    * partition on a different key and double the shuffle; the 10×
+    * stress measured that variant super-linear before this collapse).
+    * Result must be bit-identical to [[cdcApply]] on the clean log
+    * (spec-asserted). */
   private val cdcApplyIdempotent = Q(
     "cdc_apply_idempotent",
     s"""$sqlLogCte, delivered AS (
        |  SELECT * FROM log
        |  UNION ALL
        |  SELECT * FROM log WHERE pk % 11 = 0
-       |), deduped AS (
-       |  SELECT *, row_number() OVER (PARTITION BY pk, seq
-       |                               ORDER BY seq) AS dup_rn
-       |  FROM delivered
        |), latest AS (
        |  SELECT *, row_number() OVER (PARTITION BY pk
        |                               ORDER BY seq DESC) AS rn
-       |  FROM deduped WHERE dup_rn = 1
+       |  FROM delivered
        |)
        |SELECT pk, price_cents, status, seq AS last_seq, op AS last_op
        |FROM latest WHERE rn = 1 AND op <> 'D'
        |ORDER BY pk""".stripMargin) { (s, dir) =>
     val log = logOf(Tables(s, dir))
     val delivered = log.unionAll(log.filter(col("pk") % 11 === 0))
-    val wDup = Window.partitionBy(col("pk"), col("seq"))
-      .orderBy(col("seq"))
     val wLatest = Window.partitionBy(col("pk")).orderBy(col("seq").desc)
     delivered
-      .withColumn("dup_rn", row_number().over(wDup))
-      .filter(col("dup_rn") === 1)
       .withColumn("rn", row_number().over(wLatest))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(

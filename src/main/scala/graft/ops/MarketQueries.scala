@@ -129,10 +129,20 @@ object MarketQueries {
     * cents, and the depth both absolute and as a fraction of the peak
     * at that row. The fraction is a per-row divide of two exact
     * integers (deterministic), and MAX over those per-row doubles is
-    * order-independent — no float accumulation anywhere. ROWS frame is
-    * pinned explicitly: the default RANGE frame would include peer rows
-    * on ties (none exist — event_id is unique — but the contract should
-    * not depend on that).
+    * order-independent — no float accumulation anywhere.
+    *
+    * A naive per-instrument window serializes the whole series onto one
+    * task (few instruments × many rows — the 10× stress measured that
+    * shape at ratio 4.4). The running max is a prefix scan, so it
+    * distributes the classic two-level way: (a) running max WITHIN each
+    * (instrument, day) chunk — fine-grained parallel windows; (b) a
+    * carry-in per chunk = running max over the per-day maxima — a
+    * calendar-sized frame (days × instruments rows); (c) row peak =
+    * greatest(chunk prefix, carry). The oracle keeps the single global
+    * window — identical values, the associativity of max is the proof.
+    * ROWS frames pinned explicitly: the default RANGE frame would
+    * include peer rows on ties (none exist — event_id is unique — but
+    * the contract should not depend on that).
     */
   private val timeseriesDrawdown = Q(
     "timeseries_drawdown",
@@ -156,14 +166,28 @@ object MarketQueries {
        |             / CAST(peak_cents AS DOUBLE)) AS max_dd_frac
        |FROM dd GROUP BY event_type
        |ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("event_type"))
+    val wChunk = Window
+      .partitionBy(col("event_type"), col("day"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir).events
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Tables(s, dir).events
       .select(
         col("event_type"), col("ts"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
         Det.toUnits(col("value"), 100L).cast("long").as("cents"))
-      .withColumn("peak_cents", max(col("cents")).over(w))
+      .withColumn("chunk_peak", max(col("cents")).over(wChunk))
+    val carries = base
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("day_max"))
+      .withColumn("carry", max(col("day_max")).over(wCarry))
+      .select(col("event_type"), col("day"), col("carry"))
+    base
+      .join(broadcast(carries), Seq("event_type", "day"))
+      .withColumn("peak_cents",
+        when(col("carry").isNull, col("chunk_peak"))
+          .otherwise(greatest(col("chunk_peak"), col("carry"))))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_trades"),
