@@ -52,6 +52,75 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Point-in-time (feature-store) join: every fact row joined to the
+    * dimension VERSION that was valid at the fact's timestamp — the
+    * training-data join that prevents feature leakage (a model trained
+    * on features from the future of its label). Dimension = a planted
+    * 3-version SCD history per customer (valid_from 1995/1997/1999,
+    * balance stepped per version) so both engines build the identical
+    * history; facts = orders on o_orderdate. Same engine as `join_asof`:
+    * union-tag both sides, ONE ordered window per customer carries the
+    * last version at-or-before each fact (version rows sort before
+    * facts at equal timestamps — inclusive validity). One shuffle on
+    * the entity key; never a per-fact subquery. Oracle: DuckDB ASOF
+    * JOIN against the same planted history. */
+  private val joinPointInTime = Q(
+    "join_point_in_time",
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, v.version,
+      |         CASE v.version WHEN 0 THEN TIMESTAMP '1995-01-01'
+      |                        WHEN 1 THEN TIMESTAMP '1997-01-01'
+      |                        ELSE TIMESTAMP '1999-01-01' END AS valid_from,
+      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+      |           + v.version * 100 AS bal_cents
+      |  FROM customer, (SELECT unnest([0, 1, 2]) AS version) v
+      |)
+      |SELECT o_orderkey, o_custkey,
+      |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+      |         AS order_date,
+      |       CAST(d.version AS INTEGER) AS version, d.bal_cents
+      |FROM orders o
+      |ASOF JOIN dim d ON o.o_custkey = d.k
+      |  AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val dim = t.customer
+      .select(
+        col("c_custkey").as("k"),
+        floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+          .as("bal0"),
+        explode(sequence(lit(0), lit(2))).as("version"))
+      .select(
+        col("k"),
+        when(col("version") === 0, lit("1995-01-01"))
+          .when(col("version") === 1, lit("1997-01-01"))
+          .otherwise(lit("1999-01-01")).cast("timestamp").as("t"),
+        lit(0).as("side"),
+        col("version"),
+        (col("bal0") + col("version") * 100).as("bal_cents"),
+        lit(null).cast("long").as("o_orderkey"))
+    val facts = t.orders.select(
+      col("o_custkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(1).as("side"),
+      lit(null).cast("int").as("version"),
+      lit(null).cast("long").as("bal_cents"),
+      col("o_orderkey"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.union(facts)
+      .select(
+        col("k"), col("t"), col("side"), col("o_orderkey"),
+        last(col("version"), ignoreNulls = true).over(w).as("version"),
+        last(col("bal_cents"), ignoreNulls = true).over(w).as("bal_cents"))
+      .filter(col("side") === 1)
+      .select(
+        col("o_orderkey"), col("k").as("o_custkey"),
+        date_format(col("t"), "yyyy-MM-dd").as("order_date"),
+        col("version"), col("bal_cents"))
+      .orderBy("o_orderkey")
+  }
+
   /** Rollup over the Q1 grouping keys. NULL group markers are collapsed
     * with coalesce to sidestep cross-engine NULL-ordering differences
     * (Spark sorts NULLS FIRST, DuckDB NULLS LAST by default).
@@ -2177,7 +2246,7 @@ object RelationalQueries {
     approxDistinct, aggApproxTopk, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
     aggSalted, joinSalted, joinSkewAqe, joinSkewSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
-    joinAsofForward, joinAsofTolerance,
+    joinAsofForward, joinAsofTolerance, joinPointInTime,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,
     joinOuterFull, eventsAnomalyHours, timeseriesFfill,

@@ -2769,8 +2769,77 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** Contrastive triplet mining — the training-data operator for
+    * metric-learning / embedding-model fine-tuning: per anchor, the
+    * most-similar SAME-label candidate (the positive) paired with the
+    * most-similar DIFFERENT-label candidate (the hard negative), plus
+    * the margin between them (small or negative margin = the informative
+    * triplet a trainer up-weights). Mines within the shared capped LSH
+    * candidate frame ([[scoredPairs]]) — never all-pairs — so the cost
+    * is the candidate volume the banding already bounds; one extra
+    * rank window partitioned by (anchor, label-side) and a self-join on
+    * the two rank-1 rows. Anchors missing either side (singleton
+    * buckets, single-label neighborhoods) honestly drop out — the same
+    * contract as the ANN bucket miss. */
+  private val contrastiveTriplets = Q(
+    "contrastive_triplets",
+    s"""$sqlEmbPairsCte, directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, sim_e6 FROM pairs
+       |), labeled AS (
+       |  SELECT d.vec_id, d.nbr_id, d.sim_e6,
+       |         CASE WHEN ea.label = en.label THEN 1 ELSE 0 END AS same_label
+       |  FROM directed d
+       |  JOIN embeddings ea ON ea.vec_id = d.vec_id
+       |  JOIN embeddings en ON en.vec_id = d.nbr_id
+       |), lrank AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, same_label
+       |                               ORDER BY sim_e6 DESC, nbr_id) AS r
+       |  FROM labeled
+       |)
+       |SELECT p.vec_id AS anchor_id,
+       |       p.nbr_id AS pos_id, p.sim_e6 AS pos_sim_e6,
+       |       n.nbr_id AS neg_id, n.sim_e6 AS neg_sim_e6,
+       |       p.sim_e6 - n.sim_e6 AS margin_e6
+       |FROM (SELECT * FROM lrank WHERE same_label = 1 AND r = 1) p
+       |JOIN (SELECT * FROM lrank WHERE same_label = 0 AND r = 1) n
+       |  ON p.vec_id = n.vec_id
+       |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val p = scoredPairs(t, DefaultPlanes, MaxBucketPairVecs).cut(false)
+    val directed = p
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"),
+        col("sim_e6"))
+      .union(p.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"),
+        col("sim_e6")))
+    val lab = t.embeddings.select(col("vec_id"), col("label"))
+    val labeled = directed
+      .join(lab.select(col("vec_id"), col("label").as("a_label")), "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("n_label")), "nbr_id")
+      .withColumn("same_label",
+        when(col("a_label") === col("n_label"), 1).otherwise(0))
+    val w = Window.partitionBy(col("vec_id"), col("same_label"))
+      .orderBy(col("sim_e6").desc, col("nbr_id"))
+    val ranked = labeled.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).cut(false)
+    val pos = ranked.filter(col("same_label") === 1).select(
+      col("vec_id").as("anchor_id"), col("nbr_id").as("pos_id"),
+      col("sim_e6").as("pos_sim_e6"))
+    val neg = ranked.filter(col("same_label") === 0).select(
+      col("vec_id").as("anchor_id"), col("nbr_id").as("neg_id"),
+      col("sim_e6").as("neg_sim_e6"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim_e6"),
+        col("neg_id"), col("neg_sim_e6"),
+        (col("pos_sim_e6") - col("neg_sim_e6")).as("margin_e6"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
+    Seq(contrastiveTriplets,
+      similarityTopk, similarityAnnLsh, similarityIvf, embeddingNearDup,
       simQuantizeInt8, similarityTopkInt8, similarityRerank,
       embeddingCentroids, annRecallEval, simPqAdc, similarityKnnGraph,
       similarityMutualKnn, knnLabelConsistency,

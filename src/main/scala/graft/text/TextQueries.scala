@@ -1491,8 +1491,82 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering plan — the deterministic batch order an
+    * easy-to-hard training run reads: quartile tiers over the unigram
+    * surprisal score (clean/fluent text first), a hash-shuffled
+    * position WITHIN each tier (deterministic "random" order — no
+    * rand()), and a GLOBAL position composed as tier offset +
+    * within-tier rank. The global order costs no global sort: exact
+    * quartile thresholds are ONE aggregate (the ×4 trick makes the
+    * interpolated quantile integer-valued, so the tier comparison is
+    * exact on both engines), the rank window partitions by tier, and
+    * the offsets frame is 4 rows. At 100 TB the same plan writes
+    * per-tier shards and the trainer concatenates — exactly what
+    * global_pos encodes. */
+  private val curriculumOrder = Q(
+    "curriculum_order",
+    s"""$sqlPerplexityCte, th AS (
+       |  SELECT quantile_cont(bits_e3 * 4, 0.25) AS t25,
+       |         quantile_cont(bits_e3 * 4, 0.5) AS t50,
+       |         quantile_cont(bits_e3 * 4, 0.75) AS t75
+       |  FROM ppx
+       |), tiered AS (
+       |  SELECT p.doc_id, p.bits_e3,
+       |         CAST(CASE WHEN p.bits_e3 * 4 <= th.t25 THEN 0
+       |                   WHEN p.bits_e3 * 4 <= th.t50 THEN 1
+       |                   WHEN p.bits_e3 * 4 <= th.t75 THEN 2
+       |                   ELSE 3 END AS INTEGER) AS tier,
+       |         md5(CAST(p.doc_id AS VARCHAR)) AS shuf
+       |  FROM ppx p CROSS JOIN th
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tier
+       |                               ORDER BY shuf, doc_id) AS pos_in_tier
+       |  FROM tiered
+       |), offs AS (
+       |  SELECT tier, CAST(coalesce(sum(n) OVER (ORDER BY tier
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS BIGINT) AS off
+       |  FROM (SELECT tier, count(*) AS n FROM tiered GROUP BY tier)
+       |)
+       |SELECT r.doc_id, r.tier, r.bits_e3,
+       |       CAST(r.pos_in_tier AS BIGINT) AS pos_in_tier,
+       |       o.off + r.pos_in_tier AS global_pos
+       |FROM ranked r JOIN offs o ON r.tier = o.tier
+       |ORDER BY global_pos""".stripMargin) { (s, dir) =>
+    val ppx = perplexityFrame(Tables(s, dir)).cut(false)
+    val th = ppx.agg(
+      expr("percentile(bits_e3 * 4, 0.25)").as("t25"),
+      expr("percentile(bits_e3 * 4, 0.5)").as("t50"),
+      expr("percentile(bits_e3 * 4, 0.75)").as("t75"))
+    val tiered = ppx.crossJoin(broadcast(th))
+      .select(
+        col("doc_id"), col("bits_e3"),
+        when(col("bits_e3") * 4 <= col("t25"), 0)
+          .when(col("bits_e3") * 4 <= col("t50"), 1)
+          .when(col("bits_e3") * 4 <= col("t75"), 2)
+          .otherwise(3).cast("int").as("tier"),
+        md5(col("doc_id").cast("string")).as("shuf"))
+    val wT = Window.partitionBy(col("tier"))
+      .orderBy(col("shuf"), col("doc_id"))
+    val ranked = tiered
+      .withColumn("pos_in_tier", row_number().over(wT).cast("long"))
+      .cut(false)
+    val wOff = Window.orderBy(col("tier"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("tier"), col("off"))
+    ranked.join(broadcast(offs), Seq("tier"))
+      .select(
+        col("doc_id"), col("tier"), col("bits_e3"), col("pos_in_tier"),
+        (col("off") + col("pos_in_tier")).as("global_pos"))
+      .orderBy("global_pos")
+  }
+
   val queries: Seq[Q] =
-    Seq(textNormalize, textTokens, tokenCount, tokenCountBpe, textQuality,
+    Seq(curriculumOrder,
+      textNormalize, textTokens, tokenCount, tokenCountBpe, textQuality,
       langId, docFingerprint,
       textPiiRedact, textChunk, splitAssign, textRepetition,
       sampleStratified, sampleDomainMix, textCollocations,
