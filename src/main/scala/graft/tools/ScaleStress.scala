@@ -48,7 +48,7 @@ object ScaleStress {
     "token_count_bpe", "mixture_plan_bpe", "pack_sequences_bpe",
     "dedup_banding_select",
     // r12
-    "text_decontaminate_fuzzy")
+    "text_decontaminate_fuzzy", "curriculum_order")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",
@@ -57,7 +57,8 @@ object ScaleStress {
     "sim_pq_adc", "similarity_knn_graph", "knn_label_consistency",
     "embedding_components",
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
-    "semdedup_survivors", "similarity_graph_search")
+    "semdedup_survivors", "similarity_graph_search",
+    "contrastive_triplets")
 
   /** Round-12 continuation: the market/CDC families read events/orders,
     * so the stress dir carries 10× twins of those too. ER is NOT
@@ -72,7 +73,8 @@ object ScaleStress {
   private val RelQueries = Seq(
     "timeseries_ohlc", "timeseries_ohlc_daily", "timeseries_vwap",
     "timeseries_drawdown", "timeseries_rsi",
-    "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent")
+    "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent",
+    "join_point_in_time")
 
   /** 10× events/orders: fresh ids (event_id/o_orderkey re-keyed per
     * copy), prices perturbed a cent-granular step so integerized
@@ -100,6 +102,21 @@ object ScaleStress {
         col("o_orderdate"), col("o_orderpriority"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("*"), k)
+      .select(
+        (col("c_custkey") * copies + col("k")).as("c_custkey"),
+        // name rewritten FROM the new key so name-derived logic (the
+        // ER perturbations, blocking suffixes) sees fresh entities,
+        // not 10 byte-identical aliases
+        format_string("Customer#%09d", col("c_custkey") * copies + col("k"))
+          .as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + col("k").cast("double") * lit(0.01))
+          .as("c_acctbal"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
   private def replicate(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
@@ -160,7 +177,10 @@ object ScaleStress {
 
     if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
       replicate(spark, sfDir, out, copies = 10)
-    if (!new java.io.File(s"$out/orders.parquet/_SUCCESS").exists())
+    // customer is written LAST in replicateRel, so its _SUCCESS marks
+    // the whole relational twin complete (also upgrades stress dirs
+    // minted before customer was added)
+    if (!new java.io.File(s"$out/customer.parquet/_SUCCESS").exists())
       replicateRel(spark, sfDir, out, copies = 10)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
