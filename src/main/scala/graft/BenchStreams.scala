@@ -43,6 +43,15 @@ object BenchStreams {
       streaming.IncrementalSemDedup.survivors(vecs, s"$dir/pairs")
         .write.format("noop").mode("overwrite").save()
     },
+    "stream_bars_loop" -> { (spark, sfDir, dir) =>
+      val trades = Tables(spark, sfDir).events
+        .select("event_type", "ts", "event_id", "value")
+      for (b <- 0L to 2L)
+        streaming.IncrementalBars.processBatch(
+          trades.filter(col("event_id") % 3 === b), s"$dir/bars", b)
+      streaming.IncrementalBars.bars(spark, s"$dir/bars")
+        .write.format("noop").mode("overwrite").save()
+    },
     "stream_media_loop" -> { (spark, sfDir, dir) =>
       val items = mm.Multimodal.mediaItems(spark, sfDir, "image").toDF()
       // Image item ids are ≡ 0 (mod 3) by the modality layout, so the

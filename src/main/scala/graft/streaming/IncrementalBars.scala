@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental OHLC bar building — the streaming twin of
+  * `timeseries_ohlc` (graft/ops/MarketQueries.scala), built on the
+  * bar-composition property `timeseries_ohlc_daily` proves: a bar is a
+  * MERGEABLE aggregate (open/close carry their ordering key, high/low/n
+  * fold), so each epoch appends only its PARTIAL bars (metadata-sized:
+  * one row per bar the batch touched) and the read-side merge
+  * reconstructs exact bars without ever revisiting trade rows.
+  *
+  * This is the streaming pre-aggregation pattern: state grows with
+  * (bars × epochs), not with trades; a compactor can fold epochs
+  * whenever it likes because the merge is associative. Epoch writes are
+  * per-epoch-directory overwrites, so replays of the same batch id are
+  * idempotent; out-of-order epochs (a gap) are refused — the same
+  * continuity discipline as the dedup loops, minus the standing-index
+  * probe this loop doesn't need.
+  */
+object IncrementalBars {
+
+  /** Exact partial bars for one batch of trades: one row per
+    * (instrument, hour) present in the batch. Open/close keep their
+    * (micros, event_id) ordering key so partials from different epochs
+    * merge exactly. */
+  private[graft] def partialBars(trades: DataFrame): DataFrame =
+    trades
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"),
+        struct(expr("unix_micros(ts)").as("us"), col("event_id").as("eid"))
+          .as("k"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("k"), col("cents"))).as("open_k"),
+        max(struct(col("k"), col("cents"))).as("close_k"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n_trades"))
+
+  /** Land one epoch's partial bars. Idempotent per batch id (directory
+    * overwrite); refuses a batch id that would leave an epoch gap. */
+  private[graft] def processBatch(
+      trades: DataFrame, barsDir: String, batchId: Long): Unit = {
+    val spark = trades.sparkSession
+    val root = new org.apache.hadoop.fs.Path(barsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing: Set[Long] =
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).toSet
+    val next = if (existing.isEmpty) 0L else existing.max + 1
+    require(batchId <= next,
+      s"epoch gap: batch $batchId after ${existing.toSeq.sorted}")
+    if (trades.isEmpty) return
+    partialBars(trades)
+      .write.mode("overwrite").parquet(s"$barsDir/epoch=$batchId")
+  }
+
+  /** The merged exact bars across all landed epochs — identical to
+    * running the batch OHLC over every trade ever landed (spec-pinned
+    * against `timeseries_ohlc`). Reads partial-bar rows only. */
+  private[graft] def bars(spark: org.apache.spark.sql.SparkSession,
+      barsDir: String): DataFrame =
+    spark.read.parquet(barsDir)
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(col("open_k")).getField("cents").as("open_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        max(col("close_k")).getField("cents").as("close_cents"),
+        sum(col("n_trades")).as("n_trades"))
+}
