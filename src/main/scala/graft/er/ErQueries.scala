@@ -1,6 +1,7 @@
 package graft.er
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -245,6 +246,75 @@ object ErQueries {
           .as("recall"))
   }
 
+  /** Incremental ER: a late-arriving batch matched against the
+    * STANDING record set without re-pairing the corpus — the
+    * incremental-dedup contract applied to entities. The batch is a
+    * planted third variant for every even-custkey entity (deletion at
+    * 11 + custkey % 4 — still suffix-stable, a different damage
+    * pattern than the standing dirty twin; ids live at
+    * 10_000_000 + custkey, disjoint from the 2k/2k+1 standing space).
+    * Each new record routes to its best standing match (min edit
+    * distance, tie = lowest rec_id) — the "attach to existing golden
+    * record" step of a production MDM loader; `n_candidates` reports
+    * the block fan-in the probe actually paid. One shuffle on the
+    * block key (batch side is batch-sized), one rank window on the
+    * batch key. */
+  private val erIncremental = Q(
+    "er_incremental",
+    s"""$sqlRecCte, nb AS (
+       |  SELECT 10000000 + c_custkey AS new_id, c_custkey AS entity_id,
+       |         concat(substr(c_name, 1, 10 + c_custkey % 4),
+       |                substr(c_name, 12 + c_custkey % 4)) AS name
+       |  FROM customer WHERE c_custkey % 2 = 0
+       |), nbk AS (
+       |  SELECT new_id, entity_id, name, right(name, 3) AS blk FROM nb
+       |), probe AS (
+       |  SELECT n.new_id, n.entity_id AS new_ent, b.rec_id,
+       |         b.entity_id AS std_ent,
+       |         CAST(levenshtein(n.name, b.name) AS BIGINT) AS lev_dist,
+       |         CAST(count(*) OVER (PARTITION BY n.new_id) AS BIGINT)
+       |           AS n_candidates
+       |  FROM nbk n JOIN blocked b ON n.blk = b.blk
+       |), best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY new_id
+       |             ORDER BY lev_dist, rec_id) AS r
+       |  FROM probe
+       |)
+       |SELECT new_id, rec_id AS matched_rec, lev_dist, n_candidates,
+       |       CAST(CASE WHEN new_ent = std_ent THEN 1 ELSE 0 END
+       |            AS INTEGER) AS same_entity
+       |FROM best WHERE r = 1 AND lev_dist <= 2
+       |ORDER BY new_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val nb = t.customer.filter(col("c_custkey") % 2 === 0)
+      .select(
+        (lit(10000000L) + col("c_custkey")).as("new_id"),
+        col("c_custkey").as("new_ent"),
+        expr("concat(substr(c_name, 1, 10 + c_custkey % 4)," +
+          " substr(c_name, 12 + c_custkey % 4))").as("name"))
+      .withColumn("blk", expr("right(name, 3)"))
+    val standing = recordsOf(t).select(
+      col("rec_id"), col("entity_id").as("std_ent"),
+      col("name").as("std_name"), col("blk"))
+    val wCand = Window.partitionBy(col("new_id"))
+    val wBest = Window.partitionBy(col("new_id"))
+      .orderBy(col("lev_dist"), col("rec_id"))
+    nb.join(standing, Seq("blk"))
+      .select(
+        col("new_id"), col("new_ent"), col("rec_id"), col("std_ent"),
+        levenshtein(col("name"), col("std_name")).cast("long")
+          .as("lev_dist"))
+      .withColumn("n_candidates", count(lit(1)).over(wCand))
+      .withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1 && col("lev_dist") <= 2)
+      .select(
+        col("new_id"), col("rec_id").as("matched_rec"), col("lev_dist"),
+        col("n_candidates"),
+        when(col("new_ent") === col("std_ent"), 1).otherwise(0)
+          .cast("int").as("same_entity"))
+      .orderBy("new_id")
+  }
+
   val queries: Seq[Q] =
-    Seq(erCandidates, erMatches, erGolden, erQuality)
+    Seq(erCandidates, erMatches, erGolden, erQuality, erIncremental)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Checkpoints.CheckpointOps
 import graft.util.Det
@@ -538,8 +539,49 @@ object StorageQueries {
       .orderBy("snap_seq")
   }
 
+  /** Compaction plan — the declared form of [[Compaction]]'s decision
+    * step: which partitions fold into which rewrite bin. The partition
+    * histogram (rows per partition of a planted orderkey % 17 layout)
+    * feeds a NEXT-FIT-DECREASING pack: partitions sorted by
+    * (size desc, key), bin = prefix-sum-before DIV capacity — whole
+    * partitions never split, each bin overfills by at most one
+    * partition, and unlike greedy first-fit (inherently sequential)
+    * the assignment is ONE window over the metadata-sized histogram,
+    * so the plan costs the same at 100 TB where the histogram comes
+    * from table file statistics. Oracle replays the identical prefix
+    * algebra. */
+  private val compactionPlan = Q(
+    "compaction_plan",
+    """WITH p AS (
+      |  SELECT o_orderkey % 17 AS part,
+      |         CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM orders GROUP BY 1
+      |), o AS (
+      |  SELECT part, n_rows,
+      |         CAST(coalesce(sum(n_rows) OVER (
+      |           ORDER BY n_rows DESC, part
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cum_before
+      |  FROM p
+      |)
+      |SELECT part, n_rows, cum_before,
+      |       cum_before // 2000 AS bin
+      |FROM o ORDER BY bin, n_rows DESC, part""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("n_rows").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir).orders
+      .groupBy((col("o_orderkey") % 17).as("part"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .select(
+        col("part"), col("n_rows"), col("cum_before"),
+        expr("cum_before div 2000").as("bin"))
+      .orderBy(col("bin"), col("n_rows").desc, col("part"))
+  }
+
   val queries: Seq[Q] =
     Seq(joinBucketed, partitionPrune, storageZorder, tableProfile,
       tableProfileHll, csvRoundtrip, orcRoundtrip, schemaEvolution,
-      tableSkewReport, aggBucketed, snapshotTimeTravel)
+      tableSkewReport, aggBucketed, snapshotTimeTravel, compactionPlan)
 }

@@ -55,6 +55,26 @@ class ErQueriesSpec extends SparkSpec {
     }
   }
 
+  test("er_incremental: every late record routes to its own entity's " +
+      "standing record at this fixture") {
+    val rows = SparkEntry.queries("er_incremental")(spark, sf).collect()
+    val evens = Tables(spark, sf).customer
+      .filter(col("c_custkey") % 2 === 0).count()
+    assert(rows.length.toLong == evens,
+      "every planted late record finds a standing match")
+    rows.foreach { r =>
+      val (newId, rec, lev, nCand, same) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getInt(4))
+      val custkey = newId - 10000000L
+      // best match is the entity's own clean twin (lev 1) or, when the
+      // late deletion coincides with the standing dirty twin's, that
+      // twin at lev 0 — never a cross-entity record at this sf (blocks
+      // are single-entity at sf0.001)
+      assert(rec / 2 == custkey && same == 1, s"cross-entity route: $r")
+      assert(lev <= 1 && nCand >= 2, s"unexpected match quality: $r")
+    }
+  }
+
   test("er_quality reconciles with the labeled match list") {
     val q = SparkEntry.queries("er_quality")(spark, sf).collect().head
     val matches = SparkEntry.queries("er_matches")(spark, sf).collect()

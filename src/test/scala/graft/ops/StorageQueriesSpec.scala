@@ -133,4 +133,23 @@ class StorageQueriesSpec extends SparkSpec {
     assert(zAvgY < xAvgY / 2,
       s"z-order must at least halve the y-span: $zAvgY vs $xAvgY")
   }
+  test("compaction_plan: next-fit-decreasing pack over the partition histogram") {
+    val rows = graft.SparkEntry.queries("compaction_plan")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == 17, "all 17 partitions planned")
+    // prefix sums consistent with the (n_rows desc, part) order
+    val ordered = rows.sortBy(t => (-t._2, t._1))
+    ordered.foldLeft(0L) { case (cum, (_, n, cumBefore, bin)) =>
+      assert(cumBefore == cum, "cum_before must be the exact prefix sum")
+      assert(bin == cum / 2000, "bin = prefix DIV capacity")
+      cum + n
+    }
+    // whole partitions never split; each bin overfills by < 1 partition
+    val maxPart = rows.map(_._2).max
+    rows.groupBy(_._4).foreach { case (_, bs) =>
+      assert(bs.map(_._2).sum < 2000 + maxPart)
+    }
+  }
+
 }
