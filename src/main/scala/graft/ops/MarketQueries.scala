@@ -349,7 +349,100 @@ object MarketQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Pairwise correlation of daily returns across instruments — the
+    * co-movement matrix a portfolio/risk read starts from. Daily
+    * closes via the OHLC rank machinery; returns are exact cent
+    * diffs; each pair's Pearson correlation comes from exact integer
+    * sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy — the regr_ols
+    * discipline) with the only float ops being two IEEE-exact sqrts
+    * and one divide, association pinned identically on both engines.
+    * The pair join is on the DAY spine of per-instrument daily rows —
+    * calendar-sized, never trade-sized; the stats aggregate is
+    * map-side-combinable (6 numbers per pair-partition).
+    */
+  private val timeseriesReturnsCorr = Q(
+    "timeseries_returns_corr",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('day', ts) AS day,
+       |         ${sqlCents("value")} AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('day', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), daily AS (
+       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
+       |  FROM e GROUP BY event_type, day
+       |), ret AS (
+       |  SELECT event_type, day,
+       |         close_cents - lag(close_cents) OVER (
+       |           PARTITION BY event_type ORDER BY day) AS r
+       |  FROM daily
+       |), paired AS (
+       |  SELECT a.event_type AS et_a, b.event_type AS et_b,
+       |         a.r AS x, b.r AS y
+       |  FROM ret a JOIN ret b
+       |    ON a.day = b.day AND a.event_type < b.event_type
+       |  WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+       |), stats AS (
+       |  SELECT et_a, et_b,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM paired GROUP BY et_a, et_b
+       |)
+       |SELECT et_a, et_b, n,
+       |       n * sxy - sx * sy AS cov_num,
+       |       CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+       |FROM stats ORDER BY et_a, et_b""".stripMargin) { (s, dir) =>
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val daily = Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
+        .as("close_cents"))
+    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ret = daily
+      .withColumn("r",
+        col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
+      .filter(col("r").isNotNull)
+      .select(col("event_type"), col("day"), col("r"))
+    val a = ret.select(col("event_type").as("et_a"), col("day"),
+      col("r").as("x"))
+    val b = ret.select(col("event_type").as("et_b"), col("day"),
+      col("r").as("y"))
+    val stats = a.join(b, Seq("day"))
+      .filter(col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    stats.select(
+        col("et_a"), col("et_b"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("corr"))
+      .orderBy("et_a", "et_b")
+  }
+
   val queries: Seq[Q] =
     Seq(timeseriesOhlc, timeseriesVwap, timeseriesDrawdown,
-      timeseriesOhlcDaily, timeseriesRsi)
+      timeseriesOhlcDaily, timeseriesRsi, timeseriesReturnsCorr)
 }

@@ -2233,8 +2233,45 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Grouped MODE with a deterministic tie-break (max count, then min
+    * value) — the categorical summary builtins leave engine-defined
+    * (Spark's `mode` and DuckDB's pick arbitrary ties). Two map-side
+    * combinable aggregates: counts per (group, value), then rank-1 per
+    * group through a WindowGroupLimit-prunable row_number. */
+  private val aggMode = Q(
+    "agg_mode",
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |             ORDER BY cnt DESC, o_orderpriority) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+      |           AS n_distinct
+      |  FROM c
+      |)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |       cnt AS mode_count, n_distinct
+      |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val counts = Tables(s, dir).orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_distinct",
+        count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"), col("n_distinct"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Seq[Q] = Seq(
-    regrOls,
+    regrOls, aggMode,
     joinRuntimeFilter, eventsNewUsersCumulative, eventsWau,
     basketAffinity,
     snapshotDiff,
