@@ -55,9 +55,10 @@ class BenchStreamsSpec extends SparkSpec {
     assert(after == before, "scratch dirs must be deleted")
   }
 
-  test("all three cells are declared and keyed as stream_*") {
+  test("all four cells are declared and keyed as stream_*") {
     assert(BenchStreams.cells.map(_._1).sorted ==
-      Seq("stream_dedup_loop", "stream_media_loop", "stream_semdedup_loop"))
+      Seq("stream_bars_loop", "stream_dedup_loop", "stream_media_loop",
+        "stream_semdedup_loop"))
     BenchStreams.cells.foreach { case (name, _) =>
       assert(name.startsWith("stream_"))
     }
