@@ -315,6 +315,67 @@ object ErQueries {
       .orderBy("new_id")
   }
 
+  /** Block-key width selector — the `dedup_banding_select` discipline
+    * applied to ER: evaluate right-k blocking for k ∈ {2, 3, 4} on the
+    * ACTUAL record set, report each key's block histogram summary
+    * (block count, max block, implied pair volume), and select the
+    * NARROWEST key whose max block stays under the verify cap (16) —
+    * narrow keys tolerate more damage positions (higher recall), so
+    * the selector pays exactly as much key width as the measured block
+    * growth demands and no more. This is the query an operator re-runs
+    * as the corpus grows; the pinned k = 3 of the declared family is
+    * what it selects at the driver SFs. Metadata-sized everything
+    * after the one histogram aggregate. */
+  private val erKeySelect = Q(
+    "er_key_select",
+    s"""$sqlRecCte, keyed AS (
+       |  SELECT k.k, right(name, k.k) AS blk
+       |  FROM blocked CROSS JOIN (SELECT unnest([2, 3, 4]) AS k) k
+       |), hist AS (
+       |  SELECT k, blk, CAST(count(*) AS BIGINT) AS b
+       |  FROM keyed GROUP BY k, blk
+       |), summary AS (
+       |  SELECT k,
+       |         CAST(count(*) AS BIGINT) AS n_blocks,
+       |         max(b) AS max_block,
+       |         CAST(sum(b * (b - 1) // 2) AS BIGINT) AS n_pairs,
+       |         CAST(CASE WHEN max(b) <= 16 THEN 1 ELSE 0 END
+       |              AS INTEGER) AS qualifies
+       |  FROM hist GROUP BY k
+       |)
+       |SELECT CAST(k AS INTEGER) AS key_len, n_blocks, max_block, n_pairs,
+       |       qualifies,
+       |       CAST(CASE WHEN qualifies = 1 AND k = min(CASE WHEN qualifies = 1
+       |              THEN k END) OVER () THEN 1 ELSE 0 END
+       |            AS INTEGER) AS selected
+       |FROM summary ORDER BY key_len""".stripMargin) { (s, dir) =>
+    val keyed = recordsOf(Tables(s, dir))
+      .select(col("name"),
+        explode(array(lit(2), lit(3), lit(4))).as("k"))
+      .select(col("k"), expr("right(name, k)").as("blk"))
+    val hist = keyed.groupBy(col("k"), col("blk"))
+      .agg(count(lit(1)).as("b"))
+    val summary = hist.groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        max(col("b")).as("max_block"),
+        sum(expr("(b * (b - 1)) div 2")).as("n_pairs"),
+        when(max(col("b")) <= 16, 1).otherwise(0).cast("int")
+          .as("qualifies"))
+    val wAll = Window.partitionBy()
+    summary
+      .withColumn("best_k",
+        min(when(col("qualifies") === 1, col("k"))).over(wAll))
+      .select(
+        col("k").cast("int").as("key_len"),
+        col("n_blocks"), col("max_block"), col("n_pairs"),
+        col("qualifies"),
+        when(col("qualifies") === 1 && col("k") === col("best_k"), 1)
+          .otherwise(0).cast("int").as("selected"))
+      .orderBy("key_len")
+  }
+
   val queries: Seq[Q] =
-    Seq(erCandidates, erMatches, erGolden, erQuality, erIncremental)
+    Seq(erCandidates, erMatches, erGolden, erQuality, erIncremental,
+      erKeySelect)
 }

@@ -75,6 +75,26 @@ class ErQueriesSpec extends SparkSpec {
     }
   }
 
+  test("er_key_select: narrowest key under the cap, consistent histograms") {
+    val rows = SparkEntry.queries("er_key_select")(spark, sf)
+      .orderBy("key_len").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.map(_._1).toSeq == Seq(2, 3, 4))
+    val nRecords = 2 * Tables(spark, sf).customer.count()
+    rows.foreach { case (_, nBlocks, maxB, _, q, _) =>
+      assert(nBlocks <= nRecords && maxB >= 1)
+      assert((q == 1) == (maxB <= 16))
+    }
+    // exactly one selection: the narrowest qualifying key
+    assert(rows.count(_._6 == 1) == 1)
+    val sel = rows.find(_._6 == 1).get
+    assert(rows.filter(_._1 < sel._1).forall(_._5 == 0),
+      "every narrower key must have failed the cap")
+    // wider keys mean fewer (or equal) pairs — the monotone tradeoff
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse)
+  }
+
   test("er_quality reconciles with the labeled match list") {
     val q = SparkEntry.queries("er_quality")(spark, sf).collect().head
     val matches = SparkEntry.queries("er_matches")(spark, sf).collect()
