@@ -29,6 +29,22 @@ class TrainingJoinsSpec extends SparkSpec {
     }
   }
 
+  test("plan pins: the single-shuffle claims hold in the physical plan") {
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString).length
+    assert(hashExchanges("join_point_in_time") == 1,
+      "PIT join is ONE window shuffle on the entity key")
+    assert(hashExchanges("cdc_apply") == 1,
+      "changelog collapse is ONE shuffle on pk")
+    assert(hashExchanges("cdc_apply_idempotent") == 1,
+      "idempotent apply must NOT add a second dedup shuffle " +
+        "(the 10x-stress regression this pin guards)")
+    assert(hashExchanges("cdc_scd2") == 1,
+      "SCD2 history rides the same pk shuffle")
+  }
+
   test("contrastive_triplets: label contract and per-anchor uniqueness") {
     val t = Tables(spark, sf)
     val labels = t.embeddings.collect()
