@@ -2270,8 +2270,34 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** LISTAGG / string_agg with a PINNED order — the SQL-standard
+    * string aggregation whose ordering both engines otherwise leave
+    * to partition luck. Distinct values, sorted, comma-joined:
+    * collect_set is order-free (map-side combinable), array_sort
+    * restores determinism before the join — the only safe shape for
+    * a distributed listagg. */
+  private val aggListagg = Q(
+    "agg_listagg",
+    """SELECT o_orderstatus,
+      |       string_agg(DISTINCT o_orderpriority, ','
+      |                  ORDER BY o_orderpriority) AS priorities_csv,
+      |       CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+      |         AS n_distinct,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities_csv"),
+        countDistinct(col("o_orderpriority")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Seq[Q] = Seq(
-    regrOls, aggMode,
+    regrOls, aggMode, aggListagg,
     joinRuntimeFilter, eventsNewUsersCumulative, eventsWau,
     basketAffinity,
     snapshotDiff,
