@@ -56,8 +56,26 @@ object Bench {
     Map.empty
   }
 
+  /** Median scheduler-wakeup overshoot in µs: park for 100 µs, measure
+    * how much later the thread actually resumes. On a healthy host this
+    * sits at tens of µs; inside the degraded windows BASELINE.md
+    * documents it swings to hundreds–thousands. Stamped into the bench
+    * JSON (before/after the passes) so a flagged run self-documents
+    * whether the host, not a plan, inflated it — the adjudication that
+    * previously needed manual BenchOne control runs. */
+  private[graft] def wakeupOvershootMicros(n: Int = 400): Double = {
+    val target = 100000L // 100 µs in ns
+    val samples = Array.tabulate(n) { _ =>
+      val t0 = System.nanoTime()
+      java.util.concurrent.locks.LockSupport.parkNanos(target)
+      (System.nanoTime() - t0 - target) / 1e3
+    }.sorted
+    math.max(0.0, samples(n / 2))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val wakeupBefore = wakeupOvershootMicros()
     val spark = Sessions.local(Sessions.cpusFromEnv)
     // Warmup: exercise the scan + shuffle + codegen paths once so the
     // first timed query doesn't absorb JVM/JIT and session start cost.
@@ -144,8 +162,9 @@ object Bench {
     // "value" field away once the query map grew past 2,000 chars. The
     // full line is also written to bench_out.json so every per-query
     // figure survives regardless of how much of stdout is kept.
+    val wakeupAfter = wakeupOvershootMicros()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagged":$flaggedJson,"n_flagged":${flagged.size},"total_s":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagged":$flaggedJson,"n_flagged":${flagged.size},"host_wakeup_us_before":$wakeupBefore,"host_wakeup_us_after":$wakeupAfter,"total_s":$total}"""
     println(line)
     // Best-effort mirror: the stdout line above is the contract; a
     // read-only or unexpected cwd must not turn a COMPLETED bench run
