@@ -442,7 +442,106 @@ object MarketQueries {
       .orderBy("et_a", "et_b")
   }
 
+  /** Per-instrument beta against the equal-weight market index:
+    * index return per day = SUM of every instrument's cent return
+    * (exact integer — an equal-weight index up to the constant 1/N,
+    * which cancels in beta), beta_i = cov(r_i, r_m) / var(r_m) from
+    * the same exact sufficient statistics as `timeseries_returns_corr`,
+    * one divide of exact integers. The index frame is calendar-sized
+    * (one row per day) and BROADCAST back onto the per-instrument
+    * returns — no second shuffle. Days where any instrument has no
+    * trades drop from the index (the honest joint-observation rule,
+    * same as the pairwise query).
+    */
+  private val timeseriesBeta = Q(
+    "timeseries_beta",
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         date_trunc('day', ts) AS day,
+       |         ${sqlCents("value")} AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('day', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), daily AS (
+       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
+       |  FROM e GROUP BY event_type, day
+       |), ret AS (
+       |  SELECT event_type, day,
+       |         close_cents - lag(close_cents) OVER (
+       |           PARTITION BY event_type ORDER BY day) AS r
+       |  FROM daily
+       |), ok AS (
+       |  SELECT * FROM ret WHERE r IS NOT NULL
+       |), idx AS (
+       |  SELECT day, CAST(sum(r) AS BIGINT) AS rm,
+       |         CAST(count(*) AS BIGINT) AS n_inst
+       |  FROM ok GROUP BY day
+       |  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM ok)
+       |), joined AS (
+       |  SELECT o.event_type, o.r AS x, i.rm AS y
+       |  FROM ok o JOIN idx i ON o.day = i.day
+       |), stats AS (
+       |  SELECT event_type,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM joined GROUP BY event_type
+       |)
+       |SELECT event_type, n,
+       |       n * sxy - sx * sy AS cov_num,
+       |       n * syy - sy * sy AS var_den,
+       |       CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / CAST(n * syy - sy * sy AS DOUBLE) AS beta
+       |FROM stats ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val daily = Tables(s, dir).events
+      .select(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
+        .as("close_cents"))
+    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ok = daily
+      .withColumn("r",
+        col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
+      .filter(col("r").isNotNull)
+      .select(col("event_type"), col("day"), col("r"))
+    import graft.ops.Checkpoints.CheckpointOps
+    val okC = ok.cut(false) // read by the index agg AND the join
+    val nInstruments = okC.select(col("event_type")).distinct().count()
+    val idx = okC.groupBy(col("day"))
+      .agg(sum(col("r")).as("rm"), count(lit(1)).as("n_inst"))
+      .filter(col("n_inst") === nInstruments)
+      .select(col("day"), col("rm"))
+    val stats = okC
+      .join(broadcast(idx), Seq("day"))
+      .select(col("event_type"), col("r").as("x"), col("rm").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    stats.select(
+        col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_den"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")).as("beta"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[Q] =
     Seq(timeseriesOhlc, timeseriesVwap, timeseriesDrawdown,
-      timeseriesOhlcDaily, timeseriesRsi, timeseriesReturnsCorr)
+      timeseriesOhlcDaily, timeseriesRsi, timeseriesReturnsCorr,
+      timeseriesBeta)
 }

@@ -26,6 +26,19 @@ class ModeCorrSpec extends SparkSpec {
     }
   }
 
+  test("timeseries_beta: equal-weight-index betas sum to exactly 1") {
+    val rows = SparkEntry.queries("timeseries_beta")(spark, sf).collect()
+    assert(rows.length == 5)
+    val varDen = rows.map(_.getLong(3)).distinct
+    assert(varDen.length == 1, "one shared index variance")
+    // sum_i cov(r_i, r_m) = var(r_m) when the index is the sum of all
+    // instruments over the same aligned days — exact in integers
+    assert(rows.map(_.getLong(2)).sum == varDen.head,
+      "covariance decomposition of the index variance must be exact")
+    rows.foreach(r =>
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3).toDouble))
+  }
+
   test("timeseries_returns_corr: Pearson from exact sufficient stats") {
     val rows = SparkEntry.queries("timeseries_returns_corr")(spark, sf)
       .collect()
