@@ -73,8 +73,9 @@ object ScaleStress {
   private val RelQueries = Seq(
     "timeseries_ohlc", "timeseries_ohlc_daily", "timeseries_vwap",
     "timeseries_drawdown", "timeseries_rsi",
+    "timeseries_returns_corr", "timeseries_beta",
     "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent",
-    "join_point_in_time")
+    "join_point_in_time", "agg_mode", "agg_listagg", "compaction_plan")
 
   /** 10× events/orders: fresh ids (event_id/o_orderkey re-keyed per
     * copy), prices perturbed a cent-granular step so integerized
