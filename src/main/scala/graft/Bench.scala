@@ -73,6 +73,29 @@ object Bench {
     math.max(0.0, samples(n / 2))
   }
 
+  /** Milliseconds for a FIXED single-threaded integer workload (xorshift
+    * over 20M steps) — the vCPU-steal complement to the wakeup probe: a
+    * contended host slows this uniformly while wakeups can still read
+    * healthy (both degradation modes observed on this host). Sampled at
+    * every pass boundary; the JSON reports min and max so a run whose
+    * cells inflated mid-pass carries the evidence. Best of 2 so a single
+    * preemption inside the probe itself doesn't fake a degraded host. */
+  private[graft] def cpuProbeMillis(): Double = {
+    def once: Double = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 20000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      // fold x into the timing read so the loop cannot be eliminated
+      if (x == 42L) System.err.println("improbable")
+      (System.nanoTime() - t0) / 1e6
+    }
+    math.min(once, once)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val wakeupBefore = wakeupOvershootMicros()
@@ -113,7 +136,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cpuSamples = scala.collection.mutable.ArrayBuffer(cpuProbeMillis())
     val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    cpuSamples += cpuProbeMillis()
     val pass2 = ordered.reverse.map { case (name, fn) =>
       name -> (if (pass1(name) >= 0) once(name, fn) else -1.0)
     }.toMap
@@ -121,6 +146,7 @@ object Bench {
       val (a, b) = (pass1(name), pass2(name))
       a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b) + 0.25
     }
+    cpuSamples += cpuProbeMillis()
     val pass3 = suspect.map { case (name, fn) => name -> once(name, fn) }.toMap
     // Streaming loop cells (BenchStreams): same attempt discipline as
     // the query cells — two DECORRELATED attempts (full pass over the
@@ -162,9 +188,10 @@ object Bench {
     // "value" field away once the query map grew past 2,000 chars. The
     // full line is also written to bench_out.json so every per-query
     // figure survives regardless of how much of stdout is kept.
+    cpuSamples += cpuProbeMillis()
     val wakeupAfter = wakeupOvershootMicros()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagged":$flaggedJson,"n_flagged":${flagged.size},"host_wakeup_us_before":$wakeupBefore,"host_wakeup_us_after":$wakeupAfter,"total_s":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagged":$flaggedJson,"n_flagged":${flagged.size},"host_wakeup_us_before":$wakeupBefore,"host_wakeup_us_after":$wakeupAfter,"host_cpu_ms_min":${cpuSamples.min},"host_cpu_ms_max":${cpuSamples.max},"total_s":$total}"""
     println(line)
     // Best-effort mirror: the stdout line above is the contract; a
     // read-only or unexpected cwd must not turn a COMPLETED bench run
