@@ -2296,8 +2296,58 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Revenue concentration (Lorenz/Pareto): customers ranked by exact
+    * cent revenue, bucketed into spend deciles, each decile's share of
+    * total revenue as one divide of exact integers — the "does 20% of
+    * the base drive 80% of revenue" read. The global rank is a window
+    * over the CUSTOMER aggregate (one row per customer — two orders of
+    * magnitude under the fact table; at 100 TB this frame is still
+    * millions, where the repo's distributed-rank trick from
+    * text_quality_tiers applies — documented, not needed at this
+    * cardinality). Decile = (rank-1)*10/n so bucket boundaries are
+    * exact integer arithmetic on both engines. */
+  private val customerPareto = Q(
+    "customer_pareto",
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT o_custkey, cents,
+      |         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+      |         CAST(count(*) OVER () AS BIGINT) AS n,
+      |         CAST(sum(cents) OVER () AS BIGINT) AS total
+      |  FROM rev
+      |)
+      |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS cents,
+      |       CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+      |         AS revenue_share
+      |FROM ranked GROUP BY (rk - 1) * 10 // n
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    val rev = Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .groupBy(expr("(rk - 1) * 10 div n").as("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("cents"),
+        (sum(col("cents")).cast("double")
+          / max(col("total")).cast("double")).as("revenue_share"))
+      .orderBy("decile")
+  }
+
   val queries: Seq[Q] = Seq(
-    regrOls, aggMode, aggListagg,
+    regrOls, aggMode, aggListagg, customerPareto,
     joinRuntimeFilter, eventsNewUsersCumulative, eventsWau,
     basketAffinity,
     snapshotDiff,

@@ -26,6 +26,21 @@ class ModeCorrSpec extends SparkSpec {
     }
   }
 
+  test("customer_pareto: deciles partition customers, shares sum to 1") {
+    val rows = SparkEntry.queries("customer_pareto")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val nCust = Tables(spark, sf).orders
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach(r => assert(
+      r.getDouble(3) == r.getLong(2).toDouble / total.toDouble))
+    // ranked by spend desc: decile revenue is non-increasing
+    val cents = rows.map(_.getLong(2)).toSeq
+    assert(cents == cents.sorted.reverse, "Lorenz ordering")
+  }
+
   test("timeseries_beta: equal-weight-index betas sum to exactly 1") {
     val rows = SparkEntry.queries("timeseries_beta")(spark, sf).collect()
     assert(rows.length == 5)
