@@ -48,12 +48,17 @@ object IncrementalBars {
     val spark = trades.sparkSession
     val root = new org.apache.hadoop.fs.Path(barsDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // Only COMMITTED epochs advance the high-water mark: a crashed
+    // half-written epoch N must force a replay of N before N+1 can
+    // land, otherwise the reader-side _SUCCESS filter would silently
+    // hide N forever while N+1.. keep accumulating.
     val existing: Set[Long] =
       if (!fs.exists(root)) Set.empty
       else fs.listStatus(root).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("epoch="))
-        .map(_.stripPrefix("epoch=").toLong).toSet
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("epoch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("epoch=").toLong).toSet
     val next = if (existing.isEmpty) 0L else existing.max + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after ${existing.toSeq.sorted}")
@@ -62,12 +67,24 @@ object IncrementalBars {
       .write.mode("overwrite").parquet(s"$barsDir/epoch=$batchId")
   }
 
-  /** The merged exact bars across all landed epochs — identical to
+  /** The merged exact bars across all COMMITTED epochs — identical to
     * running the batch OHLC over every trade ever landed (spec-pinned
-    * against `timeseries_ohlc`). Reads partial-bar rows only. */
+    * against `timeseries_ohlc`). Reads partial-bar rows only, and only
+    * from epoch directories whose _SUCCESS marker exists: a crashed
+    * half-written epoch is invisible to readers until its replay
+    * overwrites it (the same torn-write discipline as SnapshotTable's
+    * manifest reads). */
   private[graft] def bars(spark: org.apache.spark.sql.SparkSession,
-      barsDir: String): DataFrame =
-    spark.read.parquet(barsDir)
+      barsDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(barsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("epoch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString)
+    require(committed.nonEmpty, s"no committed epochs under $barsDir")
+    spark.read.parquet(committed: _*)
       .groupBy(col("event_type"), col("hour"))
       .agg(
         min(col("open_k")).getField("cents").as("open_cents"),
@@ -75,4 +92,5 @@ object IncrementalBars {
         min(col("low_cents")).as("low_cents"),
         max(col("close_k")).getField("cents").as("close_cents"),
         sum(col("n_trades")).as("n_trades"))
+  }
 }

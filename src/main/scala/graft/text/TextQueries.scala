@@ -1546,11 +1546,30 @@ object TextQueries {
           .when(col("bits_e3") * 4 <= col("t75"), 2)
           .otherwise(3).cast("int").as("tier"),
         md5(col("doc_id").cast("string")).as("shuf"))
-    val wT = Window.partitionBy(col("tier"))
+    // Within-tier rank WITHOUT a per-tier single-task sort: the first
+    // two hex chars of the md5 shuffle key split each tier into ≤ 256
+    // cells that are CONTIGUOUS under the (shuf, doc_id) sort order
+    // (the cell id is a prefix of the primary sort key), so the global
+    // within-tier position decomposes exactly into cells-before offset
+    // + rank within the cell — 256-way parallel rank windows plus a
+    // ≤ 1024-row broadcast offsets frame. Same decomposition the tier
+    // offsets below use, applied one level down; the oracle keeps the
+    // plain per-tier row_number and the hash match proves equality.
+    val wCell = Window.partitionBy(col("tier"), col("cell"))
       .orderBy(col("shuf"), col("doc_id"))
-    val ranked = tiered
-      .withColumn("pos_in_tier", row_number().over(wT).cast("long"))
+    val celled = tiered.withColumn("cell", substring(col("shuf"), 1, 2))
+    val cellRanked = celled
+      .withColumn("r_in_cell", row_number().over(wCell).cast("long"))
       .cut(false)
+    val wCellOff = Window.partitionBy(col("tier")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOffs = cellRanked.groupBy(col("tier"), col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("cell_off", coalesce(sum(col("cn")).over(wCellOff), lit(0L)))
+      .select(col("tier"), col("cell"), col("cell_off"))
+    val ranked = cellRanked
+      .join(broadcast(cellOffs), Seq("tier", "cell"))
+      .withColumn("pos_in_tier", col("cell_off") + col("r_in_cell"))
     val wOff = Window.orderBy(col("tier"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranked.groupBy(col("tier"))
