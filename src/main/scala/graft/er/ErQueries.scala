@@ -3,6 +3,7 @@ package graft.er
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Det
 import graft.{Q, Tables}
 
 /** Entity resolution [EXT] — blocking → pairwise verify → cluster →
@@ -48,16 +49,16 @@ object ErQueries {
   /** Records CTE shared by every oracle: clean ∪ dirty with the block
     * key attached. */
   private val sqlRecCte =
-    """WITH rec AS (
+    s"""WITH rec AS (
       |  SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_id,
       |         c_name AS name,
-      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      |         ${Det.sqlUnits("c_acctbal", 100)} AS bal_cents
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey * 2 + 1, c_custkey,
       |         concat(substr(c_name, 1, 9 + c_custkey % 5),
       |                substr(c_name, 11 + c_custkey % 5)),
-      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 1
+      |         ${Det.sqlUnits("c_acctbal", 100)} + 1
       |  FROM customer
       |), blocked AS (
       |  SELECT rec_id, entity_id, name, bal_cents,
@@ -81,8 +82,7 @@ object ErQueries {
     * column for column. */
   private[graft] def recordsOf(t: Tables): DataFrame = {
     val c = t.customer
-    val balCents =
-      floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val balCents = Det.toUnits(col("c_acctbal"), 100L).cast("long")
     val clean = c.select(
       (col("c_custkey") * 2).as("rec_id"),
       col("c_custkey").as("entity_id"),

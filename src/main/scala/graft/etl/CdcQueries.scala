@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Det
 import graft.{Q, Tables}
 
 /** Change-data-capture (CDC) changelog processing [EXT] — the upstream
@@ -25,8 +26,7 @@ import graft.{Q, Tables}
   */
 object CdcQueries {
 
-  private def sqlCents(expr: String): String =
-    s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+  private def sqlCents(expr: String): String = Det.sqlUnits(expr, 100)
 
   private val sqlLogCte =
     s"""WITH log AS (
@@ -48,8 +48,7 @@ object CdcQueries {
     * [[sqlLogCte]], column for column. */
   private def logOf(t: Tables) = {
     val o = t.orders
-    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5))
-      .cast("long")
+    val cents = Det.toUnits(col("o_totalprice"), 100L).cast("long")
     val ins = o.select(
       col("o_orderkey").as("pk"), lit(1L).as("seq"), lit("I").as("op"),
       cents.as("price_cents"), col("o_orderstatus").as("status"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det
@@ -7,62 +8,83 @@ import graft.{Q, Tables}
 
 /** Market/price time-series analytics [EXT] — the natural query surface
   * over the reference's domain (`bpi_etl_bigquery.py` lands a bitcoin
-  * price-index series; these are the bars/VWAP/drawdown reads a price
-  * pipeline owner runs on that series). `events.value` stands in for the
-  * traded price, integerized to exact cents ([[graft.util.Det]]) so
-  * every aggregate is bit-identical to the DuckDB oracle.
+  * price-index series; these are the bars/VWAP/drawdown/indicator reads
+  * a price pipeline owner runs on that series). `events.value` stands in
+  * for the traded price, integerized to exact cents
+  * ([[graft.util.Det]]) so every aggregate is bit-identical to the
+  * DuckDB oracle.
   *
-  * Scale posture: all three queries are one shuffle on their grouping
-  * keys. OHLC ranks WITHIN (instrument × hour) — fine-grained partitions
-  * whose per-partition sort is bar-sized, never corpus-sized; the bar
-  * aggregation reuses the window's hash partitioning (no second
-  * Exchange). Drawdown's running peak is per-instrument ordered — the
-  * inherently sequential shape; with few instruments and many rows the
-  * per-key scan is the honest cost (a production 100-TB variant would
-  * chunk the series and prefix-scan peaks across chunks, same algebra).
+  * Scale posture: every query is one shuffle on its grouping keys plus,
+  * for the indicator family, one ordered window over the CALENDAR-sized
+  * daily-close frame (days × instruments rows — metadata, never
+  * trades). The shared bar/close machinery lives in [[hourlyBars]] /
+  * [[dailyCloses]] / [[dailyReturns]] and their SQL CTE twins, so the
+  * determinism-critical rank-within-bar rule exists in exactly one
+  * place per engine.
   */
 object MarketQueries {
 
-  /** Exact cents as BIGINT on both engines. */
-  private def sqlCents(expr: String): String =
-    s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+  /** Exact cents as BIGINT — delegates to the shared discipline. */
+  private def sqlCents(expr: String): String = Det.sqlUnits(expr, 100)
 
-  /** Hourly OHLC bars per instrument (event_type). Open/close are picked
-    * by rank within the bar — row_number over (ts, event_id) is unique,
-    * so min/max-by-rank is engine-deterministic even if two trades share
-    * a timestamp. Spark side reads open/close as min/max of a
-    * (rn, cents) struct — order-independent aggregates, no second window
-    * pass; oracle uses arg_min/arg_max on the same unique rank.
-    */
-  private val timeseriesOhlc = Q(
-    "timeseries_ohlc",
+  // -----------------------------------------------------------------
+  // Shared bar machinery. Open/close are picked by rank within the
+  // bar — row_number over (ts, event_id) is unique, so min/max-by-rank
+  // is engine-deterministic even if two trades share a timestamp. The
+  // Spark side reads open/close as min/max of a (rn, cents) struct —
+  // order-independent aggregates, no second window pass; the oracle
+  // uses arg_min/arg_max on the same unique rank.
+  // -----------------------------------------------------------------
+
+  /** CTE `e`: trades ranked within (instrument, `unit` bucket). */
+  private def sqlRankedCte(unit: String): String =
     s"""WITH e AS (
        |  SELECT event_type,
-       |         date_trunc('hour', ts) AS hour,
+       |         date_trunc('$unit', ts) AS $unit,
        |         ${sqlCents("value")} AS cents,
        |         row_number() OVER (
-       |           PARTITION BY event_type, date_trunc('hour', ts)
+       |           PARTITION BY event_type, date_trunc('$unit', ts)
        |           ORDER BY ts, event_id) AS rn
        |  FROM events
-       |)
-       |SELECT event_type,
-       |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-       |       arg_min(cents, rn) AS open_cents,
-       |       max(cents) AS high_cents,
-       |       min(cents) AS low_cents,
-       |       arg_max(cents, rn) AS close_cents,
-       |       count(*) AS n_trades
-       |FROM e GROUP BY event_type, hour
-       |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("event_type"), col("hour"))
+       |)""".stripMargin
+
+  /** CTE chain ending in `daily(event_type, day, close_cents)`. */
+  private val sqlDailyCloseCte: String =
+    s"""${sqlRankedCte("day")}, daily AS (
+       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
+       |  FROM e GROUP BY event_type, day
+       |)""".stripMargin
+
+  /** CTE chain ending in `ret(event_type, day, r)` — non-null daily
+    * cent returns. */
+  private val sqlDailyReturnsCte: String =
+    s"""$sqlDailyCloseCte, ret AS (
+       |  SELECT event_type, day,
+       |         close_cents - lag(close_cents) OVER (
+       |           PARTITION BY event_type ORDER BY day) AS r
+       |  FROM daily
+       |), ok AS (
+       |  SELECT * FROM ret WHERE r IS NOT NULL
+       |)""".stripMargin
+
+  /** Trades ranked within (instrument, unit bucket) — the Spark twin
+    * of [[sqlRankedCte]]. */
+  private def ranked(t: Tables, unit: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col(unit))
       .orderBy(col("ts"), col("event_id"))
-    Tables(s, dir).events
+    t.events
       .select(
         col("event_type"),
-        date_trunc("hour", col("ts")).as("hour"),
+        date_trunc(unit, col("ts")).as(unit),
         col("ts"), col("event_id"),
         Det.toUnits(col("value"), 100L).cast("long").as("cents"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** Exact hourly bars: (event_type, hour, open/high/low/close cents,
+    * n_trades). */
+  private def hourlyBars(t: Tables): DataFrame =
+    ranked(t, "hour")
       .groupBy(col("event_type"), col("hour"))
       .agg(
         min(struct(col("rn"), col("cents"))).getField("cents")
@@ -72,6 +94,40 @@ object MarketQueries {
         max(struct(col("rn"), col("cents"))).getField("cents")
           .as("close_cents"),
         count(lit(1)).as("n_trades"))
+
+  /** Exact daily closes: (event_type, day, close_cents). */
+  private def dailyCloses(t: Tables): DataFrame =
+    ranked(t, "day")
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
+        .as("close_cents"))
+
+  /** Non-null daily cent returns: (event_type, day, r). */
+  private def dailyReturns(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dailyCloses(t)
+      .withColumn("r",
+        col("close_cents") - lag(col("close_cents"), 1).over(w))
+      .filter(col("r").isNotNull)
+      .select(col("event_type"), col("day"), col("r"))
+  }
+
+  /** Hourly OHLC bars per instrument (event_type). One shuffle; the
+    * bar aggregation reuses the window's hash partitioning (plan-spec
+    * pinned to a single hash Exchange). */
+  private val timeseriesOhlc = Q(
+    "timeseries_ohlc",
+    s"""${sqlRankedCte("hour")}
+       |SELECT event_type,
+       |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       arg_min(cents, rn) AS open_cents,
+       |       max(cents) AS high_cents,
+       |       min(cents) AS low_cents,
+       |       arg_max(cents, rn) AS close_cents,
+       |       count(*) AS n_trades
+       |FROM e GROUP BY event_type, hour
+       |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+    hourlyBars(Tables(s, dir))
       .select(
         col("event_type"),
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -207,15 +263,7 @@ object MarketQueries {
     */
   private val timeseriesOhlcDaily = Q(
     "timeseries_ohlc_daily",
-    s"""WITH e AS (
-       |  SELECT event_type,
-       |         date_trunc('hour', ts) AS hour,
-       |         ${sqlCents("value")} AS cents,
-       |         row_number() OVER (
-       |           PARTITION BY event_type, date_trunc('hour', ts)
-       |           ORDER BY ts, event_id) AS rn
-       |  FROM events
-       |), hourly AS (
+    s"""${sqlRankedCte("hour")}, hourly AS (
        |  SELECT event_type, hour,
        |         arg_min(cents, rn) AS open_cents,
        |         max(cents) AS high_cents,
@@ -233,25 +281,7 @@ object MarketQueries {
        |       CAST(sum(n_trades) AS BIGINT) AS n_trades
        |FROM hourly GROUP BY event_type, date_trunc('day', hour)
        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("event_type"), col("hour"))
-      .orderBy(col("ts"), col("event_id"))
-    val hourly = Tables(s, dir).events
-      .select(
-        col("event_type"),
-        date_trunc("hour", col("ts")).as("hour"),
-        col("ts"), col("event_id"),
-        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("event_type"), col("hour"))
-      .agg(
-        min(struct(col("rn"), col("cents"))).getField("cents")
-          .as("open_cents"),
-        max(col("cents")).as("high_cents"),
-        min(col("cents")).as("low_cents"),
-        max(struct(col("rn"), col("cents"))).getField("cents")
-          .as("close_cents"),
-        count(lit(1)).as("n_trades"))
-    hourly
+    hourlyBars(Tables(s, dir))
       .groupBy(col("event_type"), date_trunc("day", col("hour")).as("day"))
       .agg(
         min(struct(col("hour"), col("open_cents"))).getField("open_cents")
@@ -273,24 +303,13 @@ object MarketQueries {
     * losses are exact cent deltas; the windowed sums are exact integer
     * sums; RSI = 100·gains/(gains+losses) is ONE divide of two exact
     * integers (flat windows pinned to the neutral 50 on both engines).
-    * The daily-close input is the OHLC machinery re-used (arg_max by
-    * rank within day), so the whole indicator is scan → two one-key
-    * shuffles (day bars, then the per-instrument ordered window).
+    * The daily-close input is [[dailyCloses]], so the whole indicator
+    * is scan → two one-key shuffles (day bars, then the per-instrument
+    * ordered window over the calendar-sized close frame).
     */
   private val timeseriesRsi = Q(
     "timeseries_rsi",
-    s"""WITH e AS (
-       |  SELECT event_type,
-       |         date_trunc('day', ts) AS day,
-       |         ${sqlCents("value")} AS cents,
-       |         row_number() OVER (
-       |           PARTITION BY event_type, date_trunc('day', ts)
-       |           ORDER BY ts, event_id) AS rn
-       |  FROM events
-       |), daily AS (
-       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
-       |  FROM e GROUP BY event_type, day
-       |), delta AS (
+    s"""$sqlDailyCloseCte, delta AS (
        |  SELECT event_type, day, close_cents,
        |         close_cents - lag(close_cents) OVER (
        |           PARTITION BY event_type ORDER BY day) AS diff
@@ -317,21 +336,9 @@ object MarketQueries {
        |            ELSE 100.0 * CAST(gain14 AS DOUBLE)
        |                 / CAST(gain14 + loss14 AS DOUBLE) END AS rsi14
        |FROM win ORDER BY event_type, day""".stripMargin) { (s, dir) =>
-    val wDay = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("ts"), col("event_id"))
-    val daily = Tables(s, dir).events
-      .select(
-        col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        col("ts"), col("event_id"),
-        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(wDay))
-      .groupBy(col("event_type"), col("day"))
-      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
-        .as("close_cents"))
     val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val w14 = wSeries.rowsBetween(-13, Window.currentRow)
-    daily
+    dailyCloses(Tables(s, dir))
       .withColumn("diff",
         col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
       .filter(col("diff").isNotNull)
@@ -350,40 +357,23 @@ object MarketQueries {
   }
 
   /** Pairwise correlation of daily returns across instruments — the
-    * co-movement matrix a portfolio/risk read starts from. Daily
-    * closes via the OHLC rank machinery; returns are exact cent
-    * diffs; each pair's Pearson correlation comes from exact integer
-    * sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy — the regr_ols
-    * discipline) with the only float ops being two IEEE-exact sqrts
-    * and one divide, association pinned identically on both engines.
-    * The pair join is on the DAY spine of per-instrument daily rows —
-    * calendar-sized, never trade-sized; the stats aggregate is
-    * map-side-combinable (6 numbers per pair-partition).
+    * co-movement matrix a portfolio/risk read starts from. Returns are
+    * exact cent diffs ([[dailyReturns]]); each pair's Pearson
+    * correlation comes from exact integer sufficient statistics
+    * (n, Σx, Σy, Σxx, Σyy, Σxy — the regr_ols discipline) with the
+    * only float ops being two IEEE-exact sqrts and one divide,
+    * association pinned identically on both engines. The pair join is
+    * on the DAY spine of per-instrument daily rows — calendar-sized,
+    * never trade-sized; the stats aggregate is map-side-combinable
+    * (6 numbers per pair-partition).
     */
   private val timeseriesReturnsCorr = Q(
     "timeseries_returns_corr",
-    s"""WITH e AS (
-       |  SELECT event_type,
-       |         date_trunc('day', ts) AS day,
-       |         ${sqlCents("value")} AS cents,
-       |         row_number() OVER (
-       |           PARTITION BY event_type, date_trunc('day', ts)
-       |           ORDER BY ts, event_id) AS rn
-       |  FROM events
-       |), daily AS (
-       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
-       |  FROM e GROUP BY event_type, day
-       |), ret AS (
-       |  SELECT event_type, day,
-       |         close_cents - lag(close_cents) OVER (
-       |           PARTITION BY event_type ORDER BY day) AS r
-       |  FROM daily
-       |), paired AS (
+    s"""$sqlDailyReturnsCte, paired AS (
        |  SELECT a.event_type AS et_a, b.event_type AS et_b,
        |         a.r AS x, b.r AS y
-       |  FROM ret a JOIN ret b
+       |  FROM ok a JOIN ok b
        |    ON a.day = b.day AND a.event_type < b.event_type
-       |  WHERE a.r IS NOT NULL AND b.r IS NOT NULL
        |), stats AS (
        |  SELECT et_a, et_b,
        |         CAST(count(*) AS BIGINT) AS n,
@@ -400,24 +390,7 @@ object MarketQueries {
        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
        |FROM stats ORDER BY et_a, et_b""".stripMargin) { (s, dir) =>
-    val wDay = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("ts"), col("event_id"))
-    val daily = Tables(s, dir).events
-      .select(
-        col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        col("ts"), col("event_id"),
-        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(wDay))
-      .groupBy(col("event_type"), col("day"))
-      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
-        .as("close_cents"))
-    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val ret = daily
-      .withColumn("r",
-        col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
-      .filter(col("r").isNotNull)
-      .select(col("event_type"), col("day"), col("r"))
+    val ret = dailyReturns(Tables(s, dir))
     val a = ret.select(col("event_type").as("et_a"), col("day"),
       col("r").as("x"))
     val b = ret.select(col("event_type").as("et_b"), col("day"),
@@ -455,25 +428,7 @@ object MarketQueries {
     */
   private val timeseriesBeta = Q(
     "timeseries_beta",
-    s"""WITH e AS (
-       |  SELECT event_type,
-       |         date_trunc('day', ts) AS day,
-       |         ${sqlCents("value")} AS cents,
-       |         row_number() OVER (
-       |           PARTITION BY event_type, date_trunc('day', ts)
-       |           ORDER BY ts, event_id) AS rn
-       |  FROM events
-       |), daily AS (
-       |  SELECT event_type, day, arg_max(cents, rn) AS close_cents
-       |  FROM e GROUP BY event_type, day
-       |), ret AS (
-       |  SELECT event_type, day,
-       |         close_cents - lag(close_cents) OVER (
-       |           PARTITION BY event_type ORDER BY day) AS r
-       |  FROM daily
-       |), ok AS (
-       |  SELECT * FROM ret WHERE r IS NOT NULL
-       |), idx AS (
+    s"""$sqlDailyReturnsCte, idx AS (
        |  SELECT day, CAST(sum(r) AS BIGINT) AS rm,
        |         CAST(count(*) AS BIGINT) AS n_inst
        |  FROM ok GROUP BY day
@@ -496,26 +451,9 @@ object MarketQueries {
        |       CAST(n * sxy - sx * sy AS DOUBLE)
        |         / CAST(n * syy - sy * sy AS DOUBLE) AS beta
        |FROM stats ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val wDay = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("ts"), col("event_id"))
-    val daily = Tables(s, dir).events
-      .select(
-        col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        col("ts"), col("event_id"),
-        Det.toUnits(col("value"), 100L).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(wDay))
-      .groupBy(col("event_type"), col("day"))
-      .agg(max(struct(col("rn"), col("cents"))).getField("cents")
-        .as("close_cents"))
-    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val ok = daily
-      .withColumn("r",
-        col("close_cents") - lag(col("close_cents"), 1).over(wSeries))
-      .filter(col("r").isNotNull)
-      .select(col("event_type"), col("day"), col("r"))
     import graft.ops.Checkpoints.CheckpointOps
-    val okC = ok.cut(false) // read by the index agg AND the join
+    // read by the index agg AND the join below
+    val okC = dailyReturns(Tables(s, dir)).cut(false)
     val nInstruments = okC.select(col("event_type")).distinct().count()
     val idx = okC.groupBy(col("day"))
       .agg(sum(col("r")).as("rm"), count(lit(1)).as("n_inst"))

@@ -66,12 +66,12 @@ object RelationalQueries {
     * JOIN against the same planted history. */
   private val joinPointInTime = Q(
     "join_point_in_time",
-    """WITH dim AS (
+    s"""WITH dim AS (
       |  SELECT c_custkey AS k, v.version,
       |         CASE v.version WHEN 0 THEN TIMESTAMP '1995-01-01'
       |                        WHEN 1 THEN TIMESTAMP '1997-01-01'
       |                        ELSE TIMESTAMP '1999-01-01' END AS valid_from,
-      |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+      |         ${Det.sqlUnits("c_acctbal", 100)}
       |           + v.version * 100 AS bal_cents
       |  FROM customer, (SELECT unnest([0, 1, 2]) AS version) v
       |)
@@ -87,8 +87,7 @@ object RelationalQueries {
     val dim = t.customer
       .select(
         col("c_custkey").as("k"),
-        floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
-          .as("bal0"),
+        Det.toUnits(col("c_acctbal"), 100L).cast("long").as("bal0"),
         explode(sequence(lit(0), lit(2))).as("version"))
       .select(
         col("k"),
@@ -113,7 +112,12 @@ object RelationalQueries {
         col("k"), col("t"), col("side"), col("o_orderkey"),
         last(col("version"), ignoreNulls = true).over(w).as("version"),
         last(col("bal_cents"), ignoreNulls = true).over(w).as("bal_cents"))
-      .filter(col("side") === 1)
+      // INNER semantics to mirror the oracle's ASOF JOIN: a fact with
+      // no version at-or-before it (or an entity absent from the
+      // dimension) drops, same null-guard as join_asof. The fixtures'
+      // min orderdate equals v0's valid_from, so this currently never
+      // fires — the guard is the contract, not the data.
+      .filter(col("side") === 1 && col("version").isNotNull)
       .select(
         col("o_orderkey"), col("k").as("o_custkey"),
         date_format(col("t"), "yyyy-MM-dd").as("order_date"),
@@ -2308,10 +2312,9 @@ object RelationalQueries {
     * exact integer arithmetic on both engines. */
   private val customerPareto = Q(
     "customer_pareto",
-    """WITH rev AS (
+    s"""WITH rev AS (
       |  SELECT o_custkey,
-      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-      |              AS BIGINT) AS cents
+      |         CAST(sum(${Det.sqlUnits("o_totalprice", 100)}) AS BIGINT) AS cents
       |  FROM orders GROUP BY o_custkey
       |), ranked AS (
       |  SELECT o_custkey, cents,
@@ -2329,8 +2332,7 @@ object RelationalQueries {
       |ORDER BY decile""".stripMargin) { (s, dir) =>
     val rev = Tables(s, dir).orders
       .groupBy(col("o_custkey"))
-      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
-        .cast("long")).as("cents"))
+      .agg(sum(Det.toUnits(col("o_totalprice"), 100L)).as("cents"))
     val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
     val wAll = Window.partitionBy()
     rev

@@ -32,7 +32,7 @@ object IncrementalBars {
         date_trunc("hour", col("ts")).as("hour"),
         struct(expr("unix_micros(ts)").as("us"), col("event_id").as("eid"))
           .as("k"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        graft.util.Det.toUnits(col("value"), 100L).cast("long").as("cents"))
       .groupBy(col("event_type"), col("hour"))
       .agg(
         min(struct(col("k"), col("cents"))).as("open_k"),
@@ -62,7 +62,12 @@ object IncrementalBars {
     val next = if (existing.isEmpty) 0L else existing.max + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after ${existing.toSeq.sorted}")
-    if (trades.isEmpty) return
+    // Empty batches COMMIT an empty epoch (zero partial-bar rows, real
+    // _SUCCESS): an early return here would never advance the
+    // high-water mark, wedging the sequence — every later batch id
+    // would read as a gap and a replay of the empty batch could never
+    // un-wedge it. Unconditional write also means the batch pipeline
+    // runs exactly once (no isEmpty probe job).
     partialBars(trades)
       .write.mode("overwrite").parquet(s"$barsDir/epoch=$batchId")
   }
@@ -78,6 +83,7 @@ object IncrementalBars {
       barsDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(barsDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"no committed epochs under $barsDir")
     val committed = fs.listStatus(root).toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("epoch=") &&
