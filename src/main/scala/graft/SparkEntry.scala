@@ -20,6 +20,7 @@ object SparkEntry {
       ops.TpchBreadthQueries.queries ++
       ops.StorageQueries.queries ++
       text.TextQueries.queries ++
+      text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++
       mm.MultimodalQueries.queries ++

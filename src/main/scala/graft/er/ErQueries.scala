@@ -13,41 +13,79 @@ import graft.{Q, Tables}
   *
   *   clean record  rec_id = 2·custkey     — the row as loaded;
   *   dirty record  rec_id = 2·custkey + 1 — same entity re-keyed, with
-  *     one character DELETED from the name at position
-  *     10 + (custkey % 5) (inside the digit block, never touching the
-  *     last four characters) and the balance off by one cent — the
-  *     double-entry shape dedup can't catch by exact hash.
+  *     ONE of two damage patterns:
+  *       custkey % 7 == 0 — the SUFFIX digit at position 17 (the tens
+  *         digit) replaced with its letter form 'a'+digit (the classic
+  *         OCR-confusion damage), the balance left exact — damage
+  *         that breaks a name-suffix block key. A substitution, not a
+  *         deletion (zero-padded digit strings make any single
+  *         deletion ambiguous: deleting the first nonzero digit of
+  *         custkey 105 equals deleting a leading zero of custkey 5 —
+  *         measured cross-entity lev-0 aliases), and an INJECTIVE one
+  *         (a fixed marker erases the digit, and custkeys 7 and 77 —
+  *         Δ=70 ≡ 0 mod 7 — collide; the letter form preserves it, so
+  *         no two entities can alias at any corpus size);
+  *       otherwise        — one character deleted from the name at
+  *         position 10 + (custkey % 5) (inside the digit block, never
+  *         the last four characters) and the balance off by one cent —
+  *         the double-entry shape exact-hash dedup can't catch.
   *
-  * Blocking key = the name's last 3 characters (deletion-stable by
-  * construction): candidate pairs exist only WITHIN a block, so the
-  * pair volume is Σ b(b−1)/2 over block sizes — never corpus², the
-  * only posture that survives 100 TB. Blocks collide across entities
-  * (custkey % 1000), so the verifier sees genuine impostors:
-  * near-identical TPC-H names at edit distance ≤ 2 from a different
-  * entity. That is deliberate — `er_quality` measures the resulting
-  * precision against the planted ground truth instead of pretending
-  * blocking+edit-distance is exact.
+  * MULTI-PASS blocking: production ER never trusts one key, because
+  * any single key has damage positions that break it. Two
+  * complementary passes run here, unioned before verification:
   *
-  * Scale posture: one shuffle on the block key for pairing, one on
-  * the pair for verification (levenshtein on 17/18-char keys — cheap,
-  * codegen'd builtin), components via the shared measured-gate
-  * propagation engine ([[graft.dedup.DedupQueries.componentLabelsOf]]).
+  *   pass 1 — name suffix `right(name, 3)`: stable under the digit-
+  *     block damage, broken by the suffix damage;
+  *   pass 2 — exact balance `bal_cents`: stable under the suffix
+  *     damage (whose twin keeps the balance), broken by the one-cent
+  *     damage. The keys' blind spots are disjoint by construction, so
+  *     the union recalls every planted twin — `er_matches` reports
+  *     per-pair `n_passes`, the per-pass catch evidence (the
+  *     `embedding_near_dup_multi` n_tables discipline).
   *
-  * Block-key width is the scale knob: right(name, 3) has FIXED
-  * cardinality (10³ digit suffixes), so block size — and with it the
-  * Σ b(b−1)/2 pair volume — grows linearly–quadratically with corpus
-  * size. A production deployment widens the key (right-k, k chosen so
-  * the expected block size stays O(1), i.e. key cardinality tracks
-  * O(n)) exactly the way `dedup_banding_select` picks (B, R) from
-  * measured evidence; the declared query pins k = 3 because the oracle
-  * must replay one fixed plan. `er_candidates` IS that evidence query:
-  * its histogram shows the block-size distribution the key-width
-  * decision reads.
+  * Candidate pairs exist only WITHIN a (pass, block) bucket, so the
+  * pair volume is Σ b(b−1)/2 over block sizes — never corpus² — and
+  * each bucket is additionally CAPPED by the family's degenerate-
+  * bucket policy ([[ErBlockCap]], the shared
+  * `DedupQueries.MaxBucketPairDocs` semantics): records ranked ≤ cap
+  * within their bucket expand all-pairs; records beyond it emit ONE
+  * star edge to the bucket head, keeping over-cap blocks connected
+  * for clustering at O(b) pairs instead of O(b²). Both block keys
+  * have FIXED cardinality (10³ suffixes; ~1.1M balance values), so
+  * block size grows linearly with the corpus — the cap is what turns
+  * that into a bounded pair volume at 100 TB, and `er_key_select`
+  * documents the complementary knob (widen the key so cardinality
+  * tracks O(n)). Blocks collide across entities, so the verifier sees
+  * genuine impostors: near-identical TPC-H names at edit distance ≤ 2
+  * from a different entity. That is deliberate — `er_quality`
+  * measures the resulting precision against the planted ground truth
+  * instead of pretending blocking+edit-distance is exact.
+  *
+  * Scale posture: one shuffle on the (pass, block) key for ranking
+  * and pairing, one on the pair for verification (levenshtein on
+  * 17/18-char keys — cheap, codegen'd builtin), components via the
+  * shared measured-gate propagation engine
+  * ([[graft.dedup.DedupQueries.componentLabelsOf]]). The 10× growth
+  * law is measured, not argued: the ER cells run in
+  * [[graft.tools.ScaleStress]] with every other pairing machine.
   */
 object ErQueries {
 
-  /** Records CTE shared by every oracle: clean ∪ dirty with the block
-    * key attached. */
+  /** Degenerate-block pairing cap — the ER instance of the family's
+    * capped-bucket + star-edge policy (see
+    * `DedupQueries.MaxBucketPairDocs`, same constant, same semantics:
+    * all-pairs for bucket ranks ≤ cap, one star edge to the bucket
+    * head beyond). `er_key_select`'s 16 is a different number with a
+    * different job: the TARGET block size the key-width selector aims
+    * for (expected O(1) verify cost per record); this cap is the hard
+    * ceiling that bounds whatever block slips past that policy. At
+    * the driver SFs no block reaches it; at 10×-sf0.1 stress the
+    * suffix blocks (~300 records) do, which is exactly the bounded
+    * behavior the stress run measures. */
+  private[graft] final val ErBlockCap = 64
+
+  /** Records CTE shared by every oracle: clean ∪ dirty with the pass-1
+    * block key attached. */
   private val sqlRecCte =
     s"""WITH rec AS (
       |  SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_id,
@@ -56,9 +94,16 @@ object ErQueries {
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey * 2 + 1, c_custkey,
-      |         concat(substr(c_name, 1, 9 + c_custkey % 5),
-      |                substr(c_name, 11 + c_custkey % 5)),
-      |         ${Det.sqlUnits("c_acctbal", 100)} + 1
+      |         CASE WHEN c_custkey % 7 = 0
+      |              THEN concat(substr(c_name, 1, 16),
+      |                          substr('abcdefghij',
+      |                                 CAST((c_custkey // 10) % 10 + 1
+      |                                      AS INTEGER), 1),
+      |                          substr(c_name, 18))
+      |              ELSE concat(substr(c_name, 1, 9 + c_custkey % 5),
+      |                          substr(c_name, 11 + c_custkey % 5)) END,
+      |         ${Det.sqlUnits("c_acctbal", 100)}
+      |           + CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END
       |  FROM customer
       |), blocked AS (
       |  SELECT rec_id, entity_id, name, bal_cents,
@@ -66,16 +111,50 @@ object ErQueries {
       |  FROM rec
       |)""".stripMargin
 
-  /** Candidate pairs within a block, verified with edit distance. */
+  /** Two-pass block rows: every record under both block keys. */
+  private val sqlBpCte =
+    s"""$sqlRecCte, bp AS (
+       |  SELECT rec_id, entity_id, name, 1 AS pass, blk FROM blocked
+       |  UNION ALL
+       |  SELECT rec_id, entity_id, name, 2 AS pass,
+       |         'B' || CAST(bal_cents AS VARCHAR)
+       |  FROM blocked
+       |)""".stripMargin
+
+  /** Candidate pairs (capped buckets + star edges, both passes,
+    * deduped with pass counts) verified with edit distance — the
+    * DuckDB mirror of [[matchesOf]] including the cap, so the
+    * contract holds on ANY corpus, not just ones where no block
+    * reaches it. */
   private val sqlCandCte =
-    s"""$sqlRecCte, cand AS (
-       |  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
-       |         a.entity_id AS ent_a, b.entity_id AS ent_b,
-       |         CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev_dist
-       |  FROM blocked a JOIN blocked b
-       |    ON a.blk = b.blk AND a.rec_id < b.rec_id
+    s"""$sqlBpCte, rnk AS (
+       |  SELECT rec_id, entity_id, name, pass, blk,
+       |         row_number() OVER (PARTITION BY pass, blk
+       |                            ORDER BY rec_id) AS rk,
+       |         count(*) OVER (PARTITION BY pass, blk) AS m
+       |  FROM bp
+       |), live AS (
+       |  SELECT * FROM rnk WHERE m > 1
+       |), cand AS (
+       |  SELECT l.rec_id AS rec_a, r.rec_id AS rec_b,
+       |         l.entity_id AS ent_a, r.entity_id AS ent_b,
+       |         CAST(levenshtein(l.name, r.name) AS BIGINT) AS lev_dist,
+       |         l.pass
+       |  FROM live l JOIN live r
+       |    ON l.pass = r.pass AND l.blk = r.blk AND l.rec_id < r.rec_id
+       |  WHERE l.rk <= $ErBlockCap AND r.rk <= $ErBlockCap
+       |    AND levenshtein(l.name, r.name) <= 2
+       |  UNION ALL
+       |  SELECT h.rec_id, t.rec_id, h.entity_id, t.entity_id,
+       |         CAST(levenshtein(h.name, t.name) AS BIGINT), t.pass
+       |  FROM live t JOIN live h
+       |    ON t.pass = h.pass AND t.blk = h.blk AND h.rk = 1
+       |  WHERE t.rk > $ErBlockCap AND levenshtein(h.name, t.name) <= 2
        |), m AS (
-       |  SELECT * FROM cand WHERE lev_dist <= 2
+       |  SELECT rec_a, rec_b, max(ent_a) AS ent_a, max(ent_b) AS ent_b,
+       |         max(lev_dist) AS lev_dist,
+       |         CAST(count(*) AS BIGINT) AS n_passes
+       |  FROM cand GROUP BY rec_a, rec_b
        |)""".stripMargin
 
   /** The dirty-twin record set — same construction as [[sqlRecCte]],
@@ -91,74 +170,163 @@ object ErQueries {
     val dirty = c.select(
       (col("c_custkey") * 2 + 1).as("rec_id"),
       col("c_custkey").as("entity_id"),
-      expr("substr(c_name, 1, 9 + c_custkey % 5)" +
-        " || substr(c_name, 11 + c_custkey % 5)").as("name"),
-      (balCents + 1).as("bal_cents"))
+      expr("CASE WHEN c_custkey % 7 = 0" +
+        " THEN concat(substr(c_name, 1, 16)," +
+        " substr('abcdefghij'," +
+        " cast((c_custkey div 10) % 10 + 1 as int), 1)," +
+        " substr(c_name, 18))" +
+        " ELSE concat(substr(c_name, 1, 9 + c_custkey % 5)," +
+        " substr(c_name, 11 + c_custkey % 5)) END").as("name"),
+      (balCents + when(col("c_custkey") % 7 === 0, 0L).otherwise(1L))
+        .as("bal_cents"))
     clean.unionAll(dirty)
       .withColumn("blk", expr("right(name, 3)"))
   }
 
-  /** Verified match pairs (edit distance ≤ 2 within a block). */
-  private[graft] def matchesOf(t: Tables): DataFrame = {
-    val recs = recordsOf(t)
-    val a = recs.select(
-      col("rec_id").as("rec_a"), col("entity_id").as("ent_a"),
-      col("name").as("name_a"), col("blk"))
-    val b = recs.select(
-      col("rec_id").as("rec_b"), col("entity_id").as("ent_b"),
-      col("name").as("name_b"), col("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("rec_a") < col("rec_b"))
+  /** Every record under both block keys: (pass 1, name suffix) and
+    * (pass 2, exact balance — string-prefixed so the bucket key type
+    * unions with pass 1's). One map-side explode, no shuffle. */
+  private[graft] def blockPassesOf(t: Tables): DataFrame =
+    recordsOf(t)
       .select(
-        col("rec_a"), col("rec_b"), col("ent_a"), col("ent_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long")
-          .as("lev_dist"))
+        col("rec_id"), col("entity_id"), col("name"),
+        explode(array(
+          struct(lit(1).as("pass"), col("blk")),
+          struct(lit(2).as("pass"),
+            concat(lit("B"), col("bal_cents").cast("string")).as("blk"))))
+          .as("pb"))
+      .select(col("rec_id"), col("entity_id"), col("name"),
+        col("pb.pass").as("pass"), col("pb.blk").as("blk"))
+
+  /** Verified match pairs: both blocking passes, capped buckets + star
+    * edges, pair-level pass counts, edit distance ≤ 2. Ranking and
+    * bucket size come from window functions over the same (pass, blk)
+    * partitioning as the pairing join — one shuffle for the whole
+    * candidate stage. Levenshtein runs MAP-SIDE on each candidate and
+    * the ≤ 2 verify filters BEFORE the cross-pass dedup, so the dedup
+    * shuffle carries only match-grade pairs and only narrow numeric
+    * keys (the names stay out of the exchange — measured 2.5× on
+    * `er_quality` when they rode along). */
+  private[graft] def matchesOf(t: Tables): DataFrame = {
+    import graft.ops.Checkpoints.CheckpointOps
+    val byBucket = Window.partitionBy(col("pass"), col("blk"))
+    // Explicit bucket-keyed repartition at the session's shuffle
+    // width: the block-row frame is BYTES-small but WORK-heavy
+    // downstream (per-bucket pair expansion + levenshtein), so AQE's
+    // byte-sized coalescing would fold it into one task and serialize
+    // the verify stage (measured: a 2.5 s single-task stage inside
+    // er_quality at sf0.1). A user-specified partition count is
+    // exempt from coalescing; the window below reuses the same
+    // partitioning, so this adds no extra exchange.
+    val shufflePartitions =
+      t.spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // cut: the ranked frame feeds THREE consumers (the head
+    // aggregation and both star-edge sides) — without the lineage cut
+    // Spark re-evaluates the scan+explode+window chain per consumer.
+    val ranked = blockPassesOf(t)
+      .repartition(shufflePartitions, col("pass"), col("blk"))
+      .select(
+        col("rec_id"), col("entity_id"), col("name"),
+        col("pass"), col("blk"),
+        row_number().over(byBucket.orderBy(col("rec_id"))).as("rk"),
+        count(lit(1)).over(byBucket).as("m"))
+      .filter(col("m") > 1)
+      .cut(false)
+    def side(suffix: String)(d: DataFrame): DataFrame = d.select(
+      col("pass"), col("blk"),
+      col("rec_id").as(s"rec_$suffix"), col("entity_id").as(s"ent_$suffix"),
+      col("name").as(s"name_$suffix"))
+    // Head all-pairs via the family's capped collect_list expansion
+    // (candidatePairsOf's struct-payload variant): the rk ≤ cap filter
+    // bounds the aggregation buffer at 64 structs per bucket, and the
+    // in-bucket expansion replaces a bucket-keyed SELF-JOIN — measured
+    // 2.5 s → 0.9 s on the er_quality sf0.1 pairing job.
+    val headPairs = ranked.filter(col("rk") <= ErBlockCap)
+      .groupBy(col("pass"), col("blk"))
+      .agg(sort_array(collect_list(struct(
+        col("rec_id"), col("entity_id"), col("name")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("pass"), explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> struct(x AS l, y AS r))))"))
+        .as("p"))
+      .select(col("pass"),
+        col("p.l.rec_id").as("rec_a"), col("p.r.rec_id").as("rec_b"),
+        col("p.l.entity_id").as("ent_a"), col("p.r.entity_id").as("ent_b"),
+        col("p.l.name").as("name_a"), col("p.r.name").as("name_b"))
+    val starEdges = side("a")(ranked.filter(col("rk") === 1))
+      .join(side("b")(ranked.filter(col("rk") > ErBlockCap)),
+        Seq("pass", "blk"))
+      .select(headPairs.columns.map(col): _*)
+    headPairs.unionByName(starEdges)
+      .withColumn("lev_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("lev_dist") <= 2)
+      // Cross-pass dedup with per-pass evidence. n_passes = count(*):
+      // within one pass a record lives in exactly ONE bucket, and the
+      // head/star emitters are disjoint (rk ≤ cap vs rk > cap), so a
+      // pair occurs at most once per pass — occurrences ARE distinct
+      // passes, and the plain count avoids count(DISTINCT)'s extra
+      // expand + exchange (measured 1.8 s on this 353k-row frame, AQE
+      // having coalesced the bytes-small exchange to one task; the
+      // explicit-width repartition on the pair key pins the agg's
+      // parallelism the same way the bucket stage pins its own).
+      .repartition(shufflePartitions, col("rec_a"), col("rec_b"))
+      .groupBy(col("rec_a"), col("rec_b"))
+      .agg(max(col("ent_a")).as("ent_a"), max(col("ent_b")).as("ent_b"),
+        max(col("lev_dist")).as("lev_dist"),
+        count(lit(1)).as("n_passes"))
+      .select(col("rec_a"), col("rec_b"), col("ent_a"), col("ent_b"),
+        col("lev_dist"), col("n_passes"))
   }
 
-  /** Blocking report: the block-size histogram and the candidate-pair
-    * volume it implies — what an ER owner reads to confirm the key
-    * neither explodes (a hot block goes quadratic) nor over-splits
-    * (singleton blocks can never match). Metadata-sized output.
-    */
+  /** Blocking report: the per-pass block-size histogram and the
+    * candidate-pair volume it implies — what an ER owner reads to
+    * confirm each key neither explodes (a hot block goes quadratic)
+    * nor over-splits (singleton blocks can never match). The n_pairs
+    * column is the UNCAPPED Σ b(b−1)/2 — the quantity the cap exists
+    * to bound, which is exactly why the report shows it raw.
+    * Metadata-sized output. */
   private val erCandidates = Q(
     "er_candidates",
-    s"""$sqlRecCte, bsize AS (
-       |  SELECT blk, CAST(count(*) AS BIGINT) AS block_size
-       |  FROM blocked GROUP BY blk
+    s"""$sqlBpCte, bsize AS (
+       |  SELECT pass, blk, CAST(count(*) AS BIGINT) AS block_size
+       |  FROM bp GROUP BY pass, blk
        |)
-       |SELECT block_size,
+       |SELECT CAST(pass AS INTEGER) AS pass, block_size,
        |       CAST(count(*) AS BIGINT) AS n_blocks,
        |       CAST(count(*) * (block_size * (block_size - 1) // 2)
        |            AS BIGINT) AS n_pairs
-       |FROM bsize GROUP BY block_size
-       |ORDER BY block_size""".stripMargin) { (s, dir) =>
-    recordsOf(Tables(s, dir))
-      .groupBy(col("blk"))
+       |FROM bsize GROUP BY pass, block_size
+       |ORDER BY pass, block_size""".stripMargin) { (s, dir) =>
+    blockPassesOf(Tables(s, dir))
+      .groupBy(col("pass"), col("blk"))
       .agg(count(lit(1)).as("block_size"))
-      .groupBy(col("block_size"))
+      .groupBy(col("pass"), col("block_size"))
       .agg(count(lit(1)).as("n_blocks"))
       .select(
+        col("pass").cast("int").as("pass"),
         col("block_size"), col("n_blocks"),
         expr("n_blocks * ((block_size * (block_size - 1)) div 2)")
           .as("n_pairs"))
-      .orderBy("block_size")
+      .orderBy("pass", "block_size")
   }
 
-  /** Verified match pairs with the ground-truth flag: blocked self-join,
-    * levenshtein ≤ 2, `same_entity` = whether the pair really is the
-    * planted clean/dirty twin — the labeled pair list the quality audit
-    * consumes. */
+  /** Verified match pairs with the ground-truth flag: two-pass capped
+    * blocking, levenshtein ≤ 2, `n_passes` = how many passes caught
+    * the pair (the per-pass evidence column), `same_entity` = whether
+    * the pair really is the planted clean/dirty twin — the labeled
+    * pair list the quality audit consumes. */
   private val erMatches = Q(
     "er_matches",
     s"""$sqlCandCte
-       |SELECT rec_a, rec_b, lev_dist,
+       |SELECT rec_a, rec_b, lev_dist, n_passes,
        |       CAST(CASE WHEN ent_a = ent_b THEN 1 ELSE 0 END
        |            AS INTEGER) AS same_entity
        |FROM m ORDER BY rec_a, rec_b""".stripMargin) { (s, dir) =>
     matchesOf(Tables(s, dir))
       .select(
-        col("rec_a"), col("rec_b"), col("lev_dist"),
+        col("rec_a"), col("rec_b"), col("lev_dist"), col("n_passes"),
         when(col("ent_a") === col("ent_b"), 1).otherwise(0)
           .cast("int").as("same_entity"))
       .orderBy("rec_a", "rec_b")
@@ -211,8 +379,11 @@ object ErQueries {
 
   /** Precision/recall of the blocking+threshold pipeline against the
     * planted ground truth (each customer's clean/dirty twin is exactly
-    * one true pair). The divides are single operations on exact
-    * integers — deterministic on both engines. One row out. */
+    * one true pair). Recall 1.0 at the driver SFs requires BOTH
+    * passes: pass 1 alone misses every suffix-damaged twin
+    * (custkey % 7 == 0), pass 2 alone misses every one-cent-damaged
+    * twin. The divides are single operations on exact integers —
+    * deterministic on both engines. One row out. */
   private val erQuality = Q(
     "er_quality",
     s"""$sqlCandCte, agg AS (
@@ -250,19 +421,24 @@ object ErQueries {
     * STANDING record set without re-pairing the corpus — the
     * incremental-dedup contract applied to entities. The batch is a
     * planted third variant for every even-custkey entity (deletion at
-    * 11 + custkey % 4 — still suffix-stable, a different damage
-    * pattern than the standing dirty twin; ids live at
-    * 10_000_000 + custkey, disjoint from the 2k/2k+1 standing space).
-    * Each new record routes to its best standing match (min edit
-    * distance, tie = lowest rec_id) — the "attach to existing golden
-    * record" step of a production MDM loader; `n_candidates` reports
-    * the block fan-in the probe actually paid. One shuffle on the
-    * block key (batch side is batch-sized), one rank window on the
-    * batch key. */
+    * 11 + custkey % 4 — suffix-stable, a different damage pattern
+    * than the standing dirty twin; ids live in the NEGATIVE domain,
+    * new_id = −(custkey + 1) — the +1 keeps custkey 0 off the standing
+    * id 0 — disjoint from the non-negative 2k/2k+1 standing space at
+    * any corpus size). Each new record routes to
+    * its best standing match (min edit distance, tie = lowest rec_id)
+    * — the "attach to existing golden record" step of a production
+    * MDM loader; `n_candidates` reports the block fan-in the probe
+    * actually paid. The batch carries only the name attribute, so the
+    * probe runs the name pass (suffix key — the batch damage is
+    * suffix-stable by construction; a batch with balances would union
+    * a pass-2 probe the same way [[matchesOf]] does). One shuffle on
+    * the block key (batch side is batch-sized), one rank window on
+    * the batch key. */
   private val erIncremental = Q(
     "er_incremental",
     s"""$sqlRecCte, nb AS (
-       |  SELECT 10000000 + c_custkey AS new_id, c_custkey AS entity_id,
+       |  SELECT -(c_custkey + 1) AS new_id, c_custkey AS entity_id,
        |         concat(substr(c_name, 1, 10 + c_custkey % 4),
        |                substr(c_name, 12 + c_custkey % 4)) AS name
        |  FROM customer WHERE c_custkey % 2 = 0
@@ -288,7 +464,7 @@ object ErQueries {
     val t = Tables(s, dir)
     val nb = t.customer.filter(col("c_custkey") % 2 === 0)
       .select(
-        (lit(10000000L) + col("c_custkey")).as("new_id"),
+        (-(col("c_custkey") + 1)).cast("long").as("new_id"),
         col("c_custkey").as("new_ent"),
         expr("concat(substr(c_name, 1, 10 + c_custkey % 4)," +
           " substr(c_name, 12 + c_custkey % 4))").as("name"))
@@ -319,13 +495,15 @@ object ErQueries {
     * applied to ER: evaluate right-k blocking for k ∈ {2, 3, 4} on the
     * ACTUAL record set, report each key's block histogram summary
     * (block count, max block, implied pair volume), and select the
-    * NARROWEST key whose max block stays under the verify cap (16) —
-    * narrow keys tolerate more damage positions (higher recall), so
-    * the selector pays exactly as much key width as the measured block
-    * growth demands and no more. This is the query an operator re-runs
-    * as the corpus grows; the pinned k = 3 of the declared family is
-    * what it selects at the driver SFs. Metadata-sized everything
-    * after the one histogram aggregate. */
+    * NARROWEST key whose max block stays under the target block size
+    * (16 — the expected-O(1)-verify-cost policy number; the hard
+    * pairing ceiling for blocks that outgrow the policy anyway is
+    * [[ErBlockCap]]) — narrow keys tolerate more damage positions
+    * (higher recall), so the selector pays exactly as much key width
+    * as the measured block growth demands and no more. This is the
+    * query an operator re-runs as the corpus grows; the pinned k = 3
+    * of the declared family is what it selects at the driver SFs.
+    * Metadata-sized everything after the one histogram aggregate. */
   private val erKeySelect = Q(
     "er_key_select",
     s"""$sqlRecCte, keyed AS (

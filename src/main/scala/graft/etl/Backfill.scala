@@ -1,31 +1,50 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.hadoop.fs.Path
 
-/** Date-range gap replay over [[Sinks.overwritePartitions]] — the
-  * operational knob the reference pipeline's `catchup=False`
+/** Date-range gap replay landing through [[SnapshotTable]] commits —
+  * the operational knob the reference pipeline's `catchup=False`
   * declaration leaves to the operator (bpi_etl_bigquery.py:27-29: an
   * hourly DAG that does NOT backfill missed ticks automatically; when
   * an outage ends, someone replays the hole). This driver makes that
   * replay a convergent operation:
   *
   *  - the PLAN is derived from storage, not from run history: a
-  *    partition either exists under the table dir or it doesn't, so
-  *    the gap list is one metadata listing (no state file to drift);
-  *  - each gap partition is recomputed and landed via dynamic
-  *    partition overwrite — the idempotent write. A crash mid-replay
-  *    leaves completed partitions in place; the NEXT run's plan
-  *    simply no longer contains them, so re-running converges on the
-  *    same final table (proved in BackfillSpec with a planted crash);
+  *    partition either holds data under the table dir or it doesn't,
+  *    so the gap list is one metadata listing (no state file to
+  *    drift);
+  *  - each gap partition is recomputed and landed as a SNAPSHOT
+  *    COMMIT of that partition's own [[SnapshotTable]] (the table is
+  *    a directory of per-partition snapshot tables). The earlier
+  *    directory-swap landing (dynamic partition overwrite) replaced
+  *    files in place, so a reader racing a backfill could read a torn
+  *    mix of old and new files — exactly the race the snapshot format
+  *    was built to close. A manifest commit is atomic
+  *    (create-if-absent) and old files stay until [[SnapshotTable
+  *    .expire]], so a racing reader keeps its pinned view
+  *    (BackfillSpec plants that reader). A crash mid-replay leaves
+  *    completed partitions committed; the NEXT run's plan simply no
+  *    longer contains them, so re-running converges on the same final
+  *    table;
   *  - late-data corrections use `force`: named partitions are
-  *    recomputed even though they exist, swapping exactly those
-  *    directories (the [[Sinks.overwritePartitions]] contract).
+  *    recomputed even though they exist, published as the partition's
+  *    next snapshot — the prior state stays readable through the
+  *    grace window (and, for partitions that predate the format,
+  *    [[SnapshotTable.adopt]] first captures the plain-parquet state
+  *    as snapshot 0: a one-metadata-commit cutover, zero data moved).
+  *
+  * Plain (pre-format) partition directories remain first-class: the
+  * plan counts them as existing, and [[readTable]] reads them as-is —
+  * a table migrates to snapshot isolation one touched partition at a
+  * time, never via a stop-the-world rewrite.
   *
   * Scale: the driver touches partition METADATA only (one listing +
-  * one write per gap); each recompute is whatever the caller's
-  * `compute` plan costs, one partition at a time — the shape an
-  * hourly 100 TB warehouse replays with (bounded blast radius per
+  * one manifest read/commit per gap); each recompute is whatever the
+  * caller's `compute` plan costs, one partition at a time — the shape
+  * an hourly 100 TB warehouse replays with (bounded blast radius per
   * partition, no full-table rewrite).
   */
 object Backfill {
@@ -40,24 +59,49 @@ object Backfill {
       replayed: Seq[String], forced: Seq[String],
       skipped: Seq[String], empty: Seq[String])
 
+  /** The `partitionCol=value` child dir for a raw partition value,
+    * escaped the way Spark's own partitioned writes escape (':' in
+    * hour stamps becomes %3A, etc.) so snapshot-landed and
+    * directory-swap-landed partitions share one naming scheme. */
+  private def partitionDir(
+      tableDir: String, partitionCol: String, value: String): String =
+    s"$tableDir/$partitionCol=${ExternalCatalogUtils.escapePathName(value)}"
+
+  /** Does this partition directory hold data a reader can see —
+    * either a committed snapshot, or plain top-level parquet files
+    * (the pre-format layout)? A dir holding only torn manifests or
+    * stage leftovers is a gap: nothing committed means nothing
+    * landed. */
+  private def partitionHasData(spark: SparkSession, pdir: String): Boolean = {
+    val p = new Path(pdir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else if (SnapshotTable.currentSnapshot(spark, pdir).nonEmpty) true
+    else fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Partition values present under `tableDir` for `partitionCol` —
-    * one FS listing of `partitionCol=value` child dirs. */
+    * one FS listing of `partitionCol=value` child dirs, each checked
+    * for committed (or plain pre-format) data. */
   def existingPartitions(
       spark: SparkSession, tableDir: String,
       partitionCol: String): Set[String] = {
-    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Set.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(partitionCol + "="))
-      // Directory names carry Spark's partition-path escaping (':' in
-      // hour stamps becomes %3A, etc.); the plan compares against RAW
-      // values, so unescape — otherwise an escaped partition looks
-      // like a permanent gap and is rewritten on every run.
-      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      // Dir names carry Spark's partition-path escaping; the plan
+      // compares against RAW values, so unescape — otherwise an
+      // escaped partition looks like a permanent gap and is rewritten
+      // on every run.
+      .map(n => ExternalCatalogUtils
         .unescapePathName(n.stripPrefix(partitionCol + "=")))
+      .filter(v => partitionHasData(
+        spark, partitionDir(tableDir, partitionCol, v)))
       .toSet
   }
 
@@ -69,15 +113,60 @@ object Backfill {
     expected.filterNot(have)
   }
 
+  /** Read the whole table at the snapshots current NOW: each
+    * partition resolves its head manifest once (plain pre-format
+    * partitions read their files directly, with the partition value
+    * attached from the dir name when the files don't carry the
+    * column), and the returned plan reads exactly those files — a
+    * backfill or compaction committing underneath cannot change or
+    * tear the result. Metadata cost: one listing + one manifest read
+    * per partition. */
+  def readTable(
+      spark: SparkSession, tableDir: String,
+      partitionCol: String): DataFrame = {
+    val parts = existingPartitions(spark, tableDir, partitionCol).toSeq.sorted
+    require(parts.nonEmpty, s"$tableDir has no partitions to read")
+    val frames = parts.map { v =>
+      val pdir = partitionDir(tableDir, partitionCol, v)
+      val df =
+        if (SnapshotTable.currentSnapshot(spark, pdir).nonEmpty)
+          SnapshotTable.read(spark, pdir)
+        else spark.read.parquet(pdir)
+      if (df.columns.contains(partitionCol)) df
+      else df.withColumn(partitionCol, lit(v))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Land one recomputed partition as a snapshot commit. A plain
+    * pre-format partition is first ADOPTED (its current files become
+    * snapshot 0 — one metadata commit, zero data movement) so the
+    * pre-correction state stays pinned-readable through the grace
+    * window, then the recompute publishes as the next snapshot. */
+  private def land(
+      df: DataFrame, tableDir: String, partitionCol: String,
+      value: String): Unit = {
+    val pdir = partitionDir(tableDir, partitionCol, value)
+    val spark = df.sparkSession
+    if (SnapshotTable.currentSnapshot(spark, pdir).isEmpty) {
+      val p = new Path(pdir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")))
+        SnapshotTable.adopt(spark, pdir)
+    }
+    SnapshotTable.overwrite(df, pdir)
+  }
+
   /** Fill every gap in `expected` (and recompute every `force`d
     * partition) by calling `compute(spark, partitionValue)` and
-    * landing the result via dynamic partition overwrite.
+    * landing the result as that partition's next snapshot commit.
     *
     * `compute` must return rows belonging to EXACTLY the requested
     * partition (the frame carries `partitionCol`); a frame straying
     * into other partition values is refused before anything writes —
-    * dynamic overwrite would otherwise clobber partitions the plan
-    * never named. */
+    * a stray frame would otherwise silently land foreign rows inside
+    * a partition the plan never named. */
   def run(
       spark: SparkSession, tableDir: String, partitionCol: String,
       expected: Seq[String], force: Seq[String] = Nil)(
@@ -109,7 +198,7 @@ object Backfill {
           "to write outside the planned partition")
       if (vals.isEmpty) emptied :+= p
       else {
-        Sinks.overwritePartitions(df, tableDir, partitionCol)
+        land(df, tableDir, partitionCol, p)
         replayed :+= p
       }
     }

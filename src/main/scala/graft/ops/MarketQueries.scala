@@ -422,9 +422,14 @@ object MarketQueries {
     * the same exact sufficient statistics as `timeseries_returns_corr`,
     * one divide of exact integers. The index frame is calendar-sized
     * (one row per day) and BROADCAST back onto the per-instrument
-    * returns — no second shuffle. Days where any instrument has no
-    * trades drop from the index (the honest joint-observation rule,
-    * same as the pairwise query).
+    * returns — no shuffle on the join. The instrument count that gates
+    * full-coverage days is computed IN-PLAN (a 1-row countDistinct
+    * aggregate cross-joined broadcast onto the day frame, mirroring
+    * the oracle's scalar subquery), keeping the builder lazy and the
+    * plan self-contained — no eager driver action freezes a literal
+    * into the plan. Days where any instrument has no trades drop from
+    * the index (the honest joint-observation rule, same as the
+    * pairwise query).
     */
   private val timeseriesBeta = Q(
     "timeseries_beta",
@@ -454,10 +459,12 @@ object MarketQueries {
     import graft.ops.Checkpoints.CheckpointOps
     // read by the index agg AND the join below
     val okC = dailyReturns(Tables(s, dir)).cut(false)
-    val nInstruments = okC.select(col("event_type")).distinct().count()
+    val nInstruments = okC.agg(
+      countDistinct(col("event_type")).as("n_instruments"))
     val idx = okC.groupBy(col("day"))
       .agg(sum(col("r")).as("rm"), count(lit(1)).as("n_inst"))
-      .filter(col("n_inst") === nInstruments)
+      .crossJoin(broadcast(nInstruments))
+      .filter(col("n_inst") === col("n_instruments"))
       .select(col("day"), col("rm"))
     val stats = okC
       .join(broadcast(idx), Seq("day"))

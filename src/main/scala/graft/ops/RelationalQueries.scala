@@ -2175,10 +2175,17 @@ object RelationalQueries {
     * of 5 numbers per group, the cheapest possible regression — and
     * the closed-form slope/intercept assemble driver-free from exact
     * DECIMAL(38,0) cross-products (n·Σxy − Σx·Σy can pass 2^63 at
-    * warehouse scale, so the products are decimal on BOTH engines;
-    * the numerator/denominator are emitted exactly, the quotient as
-    * the correctly-rounded double of two exact integers — identical
-    * on any IEEE engine). */
+    * warehouse scale, so the products stay decimal INTERNALLY on BOTH
+    * engines; the quotient is the correctly-rounded double of two
+    * exact integers — identical on any IEEE engine). The emitted
+    * num/den columns are BIGINT: a decimal128 output column survives
+    * into Spark parquet as `Decimal(…)` objects while the DuckDB
+    * oracle frame float-coerces the same value, so the hash diverges
+    * on representation despite bit-identical values (the round-6
+    * `sql_q6` dtype incident, tools/check_oracle.py). At driver SFs
+    * the cross-products fit BIGINT comfortably; past ~10^9 rows per
+    * group a caller should read the exact DECIMAL intermediates
+    * instead — the arithmetic above them is already exact. */
   private val regrOls = Q(
     "regr_ols",
     """WITH s AS (
@@ -2196,8 +2203,8 @@ object RelationalQueries {
       |)
       |SELECT l_returnflag,
       |       CAST(n AS BIGINT) AS n_rows,
-      |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-      |       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+      |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
       |       CAST(n * sxy - sx * sy AS DOUBLE)
       |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_qty,
       |       CAST(sy * sxx - sx * sxy AS DOUBLE)
@@ -2227,9 +2234,9 @@ object RelationalQueries {
         col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
         (col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast(dec).as("slope_num"),
+          .cast("long").as("slope_num"),
         (col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast(dec).as("slope_den"),
+          .cast("long").as("slope_den"),
         (num / den).as("slope_cents_per_qty"),
         ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
           / den).as("intercept_cents"),
@@ -2303,12 +2310,20 @@ object RelationalQueries {
   /** Revenue concentration (Lorenz/Pareto): customers ranked by exact
     * cent revenue, bucketed into spend deciles, each decile's share of
     * total revenue as one divide of exact integers — the "does 20% of
-    * the base drive 80% of revenue" read. The global rank is a window
-    * over the CUSTOMER aggregate (one row per customer — two orders of
-    * magnitude under the fact table; at 100 TB this frame is still
-    * millions, where the repo's distributed-rank trick from
-    * text_quality_tiers applies — documented, not needed at this
-    * cardinality). Decile = (rank-1)*10/n so bucket boundaries are
+    * the base drive 80% of revenue" read.
+    *
+    * The global rank over the customer aggregate (~15M rows at TPC-H
+    * sf100) is NOT a single-task window: it decomposes exactly via the
+    * `curriculum_order` cell machinery. cell = cents DIV 10^6 is a
+    * monotone function of the primary sort key, so cells are
+    * CONTIGUOUS under the (cents DESC, o_custkey) order — the rank
+    * window partitions by cell (distributed), and a cumulative
+    * cells-after offset comes from the cell histogram (one row per
+    * $10k revenue band — metadata-sized, windowed in one task,
+    * broadcast back). global rank = offset(cell) + rank-in-cell
+    * reproduces `row_number() OVER (ORDER BY cents DESC, o_custkey)`
+    * bit-exactly; the oracle computes the naive global window and
+    * must agree. Decile = (rank-1)*10/n so bucket boundaries are
     * exact integer arithmetic on both engines. */
   private val customerPareto = Q(
     "customer_pareto",
@@ -2333,12 +2348,26 @@ object RelationalQueries {
     val rev = Tables(s, dir).orders
       .groupBy(col("o_custkey"))
       .agg(sum(Det.toUnits(col("o_totalprice"), 100L)).as("cents"))
-    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val wAll = Window.partitionBy()
+      .withColumn("cell", expr("cents DIV 1000000"))
+      .cut()
+    // Per-cell rank: distributed (one window partition per $10k band).
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+    // Cells-before offset under DESC order, from the metadata-sized
+    // cell histogram; totals ride the same tiny frame.
+    val wOff = Window.orderBy(col("cell").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val hist = rev.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"), sum(col("cents")).as("ccents"))
+    val offs = hist
+      .withColumn("cell_off", coalesce(sum(col("cn")).over(wOff), lit(0L)))
+      .select(col("cell"), col("cell_off"))
+    val tot = hist.agg(sum(col("cn")).as("n"), sum(col("ccents")).as("total"))
     rev
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("total", sum(col("cents")).over(wAll))
+      .withColumn("r_in_cell", row_number().over(wCell).cast("long"))
+      .join(broadcast(offs), Seq("cell"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", col("cell_off") + col("r_in_cell"))
       .groupBy(expr("(rk - 1) * 10 div n").as("decile"))
       .agg(
         count(lit(1)).as("n_customers"),

@@ -72,6 +72,35 @@ object IncrementalBars {
       .write.mode("overwrite").parquet(s"$barsDir/epoch=$batchId")
   }
 
+  /** Late-trade correction — the `force` backfill analog for the bars
+    * loop ([[graft.etl.Backfill]]'s named-partition recompute): epoch
+    * `epoch` is RE-OPENED by recomputing its partial bars from the
+    * corrected trade feed (the epoch's original trades plus the late
+    * arrivals, replayed from the upstream source of truth) and
+    * overwriting exactly that epoch's directory. Full recompute, not
+    * a merge of late partials into the committed ones: a merge
+    * double-counts n_trades under the at-least-once redelivery this
+    * loop must tolerate, while recompute is idempotent — replaying
+    * the same correction converges (same input, same partials, same
+    * directory overwrite). Only COMMITTED epochs can be reopened (an
+    * uncommitted or gap epoch is a replay, [[processBatch]]'s job);
+    * later epochs are untouched, and the read-side merge picks up the
+    * correction because bars are mergeable aggregates —
+    * IncrementalBarsSpec pins merged-after-reopen ≡ the batch
+    * `timeseries_ohlc` over the corrected feed. */
+  private[graft] def reopen(
+      trades: DataFrame, barsDir: String, epoch: Long): Unit = {
+    val spark = trades.sparkSession
+    val root = new org.apache.hadoop.fs.Path(barsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(root, s"epoch=$epoch")
+    require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      s"epoch $epoch is not committed under $barsDir — a late-trade " +
+        "reopen corrects a landed epoch; use processBatch to land new ones")
+    partialBars(trades)
+      .write.mode("overwrite").parquet(p.toString)
+  }
+
   /** The merged exact bars across all COMMITTED epochs — identical to
     * running the batch OHLC over every trade ever landed (spec-pinned
     * against `timeseries_ohlc`). Reads partial-bar rows only, and only

@@ -61,21 +61,25 @@ object ScaleStress {
     "contrastive_triplets")
 
   /** Round-12 continuation: the market/CDC families read events/orders,
-    * so the stress dir carries 10× twins of those too. ER is NOT
-    * time-stressed here by design: its last-3-chars block key has
-    * FIXED cardinality (1000), so a 10× corpus grows blocks 10× and
-    * pair volume ~100× — the measured quantity would be the known
-    * Σb(b−1)/2 formula (spec-pinned in ErQueriesSpec), not a hidden
-    * super-linear term. The production rule is documented in
-    * ErQueries: widen the key (right-k) with corpus size so block
-    * cardinality tracks O(n), exactly the dedup_banding_select
-    * discipline. */
+    * so the stress dir carries 10× twins of those too. ER joined the
+    * stressed set in round 13, once its pairing ran through the
+    * capped-bucket + star-edge machinery: the fixed-cardinality block
+    * keys still grow blocks 10× on a 10× corpus, but the cap bounds
+    * the per-block pair expansion at O(b) beyond the clique head, so
+    * the measured ratio is the bounded growth law — not the uncapped
+    * Σb(b−1)/2 quadratic the round-12 exclusion note worried about.
+    * The complementary production knob stays documented in ErQueries:
+    * widen the key (right-k) so block cardinality tracks O(n), the
+    * dedup_banding_select discipline. */
   private val RelQueries = Seq(
     "timeseries_ohlc", "timeseries_ohlc_daily", "timeseries_vwap",
     "timeseries_drawdown", "timeseries_rsi",
     "timeseries_returns_corr", "timeseries_beta",
     "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent",
-    "join_point_in_time", "agg_mode", "agg_listagg", "compaction_plan")
+    "join_point_in_time", "agg_mode", "agg_listagg", "compaction_plan",
+    // r13: ER through the capped pairing path
+    "er_candidates", "er_matches", "er_quality", "er_incremental",
+    "customer_pareto", "regr_ols")
 
   /** 10× events/orders: fresh ids (event_id/o_orderkey re-keyed per
     * copy), prices perturbed a cent-granular step so integerized
@@ -97,7 +101,13 @@ object ScaleStress {
       .select(col("*"), k)
       .select(
         (col("o_orderkey") * copies + col("k")).as("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"),
+        // re-keyed on the SAME copy index as customer below, so the
+        // 10x corpus keeps referential integrity and the per-customer
+        // order fan-in of the 1x shape (an orphaned o_custkey or 10x
+        // fan-in would give joins a materially different distribution
+        // than a true scale-up)
+        (col("o_custkey") * copies + col("k")).as("o_custkey"),
+        col("o_orderstatus"),
         (col("o_totalprice") + col("k").cast("double") * lit(0.01))
           .as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
@@ -172,7 +182,10 @@ object ScaleStress {
     // without re-timing all fourteen).
     val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress10x"
+    // v2 path: the round-13 o_custkey re-key fix changes the relational
+    // twin's content, so dirs minted by earlier rounds must not satisfy
+    // the _SUCCESS freshness check
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress10x_v2"
     val spark = Sessions.local(Sessions.cpusFromEnv)
     spark.range(1000000).selectExpr("sum(id)").collect()
 

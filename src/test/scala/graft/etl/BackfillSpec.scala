@@ -4,10 +4,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Gap replay over the partition-overwrite sink: plans from storage,
-  * converges through crashes, and corrects in place — the
-  * catchup-knob the reference DAG (`catchup=False`) hands to its
-  * operator. */
+/** Gap replay landing through per-partition snapshot commits: plans
+  * from storage, converges through crashes, corrects in place, and a
+  * reader racing a backfill keeps its pinned view — the catchup-knob
+  * the reference DAG (`catchup=False`) hands to its operator. */
 class BackfillSpec extends SparkSpec {
 
   // Hour-partitioned synthetic table: hour h holds rows h*10..h*10+9.
@@ -16,10 +16,11 @@ class BackfillSpec extends SparkSpec {
     (0 until 10).map(i => (h.toInt * 10 + i, h)).toDF("v", "hour")
   }
 
-  // Partition discovery reads `hour=0` back as an integer column;
-  // stringify for comparison.
+  // Reads go through the pinned-manifest table reader (the plain
+  // spark.read.parquet(dir) of the directory-swap era can no longer
+  // parse a table whose touched partitions carry manifests).
   private def tableRows(dir: String): Set[(Int, String)] =
-    spark.read.parquet(dir).collect()
+    Backfill.readTable(spark, dir, "hour").collect()
       .map(r => (r.getAs[Int]("v"),
         String.valueOf(r.getAs[Any]("hour")))).toSet
 
@@ -119,6 +120,33 @@ class BackfillSpec extends SparkSpec {
       }
     }
     assert(e.getMessage.contains("25"))
+  }
+
+  test("a reader racing a force backfill keeps its pinned snapshot view") {
+    val dir = tmpDir("backfill-race") + "/t"
+    for (h <- Seq("0", "1"))
+      Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
+    // Land hour 1 as a snapshot commit so a manifest exists to pin
+    // (the adopt cutover inside run() captures the plain state first).
+    Backfill.run(spark, dir, "hour", hours.take(2), force = Seq("1"))(
+      (s, h) => hourFrame(s, h))
+    val reader = Backfill.readTable(spark, dir, "hour")
+    val pinned = reader.collect()
+      .map(r => (r.getAs[Int]("v"),
+        String.valueOf(r.getAs[Any]("hour")))).toSet
+    // A correction lands UNDER the running reader — the directory-swap
+    // landing this replaced would delete the files the reader holds.
+    import spark.implicits._
+    Backfill.run(spark, dir, "hour", hours.take(2), force = Seq("1")) {
+      (s, h) => Seq((999, h)).toDF("v", "hour")
+    }
+    assert(reader.collect()
+      .map(r => (r.getAs[Int]("v"),
+        String.valueOf(r.getAs[Any]("hour")))).toSet == pinned,
+      "the pinned plan must keep reading its resolved snapshot files")
+    // A fresh resolve sees the correction; hour 0 is untouched.
+    assert(tableRows(dir) ==
+      ((0 until 10).map(v => (v, "0")) :+ (999, "1")).toSet)
   }
 
   test("empty recomputes are reported, not written") {

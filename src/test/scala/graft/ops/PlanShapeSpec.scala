@@ -549,4 +549,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "hashpartitioning") == 1,
       s"expected exactly the 64-group dim exchange:\n$plan")
   }
+
+  test("customer_pareto: the global rank is cell-decomposed — no " +
+      "single-task window over the customer frame") {
+    val plan = planOf("customer_pareto")
+    // The per-customer rank window must partition by the revenue cell
+    // (distributed), never run unpartitioned over the corpus-sized
+    // aggregate.
+    assert(plan.contains("hashpartitioning(cell"),
+      s"the rank window must partition by the revenue cell:\n$plan")
+    // Exactly TWO single-partition exchanges are allowed, both
+    // metadata-sized: the cells-before offset window over the cell
+    // histogram (one row per $10k revenue band) and the 1-row grand
+    // totals aggregate. A third means a corpus-sized frame regressed
+    // into a global window.
+    assert(countOf(plan, "Exchange SinglePartition") == 2,
+      s"only the cell histogram + 1-row totals may single-partition:\n$plan")
+    // And both sit directly above an aggregate (a reduced frame), never
+    // above the customer-level scan.
+    plan.linesIterator.sliding(2).foreach { w =>
+      if (w.head.contains("Exchange SinglePartition"))
+        assert(w.last.contains("HashAggregate"),
+          s"a SinglePartition exchange must consume an aggregate:\n$plan")
+    }
+  }
 }

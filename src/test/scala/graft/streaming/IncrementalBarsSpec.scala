@@ -44,6 +44,44 @@ class IncrementalBarsSpec extends SparkSpec {
       "partial-bar state must be (instrument x hour)-sized, never trade-sized")
   }
 
+  test("a late trade re-opens its epoch: merged bars equal the batch " +
+      "OHLC over the corrected feed; the correction replays idempotently") {
+    val dir = tmpDir("bars-late")
+    val lateId = trades.agg(min(col("event_id"))).collect().head.getLong(0)
+    val late = col("event_id") === lateId
+    // the late trade is withheld from its epoch at landing time
+    for (b <- 0L to 2L)
+      IncrementalBars.processBatch(
+        trades.filter(col("event_id") % 3 === b && !late), s"$dir/bars", b)
+    def merged = IncrementalBars.bars(spark, s"$dir/bars")
+      .select(
+        col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"))
+      .orderBy("event_type", "hour")
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("timeseries_ohlc")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged != batch,
+      "the withheld trade must make the landed bars visibly short")
+    // the late trade arrives: re-open its epoch with the corrected feed
+    def correct(): Unit = IncrementalBars.reopen(
+      trades.filter(col("event_id") % 3 === lateId % 3),
+      s"$dir/bars", lateId % 3)
+    correct()
+    assert(merged == batch,
+      "reopened epoch + untouched epochs must reconstruct the batch bars")
+    // redelivery of the same correction converges
+    correct()
+    assert(merged == batch, "reopen replay must be idempotent")
+    // an epoch that never committed cannot be 'reopened'
+    val e = intercept[IllegalArgumentException] {
+      IncrementalBars.reopen(trades.limit(1), s"$dir/bars", 9L)
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
+
   test("replaying an epoch is idempotent; an epoch gap is refused") {
     val dir = tmpDir("bars-replay")
     IncrementalBars.processBatch(

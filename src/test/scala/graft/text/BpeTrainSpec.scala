@@ -1,0 +1,131 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE training: bit-parity with a plain driver-side
+  * reference trainer (including identical-pair rules, the case literal
+  * replace cannot express), exhaustion behavior, determinism, and the
+  * trainer→kernel billing-chain parity. */
+class BpeTrainSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The reference trainer — Sennrich's learn_bpe loop in plain Scala,
+    * no Spark: the ground truth the distributed rounds must match. */
+  private def referenceTrain(
+      wordCounts: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        stats((syms(i), syms(i + 1))) =
+          stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        learned += ((a, b, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        r += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  private def docsOf(texts: Seq[String]): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def countsOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+
+  test("fixture parity with the reference trainer — identical-pair " +
+      "rules and odd runs included") {
+    // 'ooo'/'oooo' runs force (o,o) merges where greedy left-to-right
+    // differs from naive replace (the Bpe a != b guard's exact case);
+    // weights break ties deterministically.
+    val texts = Seq(
+      "loooong loooong book book boot",
+      "oooo ooo oo boot book loot",
+      "loot loom loom boom boom boom")
+    val fixture = docsOf(texts)
+    val k = 12
+    val (learned, vocab) = BpeTrain.train(fixture, k)
+    val ref = referenceTrain(countsOf(texts), k)
+    assert(learned.map(l => (l.a, l.b, l.pairCount)) == ref,
+      "distributed rounds must replay the reference trainer exactly")
+    assert(learned.exists(l => l.a == l.b),
+      "the fixture must actually exercise an identical-pair rule")
+    // the final vocab's token counts equal the reference encoder's
+    val refEnc = {
+      var v: Map[String, Vector[String]] =
+        countsOf(texts).keys.map(w => w -> w.map(_.toString).toVector).toMap
+      for ((a, b, _) <- ref) {
+        v = v.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+      v
+    }
+    vocab.select(col("word"), col("syms")).collect().foreach { r =>
+      assert(r.getSeq[String](1) == refEnc(r.getString(0)),
+        s"encoded symbols diverge for ${r.getString(0)}")
+    }
+  }
+
+  test("training is deterministic and exhausts to single-symbol words") {
+    val texts = Seq("ab ab abc", "abc abd abd")
+    val fixture = docsOf(texts)
+    val (l1, _) = BpeTrain.train(fixture, 1000)
+    val (l2, v2) = BpeTrain.train(fixture, 1000)
+    assert(l1 == l2, "same corpus, same rounds, same rules")
+    assert(l1.nonEmpty && l1.size < 1000,
+      "the pair space must exhaust before the round budget")
+    assert(v2.filter(size(col("syms")) > 1).count() == 0,
+      "at exhaustion every distinct word is one symbol")
+  }
+
+  test("billing-chain parity: the min-rank kernel under the trained " +
+      "table reproduces the trainer's own encoding, corpus-wide") {
+    val docs = Tables(spark, sf).documents
+    val (learned, vocab) = BpeTrain.train(docs, BpeTrain.DeclaredRounds)
+    val merges = learned.map(l => (l.a, l.b))
+    // per-word: kernel count == len(final syms) for every vocab word
+    val diverging = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("trained"),
+        org.apache.spark.sql.graft.ColumnOps
+          .bpeTokenCount(col("word"), merges).as("kernel"))
+      .filter(col("trained") =!= col("kernel"))
+      .count()
+    assert(diverging == 0,
+      "rank-order training encoding and min-rank kernel must agree " +
+        "on every vocabulary word")
+    // and the learned prefix matches the pinned offline-trained table
+    assert(merges == Bpe.Merges.take(BpeTrain.DeclaredRounds),
+      "the pinned Bpe.Merges fixture must be reproducible from the corpus")
+  }
+}
