@@ -113,6 +113,20 @@ object ScaleStress {
         col("o_orderdate"), col("o_orderpriority"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("*"), k)
+      .select(
+        // consistent with orders' o_orderkey re-key above — the same
+        // copy index keeps line items attached to their order
+        (col("l_orderkey") * copies + col("k")).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_extendedprice") + col("k").cast("double") * lit(0.01))
+          .as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("*"), k)
       .select(
@@ -192,9 +206,10 @@ object ScaleStress {
     if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
       replicate(spark, sfDir, out, copies = 10)
     // customer is written LAST in replicateRel, so its _SUCCESS marks
-    // the whole relational twin complete (also upgrades stress dirs
-    // minted before customer was added)
-    if (!new java.io.File(s"$out/customer.parquet/_SUCCESS").exists())
+    // the whole relational twin complete; the lineitem check upgrades
+    // stress dirs minted before the lineitem twin was added (r13)
+    if (!new java.io.File(s"$out/customer.parquet/_SUCCESS").exists() ||
+        !new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists())
       replicateRel(spark, sfDir, out, copies = 10)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
