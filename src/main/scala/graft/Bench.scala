@@ -127,7 +127,7 @@ object Bench {
       "embedding_incremental_components_multi",
       "dedup_incremental", "dedup_incremental_components",
       "mm_binary_meta", "backfill_plan", "snapshot_time_travel",
-      "bpe_train")
+      "bpe_train", "bpe_train_sampled")
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -120,22 +120,37 @@ object Backfill {
     * column), and the returned plan reads exactly those files — a
     * backfill or compaction committing underneath cannot change or
     * tear the result. Metadata cost: one listing + one manifest read
-    * per partition. */
+    * per partition — and ONE scan relation for every snapshot-landed
+    * partition: their data files always carry the partition column
+    * (the landing writes the guarded compute frame verbatim), so the
+    * resolved file lists concatenate into a single multi-path read
+    * instead of a per-partition union (which at a 10k-partition
+    * warehouse table would be a 10k-relation plan). Only legacy plain
+    * partitions, whose files lack the column, read per-partition with
+    * the value attached from the dir name. */
   def readTable(
       spark: SparkSession, tableDir: String,
       partitionCol: String): DataFrame = {
     val parts = existingPartitions(spark, tableDir, partitionCol).toSeq.sorted
     require(parts.nonEmpty, s"$tableDir has no partitions to read")
-    val frames = parts.map { v =>
-      val pdir = partitionDir(tableDir, partitionCol, v)
-      val df =
-        if (SnapshotTable.currentSnapshot(spark, pdir).nonEmpty)
-          SnapshotTable.read(spark, pdir)
-        else spark.read.parquet(pdir)
-      if (df.columns.contains(partitionCol)) df
-      else df.withColumn(partitionCol, lit(v))
+    val (snapFiles, plainFrames) = parts.foldLeft(
+      (Vector.empty[String], Vector.empty[DataFrame])) {
+      case ((files, frames), v) =>
+        val pdir = partitionDir(tableDir, partitionCol, v)
+        SnapshotTable.currentSnapshot(spark, pdir) match {
+          case Some(m) =>
+            (files ++ m.files.map(f => s"$pdir/$f"), frames)
+          case None =>
+            (files,
+              frames :+ spark.read.parquet(pdir)
+                .withColumn(partitionCol, lit(v)))
+        }
     }
-    frames.reduce(_.unionByName(_))
+    val snapFrame =
+      if (snapFiles.isEmpty) None
+      else Some(spark.read.parquet(snapFiles: _*))
+    (snapFrame.toSeq ++ plainFrames)
+      .reduce(_.unionByName(_))
   }
 
   /** Land one recomputed partition as a snapshot commit. A plain

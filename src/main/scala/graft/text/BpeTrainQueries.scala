@@ -130,55 +130,75 @@ object BpeTrain {
     (learned.toSeq, vocab)
   }
 
-  /** Train-once memo per (corpus dir, rounds) — the in-process form of
-    * the write-once layout discipline (the learned table is 16 tiny
-    * rows; a production run would store it beside the tokenizer
-    * artifacts). Both declared queries and any bench pass after the
-    * first reuse the training. */
+  /** Deterministic 25% document sample for the sample-trained variant:
+    * content-independent md5 rank on doc_id (the `sample_uniform_hash`
+    * rule), identical on both engines. */
+  private val SampleHexDigits = Seq("0", "1", "2", "3")
+
+  private def sampledDocs(docs: DataFrame): DataFrame =
+    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin(SampleHexDigits: _*))
+
+  private def sqlSampleWhere: String =
+    s"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN " +
+      SampleHexDigits.mkString("('", "', '", "')")
+
+  /** Train-once memo per (corpus dir, rounds, sampled) — the
+    * in-process form of the write-once layout discipline (the learned
+    * table is 16 tiny rows; a production run would store it beside the
+    * tokenizer artifacts). The declared queries and any bench pass
+    * after the first reuse the training. */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Learned]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), Seq[Learned]]()
 
   private[text] def trainedMerges(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      rounds: Int): Seq[Learned] =
-    memo.computeIfAbsent((dir, rounds),
-      _ => train(Tables(s, dir).documents, rounds)._1)
+      rounds: Int, sampled: Boolean = false): Seq[Learned] =
+    memo.computeIfAbsent((dir, rounds, sampled), _ => {
+      val docs = Tables(s, dir).documents
+      train(if (sampled) sampledDocs(docs) else docs, rounds)._1
+    })
 
   // ---- DuckDB oracle: the identical loop, unrolled round by round ----
 
-  /** CTE chain `v0, p1, best1, v1, …, v<k>`: v0 is the symbolized
-    * vocab, each round counts pairs, picks the (count DESC, a, b)
-    * max, and merges via the same last-element-pending fold
-    * (`list_reduce`). MATERIALIZED is load-bearing: v_i is referenced
-    * by both p_{i+1} and v_{i+1}, so default CTE inlining would
-    * expand v0 2^k times (measured: the un-materialized 16-round
-    * chain exhausts file handles re-opening the corpus). */
-  private[text] def sqlTrainCtes(k: Int): String = {
+  /** CTE chain `<p>v0, <p>p1, <p>best1, <p>v1, …, <p>v<k>`: v0 is the
+    * symbolized vocab (optionally over a filtered `documents` — the
+    * sampled-training variant), each round counts pairs, picks the
+    * (count DESC, a, b) max, and merges via the same
+    * last-element-pending fold (`list_reduce`). The `p` prefix lets
+    * two training chains coexist in one statement (the sample-drift
+    * audit), the `sqlBandsCteBR` convention. MATERIALIZED is
+    * load-bearing: v_i is referenced by both p_{i+1} and v_{i+1}, so
+    * default CTE inlining would expand v0 2^k times (measured: the
+    * un-materialized 16-round chain exhausts file handles re-opening
+    * the corpus). */
+  private[text] def sqlTrainCtes(
+      k: Int, p: String = "", where: String = ""): String = {
     val base =
-      """WITH v0 AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-        |         list_filter(string_split(
-        |           regexp_replace(word, '(.)', '\1 ', 'g'), ' '),
-        |           x -> x <> '') AS syms
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |        FROM documents)
-        |  WHERE length(word) > 0 GROUP BY word
-        |)""".stripMargin
+      s"""WITH ${p}v0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |         list_filter(string_split(
+         |           regexp_replace(word, '(.)', '\\1 ', 'g'), ' '),
+         |           x -> x <> '') AS syms
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents $where)
+         |  WHERE length(word) > 0 GROUP BY word
+         |)""".stripMargin
     val rounds = (1 to k).map { i =>
-      s""", p$i AS (
+      s""", ${p}p$i AS (
          |  SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
          |    SELECT unnest(list_transform(range(1, len(syms)),
          |             j -> {'a': syms[j], 'b': syms[j+1]})) AS pr, cnt
-         |    FROM v${i - 1}) GROUP BY pr.a, pr.b
-         |), best$i AS MATERIALIZED (
-         |  SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
-         |), v$i AS MATERIALIZED (
+         |    FROM ${p}v${i - 1}) GROUP BY pr.a, pr.b
+         |), ${p}best$i AS MATERIALIZED (
+         |  SELECT a, b, c FROM ${p}p$i ORDER BY c DESC, a, b LIMIT 1
+         |), ${p}v$i AS MATERIALIZED (
          |  SELECT word, cnt,
          |    list_reduce(list_transform(syms, s -> [s]),
-         |      (acc, x) -> CASE WHEN acc[-1] = best$i.a AND x[1] = best$i.b
-         |        THEN list_append(acc[1:len(acc)-1], best$i.a || best$i.b)
+         |      (acc, x) -> CASE WHEN acc[-1] = ${p}best$i.a AND x[1] = ${p}best$i.b
+         |        THEN list_append(acc[1:len(acc)-1], ${p}best$i.a || ${p}best$i.b)
          |        ELSE list_concat(acc, x) END) AS syms
-         |  FROM v${i - 1} CROSS JOIN best$i
+         |  FROM ${p}v${i - 1} CROSS JOIN ${p}best$i
          |)""".stripMargin
     }.mkString
     base + rounds
@@ -240,5 +260,78 @@ object BpeTrain {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[Q] = Seq(bpeTrainQ, tokenCountBpeTrainedQ)
+  /** SAMPLE-TRAINED merges — the production path for vocabularies too
+    * large to pair-count in full every round (the
+    * `similarity_ivf_scaled` sample-training discipline applied to the
+    * tokenizer): train on a deterministic 25% md5-rank document sample
+    * (content-independent, the `sample_uniform_hash` rule), bill the
+    * full corpus with the kernel. At 100 TB this turns the per-round
+    * vocab from the full distinct-word frame into the sample's — the
+    * rounds' cost scales with the sample while the one corpus-sized
+    * step stays a single groupBy over the sampled docs. */
+  private val bpeTrainSampledQ = Q(
+    "bpe_train_sampled", {
+      val k = DeclaredRounds
+      val union = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b, c AS pair_count" +
+          s" FROM best$i").mkString("\n  UNION ALL ")
+      s"""${sqlTrainCtes(k, "", sqlSampleWhere)}
+         |SELECT * FROM (
+         |  $union
+         |) ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    trainedMerges(s, dir, DeclaredRounds, sampled = true)
+      .map(l => (l.rank.toLong, l.a, l.b, l.pairCount))
+      .toDF("rank", "a", "b", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** Sample-drift audit — the table an operator reads to decide
+    * whether the sample is big enough. BPE training is
+    * PATH-DEPENDENT: one near-tie reordered by sampling permutes every
+    * later rank even when the learned merge SET is identical
+    * (measured: rank-for-rank equality read 4/16 on a sample whose
+    * first four merges were the same pairs permuted), so the audit
+    * joins on the PAIR, not the position: for each full-corpus merge,
+    * did the sample learn the same pair within its K rounds
+    * (`in_sample`), and how far did its rank wander (`sample_rank`,
+    * 0 = not learned). Set recall is the operator's signal; rank
+    * wander on near-tied counts is expected noise. Two independent
+    * training chains run in one oracle statement (prefix convention);
+    * the Spark side reuses both memoized trainings. */
+  private val bpeTrainSampleDriftQ = Q(
+    "bpe_train_sample_drift", {
+      val k = DeclaredRounds
+      val full = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b FROM f_best$i")
+        .mkString("\n  UNION ALL ")
+      val samp = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b FROM s_best$i")
+        .mkString("\n  UNION ALL ")
+      s"""${sqlTrainCtes(k, "f_")},
+         |${sqlTrainCtes(k, "s_", sqlSampleWhere).stripPrefix("WITH ")},
+         |fm AS ($full),
+         |sm AS ($samp)
+         |SELECT fm.rank, fm.a, fm.b,
+         |       CAST(coalesce(sm.rank, 0) AS BIGINT) AS sample_rank,
+         |       CAST(CASE WHEN sm.rank IS NULL THEN 0 ELSE 1 END
+         |            AS INTEGER) AS in_sample
+         |FROM fm LEFT JOIN sm USING (a, b)
+         |ORDER BY fm.rank""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val full = trainedMerges(s, dir, DeclaredRounds)
+    val sampRank = trainedMerges(s, dir, DeclaredRounds, sampled = true)
+      .map(l => (l.a, l.b) -> l.rank.toLong).toMap
+    full.map { f =>
+      val sr = sampRank.getOrElse((f.a, f.b), 0L)
+      (f.rank.toLong, f.a, f.b, sr, if (sr > 0) 1 else 0)
+    }.toDF("rank", "a", "b", "sample_rank", "in_sample")
+      .orderBy("rank")
+  }
+
+  val queries: Seq[Q] =
+    Seq(bpeTrainQ, tokenCountBpeTrainedQ, bpeTrainSampledQ,
+      bpeTrainSampleDriftQ)
 }

@@ -109,6 +109,64 @@ class BpeTrainSpec extends SparkSpec {
       "at exhaustion every distinct word is one symbol")
   }
 
+  test("sample-trained merges replay the reference trainer over the " +
+      "sampled documents; the drift audit's flags are consistent") {
+    val docs = Tables(spark, sf).documents
+    // replicate the declared 25% md5-rank sample rule in plain Scala
+    def hex1(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val sampledTexts = docs.select("doc_id", "text").collect()
+      .filter(r => hex1(r.getLong(0)) < '4')
+      .map(_.getString(1)).toSeq
+    val wordCounts = sampledTexts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val ref = {
+      var vocab: Map[Vector[String], Long] =
+        wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+      (1 to BpeTrain.DeclaredRounds).flatMap { _ =>
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          stats((syms(i), syms(i + 1))) =
+            stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (stats.isEmpty) None
+        else {
+          val ((a, b), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result()
+          }(_._2)(_ + _)
+          Some((a, b, c))
+        }
+      }
+    }
+    val got = graft.SparkEntry.queries("bpe_train_sampled")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == ref,
+      "sampled training must replay the reference trainer over the sample")
+    // drift audit consistency: in_sample <=> a positive sample rank,
+    // and every flagged pair really is in the sampled table
+    val sampSet = got.map(g => (g._1, g._2)).toSet
+    val drift = graft.SparkEntry.queries("bpe_train_sample_drift")(spark, sf)
+      .collect()
+    drift.foreach { r =>
+      val (a, b, sr, flag) =
+        (r.getString(1), r.getString(2), r.getLong(3), r.getInt(4))
+      assert((flag == 1) == (sr > 0))
+      assert((flag == 1) == sampSet.contains((a, b)), s"flag mismatch: $r")
+    }
+    assert(drift.count(_.getInt(4) == 1) >= 1,
+      "a 25% sample of a 31-word corpus must recover at least the top merge")
+  }
+
   test("billing-chain parity: the min-rank kernel under the trained " +
       "table reproduces the trainer's own encoding, corpus-wide") {
     val docs = Tables(spark, sf).documents
