@@ -46,9 +46,19 @@ object BenchStreams {
     "stream_bars_loop" -> { (spark, sfDir, dir) =>
       val trades = Tables(spark, sfDir).events
         .select("event_type", "ts", "event_id", "value")
-      for (b <- 0L to 2L)
+      // Epoch 0 lands SHORT one trade (the planted late arrival), the
+      // other two land whole — then the late trade triggers a reopen
+      // of its epoch (the force-backfill analog), so the gated cell
+      // prices the full lifecycle including the correction path, the
+      // same consumer-fold-in discipline as the dedup loops.
+      val late = col("event_id") === 0
+      streaming.IncrementalBars.processBatch(
+        trades.filter(col("event_id") % 3 === 0 && !late), s"$dir/bars", 0L)
+      for (b <- 1L to 2L)
         streaming.IncrementalBars.processBatch(
           trades.filter(col("event_id") % 3 === b), s"$dir/bars", b)
+      streaming.IncrementalBars.reopen(
+        trades.filter(col("event_id") % 3 === 0), s"$dir/bars", 0L)
       streaming.IncrementalBars.bars(spark, s"$dir/bars")
         .write.format("noop").mode("overwrite").save()
     },

@@ -258,10 +258,14 @@ object ErQueries {
       .join(side("b")(ranked.filter(col("rk") > ErBlockCap)),
         Seq("pass", "blk"))
       .select(headPairs.columns.map(col): _*)
+    // Bounded edit distance: the threshold form runs the banded DP
+    // (O(len·k) per pair instead of O(len²)) and returns -1 beyond the
+    // bound — exact for every pair the ≤ 2 verify keeps, so the oracle
+    // keeps plain levenshtein and still hash-matches.
     headPairs.unionByName(starEdges)
       .withColumn("lev_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("lev_dist") <= 2)
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("lev_dist") >= 0)
       // Cross-pass dedup with per-pass evidence. n_passes = count(*):
       // within one pass a record lives in exactly ONE bucket, and the
       // head/star emitters are disjoint (rk ≤ cap vs rk > cap), so a
