@@ -2099,6 +2099,115 @@ object DedupQueries {
         (col("doc_b") * ChunkNodeCap + col("chunk_b")).as("doc_b")))
       .withColumnRenamed("doc_id", "node")
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING (Chaudhuri et
+    * al.'s SSJoin / Bayardo et al.'s All-Pairs, public) — the LOSSLESS
+    * complement to the LSH family: where banded MinHash trades recall
+    * for bounded candidates (the cliff `dedup_recall_eval` measures:
+    * ~18% at J=0.5), this finds EVERY pair with exact distinct-3-
+    * shingle Jaccard ≥ [[RecallTauE6]], guaranteed.
+    *
+    * The filter: order all shingles globally by (frequency ASC,
+    * shingle ASC) — rarest first — and emit only each doc's first
+    * |T| − ⌈τ·|T|⌉ + 1 shingles in that order (its PREFIX). Any pair
+    * with J ≥ τ has overlap ≥ ⌈τ·max(|A|,|B|)⌉, which forces a shared
+    * shingle inside both prefixes (the prefix-filtering lemma), so
+    * equi-joining prefixes on the shingle finds every true pair —
+    * candidates then verify with the exact candidate-pruned Jaccard
+    * (the `dedup_ngram_jaccard` plan). The length filter
+    * (τ·|A| ≤ |B| for |A| ≤ |B|) prunes candidates that cannot reach
+    * τ; it drops only pairs verification would reject, so exactness
+    * is untouched.
+    *
+    * THE ORACLE IS THE NAIVE COMPLETE JOIN (shared-shingle
+    * intersection counting over all docs, no prefix filter): the
+    * hash-green row is a cross-engine PROOF that the filter lost
+    * nothing, re-established at every SF the driver runs.
+    *
+    * Scale: one shingle pass + one frequency aggregate; the candidate
+    * join's cost is Σ over shingles of (prefix-bucket size)² — prefix
+    * buckets prefer each doc's RAREST shingles, which is what keeps
+    * them small on natural corpora. This is the verify-everything end
+    * of the dedup spectrum: cost is data-dependent and deliberately
+    * UNCAPPED (a cap would forfeit the exactness that is the whole
+    * point — the capped/bounded path is the LSH family one query
+    * over). The production extensions when prefix buckets grow —
+    * positional and suffix filters (PPJoin/PPJoin+), length binning —
+    * tighten the same candidate join without losing exactness. */
+  private val dedupPrefixJoin = Q(
+    "dedup_prefix_join", {
+      val tau = RecallTauE6
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents
+         |), e AS (
+         |  SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(min(a.n) AS BIGINT) AS n_a,
+         |         CAST(min(b.n) AS BIGINT) AS n_b
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_common,
+         |       n_a + n_b - n_common AS n_union,
+         |       CAST(n_common * 1000000 // (n_a + n_b - n_common)
+         |            AS BIGINT) AS jaccard_e6
+         |FROM inter
+         |WHERE n_common * 1000000 >= $tau * (n_a + n_b - n_common)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val tau = RecallTauE6
+    val sh = tokenized(t)
+      .select(col("doc_id"), array_distinct(shinglesOf(col("toks"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cut(false)
+    val e = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+    val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("s"))
+    // Explicit-width repartitions on the pairing keys: these frames are
+    // BYTES-small but WORK-heavy downstream (self-join expansion, then
+    // an array-intersect verify per candidate), so AQE's byte-sized
+    // coalescing would fold them into one task and serialize both
+    // stages (the er_matches finding — measured here as two ~5.6 s
+    // single-task jobs inside a 13 s cell; 2.8 s with the pins).
+    val shufflePartitions =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
+    val prefix = e.join(freq, Seq("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("n") - expr(s"($tau * n + 999999) DIV 1000000") + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+      .repartition(shufflePartitions, col("s"))
+      .cut(false)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // Jaccard length bound, both orientations (exact-preserving)
+          col("a.n") * tau <= col("b.n") * 1000000L &&
+          col("b.n") * tau <= col("a.n") * 1000000L)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
+      .distinct()
+      .cut(false)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val vsh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    val union = (size(col("a.sh")) + size(col("b.sh"))).cast("long") - inter
+    cand
+      .join(vsh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(vsh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("n_common"), union.as("n_union"))
+      .filter(col("n_common") * 1000000L >= lit(tau) * col("n_union"))
+      .withColumn("jaccard_e6", expr("n_common * 1000000 DIV n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Hash-sampled queries for the LSH recall audit: deterministic
     * content-independent rank by md5(doc_id) (the `sample_uniform_hash`
     * rule), so the evaluation set is stable across runs and engines
@@ -2313,5 +2422,6 @@ object DedupQueries {
       dedupSurvivors, dedupSurvivorsQuality, splitAssignDedup,
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
-      dedupRecallEval, dedupContainment, textDecontaminateFuzzy)
+      dedupRecallEval, dedupContainment, textDecontaminateFuzzy,
+      dedupPrefixJoin)
 }

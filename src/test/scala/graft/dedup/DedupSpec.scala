@@ -490,4 +490,23 @@ class DedupSpec extends SparkSpec {
     assert(jac((0L, 1L)) < 0.9,
       s"Jaccard under-scores the subset pair: ${jac((0L, 1L))}")
   }
+
+  test("dedup_prefix_join is lossless at tau: it contains every pair the " +
+      "banded index finds and verifies, and typically more") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("dedup_prefix_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every LSH-candidate pair that verifies at the same tau must be in
+    // the exact join's output (the lossless ⊇ relation; the DuckDB
+    // oracle separately pins equality with the NAIVE complete join)
+    val viaLsh = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .filter(_.getDouble(4) >= 0.5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exact),
+      s"exact join missing LSH-verified pairs: ${viaLsh.diff(exact)}")
+    assert(exact.size >= viaLsh.size,
+      "the exact join can never find fewer pairs than the banded index")
+  }
 }
