@@ -2180,14 +2180,23 @@ object DedupQueries {
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <=
         col("n") - expr(s"($tau * n + 999999) DIV 1000000") + 1)
-      .select(col("s"), col("doc_id"), col("n"))
+      .select(col("s"), col("doc_id"), col("n"), col("rn"))
       .repartition(shufflePartitions, col("s"))
       .cut(false)
+    // J ≥ τ ⟺ overlap ≥ τ/(1+τ)·(|A|+|B|): the POSITIONAL filter
+    // (PPJoin) upper-bounds the still-possible overlap from the match
+    // position — everything after this shared shingle, plus it — and
+    // drops candidates that cannot reach the needed overlap. Like the
+    // length bound it only removes pairs verification would reject.
+    val needTimes = lit(1000000L + tau) // o·(1e6+τ) ≥ τ·(n_a+n_b)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // Jaccard length bound, both orientations (exact-preserving)
           col("a.n") * tau <= col("b.n") * 1000000L &&
-          col("b.n") * tau <= col("a.n") * 1000000L)
+          col("b.n") * tau <= col("a.n") * 1000000L &&
+          (lit(1L) + least(col("a.n") - col("a.rn"),
+            col("b.n") - col("b.rn"))) * needTimes >=
+            lit(tau) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
       .distinct()

@@ -465,17 +465,24 @@ object ErQueries {
        |            AS INTEGER) AS same_entity
        |FROM best WHERE r = 1 AND lev_dist <= 2
        |ORDER BY new_id""".stripMargin) { (s, dir) =>
-    val t = Tables(s, dir)
+    incrementalProbe(Tables(s, dir), keyLen = 3)
+  }
+
+  /** The incremental probe body, block-key width parametrized — the
+    * declared query pins keyLen = 3 for its static oracle;
+    * [[incrementalScaled]] widens it with the corpus. */
+  private def incrementalProbe(t: Tables, keyLen: Int): DataFrame = {
     val nb = t.customer.filter(col("c_custkey") % 2 === 0)
       .select(
         (-(col("c_custkey") + 1)).cast("long").as("new_id"),
         col("c_custkey").as("new_ent"),
         expr("concat(substr(c_name, 1, 10 + c_custkey % 4)," +
           " substr(c_name, 12 + c_custkey % 4))").as("name"))
-      .withColumn("blk", expr("right(name, 3)"))
+      .withColumn("blk", expr(s"right(name, $keyLen)"))
     val standing = recordsOf(t).select(
       col("rec_id"), col("entity_id").as("std_ent"),
-      col("name").as("std_name"), col("blk"))
+      col("name").as("std_name"),
+      expr(s"right(name, $keyLen)").as("blk"))
     val wCand = Window.partitionBy(col("new_id"))
     val wBest = Window.partitionBy(col("new_id"))
       .orderBy(col("lev_dist"), col("rec_id"))
@@ -493,6 +500,27 @@ object ErQueries {
         when(col("new_ent") === col("std_ent"), 1).otherwise(0)
           .cast("int").as("same_entity"))
       .orderBy("new_id")
+  }
+
+  /** [[incrementalProbe]] with the block-key WIDTH SCALED to the
+    * corpus — the ScaleStress entry point (the `nearDupScaled`
+    * discipline: the declared query pins k = 3 because its oracle must
+    * replay one fixed plan; a production loader re-runs
+    * `er_key_select` as the corpus grows and widens the key so the
+    * expected block stays at the 16-record policy size). k =
+    * ⌈log10(2n/16)⌉ suffix digits gives 10^k block space targeting
+    * that policy, CLAMPED at 4: the damage geometry (deletions land at
+    * positions 10–14 of an 18-char name) makes right-4 the widest
+    * deletion-stable suffix — past that a production system widens by
+    * blocking on a SECOND field instead, which is exactly what
+    * [[matchesOf]]'s balance pass demonstrates. */
+  private[graft] def incrementalScaled(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val n = t.customer.count().toDouble
+    val k = math.min(4, math.max(3, math.ceil(
+      math.log10(math.max(1.0, 2.0 * n / 16))).toInt))
+    incrementalProbe(t, k)
   }
 
   /** Block-key width selector — the `dedup_banding_select` discipline

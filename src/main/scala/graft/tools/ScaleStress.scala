@@ -48,7 +48,10 @@ object ScaleStress {
     "token_count_bpe", "mixture_plan_bpe", "pack_sequences_bpe",
     "dedup_banding_select",
     // r12
-    "text_decontaminate_fuzzy", "curriculum_order")
+    "text_decontaminate_fuzzy", "curriculum_order",
+    // r13: the exact prefix-filtered tau-join (uncapped by definition —
+    // this cell MEASURES the exactness price as the corpus grows)
+    "dedup_prefix_join")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",
@@ -179,7 +182,10 @@ object ScaleStress {
   private val overrides: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "embedding_near_dup" -> graft.sim.SimilarityQueries.nearDupScaled,
-      "semdedup_pairs" -> graft.sim.SimilarityQueries.semDedupScaled)
+      "semdedup_pairs" -> graft.sim.SimilarityQueries.semDedupScaled,
+      // corpus-scaled block-key width (the declared query pins right-3
+      // for its static oracle; production widens with er_key_select)
+      "er_incremental" -> graft.er.ErQueries.incrementalScaled)
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double = {
