@@ -31,10 +31,11 @@ import org.apache.hadoop.fs.Path
   *    table;
   *  - late-data corrections use `force`: named partitions are
   *    recomputed even though they exist, published as the partition's
-  *    next snapshot — the prior state stays readable through the
-  *    grace window (and, for partitions that predate the format,
-  *    [[SnapshotTable.adopt]] first captures the plain-parquet state
-  *    as snapshot 0: a one-metadata-commit cutover, zero data moved).
+  *    next snapshot — prior snapshot state stays readable through the
+  *    grace window, and a plain pre-format partition's files are
+  *    never touched (see [[land]] for why the landing deliberately
+  *    does NOT pre-adopt them: a single commit point is what makes
+  *    crash convergence unconditional).
   *
   * Plain (pre-format) partition directories remain first-class: the
   * plan counts them as existing, and [[readTable]] reads them as-is —
@@ -67,29 +68,35 @@ object Backfill {
       tableDir: String, partitionCol: String, value: String): String =
     s"$tableDir/$partitionCol=${ExternalCatalogUtils.escapePathName(value)}"
 
-  /** Does this partition directory hold data a reader can see —
-    * either a committed snapshot, or plain top-level parquet files
-    * (the pre-format layout)? A dir holding only torn manifests or
-    * stage leftovers is a gap: nothing committed means nothing
-    * landed. */
-  private def partitionHasData(spark: SparkSession, pdir: String): Boolean = {
+  /** One partition's readable state: its head manifest if a snapshot
+    * is committed, else whether plain top-level parquet files (the
+    * pre-format layout) are present. A dir holding only torn
+    * manifests or stage leftovers has neither: nothing committed
+    * means nothing landed. */
+  private final case class PartitionState(
+      value: String, head: Option[SnapshotTable.Manifest], plain: Boolean) {
+    def hasData: Boolean = head.nonEmpty || plain
+  }
+
+  /** Top-level parquet files directly under a dir — the plain
+    * pre-format layout probe (shared by planning and landing). */
+  private def hasPlainFiles(spark: SparkSession, pdir: String): Boolean = {
     val p = new Path(pdir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) false
-    else if (SnapshotTable.currentSnapshot(spark, pdir).nonEmpty) true
-    else fs.listStatus(p).exists(s =>
+    fs.exists(p) && fs.listStatus(p).exists(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Partition values present under `tableDir` for `partitionCol` —
-    * one FS listing of `partitionCol=value` child dirs, each checked
-    * for committed (or plain pre-format) data. */
-  def existingPartitions(
+  /** Every `partitionCol=value` child dir's state, manifests resolved
+    * ONCE — planning and reading share this pass, so the per-table
+    * metadata cost really is one listing + one manifest read per
+    * partition. */
+  private def partitionStates(
       spark: SparkSession, tableDir: String,
-      partitionCol: String): Set[String] = {
+      partitionCol: String): Seq[PartitionState] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Set.empty
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -100,10 +107,23 @@ object Backfill {
       // on every run.
       .map(n => ExternalCatalogUtils
         .unescapePathName(n.stripPrefix(partitionCol + "=")))
-      .filter(v => partitionHasData(
-        spark, partitionDir(tableDir, partitionCol, v)))
-      .toSet
+      .sorted
+      .map { v =>
+        val pdir = partitionDir(tableDir, partitionCol, v)
+        val head = SnapshotTable.currentSnapshot(spark, pdir)
+        PartitionState(v, head,
+          head.isEmpty && hasPlainFiles(spark, pdir))
+      }
   }
+
+  /** Partition values present under `tableDir` for `partitionCol` —
+    * one FS listing of `partitionCol=value` child dirs, each checked
+    * for committed (or plain pre-format) data. */
+  def existingPartitions(
+      spark: SparkSession, tableDir: String,
+      partitionCol: String): Set[String] =
+    partitionStates(spark, tableDir, partitionCol)
+      .filter(_.hasData).map(_.value).toSet
 
   /** The replay plan for `expected` over the current table state. */
   def missingPartitions(
@@ -131,47 +151,49 @@ object Backfill {
   def readTable(
       spark: SparkSession, tableDir: String,
       partitionCol: String): DataFrame = {
-    val parts = existingPartitions(spark, tableDir, partitionCol).toSeq.sorted
+    val parts = partitionStates(spark, tableDir, partitionCol)
+      .filter(_.hasData)
     require(parts.nonEmpty, s"$tableDir has no partitions to read")
-    val (snapFiles, plainFrames) = parts.foldLeft(
-      (Vector.empty[String], Vector.empty[DataFrame])) {
-      case ((files, frames), v) =>
-        val pdir = partitionDir(tableDir, partitionCol, v)
-        SnapshotTable.currentSnapshot(spark, pdir) match {
-          case Some(m) =>
-            (files ++ m.files.map(f => s"$pdir/$f"), frames)
-          case None =>
-            (files,
-              frames :+ spark.read.parquet(pdir)
-                .withColumn(partitionCol, lit(v)))
-        }
-    }
+    val snapFiles = parts.flatMap(p => p.head.toSeq.flatMap(_.files
+      .map(f => s"${partitionDir(tableDir, partitionCol, p.value)}/$f")))
     val snapFrame =
       if (snapFiles.isEmpty) None
       else Some(spark.read.parquet(snapFiles: _*))
-    (snapFrame.toSeq ++ plainFrames)
-      .reduce(_.unionByName(_))
+    // Legacy plain partitions attach the dir-derived value, CAST to
+    // the snapshot partitions' column type when one exists — a mixed
+    // table must not silently widen the partition column to string
+    // (and flip type again once the last plain partition migrates).
+    val litType = snapFrame.map(_.schema(partitionCol).dataType)
+    val plainFrames = parts.filter(_.plain).map { p =>
+      val value = litType
+        .map(t => lit(p.value).cast(t)).getOrElse(lit(p.value))
+      spark.read
+        .parquet(partitionDir(tableDir, partitionCol, p.value))
+        .withColumn(partitionCol, value)
+    }
+    (snapFrame.toSeq ++ plainFrames).reduce(_.unionByName(_))
   }
 
-  /** Land one recomputed partition as a snapshot commit. A plain
-    * pre-format partition is first ADOPTED (its current files become
-    * snapshot 0 — one metadata commit, zero data movement) so the
-    * pre-correction state stays pinned-readable through the grace
-    * window, then the recompute publishes as the next snapshot. */
+  /** Land one recomputed partition as a snapshot commit — the
+    * recompute's overwrite is deliberately the ONLY commit point. An
+    * earlier draft pre-ADOPTED plain partitions (their files as
+    * snapshot 0, for grace-window reads of the pre-correction state),
+    * but that opened a crash window: dying between the adopt commit
+    * and the overwrite commit left an adopted head whose files (plain
+    * partitioned writes) lack the partition column, which
+    * [[readTable]]'s multi-path read relies on — and the partition
+    * read as landed, so no later plan repaired it. With a single
+    * commit point a crash anywhere before the overwrite leaves the
+    * partition exactly as it was (plain or prior snapshot) — the
+    * convergence guarantee — and every snapshot head under a
+    * Backfill-managed table provably carries the partition column
+    * (the landing writes the guarded compute frame verbatim). A
+    * racing reader of a plain partition is still safe: overwrite
+    * creates new files under data/ and never touches the plain ones. */
   private def land(
       df: DataFrame, tableDir: String, partitionCol: String,
-      value: String): Unit = {
-    val pdir = partitionDir(tableDir, partitionCol, value)
-    val spark = df.sparkSession
-    if (SnapshotTable.currentSnapshot(spark, pdir).isEmpty) {
-      val p = new Path(pdir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).exists(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet")))
-        SnapshotTable.adopt(spark, pdir)
-    }
-    SnapshotTable.overwrite(df, pdir)
-  }
+      value: String): Unit =
+    SnapshotTable.overwrite(df, partitionDir(tableDir, partitionCol, value))
 
   /** Fill every gap in `expected` (and recompute every `force`d
     * partition) by calling `compute(spark, partitionValue)` and

@@ -171,7 +171,12 @@ object BpeTrain {
     * load-bearing: v_i is referenced by both p_{i+1} and v_{i+1}, so
     * default CTE inlining would expand v0 2^k times (measured: the
     * un-materialized 16-round chain exhausts file handles re-opening
-    * the corpus). */
+    * the corpus). EXHAUSTION-SAFE: a round whose pair space is empty
+    * yields an empty best_i, and the LEFT JOIN ON TRUE + NULL-guard
+    * keeps v_i = v_{i-1} instead of annihilating the vocab (a CROSS
+    * JOIN would), so a fixed-K oracle stays correct on corpora that
+    * exhaust before round K — the merges union simply stops where the
+    * Spark trainer's early-stop does. */
   private[text] def sqlTrainCtes(
       k: Int, p: String = "", where: String = ""): String = {
     val base =
@@ -194,11 +199,12 @@ object BpeTrain {
          |  SELECT a, b, c FROM ${p}p$i ORDER BY c DESC, a, b LIMIT 1
          |), ${p}v$i AS MATERIALIZED (
          |  SELECT word, cnt,
+         |    CASE WHEN ${p}best$i.a IS NULL THEN syms ELSE
          |    list_reduce(list_transform(syms, s -> [s]),
          |      (acc, x) -> CASE WHEN acc[-1] = ${p}best$i.a AND x[1] = ${p}best$i.b
          |        THEN list_append(acc[1:len(acc)-1], ${p}best$i.a || ${p}best$i.b)
-         |        ELSE list_concat(acc, x) END) AS syms
-         |  FROM ${p}v${i - 1} CROSS JOIN ${p}best$i
+         |        ELSE list_concat(acc, x) END) END AS syms
+         |  FROM ${p}v${i - 1} LEFT JOIN ${p}best$i ON TRUE
          |)""".stripMargin
     }.mkString
     base + rounds

@@ -126,8 +126,7 @@ class BackfillSpec extends SparkSpec {
     val dir = tmpDir("backfill-race") + "/t"
     for (h <- Seq("0", "1"))
       Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
-    // Land hour 1 as a snapshot commit so a manifest exists to pin
-    // (the adopt cutover inside run() captures the plain state first).
+    // Land hour 1 as a snapshot commit so a manifest exists to pin.
     Backfill.run(spark, dir, "hour", hours.take(2), force = Seq("1"))(
       (s, h) => hourFrame(s, h))
     val reader = Backfill.readTable(spark, dir, "hour")

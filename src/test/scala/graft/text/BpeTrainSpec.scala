@@ -123,31 +123,7 @@ class BpeTrainSpec extends SparkSpec {
       .map(_.getString(1)).toSeq
     val wordCounts = sampledTexts.flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
-    val ref = {
-      var vocab: Map[Vector[String], Long] =
-        wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
-      (1 to BpeTrain.DeclaredRounds).flatMap { _ =>
-        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
-        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
-          stats((syms(i), syms(i + 1))) =
-            stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
-        if (stats.isEmpty) None
-        else {
-          val ((a, b), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
-          vocab = vocab.groupMapReduce { case (syms, _) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                out += a + b; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            out.result()
-          }(_._2)(_ + _)
-          Some((a, b, c))
-        }
-      }
-    }
+    val ref = referenceTrain(wordCounts, BpeTrain.DeclaredRounds)
     val got = graft.SparkEntry.queries("bpe_train_sampled")(spark, sf)
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == ref,
