@@ -77,13 +77,27 @@ object Bpe {
     concat(lit(" "),
       regexp_replace(translate(text, " ", Sep), "(.)", "$1 "))
 
-  /** The merged symbol string — [[symbolized]] with every rule applied
-    * twice in rank order (see the class doc for why twice is exact). */
-  def mergedSymbols(text: Column): Column =
-    Merges.foldLeft(symbolized(text)) { case (acc, (a, b)) =>
+  /** The merged symbol string under an ARBITRARY a≠b merges table —
+    * [[symbolized]] with every rule applied twice in rank order (see
+    * the class doc for why twice is exact, and for why identical-pair
+    * rules are rejected: they need the min-rank kernel). The trained
+    * tables `bpe_train` learns feed this for segmentation
+    * (`bpe_segment`); the pinned [[Merges]] keeps its dedicated
+    * wrapper below. */
+  def mergedSymbolsWith(
+      text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => a != b },
+      "mergedSymbolsWith: identical-pair rules (a,a) are not exact " +
+        "under the two-pass replace chain; use the min-rank BPE kernel")
+    merges.foldLeft(symbolized(text)) { case (acc, (a, b)) =>
       val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
       replace(replace(acc, pat, rep), pat, rep)
     }
+  }
+
+  /** The merged symbol string under the pinned [[Merges]]. */
+  def mergedSymbols(text: Column): Column =
+    mergedSymbolsWith(text, Merges)
 
   /** Token count read off a [[mergedSymbols]] string: symbols carry
     * exactly one trailing space each (plus the single leading space),

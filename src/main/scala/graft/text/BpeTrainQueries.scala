@@ -337,7 +337,58 @@ object BpeTrain {
       .orderBy("rank")
   }
 
+  /** The actual token SEGMENTATION under the corpus-trained table —
+    * what a training run materializes (the counts the other queries
+    * bill are len() of this): per doc, the merged symbol string
+    * ("sym sym | sym …", '|' the word sentinel) plus its token count.
+    * The Spark side runs the rank-order two-pass replace chain
+    * ([[Bpe.mergedSymbolsWith]] — all codegen'd builtins, zero
+    * shuffle, legal because a trained-16 table is a≠b; an
+    * identical-pair table would take the id-emitting kernel path);
+    * the ORACLE reconstructs the segmentation from the training
+    * chain's OWN final vocab (word → round-k symbol list, re-joined
+    * in document word order), so the green row proves chain
+    * segmentation ≡ trainer encoding cross-engine — the segmentation
+    * analog of `token_count_bpe_trained`'s count proof. Whitespace is
+    * squeezed first on BOTH sides so the word sentinel structure is
+    * identical. */
+  private val bpeSegmentQ = Q(
+    "bpe_segment", {
+      val k = DeclaredRounds
+      s"""${sqlTrainCtes(k)},
+         |docw AS (
+         |  SELECT doc_id, unnest(words) AS word,
+         |         unnest(range(1, len(words) + 1)) AS ord
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_filter(string_split(
+         |             regexp_replace(trim(text), ' +', ' ', 'g'), ' '),
+         |             x -> x <> '') AS words
+         |    FROM documents)
+         |), seg AS (
+         |  SELECT d.doc_id,
+         |         string_agg(array_to_string(v.syms, ' '), ' | '
+         |                    ORDER BY d.ord) AS segments,
+         |         CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens
+         |  FROM docw d JOIN v$k v USING (word)
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT doc_id, coalesce(s.segments, '') AS segments,
+         |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents LEFT JOIN seg s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val merges = trainedMerges(s, dir, DeclaredRounds).map(l => (l.a, l.b))
+    val normalized = trim(regexp_replace(col("text"), " +", " "))
+    val merged = Bpe.mergedSymbolsWith(normalized, merges)
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        trim(merged).as("segments"),
+        Bpe.countFromMerged(merged).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] =
     Seq(bpeTrainQ, tokenCountBpeTrainedQ, bpeTrainSampledQ,
-      bpeTrainSampleDriftQ)
+      bpeTrainSampleDriftQ, bpeSegmentQ)
 }

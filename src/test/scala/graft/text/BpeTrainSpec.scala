@@ -143,6 +143,19 @@ class BpeTrainSpec extends SparkSpec {
       "a 25% sample of a 31-word corpus must recover at least the top merge")
   }
 
+  test("bpe_segment's token counts equal the kernel's, corpus-wide — " +
+      "chain segmentation, trainer encoding, and kernel counting agree") {
+    val seg = graft.SparkEntry.queries("bpe_segment")(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = graft.SparkEntry.queries("token_count_bpe_trained")(
+      spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg == kernel,
+      "the segmentation's symbol counts must equal the min-rank " +
+        "kernel's counts under the same trained table")
+  }
+
   test("billing-chain parity: the min-rank kernel under the trained " +
       "table reproduces the trainer's own encoding, corpus-wide") {
     val docs = Tables(spark, sf).documents
