@@ -31,11 +31,13 @@ import org.apache.hadoop.fs.Path
   *    table;
   *  - late-data corrections use `force`: named partitions are
   *    recomputed even though they exist, published as the partition's
-  *    next snapshot — prior snapshot state stays readable through the
-  *    grace window, and a plain pre-format partition's files are
-  *    never touched (see [[land]] for why the landing deliberately
-  *    does NOT pre-adopt them: a single commit point is what makes
-  *    crash convergence unconditional).
+  *    next snapshot — the prior state stays readable through the
+  *    grace window (a plain pre-format partition is ADOPTED as
+  *    snapshot 0 first, which also keeps its files
+  *    manifest-referenced and therefore safe from expire's
+  *    unreferenced-file sweep; [[land]] documents the crash states of
+  *    the two-commit sequence and [[readTable]] reads every one of
+  *    them correctly).
   *
   * Plain (pre-format) partition directories remain first-class: the
   * plan counts them as existing, and [[readTable]] reads them as-is —
@@ -154,46 +156,80 @@ object Backfill {
     val parts = partitionStates(spark, tableDir, partitionCol)
       .filter(_.hasData)
     require(parts.nonEmpty, s"$tableDir has no partitions to read")
-    val snapFiles = parts.flatMap(p => p.head.toSeq.flatMap(_.files
+    // Three partition classes, discriminated without opening a single
+    // data file:
+    //  - STAGED snapshot heads (every manifest entry under _data/):
+    //    written from guarded compute frames, so they carry the
+    //    partition column — all of them concatenate into ONE
+    //    multi-path scan relation;
+    //  - ADOPTED snapshot heads (bare top-level names): pre-format
+    //    files captured as snapshot 0 whose files lack the column —
+    //    read per partition, value attached (the crash-between-adopt-
+    //    and-overwrite state reads correctly, and converges when the
+    //    operator re-forces);
+    //  - PLAIN pre-format partitions (no snapshot): read per
+    //    partition via the directory, value attached. Torn staged
+    //    files can never leak into this read: _data is
+    //    underscore-hidden from directory listings.
+    val (staged, attached) = parts.partition(p =>
+      p.head.exists(_.files.forall(SnapshotTable.isStagedPath)))
+    val snapFiles = staged.flatMap(p => p.head.toSeq.flatMap(_.files
       .map(f => s"${partitionDir(tableDir, partitionCol, p.value)}/$f")))
     val snapFrame =
       if (snapFiles.isEmpty) None
       else Some(spark.read.parquet(snapFiles: _*))
-    // Legacy plain partitions attach the dir-derived value, CAST to
-    // the snapshot partitions' column type when one exists — a mixed
-    // table must not silently widen the partition column to string
-    // (and flip type again once the last plain partition migrates).
+    // Attached partitions take the dir-derived value, CAST to the
+    // staged partitions' column type when one exists — a mixed table
+    // must not silently widen the partition column to string (and
+    // flip type again once the last plain partition migrates). An
+    // unparseable value fails LOUD instead of becoming a silent NULL.
     val litType = snapFrame.map(_.schema(partitionCol).dataType)
-    val plainFrames = parts.filter(_.plain).map { p =>
-      val value = litType
-        .map(t => lit(p.value).cast(t)).getOrElse(lit(p.value))
-      spark.read
-        .parquet(partitionDir(tableDir, partitionCol, p.value))
-        .withColumn(partitionCol, value)
+    val plainFrames = attached.map { p =>
+      val pdir = partitionDir(tableDir, partitionCol, p.value)
+      val value = litType.map { t =>
+        val cast = lit(p.value).cast(t)
+        require(!spark.range(1).select(cast).head.isNullAt(0),
+          s"partition value '${p.value}' of $pdir does not parse as " +
+            s"the table's $partitionCol type $t — refusing to read it " +
+            "as NULL")
+        cast
+      }.getOrElse(lit(p.value))
+      val df = p.head match {
+        case Some(m) => SnapshotTable.read(spark, pdir, Some(m.id))
+        case None => spark.read.parquet(pdir)
+      }
+      if (df.columns.contains(partitionCol)) df
+      else df.withColumn(partitionCol, value)
     }
     (snapFrame.toSeq ++ plainFrames).reduce(_.unionByName(_))
   }
 
-  /** Land one recomputed partition as a snapshot commit — the
-    * recompute's overwrite is deliberately the ONLY commit point. An
-    * earlier draft pre-ADOPTED plain partitions (their files as
-    * snapshot 0, for grace-window reads of the pre-correction state),
-    * but that opened a crash window: dying between the adopt commit
-    * and the overwrite commit left an adopted head whose files (plain
-    * partitioned writes) lack the partition column, which
-    * [[readTable]]'s multi-path read relies on — and the partition
-    * read as landed, so no later plan repaired it. With a single
-    * commit point a crash anywhere before the overwrite leaves the
-    * partition exactly as it was (plain or prior snapshot) — the
-    * convergence guarantee — and every snapshot head under a
-    * Backfill-managed table provably carries the partition column
-    * (the landing writes the guarded compute frame verbatim). A
-    * racing reader of a plain partition is still safe: overwrite
-    * creates new files under data/ and never touches the plain ones. */
+  /** Land one recomputed partition as a snapshot commit. A plain
+    * pre-format partition is first ADOPTED (its current files become
+    * snapshot 0 — one metadata commit, zero data movement), so the
+    * pre-correction state stays manifest-referenced: pinned-readable
+    * through the grace window, and protected from
+    * [[SnapshotTable.expire]]'s unreferenced-file sweep until the
+    * window passes it by. The two commits are individually atomic but
+    * not jointly: a crash BETWEEN them leaves the adopted snapshot as
+    * the head — whose files, being pre-format partitioned writes,
+    * lack the partition column. [[readTable]] handles exactly that
+    * state (adopted heads are identified by their bare manifest paths
+    * and read with the dir-derived value attached), and the operator's
+    * re-run of the same force converges. A crash BEFORE the overwrite
+    * commit on a gap partition leaves only _data orphans, invisible
+    * to every reader (underscore-hidden) and swept by expire once the
+    * partition has a committed snapshot. */
   private def land(
       df: DataFrame, tableDir: String, partitionCol: String,
-      value: String): Unit =
-    SnapshotTable.overwrite(df, partitionDir(tableDir, partitionCol, value))
+      value: String): Unit = {
+    val pdir = partitionDir(tableDir, partitionCol, value)
+    val spark = df.sparkSession
+    if (SnapshotTable.currentSnapshot(spark, pdir).isEmpty &&
+        hasPlainFiles(spark, pdir))
+      SnapshotTable.adopt(spark, pdir)
+    SnapshotTable.overwrite(df, pdir)
+  }
 
   /** Fill every gap in `expected` (and recompute every `force`d
     * partition) by calling `compute(spark, partitionValue)` and

@@ -13,8 +13,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * public Iceberg/Delta-family fix, reduced to its load-bearing core:
   *
   *  - DATA FILES ARE IMMUTABLE and uniquely named
-  *    (`data/snap<id>-<uuid>.parquet`) — no writer ever touches a
-  *    file a reader might hold;
+  *    (`_data/<tag>-<uuid>-<i>.parquet`; the underscore hides the dir
+  *    from Hadoop-convention directory listings — see [[DataDir]]) —
+  *    no writer ever touches a file a reader might hold;
   *  - A SNAPSHOT IS A MANIFEST (`manifests/snap-<id>.manifest`): the
   *    full list of data files visible at that version, plus a
   *    row-count stat. Publishing a snapshot = creating that one
@@ -45,8 +46,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object SnapshotTable {
 
   private val ManifestDir = "manifests"
-  private val DataDir = "data"
+  // Underscore-prefixed so Spark's file listing (and every other
+  // Hadoop-convention directory reader) IGNORES it: a crash between
+  // stage and publish leaves uniquely-named orphans under _data that
+  // are invisible not only to manifest-pinned readers but also to a
+  // plain directory read of the table dir — load-bearing for the
+  // Backfill landing, where a pre-format partition stays readable as
+  // a plain directory until its first snapshot commit and must not
+  // see torn staged files alongside its own.
+  private val DataDir = "_data"
   private val Terminator = "commit"
+
+  /** Was this manifest entry STAGED by a commit (lives under
+    * [[DataDir]], written from a caller's frame — carries whatever
+    * columns that frame had) as opposed to ADOPTED in place (a bare
+    * top-level name from a pre-format layout, whose files may lack
+    * columns the format's writers always carry)? [[graft.etl.Backfill]]
+    * routes reads on this distinction. */
+  private[etl] def isStagedPath(f: String): Boolean =
+    f.startsWith(s"$DataDir/")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

@@ -380,11 +380,22 @@ object BpeTrain {
     }) { (s, dir) =>
     val merges = trainedMerges(s, dir, DeclaredRounds).map(l => (l.a, l.b))
     val normalized = trim(regexp_replace(col("text"), " +", " "))
-    val merged = Bpe.mergedSymbolsWith(normalized, merges)
+    // Path choice by TABLE SHAPE: an a≠b table takes the replace
+    // chain (pure codegen'd builtins); a table with identical-pair
+    // rules — legal training output, e.g. ("o","o") — takes the
+    // min-rank segmentation kernel, which computes the same function
+    // (BpeTrainSpec pins chain ≡ kernel on a≠b tables and kernel ≡
+    // reference encoder on an (a,a)-bearing one).
+    val segments =
+      if (merges.forall { case (a, b) => a != b })
+        trim(Bpe.mergedSymbolsWith(normalized, merges))
+      else org.apache.spark.sql.graft.ColumnOps
+        .bpeSegment(normalized, merges)
     Tables(s, dir).documents
       .select(col("doc_id"),
-        trim(merged).as("segments"),
-        Bpe.countFromMerged(merged).as("n_tokens"))
+        segments.as("segments"),
+        org.apache.spark.sql.graft.ColumnOps
+          .bpeTokenCount(normalized, merges).as("n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -69,6 +69,39 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** The SEGMENTATION twin of [[BpeTokenCount]]: same bound table, same
+  * per-word min-rank merge loop, but emitting the merged symbol string
+  * ("sym sym | sym …", '|' the word sentinel — byte-identical to the
+  * trimmed output of the `graft.text.Bpe` replace chain on a≠b
+  * tables). This is the path that handles IDENTICAL-PAIR rules (a, a),
+  * which the literal-replace chain structurally cannot (its two-pass
+  * trick diverges on odd runs ≥ 5); `bpe_segment` routes to it
+  * whenever the trained table contains one. Cost model identical to
+  * the count kernel plus the output string build. */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_bpe_segment"
+
+  @transient private lazy val ranks = new BpeRanks(merges.toArray)
+
+  override def nullSafeEval(text: Any): Any =
+    ranks.segment(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      classOf[BpeRanks].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ranksRef.segment($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Precompiled merges table: symbols interned to ints, pair ranks and
   * outputs in an open-addressed long→int table (key `(a << 32) | b`) —
   * zero boxing in the per-word loop. Serializable via the raw merges
@@ -133,6 +166,82 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
       total += math.abs(len)
     }
     total
+  }
+
+  /** Merged symbol STRING of a text: per word the min-rank loop over
+    * (id, string) symbol pairs — identical merge decisions to
+    * [[countTokens]] (same compiled table, same scan), the merged
+    * string built by direct concatenation so no inverse id table is
+    * needed; inert code points (no id) stay single-char symbols.
+    * Words join with the `" | "` sentinel, matching the replace
+    * chain's trimmed output exactly on tables both accept. */
+  def segment(text: UTF8String): UTF8String = {
+    val c = compiled
+    val s = text.toString
+    val n = s.length
+    var ids = new Array[Int](64)
+    var strs = new Array[String](64)
+    val out = new java.lang.StringBuilder(n * 2)
+    var first = true
+    var i = 0
+    while (i < n) {
+      var len = 0
+      while (i < n && s.charAt(i) != ' ') {
+        val cp = s.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (len == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, len * 2)
+          strs = java.util.Arrays.copyOf(strs, len * 2)
+        }
+        ids(len) = if (cp < c.charIds.length) c.charIds(cp) else -1
+        strs(len) = s.substring(i, i + w)
+        i += w
+        len += 1
+      }
+      if (i < n) i += 1
+      var live = len
+      while (live > 1) {
+        var bestRank = Int.MaxValue
+        var bestKey = 0L
+        var j = 0
+        while (j < live - 1) {
+          val a = ids(j); val b = ids(j + 1)
+          if (a >= 0 && b >= 0) {
+            val key = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+            val r = c.pairRank.get(key)
+            if (r < bestRank) { bestRank = r; bestKey = key }
+          }
+          j += 1
+        }
+        if (bestRank == Int.MaxValue) live = -live
+        else {
+          val a = (bestKey >>> 32).toInt
+          val b = bestKey.toInt
+          val o = c.pairOut.get(bestKey)
+          var w = 0; var r = 0
+          while (r < live) {
+            if (r < live - 1 && ids(r) == a && ids(r + 1) == b) {
+              ids(w) = o; strs(w) = strs(r) + strs(r + 1); r += 2
+            } else { ids(w) = ids(r); strs(w) = strs(r); r += 1 }
+            w += 1
+          }
+          live = w
+        }
+      }
+      val m = math.abs(live)
+      if (m > 0) {
+        if (!first) out.append(" | ")
+        var k = 0
+        while (k < m) {
+          if (k > 0) out.append(' ')
+          out.append(strs(k))
+          k += 1
+        }
+        first = false
+      }
+      ()
+    }
+    UTF8String.fromString(out.toString)
   }
 }
 

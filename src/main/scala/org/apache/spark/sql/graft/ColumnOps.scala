@@ -35,4 +35,10 @@ object ColumnOps {
     * of the text, not the table size. */
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeTokenCount(ExpressionUtils.expression(c), merges))
+
+  /** Merged-symbol segmentation under a bound merges table via the
+    * native min-rank kernel ([[BpeSegment]]) — the path that handles
+    * identical-pair rules the replace chain must reject. */
+  def bpeSegment(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeSegment(ExpressionUtils.expression(c), merges))
 }

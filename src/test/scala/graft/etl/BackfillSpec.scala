@@ -148,6 +148,49 @@ class BackfillSpec extends SparkSpec {
       ((0 until 10).map(v => (v, "0")) :+ (999, "1")).toSet)
   }
 
+  test("a crash between adopt and overwrite still reads correctly and " +
+      "converges on the operator's re-force") {
+    val dir = tmpDir("backfill-adopt-crash") + "/t"
+    for (h <- Seq("0", "1"))
+      Sinks.overwritePartitions(hourFrame(spark, h), dir, "hour")
+    // Plant the crash state by hand: the adopt commit landed, the
+    // overwrite never did. The adopted head's files lack the hour
+    // column (pre-format partitioned writes) — readTable must identify
+    // the bare-path manifest and attach the dir-derived value.
+    SnapshotTable.adopt(spark, s"$dir/hour=1")
+    assert(tableRows(dir) ==
+      (0 until 20).map(v => (v, (v / 10).toString)).toSet,
+      "the adopted-head crash state must read as the pre-crash data")
+    // The interrupted correction is simply re-run and converges.
+    import spark.implicits._
+    Backfill.run(spark, dir, "hour", Seq("0", "1"), force = Seq("1")) {
+      (s, h) => Seq((999, h)).toDF("v", "hour")
+    }
+    assert(tableRows(dir) ==
+      ((0 until 10).map(v => (v, "0")) :+ (999, "1")).toSet)
+  }
+
+  test("force on a plain partition keeps the pre-correction state " +
+      "manifest-referenced through the grace window") {
+    val dir = tmpDir("backfill-grace") + "/t"
+    Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")
+    import spark.implicits._
+    Backfill.run(spark, dir, "hour", Seq("0"), force = Seq("0")) {
+      (s, h) => Seq((999, h)).toDF("v", "hour")
+    }
+    val pdir = s"$dir/hour=0"
+    // Even an aggressive zero-age expire with the default 2-snapshot
+    // window must keep the adopted pre-correction files: they are
+    // referenced by snapshot 0, not unreferenced orphans.
+    SnapshotTable.expire(spark, pdir, keepLast = 2, minAgeMs = 0)
+    val snaps = SnapshotTable.snapshots(spark, pdir)
+    assert(snaps.length == 2, "adopt + overwrite = two snapshots kept")
+    assert(SnapshotTable.read(spark, pdir, Some(snaps.head.id))
+      .count() == 10, "the pre-correction state must stay readable")
+    assert(SnapshotTable.read(spark, pdir, Some(snaps.last.id))
+      .count() == 1)
+  }
+
   test("empty recomputes are reported, not written") {
     val dir = tmpDir("backfill-empty") + "/t"
     Sinks.overwritePartitions(hourFrame(spark, "0"), dir, "hour")

@@ -69,11 +69,11 @@ class SnapshotTableSpec extends SparkSpec {
     // Plant the crash: orphan data file + manifest cut off mid-write
     // (no terminator) at the next id — exactly what a writer dying
     // between create() and close() leaves behind.
-    val orphan = new Path(s"$dir/data/w-dead-0.parquet")
+    val orphan = new Path(s"$dir/_data/w-dead-0.parquet")
     val o = fs.create(orphan, false); o.write(1); o.close()
     val torn = new Path(s"$dir/manifests/snap-00000001.manifest")
     val t = fs.create(torn, false)
-    t.write("files=2\nrows=9\ndata/w-dead-0.parquet\n".getBytes("UTF-8"))
+    t.write("files=2\nrows=9\n_data/w-dead-0.parquet\n".getBytes("UTF-8"))
     t.close()
     // Readers resolve past the torn manifest to the last good commit.
     assert(SnapshotTable.currentSnapshot(spark, dir).get.id == s1)
@@ -152,7 +152,7 @@ class SnapshotTableSpec extends SparkSpec {
     // replays — the orphans stay invisible, the replay commits once.
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val orphan = new Path(s"$dir/data/b1-deadstage-0.parquet")
+    val orphan = new Path(s"$dir/_data/b1-deadstage-0.parquet")
     val o = fs.create(orphan, false); o.write(1); o.close()
     val s1 = SnapshotTable.appendOnce(rows(1, from = 9), dir, batchId = 1L)
     assert(ids(dir) == Set(0L, 1L, 9L))
@@ -185,7 +185,7 @@ class SnapshotTableSpec extends SparkSpec {
     // the scheduled sweep from racing the commit that staged it.
     val dir = tmpDir("snaptab-age") + "/t"
     SnapshotTable.overwrite(rows(2), dir)
-    val inflight = new Path(s"$dir/data/w-inflight-0.parquet")
+    val inflight = new Path(s"$dir/_data/w-inflight-0.parquet")
     val o = fs.create(inflight, false); o.write(1); o.close()
     SnapshotTable.expire(spark, dir, keepLast = 1) // default minAge
     assert(fs.exists(inflight),

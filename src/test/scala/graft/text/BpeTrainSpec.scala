@@ -143,6 +143,48 @@ class BpeTrainSpec extends SparkSpec {
       "a 25% sample of a 31-word corpus must recover at least the top merge")
   }
 
+  test("the segmentation kernel handles identical-pair tables the " +
+      "replace chain rejects, and matches the chain where both apply") {
+    import org.apache.spark.sql.graft.ColumnOps
+    val texts = Seq(
+      "loooong loooong book book boot",
+      "oooo ooo oo boot book loot",
+      "loot loom loom boom boom boom")
+    val (learned, vocab) = BpeTrain.train(docsOf(texts), 12)
+    val merges = learned.map(l => (l.a, l.b))
+    assert(merges.exists(p => p._1 == p._2),
+      "the fixture must train an identical-pair rule")
+    intercept[IllegalArgumentException] {
+      Bpe.mergedSymbolsWith(lit("x"), merges)
+    }
+    // kernel segmentation per doc == the trainer's own per-word
+    // encoding joined in document order — min-rank inference agrees
+    // with rank-order training encoding THROUGH the (a,a) rules
+    val enc = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val norm = trim(regexp_replace(col("text"), " +", " "))
+    docsOf(texts)
+      .select(col("doc_id"), ColumnOps.bpeSegment(norm, merges).as("seg"))
+      .collect().foreach { r =>
+        val want = texts(r.getLong(0).toInt).split(" ").filter(_.nonEmpty)
+          .map(w => enc(w).mkString(" ")).mkString(" | ")
+        assert(r.getString(1) == want,
+          s"kernel segmentation diverges for doc ${r.getLong(0)}")
+      }
+    // and on the (a≠b) corpus-trained table, kernel ≡ chain bit-exactly
+    val corpusMerges = BpeTrain
+      .train(Tables(spark, sf).documents, BpeTrain.DeclaredRounds)
+      ._1.map(l => (l.a, l.b))
+    val diverging = Tables(spark, sf).documents
+      .select(
+        trim(Bpe.mergedSymbolsWith(norm, corpusMerges)).as("chain"),
+        ColumnOps.bpeSegment(norm, corpusMerges).as("kernel"))
+      .filter(col("chain") =!= col("kernel"))
+      .count()
+    assert(diverging == 0,
+      "chain and kernel segmentation must agree on every document")
+  }
+
   test("bpe_segment's token counts equal the kernel's, corpus-wide — " +
       "chain segmentation, trainer encoding, and kernel counting agree") {
     val seg = graft.SparkEntry.queries("bpe_segment")(spark, sf)
