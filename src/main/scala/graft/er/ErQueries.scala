@@ -122,11 +122,13 @@ object ErQueries {
        |)""".stripMargin
 
   /** Candidate pairs (capped buckets + star edges, both passes,
-    * deduped with pass counts) verified with edit distance — the
-    * DuckDB mirror of [[matchesOf]] including the cap, so the
-    * contract holds on ANY corpus, not just ones where no block
-    * reaches it. */
-  private val sqlCandCte =
+    * deduped with pass counts) verified with edit distance ≤ `maxLev`
+    * — the DuckDB mirror of [[matchesWithin]] including the cap, so
+    * the contract holds on ANY corpus, not just ones where no block
+    * reaches it. The declared family pins maxLev = 2;
+    * `er_threshold_select` sweeps a wider bound to MEASURE that
+    * choice. */
+  private def sqlCandCteLev(maxLev: Int): String =
     s"""$sqlBpCte, rnk AS (
        |  SELECT rec_id, entity_id, name, pass, blk,
        |         row_number() OVER (PARTITION BY pass, blk
@@ -143,19 +145,21 @@ object ErQueries {
        |  FROM live l JOIN live r
        |    ON l.pass = r.pass AND l.blk = r.blk AND l.rec_id < r.rec_id
        |  WHERE l.rk <= $ErBlockCap AND r.rk <= $ErBlockCap
-       |    AND levenshtein(l.name, r.name) <= 2
+       |    AND levenshtein(l.name, r.name) <= $maxLev
        |  UNION ALL
        |  SELECT h.rec_id, t.rec_id, h.entity_id, t.entity_id,
        |         CAST(levenshtein(h.name, t.name) AS BIGINT), t.pass
        |  FROM live t JOIN live h
        |    ON t.pass = h.pass AND t.blk = h.blk AND h.rk = 1
-       |  WHERE t.rk > $ErBlockCap AND levenshtein(h.name, t.name) <= 2
+       |  WHERE t.rk > $ErBlockCap AND levenshtein(h.name, t.name) <= $maxLev
        |), m AS (
        |  SELECT rec_a, rec_b, max(ent_a) AS ent_a, max(ent_b) AS ent_b,
        |         max(lev_dist) AS lev_dist,
        |         CAST(count(*) AS BIGINT) AS n_passes
        |  FROM cand GROUP BY rec_a, rec_b
        |)""".stripMargin
+
+  private val sqlCandCte = sqlCandCteLev(2)
 
   /** The dirty-twin record set — same construction as [[sqlRecCte]],
     * column for column. */
@@ -207,7 +211,11 @@ object ErQueries {
     * shuffle carries only match-grade pairs and only narrow numeric
     * keys (the names stay out of the exchange — measured 2.5× on
     * `er_quality` when they rode along). */
-  private[graft] def matchesOf(t: Tables): DataFrame = {
+  private[graft] def matchesOf(t: Tables): DataFrame = matchesWithin(t, 2)
+
+  /** [[matchesOf]] with the verify threshold parametrized — the
+    * declared family pins ≤ 2; `er_threshold_select` sweeps wider. */
+  private def matchesWithin(t: Tables, maxLev: Int): DataFrame = {
     import graft.ops.Checkpoints.CheckpointOps
     val byBucket = Window.partitionBy(col("pass"), col("blk"))
     // Explicit bucket-keyed repartition at the session's shuffle
@@ -264,7 +272,7 @@ object ErQueries {
     // keeps plain levenshtein and still hash-matches.
     headPairs.unionByName(starEdges)
       .withColumn("lev_dist",
-        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+        levenshtein(col("name_a"), col("name_b"), maxLev).cast("long"))
       .filter(col("lev_dist") >= 0)
       // Cross-pass dedup with per-pass evidence. n_passes = count(*):
       // within one pass a record lives in exactly ONE bucket, and the
@@ -585,7 +593,82 @@ object ErQueries {
       .orderBy("key_len")
   }
 
+  /** Verify-threshold selector — the `er_key_select` discipline
+    * applied to the OTHER ER knob: sweep the edit-distance threshold
+    * L ∈ 0..4 over the capped two-pass candidates (verified once at
+    * the widest bound; each row is the CUMULATIVE lev ≤ L view),
+    * report matches/tp/fp/precision/recall per L, and select the
+    * NARROWEST threshold whose recall against the planted ground
+    * truth reaches 1.0 — tighter thresholds admit fewer impostors, so
+    * the selector pays exactly as much edit tolerance as the measured
+    * damage demands and no more. On this fixture it selects ≤ 1
+    * (every planted twin is exactly one edit away), which EXPOSES the
+    * declared family's pinned ≤ 2 as one notch of deliberate
+    * robustness margin — margin for damage the fixture doesn't plant
+    * — and prices it: precision 0.54 at the selected 1 vs 0.47 at the
+    * pinned 2 (sf0.01). That is the point of an evidence query: the
+    * operator sees what the margin costs before keeping it. The frame
+    * is the same bounded candidate machinery; the sweep costs one
+    * wider verify pass plus a 5-row aggregate. */
+  private val erThresholdSelect = Q(
+    "er_threshold_select", {
+      val maxSweep = 4
+      s"""${sqlCandCteLev(maxSweep)}, th AS (
+         |  SELECT unnest(range(0, ${maxSweep + 1})) AS lev_max
+         |), agg AS (
+         |  SELECT th.lev_max,
+         |         CAST(count(m.rec_a) AS BIGINT) AS n_matches,
+         |         CAST(count(CASE WHEN m.ent_a = m.ent_b THEN 1 END)
+         |              AS BIGINT) AS tp
+         |  FROM th LEFT JOIN m ON m.lev_dist <= th.lev_max
+         |  GROUP BY th.lev_max
+         |), gt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_true FROM customer
+         |)
+         |SELECT CAST(lev_max AS INTEGER) AS lev_max, n_matches, tp,
+         |       n_matches - tp AS fp,
+         |       CAST(tp AS DOUBLE) / CAST(nullif(n_matches, 0) AS DOUBLE)
+         |         AS precision,
+         |       CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+         |       CAST(CASE WHEN tp = n_true THEN 1 ELSE 0 END AS INTEGER)
+         |         AS qualifies,
+         |       CAST(CASE WHEN tp = n_true AND lev_max =
+         |              min(CASE WHEN tp = n_true THEN lev_max END) OVER ()
+         |            THEN 1 ELSE 0 END AS INTEGER) AS selected
+         |FROM agg CROSS JOIN gt
+         |ORDER BY lev_max""".stripMargin
+    }) { (s, dir) =>
+    val maxSweep = 4
+    val t = Tables(s, dir)
+    val wide = matchesWithin(t, maxSweep)
+    val th = s.range(0, maxSweep + 1).select(col("id").as("lev_max"))
+    val agg = th.join(wide, col("lev_dist") <= col("lev_max"), "left")
+      .groupBy(col("lev_max"))
+      .agg(
+        count(col("rec_a")).as("n_matches"),
+        count(when(col("ent_a") === col("ent_b"), 1)).as("tp"))
+    val gt = t.customer.agg(count(lit(1)).as("n_true"))
+    val wAll = Window.partitionBy()
+    agg.crossJoin(broadcast(gt))
+      .withColumn("qualifies",
+        when(col("tp") === col("n_true"), 1).otherwise(0).cast("int"))
+      .withColumn("best",
+        min(when(col("qualifies") === 1, col("lev_max"))).over(wAll))
+      .select(
+        col("lev_max").cast("int").as("lev_max"),
+        col("n_matches"), col("tp"),
+        (col("n_matches") - col("tp")).as("fp"),
+        (col("tp").cast("double") /
+          nullif(col("n_matches"), lit(0L)).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"),
+        col("qualifies"),
+        when(col("qualifies") === 1 && col("lev_max") === col("best"), 1)
+          .otherwise(0).cast("int").as("selected"))
+      .orderBy("lev_max")
+  }
+
   val queries: Seq[Q] =
     Seq(erCandidates, erMatches, erGolden, erQuality, erIncremental,
-      erKeySelect)
+      erKeySelect, erThresholdSelect)
 }

@@ -125,6 +125,28 @@ class ErQueriesSpec extends SparkSpec {
     assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse)
   }
 
+  test("er_threshold_select: cumulative sweep, narrowest full-recall " +
+      "threshold selected, monotone counts") {
+    val rows = SparkEntry.queries("er_threshold_select")(spark, sf)
+      .orderBy("lev_max").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(6), r.getInt(7)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    // cumulative: matches and true positives never decrease with L
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted)
+    val nCust = Tables(spark, sf).customer.count()
+    rows.foreach { case (_, _, tp, _, q, _) =>
+      assert((q == 1) == (tp == nCust)) }
+    // exactly one selection: the narrowest full-recall threshold —
+    // lev 1 here (every planted twin is one edit away), exposing the
+    // family's pinned <= 2 as priced robustness margin
+    assert(rows.count(_._6 == 1) == 1)
+    val sel = rows.find(_._6 == 1).get
+    assert(sel._1 == 1 && sel._5 == 1)
+    assert(rows.filter(_._1 < sel._1).forall(_._5 == 0))
+  }
+
   test("er_quality reconciles with the labeled match list") {
     val q = SparkEntry.queries("er_quality")(spark, sf).collect().head
     val matches = SparkEntry.queries("er_matches")(spark, sf).collect()
