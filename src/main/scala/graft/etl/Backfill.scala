@@ -201,7 +201,17 @@ object Backfill {
       if (df.columns.contains(partitionCol)) df
       else df.withColumn(partitionCol, value)
     }
-    (snapFrame.toSeq ++ plainFrames).reduce(_.unionByName(_))
+    val frames = snapFrame.toSeq ++ plainFrames
+    // Every surviving partition can hold a committed-but-EMPTY head
+    // (files=0 manifests: hasData is true, yet no frame contributes) —
+    // a bare reduce would throw empty.reduceLeft. Schema cannot be
+    // conjured from zero files, so fail with the state named instead
+    // of an unhelpful reduce error.
+    require(frames.nonEmpty,
+      s"$tableDir: every partition's head snapshot is empty (committed " +
+        "manifests listing zero files) — nothing to read; recompute or " +
+        "force the partitions to land data")
+    frames.reduce(_.unionByName(_))
   }
 
   /** Land one recomputed partition as a snapshot commit. A plain

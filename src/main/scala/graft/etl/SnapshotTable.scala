@@ -55,16 +55,25 @@ object SnapshotTable {
   // a plain directory until its first snapshot commit and must not
   // see torn staged files alongside its own.
   private val DataDir = "_data"
+  // Pre-rename staging dir (the format's first rounds staged under a
+  // bare `data/`): manifests written then reference `data/…` paths.
+  // Reads resolve those paths unchanged (manifests carry
+  // table-relative paths), but [[isStagedPath]] and [[expire]] must
+  // keep recognizing the legacy prefix — otherwise legacy staged
+  // partitions misroute through Backfill's attached-value path, and
+  // legacy files referenced only by expired manifests leak forever.
+  private val LegacyDataDir = "data"
   private val Terminator = "commit"
 
   /** Was this manifest entry STAGED by a commit (lives under
-    * [[DataDir]], written from a caller's frame — carries whatever
-    * columns that frame had) as opposed to ADOPTED in place (a bare
-    * top-level name from a pre-format layout, whose files may lack
-    * columns the format's writers always carry)? [[graft.etl.Backfill]]
-    * routes reads on this distinction. */
+    * [[DataDir]] — or the pre-rename [[LegacyDataDir]] — written from
+    * a caller's frame, so it carries whatever columns that frame had)
+    * as opposed to ADOPTED in place (a bare top-level name from a
+    * pre-format layout, whose files may lack columns the format's
+    * writers always carry)? [[graft.etl.Backfill]] routes reads on
+    * this distinction. */
   private[etl] def isStagedPath(f: String): Boolean =
-    f.startsWith(s"$DataDir/")
+    f.startsWith(s"$DataDir/") || f.startsWith(s"$LegacyDataDir/")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -367,14 +376,18 @@ object SnapshotTable {
       .filter(id => !keptIds(id) && id < floorId)
       .map { id => fs.delete(manifestPath(tableDir, id), false); 1L }
       .sum
-    val dataDir = new Path(s"$tableDir/$DataDir")
-    val staged =
+    // Both staging prefixes swept: tables written before the
+    // data → _data rename hold staged files under the legacy name,
+    // referenced only by manifests this GC may be expiring.
+    val staged = Seq(DataDir, LegacyDataDir).map { d =>
+      val dataDir = new Path(s"$tableDir/$d")
       if (!fs.exists(dataDir)) 0L
       else fs.listStatus(dataDir).toSeq.map { s =>
-        val rel = s"$DataDir/${s.getPath.getName}"
+        val rel = s"$d/${s.getPath.getName}"
         if (keptFiles(rel) || s.getModificationTime > cutoff) 0L
         else { fs.delete(s.getPath, true); 1L }
       }.sum
+    }.sum
     // Adopted files live at top level under their bare names — sweep
     // the ones no kept manifest references, same rules as data/.
     val adopted = fs.listStatus(new Path(tableDir)).toSeq

@@ -2178,14 +2178,20 @@ object RelationalQueries {
     * warehouse scale, so the products stay decimal INTERNALLY on BOTH
     * engines; the quotient is the correctly-rounded double of two
     * exact integers — identical on any IEEE engine). The emitted
-    * num/den columns are BIGINT: a decimal128 output column survives
-    * into Spark parquet as `Decimal(…)` objects while the DuckDB
-    * oracle frame float-coerces the same value, so the hash diverges
-    * on representation despite bit-identical values (the round-6
-    * `sql_q6` dtype incident, tools/check_oracle.py). At driver SFs
-    * the cross-products fit BIGINT comfortably; past ~10^9 rows per
-    * group a caller should read the exact DECIMAL intermediates
-    * instead — the arithmetic above them is already exact. */
+    * num/den columns are DOUBLE, each the correctly-rounded cast of
+    * the exact decimal — identical on both engines at ANY magnitude
+    * (IEEE round-to-nearest of the same exact integer). Two rejected
+    * alternatives: emitting the decimal raw survives into Spark
+    * parquet as `Decimal(…)` objects while the DuckDB oracle frame
+    * float-coerces the same value, so the hash diverges on
+    * representation despite bit-identical values (the round-6
+    * `sql_q6` dtype incident, tools/check_oracle.py); emitting
+    * BIGINT overflows DATA-DEPENDENTLY — slope_num ≈ n²·cov(x,y)
+    * crosses 2^63 near ~5·10^5 rows per group on strongly-correlated
+    * data (TPC-H-shaped cov ≈ 3e7 cents), throwing under ANSI and
+    * silently nulling otherwise. A caller needing the full integer
+    * past 2^53 reads the exact DECIMAL intermediates — the
+    * arithmetic above the final cast is already exact. */
   private val regrOls = Q(
     "regr_ols",
     """WITH s AS (
@@ -2203,8 +2209,8 @@ object RelationalQueries {
       |)
       |SELECT l_returnflag,
       |       CAST(n AS BIGINT) AS n_rows,
-      |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-      |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |       CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+      |       CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
       |       CAST(n * sxy - sx * sy AS DOUBLE)
       |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_qty,
       |       CAST(sy * sxx - sx * sxy AS DOUBLE)
@@ -2233,10 +2239,8 @@ object RelationalQueries {
     stats.select(
         col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
-        (col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast("long").as("slope_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast("long").as("slope_den"),
+        num.as("slope_num"),
+        den.as("slope_den"),
         (num / den).as("slope_cents_per_qty"),
         ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
           / den).as("intercept_cents"),

@@ -143,19 +143,41 @@ object BpeTrain {
     s"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN " +
       SampleHexDigits.mkString("('", "', '", "')")
 
-  /** Train-once memo per (corpus dir, rounds, sampled) — the
+  /** Train-once memo per (corpus FINGERPRINT, rounds, sampled) — the
     * in-process form of the write-once layout discipline (the learned
     * table is 16 tiny rows; a production run would store it beside the
     * tokenizer artifacts). The declared queries and any bench pass
-    * after the first reuse the training. */
+    * after the first reuse the training. Keyed by [[corpusStamp]],
+    * not the bare dir: a corpus REWRITTEN under the same path in one
+    * JVM (the ScaleStress replicate/overwrite pattern, a test
+    * regenerating a fixture dir) must re-train, never bill against a
+    * stale merges table. The stamp is one listStatus of the documents
+    * dir (name+length+mtime per file) — metadata-sized per query
+    * call, and any rewrite changes it. */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), Seq[Learned]]()
+
+  /** Cheap corpus fingerprint: the documents table's file listing
+    * (name, byte length, modification time), order-normalized. */
+  private[text] def corpusStamp(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) s"$dir#absent"
+    else fs.listStatus(p).toSeq
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(s"$dir#", ";", "")
+  }
 
   private[text] def trainedMerges(
       s: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int, sampled: Boolean = false): Seq[Learned] =
-    memo.computeIfAbsent((dir, rounds, sampled), _ => {
-      val docs = Tables(s, dir).documents
+    memo.computeIfAbsent((corpusStamp(s, dir), rounds, sampled), _ => {
+      // Fresh read, NOT Tables' cached relation handle: a re-train
+      // exists precisely because the corpus was rewritten, and the
+      // cached handle pins the pre-rewrite file listing. One extra
+      // footer resolution per training — noise against the rounds.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
       train(if (sampled) sampledDocs(docs) else docs, rounds)._1
     })
 

@@ -201,4 +201,30 @@ class BackfillSpec extends SparkSpec {
     assert(Backfill.existingPartitions(spark, dir, "hour") == Set("0"),
       "an empty frame cannot fill a partition")
   }
+
+  test("a table whose every head snapshot is empty fails loud, not " +
+    "with empty.reduceLeft") {
+    // Plant the committed-but-empty state: a partition whose head
+    // manifest is valid yet lists zero files (hasData is true via
+    // head.nonEmpty, but it contributes no frame).
+    val dir = tmpDir("backfill-allempty") + "/t"
+    val pdir = s"$dir/hour=0"
+    val fs = new org.apache.hadoop.fs.Path(pdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$pdir/manifests"))
+    val m = fs.create(new org.apache.hadoop.fs.Path(
+      s"$pdir/manifests/snap-00000000.manifest"), false)
+    m.write("files=0\nrows=0\ncommit\n".getBytes("UTF-8"))
+    m.close()
+    assert(Backfill.existingPartitions(spark, dir, "hour") == Set("0"))
+    val e = intercept[IllegalArgumentException] {
+      Backfill.readTable(spark, dir, "hour")
+    }
+    assert(e.getMessage.contains("empty"),
+      s"must name the all-empty-snapshots state, got: ${e.getMessage}")
+    // A real partition beside it reads fine (the empty head simply
+    // contributes nothing).
+    Sinks.overwritePartitions(hourFrame(spark, "1"), dir, "hour")
+    assert(tableRows(dir) == (10 until 20).map(v => (v, "1")).toSet)
+  }
 }

@@ -214,4 +214,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.snapshots(spark, dir).map(_.id) == Seq(0L, 1L, 2L))
     assert(ids(dir) == Set(30L, 31L, 32L))
   }
+
+  test("pre-rename tables (staged under data/) read, classify as " +
+    "staged, and expire sweeps their legacy files") {
+    // Plant the layout the data -> _data rename left behind: a valid
+    // manifest referencing data/… files.
+    val dir = tmpDir("snaptab-legacy") + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = tmpDir("snaptab-legacy-stage")
+    rows(3).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new Path(stage)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.mkdirs(new Path(s"$dir/data"))
+    assert(fs.rename(part, new Path(s"$dir/data/w-legacy-0.parquet")))
+    fs.mkdirs(new Path(s"$dir/manifests"))
+    val m = fs.create(new Path(s"$dir/manifests/snap-00000000.manifest"), false)
+    m.write("files=1\nrows=3\ndata/w-legacy-0.parquet\ncommit\n"
+      .getBytes("UTF-8"))
+    m.close()
+    // Reads resolve (manifests carry table-relative paths) and the
+    // legacy prefix classifies as STAGED — Backfill's multi-path scan
+    // route, not the attached-value one.
+    assert(ids(dir) == Set(0L, 1L, 2L))
+    assert(SnapshotTable.isStagedPath("data/w-legacy-0.parquet"))
+    assert(SnapshotTable.isStagedPath("_data/w-new-0.parquet"))
+    assert(!SnapshotTable.isStagedPath("adopted-toplevel.parquet"))
+    // Once a new-layout commit supersedes it and the grace window
+    // passes, expire must sweep the data/ file — pre-fix it leaked
+    // forever (the sweep only scanned _data/ and top-level files).
+    SnapshotTable.overwrite(rows(1, from = 40), dir)
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
+    assert(!fs.exists(new Path(s"$dir/data/w-legacy-0.parquet")),
+      "expire must sweep legacy data/ files once unreferenced")
+    assert(ids(dir) == Set(40L))
+  }
 }

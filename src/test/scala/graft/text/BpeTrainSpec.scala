@@ -217,4 +217,27 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges == Bpe.Merges.take(BpeTrain.DeclaredRounds),
       "the pinned Bpe.Merges fixture must be reproducible from the corpus")
   }
+
+  test("the training memo re-trains when the corpus under a dir is " +
+      "rewritten in the same JVM") {
+    // The ScaleStress replicate/overwrite pattern: same path, new
+    // corpus. A dir-keyed memo would bill every later query against
+    // the stale merges table with no error.
+    val dir = tmpDir("bpe-memo")
+    docsOf(Seq("aa aa aa bb", "aa bb bb"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = BpeTrain.trainedMerges(spark, dir, rounds = 1)
+    assert(first.map(l => (l.a, l.b)) == Seq(("a", "a")))
+    // Memo hit on the unchanged corpus: same object back.
+    assert(BpeTrain.trainedMerges(spark, dir, rounds = 1) eq first)
+    // Rewrite the corpus at the SAME path (different content and byte
+    // length, so the listing fingerprint changes even within mtime
+    // granularity) — the next call must train on the new corpus.
+    docsOf(Seq("cc cc cc cc dd dd — a longer rewritten corpus row",
+        "cc dd dd cc"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = BpeTrain.trainedMerges(spark, dir, rounds = 1)
+    assert(second.map(l => (l.a, l.b)) == Seq(("c", "c")),
+      "a rewritten corpus must re-train, not serve stale merges")
+  }
 }
