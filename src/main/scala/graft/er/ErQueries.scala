@@ -511,12 +511,11 @@ object ErQueries {
   }
 
   /** [[incrementalProbe]] with the block-key WIDTH SCALED to the
-    * corpus — the ScaleStress entry point (the `nearDupScaled`
-    * discipline: the declared query pins k = 3 because its oracle must
-    * replay one fixed plan; a production loader re-runs
-    * `er_key_select` as the corpus grows and widens the key so the
-    * expected block stays at the 16-record policy size). k =
-    * ⌈log10(2n/16)⌉ suffix digits gives 10^k block space targeting
+    * corpus (the `nearDupScaled` discipline: the fixed-k query pins
+    * k = 3 because its oracle must replay one fixed plan; a production
+    * loader re-runs `er_key_select` as the corpus grows and widens the
+    * key so the expected block stays at the 16-record policy size).
+    * k = ⌈log10(2n/16)⌉ suffix digits gives 10^k block space targeting
     * that policy, CLAMPED at 4: the damage geometry (deletions land at
     * positions 10–14 of an 18-char name) makes right-4 the widest
     * deletion-stable suffix — past that a production system widens by
@@ -530,6 +529,24 @@ object ErQueries {
       math.log10(math.max(1.0, 2.0 * n / 16))).toInt))
     incrementalProbe(t, k)
   }
+
+  /** The DECLARED scale form of the incremental probe — the
+    * `similarity_ivf_scaled` pattern: [[incrementalScaled]] as a
+    * first-class query key, no-oracle BY DESIGN (the block-key width
+    * is corpus-derived — k = ⌈log10(2n/16)⌉ clamped to [3, 4] — so a
+    * static SQL mirror cannot replay the plan the engine actually
+    * runs at an arbitrary SF; DuckDB has no analog of the two-step
+    * count-then-plan). Correctness is spec-bounded instead
+    * (ErQueriesSpec: routing recall vs the planted truth ≥ the fixed-k
+    * probe's, fan-in ≤ the fixed-k probe's at every SF where they
+    * diverge). This is the production loader: the fixed-k
+    * `er_incremental` pins keyLen = 3 for its static oracle and its
+    * probe fan-in grows LINEARLY with the corpus on the fixed
+    * 10³-suffix block space (measured 6.8× wall at 10×-sf0.1) — the
+    * scaled key keeps the expected block at the policy size, measured
+    * 1.6 at 10× in ScaleStress. */
+  private val erIncrementalScaled =
+    Q.noOracle("er_incremental_scaled")(incrementalScaled)
 
   /** Block-key width selector — the `dedup_banding_select` discipline
     * applied to ER: evaluate right-k blocking for k ∈ {2, 3, 4} on the
@@ -670,5 +687,5 @@ object ErQueries {
 
   val queries: Seq[Q] =
     Seq(erCandidates, erMatches, erGolden, erQuality, erIncremental,
-      erKeySelect, erThresholdSelect)
+      erIncrementalScaled, erKeySelect, erThresholdSelect)
 }

@@ -82,6 +82,7 @@ object ScaleStress {
     "join_point_in_time", "agg_mode", "agg_listagg", "compaction_plan",
     // r13: ER through the capped pairing path
     "er_candidates", "er_matches", "er_quality", "er_incremental",
+    "er_incremental_scaled",
     "er_threshold_select", "customer_pareto", "regr_ols")
 
   /** 10× events/orders: fresh ids (event_id/o_orderkey re-keyed per
