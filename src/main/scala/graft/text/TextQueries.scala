@@ -1123,6 +1123,104 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** HTML/markup main-content extraction [EXT] — the first stage of
+    * every web-scale corpus (the C4/RefinedWeb tag-strip +
+    * boilerplate-removal step the rest of the text family assumes
+    * already happened; the reference ingests clean JSON, so this is
+    * pure north-star surface). Input is a PLANTED HTML twin of
+    * `documents`, constructed by a deterministic tag wrap both engines
+    * build identically (title/script/style head, nav boilerplate, an
+    * id="main" content div holding an h1 and the document text, a
+    * footer) — the `er_candidates` dirty-twin discipline applied to
+    * markup. Extraction is the standard regex/stack-free pipeline:
+    *
+    *   1. drop script/style ELEMENTS with their content (code and CSS
+    *      are not text);
+    *   2. drop nav/footer boilerplate elements with their content (the
+    *      main-content-extraction step — chrome is not content);
+    *   3. strip every remaining tag to a space (inline tags must not
+    *      weld adjacent words);
+    *   4. squeeze whitespace, trim.
+    *
+    * Reported per doc: the extracted main text, html/text char counts,
+    * and `markup_frac` — the fraction of bytes that were markup, the
+    * signal a corpus owner thresholds on before `corpus_filter_report`
+    * (the composition is spec-pinned: extraction exactly recovers the
+    * planted content, so every downstream text operator runs on it
+    * unchanged). Scale: one narrow whole-stage-codegen projection —
+    * per-row regex over kB strings, zero shuffle before the final
+    * order. All five patterns are shared verbatim with the DuckDB
+    * oracle (lazy quantifiers — supported by both Java regex and RE2;
+    * no dotall needed, the planted twin is single-line by
+    * construction). */
+  private[text] def htmlTwin: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><script type=\"text/javascript\">var docId = "),
+    col("doc_id").cast("string"), lit("; track();</script>"),
+    lit("<style>.main { margin: "), (col("doc_id") % 7).cast("string"),
+    lit("px; }</style></head><body>"),
+    lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+    lit("<div id=\"main\"><h1>"), col("source"), lit(" "),
+    col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+    lit("</p></div><footer>(c) corpus "), col("lang"),
+    lit("</footer></body></html>"))
+
+  /** The extraction passes, shared with the oracle: element drops
+    * (title/script/style head metadata and nav/footer boilerplate WITH
+    * their content — none of it is body text), then the generic tag
+    * strip. */
+  private[text] val HtmlStripPatterns = Seq(
+    "<title[^>]*>.*?</title>",
+    "<script[^>]*>.*?</script>", "<style[^>]*>.*?</style>",
+    "<nav>.*?</nav>", "<footer>.*?</footer>", "<[^>]*>")
+
+  private[text] def htmlMainText(html: Column): Column =
+    trim(regexp_replace(
+      HtmlStripPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " ")),
+      " +", " "))
+
+  private val textHtmlExtract = Q(
+    "text_html_extract", {
+      val stripped = HtmlStripPatterns.foldLeft("html")((c, p) =>
+        s"regexp_replace($c, '$p', ' ', 'g')")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |      || '</title><script type="text/javascript">var docId = '
+         |      || CAST(doc_id AS VARCHAR) || '; track();</script>'
+         |      || '<style>.main { margin: ' || CAST(doc_id % 7 AS VARCHAR)
+         |      || 'px; }</style></head><body>'
+         |      || '<nav><a href="/home">home</a> <a href="/about">about</a></nav>'
+         |      || '<div id="main"><h1>' || source || ' '
+         |      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+         |      || '</p></div><footer>(c) corpus ' || lang
+         |      || '</footer></body></html>' AS html
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, html,
+         |         trim(regexp_replace($stripped, ' +', ' ', 'g'))
+         |           AS main_text
+         |  FROM h
+         |)
+         |SELECT doc_id, main_text,
+         |       CAST(length(html) AS BIGINT) AS html_chars,
+         |       CAST(length(main_text) AS BIGINT) AS text_chars,
+         |       CAST(length(html) - length(main_text) AS DOUBLE)
+         |         / CAST(length(html) AS DOUBLE) AS markup_frac
+         |FROM x ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), htmlTwin.as("html"))
+      .select(col("doc_id"),
+        htmlMainText(col("html")).as("main_text"),
+        length(col("html")).cast("long").as("html_chars"))
+      .withColumn("text_chars", length(col("main_text")).cast("long"))
+      .withColumn("markup_frac",
+        (col("html_chars") - col("text_chars")).cast("double") /
+          col("html_chars").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document unigram-LM cross-entropy — the CCNet-family quality
     * signal: score each document by how surprising its tokens are under
     * a language model trained on the corpus itself (boilerplate and
@@ -1591,6 +1689,7 @@ object TextQueries {
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
+      textHtmlExtract,
       textPerplexityBits, textBigramBits, sampleUniformHash,
       textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance,
       splitDriftReport)

@@ -51,7 +51,9 @@ object ScaleStress {
     "text_decontaminate_fuzzy", "curriculum_order",
     // r13: the exact prefix-filtered tau-join (uncapped by definition —
     // this cell MEASURES the exactness price as the corpus grows)
-    "dedup_prefix_join")
+    "dedup_prefix_join",
+    // r14
+    "text_html_extract")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",

@@ -168,4 +168,35 @@ class CorpusAnalysisSpec extends SparkSpec {
     assert(winIdx >= 0 && plan.indexOf("bucket", winIdx) >= 0,
       "global window does not sit above the bucket-ranked prune")
   }
+
+  test("text_html_extract: extraction exactly recovers the planted main " +
+      "content — the text family composes on the output unchanged") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("text_html_extract")(spark, sf)
+    // The planted twin's main div holds '<h1>source doc_id</h1><p>text</p>':
+    // a correct strip+squeeze recovers exactly those words, nothing of
+    // the script/style/nav/footer chrome.
+    val expected = graft.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        concat(col("source"), lit(" "), col("doc_id").cast("string"),
+          lit(" "), col("text")).as("expect"))
+    val diverging = out.join(expected, "doc_id")
+      .filter(col("main_text") =!= col("expect")).count()
+    assert(diverging == 0,
+      "main-content extraction must recover the planted text verbatim")
+    // No chrome word survives into any extracted text.
+    assert(out.filter(col("main_text").contains("docId") ||
+        col("main_text").contains("margin") ||
+        col("main_text").contains("home") ||
+        col("main_text").contains("corpus")).count() == 0,
+      "script/style/nav/footer content must be dropped, not just untagged")
+    // markup_frac is a genuine fraction: the wrap always adds chrome,
+    // never swallows the whole document.
+    val fr = out.agg(min(col("markup_frac")), max(col("markup_frac"))).head
+    assert(fr.getDouble(0) > 0.0 && fr.getDouble(1) < 1.0)
+    // char accounting is internally consistent
+    assert(out.filter(
+      col("text_chars") =!= length(col("main_text")) ||
+        col("text_chars") >= col("html_chars")).count() == 0)
+  }
 }
