@@ -46,4 +46,41 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.flaggedCells(Map("a" -> 9.0), "/data/sf0.1",
       bad.toString).isEmpty)
   }
+
+  test("adjudication clears a flag on the first clean retry and stops " +
+      "retrying — the reported time is the post-retry min") {
+    var runs = Map.empty[String, Int]
+    // First retry of 'a' lands in a clean window (0.9 s, under gate).
+    val rerun: String => Double = n => { runs += n -> (runs.getOrElse(n, 0) + 1); 0.9 }
+    val (surviving, minima) = Bench.adjudicateFlags(
+      Map("a" -> ((3.0, 1.0))), rerun, () => 42.0, steadyCpuMs = 42.4)
+    assert(surviving.isEmpty, "a cleared flag must not reach the JSON")
+    assert(runs("a") == 1, "retrying must stop as soon as the min clears")
+    assert(minima("a") == 0.9, "the cell's reported time takes the retry min")
+  }
+
+  test("a persistent flag survives with its retries and host stamp") {
+    val rerun: String => Double = _ => 2.8 // still over 1.5*1.0+0.25
+    var probes = List(84.8, 90.0, 88.0) // degraded host: ~2x steady
+    val probe: () => Double =
+      () => { val h = probes.head; probes = probes.tail :+ h; h }
+    val (surviving, minima) = Bench.adjudicateFlags(
+      Map("a" -> ((3.0, 1.0))), rerun, probe, steadyCpuMs = 42.4)
+    val r = surviving("a")
+    assert(r.runS == 2.8 && r.steadyS == 1.0)
+    assert(r.retries == Seq(2.8, 2.8), "both retries recorded")
+    assert(r.hostCpuMs == 84.8, "stamp is the best probe around the retries")
+    assert(math.abs(r.hostFactor - 2.0) < 0.01,
+      "host_factor = probe / recorded clean steady")
+    assert(minima("a") == 2.8)
+  }
+
+  test("a failed retry (-1) never lowers the min; unrecorded host steady " +
+      "reads factor -1") {
+    val rerun: String => Double = _ => -1.0
+    val (surviving, minima) = Bench.adjudicateFlags(
+      Map("a" -> ((3.0, 1.0))), rerun, () => 42.0, steadyCpuMs = -1.0)
+    assert(surviving("a").runS == 3.0 && minima("a") == 3.0)
+    assert(surviving("a").hostFactor == -1.0)
+  }
 }
