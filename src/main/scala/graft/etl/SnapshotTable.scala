@@ -225,17 +225,28 @@ object SnapshotTable {
     attempt
   }
 
-  /** Row count of staged files — a footer-driven scan of exactly
-    * those files, so commits need NO driver-side pinning of the input
-    * dataset (an earlier localCheckpoint(true) held a full extra copy
-    * in executor block storage per commit and made any executor loss
-    * mid-commit unrecoverable — at the scale this format targets,
-    * pure regression). The staged files are immutable, so counting
-    * after writing reads what was actually committed. */
+  /** Row count of staged files — read DRIVER-SIDE from the parquet
+    * footers of exactly those files (row counts are footer metadata;
+    * no Spark job, no scan), so commits need NO driver-side pinning of
+    * the input dataset (an earlier localCheckpoint(true) held a full
+    * extra copy in executor block storage per commit and made any
+    * executor loss mid-commit unrecoverable) and pay no per-commit
+    * job-scheduling floor (an earlier spark.read.count() job added
+    * ~0.2-0.3 s per commit — measured on the 3-epoch streaming loop
+    * cells, which commit ~6 times each). The staged files are
+    * immutable, so counting after writing reads what was actually
+    * committed. Per-commit cost: one footer read per staged file,
+    * O(KB) each. */
   private def stagedRows(
-      spark: SparkSession, tableDir: String, files: Seq[String]): Long =
-    if (files.isEmpty) 0L
-    else spark.read.parquet(files.map(f => s"$tableDir/$f"): _*).count()
+      spark: SparkSession, tableDir: String, files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$tableDir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Commit `df` as a new snapshot REPLACING the table contents.
     * Returns the snapshot id. */
@@ -288,6 +299,79 @@ object SnapshotTable {
         val head = currentSnapshot(spark, tableDir)
         publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
           head.map(_.rows).getOrElse(0L) + added, Some(batchId))
+    }
+  }
+
+  /** Does this manifest entry belong to epoch `batchId` — i.e. was it
+    * staged by that epoch's [[appendOnce]] (`b<id>-…`) or a later
+    * [[replaceBatch]] of it (`r<id>-…`)? Stage tags are embedded in
+    * the immutable file names, so epoch ownership survives manifest
+    * expiry; it does NOT survive [[compact]] (folded files carry the
+    * `c` tag), which is exactly when replaceBatch takes its row-level
+    * fallback. */
+  private[etl] def isBatchFile(f: String, batchId: Long): Boolean = {
+    val name = f.stripPrefix(s"$DataDir/").stripPrefix(s"$LegacyDataDir/")
+    name.startsWith(s"b$batchId-") || name.startsWith(s"r$batchId-")
+  }
+
+  /** REPLACE the rows epoch `batchId` contributed — the late-data
+    * correction commit (the `force` backfill analog for streaming
+    * epochs): the caller recomputes the epoch's rows from the
+    * corrected feed and this publishes ONE new snapshot whose file
+    * list swaps the epoch's files for the restaged ones. Unlike the
+    * directory-overwrite reopen this retires, the swap is a manifest
+    * commit: a reader racing the correction keeps its pinned files
+    * (nothing is mutated or deleted before [[expire]]), a crash
+    * mid-correction leaves only invisible orphans, and replaying the
+    * same correction converges (same input → same swap).
+    *
+    * Two paths: the FAST path swaps by stage-tag file ownership
+    * ([[isBatchFile]]) — metadata plus one footer count of the
+    * removed files; after a [[compact]] folded the epoch's files away
+    * the fallback rewrites the live rows through the `batch_id` data
+    * column the streaming loops always stamp (one partition-bounded
+    * rewrite, the honest price of correcting under a folded layout —
+    * refused loudly when the table carries no such column). */
+  def replaceBatch(df: DataFrame, tableDir: String, batchId: Long): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val chain = snapshots(spark, tableDir)
+    require(chain.exists(_.batchId.contains(batchId)),
+      s"no committed snapshot of $tableDir carries batch $batchId — " +
+        "replaceBatch corrects a landed epoch; use appendOnce to land it")
+    val head = chain.last
+    val owned = head.files.filter(isBatchFile(_, batchId))
+    val staged = stage(df, fs, tableDir, s"r$batchId")
+    val added = stagedRows(spark, tableDir, staged)
+    if (owned.nonEmpty) {
+      val removed = stagedRows(spark, tableDir, owned)
+      publish(fs, tableDir, head.files.filterNot(owned.toSet) ++ staged,
+        head.rows - removed + added, Some(batchId))
+    } else {
+      // No live file carries the epoch's tag: either the epoch landed
+      // empty (nothing to remove — plain append) or a compaction
+      // folded its rows into untagged files (row-level fallback).
+      val live =
+        if (head.files.isEmpty) None
+        else Some(read(spark, tableDir, Some(head.id)))
+      val folded = live.exists(l => l.columns.contains("batch_id") &&
+        !l.filter(org.apache.spark.sql.functions.col("batch_id")
+          === batchId).isEmpty)
+      if (!folded) {
+        require(live.forall(_.columns.contains("batch_id")),
+          s"$tableDir carries no batch_id column: epoch ownership is " +
+            "untrackable after compaction — stamp epochs with batch_id " +
+            "to keep them correctable")
+        publish(fs, tableDir, head.files ++ staged, head.rows + added,
+          Some(batchId))
+      } else {
+        val kept = live.get.filter(
+          org.apache.spark.sql.functions.col("batch_id") =!= batchId)
+        val keptStaged = stage(kept, fs, tableDir, s"rk$batchId")
+        val keptRows = stagedRows(spark, tableDir, keptStaged)
+        publish(fs, tableDir, keptStaged ++ staged, keptRows + added,
+          Some(batchId))
+      }
     }
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.etl.SnapshotTable
 
 /** Incremental OHLC bar building — the streaming twin of
   * `timeseries_ohlc` (graft/ops/MarketQueries.scala), built on the
@@ -12,10 +13,14 @@ import org.apache.spark.sql.functions._
   * reconstructs exact bars without ever revisiting trade rows.
   *
   * This is the streaming pre-aggregation pattern: state grows with
-  * (bars × epochs), not with trades; a compactor can fold epochs
-  * whenever it likes because the merge is associative. Epoch writes are
-  * per-epoch-directory overwrites, so replays of the same batch id are
-  * idempotent; out-of-order epochs (a gap) are refused — the same
+  * (bars × epochs), not with trades; SnapshotTable.compact can fold
+  * epochs whenever it likes because the merge is associative. Since
+  * round 14 every epoch lands as a [[graft.etl.SnapshotTable]] commit
+  * (the loops' unified landing): an epoch append or a late-trade
+  * correction is an atomic manifest swap, so a reader racing either
+  * keeps its pinned snapshot, a crashed half-commit is invisible until
+  * its replay, and replays of the same batch id no-op off the manifest
+  * ledger. Out-of-order epochs (a gap) are refused — the same
   * continuity discipline as the dedup loops, minus the standing-index
   * probe this loop doesn't need.
   */
@@ -41,85 +46,97 @@ object IncrementalBars {
         min(col("cents")).as("low_cents"),
         count(lit(1)).as("n_trades"))
 
-  /** Land one epoch's partial bars. Idempotent per batch id (directory
-    * overwrite); refuses a batch id that would leave an epoch gap. */
+  /** Epoch ids already committed, read off the manifest ledger — only
+    * committed snapshots carry a batch header, so a crashed
+    * half-commit of epoch N leaves N out of this set and forces its
+    * replay before N+1 can land (the reader-side torn-manifest skip
+    * does the hiding; this does the sequencing). */
+  private def committedEpochs(
+      spark: org.apache.spark.sql.SparkSession, barsDir: String): Set[Long] =
+    SnapshotTable.snapshots(spark, barsDir).flatMap(_.batchId).toSet
+
+  /** A bars state dir written by the pre-snapshot layout (epoch=N
+    * directories) must refuse loudly, not read as empty: treating it
+    * as a fresh table would restart the epoch sequence over invisible
+    * history. Migration: replay each legacy epoch through
+    * [[processBatch]] into a fresh dir (partials are derived state),
+    * or appendOnce each epoch's rows directly. */
+  private def requireNotLegacy(
+      spark: org.apache.spark.sql.SparkSession, barsDir: String): Unit =
+    if (SnapshotTable.currentSnapshot(spark, barsDir).isEmpty &&
+        IncrementalDedup.hasLegacyContent(spark, barsDir))
+      throw new IllegalStateException(
+        s"$barsDir holds the pre-snapshot epoch=N directory layout: " +
+          "replay its epochs into a fresh snapshot-committed dir " +
+          "(partial bars are derived state) before continuing the loop.")
+
+  /** Land one epoch's partial bars as a snapshot commit. Effectively
+    * once per batch id (manifest ledger); refuses a batch id that
+    * would leave an epoch gap. */
   private[graft] def processBatch(
       trades: DataFrame, barsDir: String, batchId: Long): Unit = {
     val spark = trades.sparkSession
-    val root = new org.apache.hadoop.fs.Path(barsDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // Only COMMITTED epochs advance the high-water mark: a crashed
-    // half-written epoch N must force a replay of N before N+1 can
-    // land, otherwise the reader-side _SUCCESS filter would silently
-    // hide N forever while N+1.. keep accumulating.
-    val existing: Set[Long] =
-      if (!fs.exists(root)) Set.empty
-      else fs.listStatus(root).toSeq
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("epoch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(_.getName.stripPrefix("epoch=").toLong).toSet
+    requireNotLegacy(spark, barsDir)
+    val existing = committedEpochs(spark, barsDir)
     val next = if (existing.isEmpty) 0L else existing.max + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after ${existing.toSeq.sorted}")
-    // Empty batches COMMIT an empty epoch (zero partial-bar rows, real
-    // _SUCCESS): an early return here would never advance the
-    // high-water mark, wedging the sequence — every later batch id
+    // Empty batches COMMIT an empty epoch (zero partial-bar rows, a
+    // real batch-stamped manifest): skipping them would never advance
+    // the high-water mark, wedging the sequence — every later batch id
     // would read as a gap and a replay of the empty batch could never
-    // un-wedge it. Unconditional write also means the batch pipeline
-    // runs exactly once (no isEmpty probe job).
-    partialBars(trades)
-      .write.mode("overwrite").parquet(s"$barsDir/epoch=$batchId")
+    // un-wedge it. Unconditional commit also means the batch pipeline
+    // runs exactly once (no isEmpty probe job). The batch_id stamp is
+    // what keeps a folded (compacted) epoch correctable — see
+    // [[SnapshotTable.replaceBatch]]'s fallback.
+    SnapshotTable.appendOnce(
+      partialBars(trades).withColumn("batch_id", lit(batchId)),
+      barsDir, batchId): Unit
   }
 
   /** Late-trade correction — the `force` backfill analog for the bars
-    * loop ([[graft.etl.Backfill]]'s named-partition recompute): epoch
-    * `epoch` is RE-OPENED by recomputing its partial bars from the
-    * corrected trade feed (the epoch's original trades plus the late
-    * arrivals, replayed from the upstream source of truth) and
-    * overwriting exactly that epoch's directory. Full recompute, not
-    * a merge of late partials into the committed ones: a merge
-    * double-counts n_trades under the at-least-once redelivery this
-    * loop must tolerate, while recompute is idempotent — replaying
-    * the same correction converges (same input, same partials, same
-    * directory overwrite). Only COMMITTED epochs can be reopened (an
-    * uncommitted or gap epoch is a replay, [[processBatch]]'s job);
-    * later epochs are untouched, and the read-side merge picks up the
-    * correction because bars are mergeable aggregates —
-    * IncrementalBarsSpec pins merged-after-reopen ≡ the batch
-    * `timeseries_ohlc` over the corrected feed. */
+    * loop: epoch `epoch` is RE-OPENED by recomputing its partial bars
+    * from the corrected trade feed (the epoch's original trades plus
+    * the late arrivals, replayed from the upstream source of truth)
+    * and committing the swap via [[SnapshotTable.replaceBatch]]. Full
+    * recompute, not a merge of late partials into the committed ones:
+    * a merge double-counts n_trades under the at-least-once redelivery
+    * this loop must tolerate, while recompute is idempotent —
+    * replaying the same correction converges (same input, same
+    * partials, same swap). The commit is an atomic manifest publish,
+    * so the tear the directory-overwrite reopen risked (a bars()
+    * reader whose plan resolved the old epoch files hitting
+    * FileNotFound mid-correction) is structurally gone, and a crash
+    * mid-reopen leaves the PRE-CORRECTION epoch committed and
+    * readable — the operator just re-runs the correction. Only
+    * committed epochs can be reopened (an uncommitted or gap epoch is
+    * a replay, [[processBatch]]'s job); later epochs are untouched,
+    * and the read-side merge picks up the correction because bars are
+    * mergeable aggregates — IncrementalBarsSpec pins
+    * merged-after-reopen ≡ the batch `timeseries_ohlc` over the
+    * corrected feed. */
   private[graft] def reopen(
       trades: DataFrame, barsDir: String, epoch: Long): Unit = {
     val spark = trades.sparkSession
-    val root = new org.apache.hadoop.fs.Path(barsDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val p = new org.apache.hadoop.fs.Path(root, s"epoch=$epoch")
-    require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+    require(committedEpochs(spark, barsDir).contains(epoch),
       s"epoch $epoch is not committed under $barsDir — a late-trade " +
         "reopen corrects a landed epoch; use processBatch to land new ones")
-    partialBars(trades)
-      .write.mode("overwrite").parquet(p.toString)
+    SnapshotTable.replaceBatch(
+      partialBars(trades).withColumn("batch_id", lit(epoch)),
+      barsDir, epoch): Unit
   }
 
   /** The merged exact bars across all COMMITTED epochs — identical to
     * running the batch OHLC over every trade ever landed (spec-pinned
-    * against `timeseries_ohlc`). Reads partial-bar rows only, and only
-    * from epoch directories whose _SUCCESS marker exists: a crashed
-    * half-written epoch is invisible to readers until its replay
-    * overwrites it (the same torn-write discipline as SnapshotTable's
-    * manifest reads). */
+    * against `timeseries_ohlc`). Reads partial-bar rows only, from the
+    * pinned head snapshot: epochs committing (or corrections landing)
+    * underneath cannot change or tear an already-resolved plan. */
   private[graft] def bars(spark: org.apache.spark.sql.SparkSession,
       barsDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(barsDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"no committed epochs under $barsDir")
-    val committed = fs.listStatus(root).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("epoch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(_.toString)
-    require(committed.nonEmpty, s"no committed epochs under $barsDir")
-    spark.read.parquet(committed: _*)
+    requireNotLegacy(spark, barsDir)
+    require(SnapshotTable.currentSnapshot(spark, barsDir).nonEmpty,
+      s"no committed epochs under $barsDir")
+    SnapshotTable.read(spark, barsDir)
       .groupBy(col("event_type"), col("hour"))
       .agg(
         min(col("open_k")).getField("cents").as("open_cents"),

@@ -27,17 +27,18 @@ import graft.etl.Sinks
   * runs are interchangeable mid-corpus. The checkpoint gives
   * restart-without-reprocessing on planned restarts; the appends are
   * EFFECTIVELY-ONCE: every row is stamped with the epoch's `batch_id`
-  * and written via dynamic partition overwrite on that id, so an epoch
-  * replay (crash anywhere between the first write and the checkpoint
-  * commit) REWRITES its own batch_id partitions instead of doubling
-  * them — re-running a batch converges, the
-  * [[graft.etl.Sinks.overwritePartitions]] backfill contract applied
-  * to streaming state. (A crashed write job itself leaves no visible
-  * files — the committer only publishes on job commit.) The bucketed
-  * index layout cannot partition-overwrite (bucketBy and insertInto
-  * don't compose), so it guards with a batch_id existence check
-  * instead; and the probe still collapses duplicate standing rows on
-  * the bucket-pruned slice BEFORE cap ranking
+  * and, in the default [[SnapIndex]] layout (round 14), lands as a
+  * [[graft.etl.SnapshotTable.appendOnce]] manifest commit — the
+  * manifest ledger makes an epoch replay (crash anywhere between the
+  * first write and the checkpoint commit) a no-op, a reader racing
+  * the append keeps its pinned snapshot, and a crashed half-commit is
+  * invisible until its replay. The legacy [[DirIndex]] layout keeps
+  * its dynamic-partition-overwrite contract (replays REWRITE their
+  * own batch_id partitions); the bucketed layout cannot
+  * partition-overwrite (bucketBy and insertInto don't compose), so it
+  * guards with a batch_id existence check instead. In every layout
+  * the probe still collapses duplicate standing rows on the
+  * bucket-pruned slice BEFORE cap ranking
   * ([[DedupQueries.incrementalPairsBetween]]) as defense in depth, so
   * even a hand-fed duplicate batch never consumes degenerate-bucket
   * cap headroom.
@@ -74,6 +75,96 @@ object IncrementalDedup {
         spark: org.apache.spark.sql.SparkSession, id: String): Unit
   }
 
+  /** The checkpoint-owner marker shared by the file-backed layouts:
+    * an underscore-prefixed file in the state dir (invisible to
+    * parquet partition discovery AND to SnapshotTable's manifest and
+    * GC machinery), written via temp + atomic rename so a crash
+    * mid-write can never leave a truncated marker that locks out the
+    * index's own rightful checkpoint on restart. */
+  private object OwnerMarker {
+    private def path(dir: String) =
+      new org.apache.hadoop.fs.Path(dir, "_graft_owner")
+    def read(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Option[String] = {
+      val p = path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    }
+    def write(spark: org.apache.spark.sql.SparkSession,
+        dir: String, id: String): Unit = {
+      val p = path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, s"_graft_owner.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) { // target existed: lost a race
+        fs.delete(tmp, false): Unit
+      }
+    }
+  }
+
+  /** Standing index as a [[graft.etl.SnapshotTable]] — the DEFAULT
+    * layout since round 14 (the String-dir overloads build it):
+    * epochs land as atomic `appendOnce` manifest commits, so the
+    * reader/writer conventions the directory layout needed
+    * (`_SUCCESS` gating, partition overwrite) disappear — a reader
+    * racing an epoch append keeps its pinned snapshot, a crashed
+    * half-commit is invisible until its replay, and effectively-once
+    * comes from the manifest ledger rather than overwrite
+    * idempotence. Rows are stamped with `batch_id` (the probe's
+    * [[committedBefore]] view and the continuity guard read it, same
+    * as the other layouts). Maintenance: `SnapshotTable.compact` folds
+    * small epoch files, `expire` GCs past the reader-grace window.
+    * The [[BucketedIndex]] remains the zero-Exchange probe layout at
+    * warehouse scale; this layout's probe re-shuffles the
+    * bucket-pruned collision slice like [[DirIndex]]'s. */
+  final case class SnapIndex(dir: String) extends BandIndex {
+    import graft.etl.SnapshotTable
+    /** A populated non-snapshot state dir must REFUSE, not read as
+      * absent: treating a legacy [[DirIndex]] layout as an empty index
+      * would silently skip the standing probe forever (the recall
+      * loss the sem loop's multi-table guard exists to prevent). */
+    private def requireNotLegacy(
+        spark: org.apache.spark.sql.SparkSession): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val legacy = fs.listStatus(p).exists { s =>
+          (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+            (s.isDirectory && s.getPath.getName.contains("="))
+        }
+        if (legacy)
+          throw new IllegalStateException(
+            s"$dir holds a directory-layout standing index (flat or " +
+              "batch_id= partitioned) but no snapshot commit: keep " +
+              "driving it through DirIndex, or rebuild it into a fresh " +
+              "SnapIndex dir (read the legacy index, appendOnce as one " +
+              "base epoch, point the loop at the new dir).")
+      }
+    }
+    def exists(spark: org.apache.spark.sql.SparkSession): Boolean =
+      if (SnapshotTable.currentSnapshot(spark, dir).nonEmpty) true
+      else { requireNotLegacy(spark); false }
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      SnapshotTable.read(spark, dir)
+    def append(bands: DataFrame, batchId: Long): Unit = {
+      SnapshotTable.appendOnce(
+        bands.withColumn("batch_id", lit(batchId)), dir, batchId): Unit
+    }
+    def owner(spark: org.apache.spark.sql.SparkSession): Option[String] =
+      OwnerMarker.read(spark, dir)
+    def writeOwner(
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit =
+      OwnerMarker.write(spark, dir, id)
+  }
+
   /** Maintenance note: under an hourly loop the per-epoch partitions
     * accumulate; fold old epochs into the base partition periodically
     * with [[graft.etl.Sinks.compactEpochPartitions]] (base id −1 stays
@@ -99,32 +190,11 @@ object IncrementalDedup {
       Sinks.overwritePartitions(
         bands.withColumn("batch_id", lit(batchId)), dir, "batch_id")
     }
-    private def ownerPath = new org.apache.hadoop.fs.Path(dir, "_graft_owner")
-    def owner(spark: org.apache.spark.sql.SparkSession): Option[String] = {
-      val fs = ownerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(ownerPath)) None
-      else {
-        val in = fs.open(ownerPath)
-        try Some(new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    }
-    // Underscore-prefixed, so parquet partition discovery ignores it.
-    // Written via temp + rename (atomic on local FS and HDFS): a crash
-    // mid-write must not leave a truncated marker that locks out the
-    // index's own rightful checkpoint on restart.
+    def owner(spark: org.apache.spark.sql.SparkSession): Option[String] =
+      OwnerMarker.read(spark, dir)
     def writeOwner(
-        spark: org.apache.spark.sql.SparkSession, id: String): Unit = {
-      val fs = ownerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(
-        dir, s"_graft_owner.tmp-${java.util.UUID.randomUUID}")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, ownerPath)) { // target existed: lost a race
-        fs.delete(tmp, false)
-      }
-    }
+        spark: org.apache.spark.sql.SparkSession, id: String): Unit =
+      OwnerMarker.write(spark, dir, id)
   }
 
   /** `key` is the bucketing column — "bh" for the text band index,
@@ -190,13 +260,51 @@ object IncrementalDedup {
     }
   }
 
+  /** Land one epoch's emitted pairs — shared by the three loops.
+    * Fresh (and snapshot) pair tables commit through
+    * [[graft.etl.SnapshotTable.appendOnce]]: atomic manifest swap, a
+    * racing components/survivors consumer keeps its pinned snapshot,
+    * and epoch replays no-op off the manifest ledger. A LEGACY pair
+    * table (batch_id= partition dirs from the pre-snapshot layout,
+    * detected by content without a committed snapshot) keeps landing
+    * through the dynamic-partition-overwrite contract it was built
+    * with — mixing the two layouts in one dir would hide one of them
+    * from the consumer, so the dir's first landing fixes its format.
+    * Maintenance: snapshot pair tables fold/GC via
+    * `SnapshotTable.compact`/`expire`; legacy ones via
+    * [[graft.etl.Sinks.compactEpochPartitions]]. */
+  private[streaming] def landPairs(
+      pairs: DataFrame, pairsDir: String, batchId: Long): Unit = {
+    val spark = pairs.sparkSession
+    val stamped = pairs.withColumn("batch_id", lit(batchId))
+    if (graft.etl.SnapshotTable.currentSnapshot(spark, pairsDir).isEmpty &&
+        hasLegacyContent(spark, pairsDir))
+      Sinks.overwritePartitions(stamped, pairsDir, "batch_id")
+    else
+      graft.etl.SnapshotTable.appendOnce(stamped, pairsDir, batchId): Unit
+  }
+
+  private[streaming] def hasLegacyContent(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && s.getPath.getName.contains("="))
+    }
+  }
+
   /** One micro-batch step: probe, emit pairs, grow the index.
     * Exposed for specs; [[start]] wires it behind a checkpoint,
-    * passing the epoch id that makes replays idempotent. */
+    * passing the epoch id that makes replays idempotent. The
+    * String-dir overloads drive the [[SnapIndex]] snapshot layout
+    * (round 14 — the landing conventions unified on SnapshotTable
+    * commits); construct a [[DirIndex]]/[[BucketedIndex]] explicitly
+    * for the directory or zero-Exchange bucketed layouts. */
   private[graft] def processBatch(
       docs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
-    processBatch(docs, DirIndex(indexDir), pairsDir, batchId, None)
+    processBatch(docs, SnapIndex(indexDir), pairsDir, batchId, None)
 
   private[graft] def processBatch(
       docs: DataFrame, index: BandIndex, pairsDir: String,
@@ -230,9 +338,7 @@ object IncrementalDedup {
     // append below would re-run the whole standing-index probe
     // (semi-join + rank window + pair join) a second time.
     val pairs = emitted.cut(false)
-    if (!pairs.isEmpty)
-      Sinks.overwritePartitions(
-        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+    if (!pairs.isEmpty) landPairs(pairs, pairsDir, batchId)
     index.append(newBands, batchId)
     stampOwner(index, spark, ownerId)
   }
@@ -287,8 +393,11 @@ object IncrementalDedup {
           "fresh checkpoint over a standing index with epochs > 0: " +
             "recycled batch ids would overwrite prior epochs and hide " +
             "the index from the probe. Fold the index (and pairs table) " +
-            "into the base partition first: " +
-            "Sinks.compactEpochPartitions(spark, dir, maxEpoch + 1).")
+            "to the base epoch first — directory layout: " +
+            "Sinks.compactEpochPartitions(spark, dir, maxEpoch + 1); " +
+            "snapshot layout: SnapshotTable.overwrite(read(dir)" +
+            ".withColumn(\"batch_id\", lit(-1L)), dir) — then remove " +
+            "the _graft_owner marker.")
     }
 
   /** First-write ownership stamp: records which checkpoint drives this
@@ -316,18 +425,20 @@ object IncrementalDedup {
     else index // pre-batch_id layout: at-least-once semantics unchanged
 
   /** Starts the loop over a stream of (doc_id, text) documents against
-    * a directory-layout index; pass a [[BucketedIndex]] to the overload
-    * for the Exchange-free standing side. */
+    * a snapshot-committed index ([[SnapIndex]] — the default layout);
+    * pass a [[BucketedIndex]] to the overload for the Exchange-free
+    * standing side, or a [[DirIndex]] for the legacy directory
+    * layout. */
   def start(
       docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String,
       trigger: Trigger): StreamingQuery =
-    start(docs, DirIndex(indexDir), pairsDir, checkpointDir, trigger)
+    start(docs, SnapIndex(indexDir), pairsDir, checkpointDir, trigger)
 
   def start(
       docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String): StreamingQuery =
-    start(docs, DirIndex(indexDir), pairsDir, checkpointDir,
+    start(docs, SnapIndex(indexDir), pairsDir, checkpointDir,
       Streaming.HourlyTrigger)
 
   def start(

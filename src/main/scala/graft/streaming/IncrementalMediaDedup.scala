@@ -62,7 +62,7 @@ object IncrementalMediaDedup {
   private[graft] def processBatch(
       items: DataFrame, modality: String,
       indexDir: String, pairsDir: String, batchId: Long): Unit =
-    processBatch(items, modality, IncrementalDedup.DirIndex(indexDir),
+    processBatch(items, modality, IncrementalDedup.SnapIndex(indexDir),
       pairsDir, batchId, None)
 
   private[graft] def processBatch(
@@ -95,8 +95,7 @@ object IncrementalMediaDedup {
       else intra
     val pairs = emitted.cut(false)
     if (!pairs.isEmpty)
-      Sinks.overwritePartitions(
-        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+      IncrementalDedup.landPairs(pairs, pairsDir, batchId)
     index.append(MultimodalQueries.mediaBandRows(newHashes), batchId)
     IncrementalDedup.stampOwner(index, spark, ownerId)
   }
@@ -120,7 +119,7 @@ object IncrementalMediaDedup {
       items: DataFrame, modality: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
       trigger: Trigger = Streaming.HourlyTrigger): StreamingQuery =
-    start(items, modality, IncrementalDedup.DirIndex(indexDir), pairsDir,
+    start(items, modality, IncrementalDedup.SnapIndex(indexDir), pairsDir,
       checkpointDir, trigger)
 
   def start(

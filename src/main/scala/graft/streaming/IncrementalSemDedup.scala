@@ -50,12 +50,13 @@ object IncrementalSemDedup {
 
   /** One micro-batch step over (vec_id, embedding) rows: probe, emit
     * pairs, grow the index. Exposed for specs; [[start]] wires it
-    * behind a checkpoint. */
+    * behind a checkpoint. String-dir overloads drive the snapshot
+    * layout ([[IncrementalDedup.SnapIndex]], round 14). */
   private[graft] def processBatch(
       vecs: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit =
     processBatch(
-      vecs, IncrementalDedup.DirIndex(indexDir), pairsDir, batchId, None)
+      vecs, IncrementalDedup.SnapIndex(indexDir), pairsDir, batchId, None)
 
   private[graft] def processBatch(
       vecs: DataFrame, index: IncrementalDedup.BandIndex, pairsDir: String,
@@ -96,8 +97,7 @@ object IncrementalSemDedup {
       else intra
     val pairs = emitted.cut(false)
     if (!pairs.isEmpty)
-      Sinks.overwritePartitions(
-        pairs.withColumn("batch_id", lit(batchId)), pairsDir, "batch_id")
+      IncrementalDedup.landPairs(pairs, pairsDir, batchId)
     index.append(newRows, batchId)
     IncrementalDedup.stampOwner(index, spark, ownerId)
   }
@@ -176,13 +176,13 @@ object IncrementalSemDedup {
       vecs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String,
       trigger: Trigger): StreamingQuery =
-    start(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir,
+    start(vecs, IncrementalDedup.SnapIndex(indexDir), pairsDir,
       checkpointDir, trigger)
 
   def start(
       vecs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String): StreamingQuery =
-    start(vecs, IncrementalDedup.DirIndex(indexDir), pairsDir,
+    start(vecs, IncrementalDedup.SnapIndex(indexDir), pairsDir,
       checkpointDir, Streaming.HourlyTrigger)
 
   def start(

@@ -24,7 +24,11 @@ private[streaming] object PairConsumers {
   /** (key, component) labels over the accumulated pair table. A loop
     * that has not emitted any pair yet has no pairs directory at all
     * (the write is gated on non-empty batches) — the consumers treat
-    * that as the empty graph instead of failing the maintenance job. */
+    * that as the empty graph instead of failing the maintenance job.
+    * Snapshot-committed pair tables (the round-14 default landing,
+    * [[IncrementalDedup.landPairs]]) read their PINNED head manifest —
+    * a consumer racing an epoch append keeps the snapshot it resolved;
+    * legacy partition-overwrite tables read as plain directories. */
   def componentsOf(
       spark: org.apache.spark.sql.SparkSession, pairsDir: String,
       aCol: String, bCol: String, keyName: String): DataFrame = {
@@ -37,9 +41,12 @@ private[streaming] object PairConsumers {
             keyName, org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField(
             "component", org.apache.spark.sql.types.LongType))))
+    val pairs =
+      if (graft.etl.SnapshotTable.currentSnapshot(spark, pairsDir).nonEmpty)
+        graft.etl.SnapshotTable.read(spark, pairsDir)
+      else spark.read.parquet(pairsDir)
     graft.dedup.DedupQueries.componentLabelsOf(
-      spark.read.parquet(pairsDir)
-        .select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+      pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
         .distinct())
       .select(col("doc_id").as(keyName), col("component"))
   }

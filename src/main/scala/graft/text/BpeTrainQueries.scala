@@ -181,6 +181,20 @@ object BpeTrain {
       train(if (sampled) sampledDocs(docs) else docs, rounds)._1
     })
 
+  /** COLD sampled training — the gated bench cell's entry point
+    * (`bpe_train_loop` in [[graft.BenchStreams]]): BYPASSES the memo
+    * by design, because the cell prices the training rounds
+    * themselves, not the cache in front of them (the declared
+    * `bpe_train` cell measures the memoized emission — ~0.06 s — so a
+    * regression in the actual per-round cost was driver-invisible
+    * until this cell). Trains `rounds` merges on the deterministic
+    * 25% sample (the production scaling path `bpe_train_sampled`
+    * declares) reading the corpus fresh each call. */
+  def trainColdSampled(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int): Seq[Learned] =
+    train(sampledDocs(s.read.parquet(s"$dir/documents.parquet")), rounds)._1
+
   // ---- DuckDB oracle: the identical loop, unrolled round by round ----
 
   /** CTE chain `<p>v0, <p>p1, <p>best1, <p>v1, …, <p>v<k>`: v0 is the

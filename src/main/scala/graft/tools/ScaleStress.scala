@@ -201,34 +201,37 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
-    // Optional arg: comma-separated query filter (iterate on one family
-    // without re-timing all fourteen).
+    // Optional args: [0] comma-separated query filter (iterate on one
+    // family without re-timing all fourteen); [1] replication factor
+    // (default 10 — pass 30 for the second-decade growth-law leg: one
+    // decade shows sub-quadratic, two pin the exponent).
     val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // v2 path: the round-13 o_custkey re-key fix changes the relational
     // twin's content, so dirs minted by earlier rounds must not satisfy
     // the _SUCCESS freshness check
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress10x_v2"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress${copies}x_v2"
     val spark = Sessions.local(Sessions.cpusFromEnv)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
-      replicate(spark, sfDir, out, copies = 10)
+      replicate(spark, sfDir, out, copies)
     // customer is written LAST in replicateRel, so its _SUCCESS marks
     // the whole relational twin complete; the lineitem check upgrades
     // stress dirs minted before the lineitem twin was added (r13)
     if (!new java.io.File(s"$out/customer.parquet/_SUCCESS").exists() ||
         !new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists())
-      replicateRel(spark, sfDir, out, copies = 10)
+      replicateRel(spark, sfDir, out, copies)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
     val nEv = spark.read.parquet(s"$out/events.parquet").count()
-    println(s"[stress] corpus: $nDocs docs, $nEmb embeddings, $nEv events (10x $sfDir)")
+    println(s"[stress] corpus: $nDocs docs, $nEmb embeddings, $nEv events (${copies}x $sfDir)")
 
     (DocQueries ++ EmbQueries ++ RelQueries).filter(q => only.forall(_.contains(q))).foreach { q =>
       val t1 = time(spark, q, sfDir)
       val t10 = time(spark, q, out)
-      println(f"[stress] $q%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
+      println(f"[stress] $q%-22s 1x ${t1}%6.2f s   ${copies}x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
     }
 
     // The three streaming loop cells (full 3-epoch lifecycle incl.
@@ -252,7 +255,7 @@ object ScaleStress {
         }
         val t1 = t(sfDir)
         val t10 = t(out)
-        println(f"[stress] ${cell._1}%-22s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
+        println(f"[stress] ${cell._1}%-22s 1x ${t1}%6.2f s   ${copies}x ${t10}%6.2f s   ratio ${t10 / t1}%5.1f")
       }
     spark.stop()
   }

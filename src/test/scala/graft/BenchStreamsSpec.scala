@@ -13,19 +13,19 @@ class BenchStreamsSpec extends SparkSpec {
     val dir = tmpDir("bench-stream-spec")
     val cell = BenchStreams.cells.find(_._1 == "stream_dedup_loop").get
     cell._2(spark, sf, dir)
-    val idx = spark.read.parquet(s"$dir/index")
-    // Every doc banded exactly once, across the three epoch partitions.
+    val idx = readStateTable(s"$dir/index")
+    // Every doc banded exactly once, across the three epoch commits.
     assert(idx.select("doc_id").distinct().count() == 500)
     assert(idx.select("batch_id").distinct().count() == 3)
     // The planted duplicates in the corpus cross epochs, so the loop
     // must have emitted pairs.
-    assert(spark.read.parquet(s"$dir/pairs").count() > 0)
+    assert(readStateTable(s"$dir/pairs").count() > 0)
   }
 
   test("semantic and media cells run the full corpus through 3 epochs") {
     val semDir = tmpDir("bench-stream-sem")
     BenchStreams.cells.find(_._1 == "stream_semdedup_loop").get._2(spark, sf, semDir)
-    val semIdx = spark.read.parquet(s"$semDir/index")
+    val semIdx = readStateTable(s"$semDir/index")
     assert(semIdx.select("vec_id").distinct().count() == 500)
     assert(semIdx.select("batch_id").distinct().count() == 3)
     // 4 OR-amplified table rows per vector.
@@ -33,11 +33,24 @@ class BenchStreamsSpec extends SparkSpec {
 
     val mmDir = tmpDir("bench-stream-mm")
     BenchStreams.cells.find(_._1 == "stream_media_loop").get._2(spark, sf, mmDir)
-    val mmIdx = spark.read.parquet(s"$mmDir/index")
+    val mmIdx = readStateTable(s"$mmDir/index")
     val nImages = graft.mm.Multimodal.mediaItems(spark, sf, "image").count()
     assert(nImages > 0)
     assert(mmIdx.select("item_id").distinct().count() == nImages)
     assert(mmIdx.select("batch_id").distinct().count() == 3)
+  }
+
+  test("the cold-training cell re-trains every attempt (no memo hit)") {
+    val cell = BenchStreams.cells.find(_._1 == "bpe_train_loop").get
+    // Two attempts must both pay real training: if the second read a
+    // memo it would complete in ~ms — assert it still runs jobs by
+    // timing floor being comparable (>= 25% of the first attempt).
+    val t1 = BenchStreams.runCell(spark, sf, cell)
+    val t2 = BenchStreams.runCell(spark, sf, cell)
+    assert(t1 > 0 && t2 > 0)
+    assert(t2 >= t1 * 0.25,
+      s"second attempt ($t2 s) looks memoized vs first ($t1 s) — the " +
+        "cell must price cold training every time")
   }
 
   test("runCell times an attempt and removes its scratch") {
@@ -55,12 +68,9 @@ class BenchStreamsSpec extends SparkSpec {
     assert(after == before, "scratch dirs must be deleted")
   }
 
-  test("all four cells are declared and keyed as stream_*") {
+  test("all five cells are declared") {
     assert(BenchStreams.cells.map(_._1).sorted ==
-      Seq("stream_bars_loop", "stream_dedup_loop", "stream_media_loop",
-        "stream_semdedup_loop"))
-    BenchStreams.cells.foreach { case (name, _) =>
-      assert(name.startsWith("stream_"))
-    }
+      Seq("bpe_train_loop", "stream_bars_loop", "stream_dedup_loop",
+        "stream_media_loop", "stream_semdedup_loop"))
   }
 }

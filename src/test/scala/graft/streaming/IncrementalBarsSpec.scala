@@ -37,7 +37,8 @@ class IncrementalBarsSpec extends SparkSpec {
     val dir = tmpDir("bars-size")
     val epoch0 = trades.filter(col("event_id") % 3 === 0)
     IncrementalBars.processBatch(epoch0, s"$dir/bars", 0L)
-    val landed = spark.read.parquet(s"$dir/bars/epoch=0")
+    val landed = readStateTable(s"$dir/bars")
+      .filter(col("batch_id") === 0L)
     val touched = epoch0
       .select(col("event_type"), date_trunc("hour", col("ts"))).distinct()
     assert(landed.count() == touched.count(),

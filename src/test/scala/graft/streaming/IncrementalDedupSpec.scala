@@ -29,7 +29,7 @@ class IncrementalDedupSpec extends SparkSpec {
     try {
       def pairs(): Set[(Long, Long)] =
         if (new java.io.File(pairsDir).exists())
-          spark.read.parquet(pairsDir).collect()
+          readStateTable(pairsDir).collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         else Set.empty
 
@@ -37,7 +37,7 @@ class IncrementalDedupSpec extends SparkSpec {
       input.addData((1L, base), (2L, far))
       q.processAllAvailable()
       assert(pairs().isEmpty)
-      assert(spark.read.parquet(indexDir).select("doc_id")
+      assert(readStateTable(indexDir).select("doc_id")
         .distinct().count() == 2)
 
       // Batch 2: a dup of doc 1 pairs with it; an unrelated doc with
@@ -65,14 +65,14 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.processBatch(
       Seq((1L, base), (2L, far), (3L, base)).toDF("doc_id", "text"),
       indexDir, pairsDir, 0L)
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)))
     // The next batch's copy still pairs with BOTH same-batch copies
     // through the standing index.
     IncrementalDedup.processBatch(
       Seq((9L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
-    val got2 = spark.read.parquet(pairsDir).collect()
+    val got2 = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
   }
@@ -86,7 +86,7 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.processBatch(
       Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
     def rows(dir: String): Seq[String] =
-      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      readStateTable(dir).collect().map(_.toString).sorted.toSeq
     val (idx1, prs1) = (rows(indexDir), rows(pairsDir))
     // Crash between epoch 1's appends and its checkpoint commit → the
     // engine replays the epoch VERBATIM. The batch_id partition
@@ -103,7 +103,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // degenerate-bucket cap slots.
     IncrementalDedup.processBatch(
       Seq((40L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 2L)
-    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+    val got = readStateTable(pairsDir).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((20L, 1L), (40L, 1L), (40L, 20L)))
     // And the downstream consumers close the loop off this state: one
@@ -120,26 +120,30 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("fresh checkpoint over a standing index is refused; folding to base unlocks it") {
     import spark.implicits._
+    // Directory layout: the fold-to-base recovery is
+    // compactEpochPartitions (the snapshot layout's twin of this test
+    // lives in the SnapIndex suite below).
     val indexDir = tmpDir("incr-fresh-index") + "/bands"
     val pairsDir = tmpDir("incr-fresh-pairs") + "/pairs"
+    val index = IncrementalDedup.DirIndex(indexDir)
     IncrementalDedup.processBatch(
-      Seq((1L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+      Seq((1L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
     IncrementalDedup.processBatch(
-      Seq((2L, far)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
+      Seq((2L, far)).toDF("doc_id", "text"), index, pairsDir, 1L)
     // Checkpoint reset: epoch ids restart at 0 over stored epochs
     // {0, 1} — recycled ids would OVERWRITE epoch partitions and hide
     // the whole index from the strictly-earlier probe. Must refuse.
     val e = intercept[IllegalStateException] {
       IncrementalDedup.processBatch(
-        Seq((3L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+        Seq((3L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
     }
     assert(e.getMessage.contains("fresh checkpoint"))
     // The prescribed recovery: fold epochs into the base partition —
     // base rows sit below every new epoch, so the restart composes.
     assert(graft.etl.Sinks.compactEpochPartitions(spark, indexDir, 2L) == 2L)
     IncrementalDedup.processBatch(
-      Seq((3L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
-    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      Seq((3L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
+    val got = readStateTable(pairsDir).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)), "the restarted epoch must probe the folded base")
   }
@@ -173,7 +177,7 @@ class IncrementalDedupSpec extends SparkSpec {
         "the bucketed index guard must skip a replayed epoch whole")
       IncrementalDedup.processBatch(
         Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir, 2L)
-      val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      val got = readStateTable(pairsDir).select("new_doc", "corpus_doc")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set((20L, 1L), (40L, 1L), (40L, 20L)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -186,7 +190,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val index = IncrementalDedup.BucketedIndex(tbl, 8)
     try {
       def pairs(): Set[(Long, Long)] =
-        spark.read.parquet(pairsDir).collect()
+        readStateTable(pairsDir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       // Same three-batch script as the directory-index test: behavior
       // parity is the point — the layout changes, the answers don't.
@@ -233,7 +237,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val index = IncrementalDedup.BucketedIndex(tbl, 8)
     def pairs(): Set[(Long, Long)] =
       if (new java.io.File(pairsDir).exists())
-        spark.read.parquet(pairsDir).collect()
+        readStateTable(pairsDir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       else Set.empty
     val input = MemoryStream[(Long, String)]
@@ -279,7 +283,7 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     input.addData((1L, base), (2L, far))
     run()
-    val bandsAfter1 = spark.read.parquet(indexDir).count()
+    val bandsAfter1 = readStateTable(indexDir).count()
 
     // Restart with one new duplicate doc: batch 1's offsets are
     // recovered, so its bands are NOT re-appended (re-appending would
@@ -287,10 +291,10 @@ class IncrementalDedupSpec extends SparkSpec {
     // the new doc still dedups against the standing state.
     input.addData((20L, base))
     run()
-    assert(spark.read.parquet(indexDir)
+    assert(readStateTable(indexDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count()
       == bandsAfter1 / 2, "doc 1's bands must appear exactly once")
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((20L, 1L)))
   }
@@ -307,23 +311,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(new java.io.File(indexDir).listFiles()
       .exists(f => f.isFile && f.getName.endsWith(".parquet")),
       "fixture must be the flat legacy layout")
-    // The upgraded loop appends epoch partitions; without adoption the
-    // mixed flat-plus-partitioned layout breaks partition discovery on
-    // the NEXT epoch's standing read. Adoption folds the flat rows to
-    // the base partition, so the probe still sees them.
+    // The DEFAULT (snapshot) layout must refuse this dir loudly — a
+    // legacy index read as absent would silently skip the standing
+    // probe forever.
+    val refusal = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(
+        Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
+    }
+    assert(refusal.getMessage.contains("DirIndex"))
+    // Driven through DirIndex (the layout it belongs to), the upgraded
+    // loop appends epoch partitions; without adoption the mixed
+    // flat-plus-partitioned layout breaks partition discovery on the
+    // NEXT epoch's standing read. Adoption folds the flat rows to the
+    // base partition, so the probe still sees them.
+    val index = IncrementalDedup.DirIndex(indexDir)
     IncrementalDedup.processBatch(
-      Seq((20L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 0L)
-    val got = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+      Seq((20L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
+    val got = readStateTable(pairsDir).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((20L, 1L)),
       "the adopted standing state must still catch the duplicate")
     IncrementalDedup.processBatch(
-      Seq((40L, base)).toDF("doc_id", "text"), indexDir, pairsDir, 1L)
-    val idx = spark.read.parquet(indexDir)
+      Seq((40L, base)).toDF("doc_id", "text"), index, pairsDir, 1L)
+    val idx = readStateTable(indexDir)
     assert(idx.filter(org.apache.spark.sql.functions.col("batch_id") === -1L)
       .select("doc_id").distinct().count() == 2,
       "flat legacy rows must land in the batch_id=-1 base partition")
-    val got2 = spark.read.parquet(pairsDir).select("new_doc", "corpus_doc")
+    val got2 = readStateTable(pairsDir).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((20L, 1L), (40L, 1L), (40L, 20L)),
       "epochs after the adoption must read the mixed history cleanly")
@@ -354,7 +368,7 @@ class IncrementalDedupSpec extends SparkSpec {
         0L, Some("ckpt-B"))
     }
     assert(e.getMessage.contains("ckpt-A") && e.getMessage.contains("ckpt-B"))
-    assert(spark.read.parquet(indexDir)
+    assert(readStateTable(indexDir)
       .select("doc_id").distinct().count() == 2,
       "the refused batch must not have touched the index")
   }

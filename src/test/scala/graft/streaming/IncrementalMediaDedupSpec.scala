@@ -33,7 +33,7 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     try {
       def pairs(): Set[(Long, Long, Long)] =
         if (new java.io.File(pairsDir).exists())
-          spark.read.parquet(pairsDir).collect()
+          readStateTable(pairsDir).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         else Set.empty
 
@@ -41,7 +41,7 @@ class IncrementalMediaDedupSpec extends SparkSpec {
       q.processAllAvailable()
       assert(pairs().isEmpty)
       // Exploded band-row layout: 8 aHash band rows per image.
-      val idx = spark.read.parquet(indexDir)
+      val idx = readStateTable(indexDir)
       assert(idx.select("item_id").distinct().count() == 2)
       assert(idx.count() == 16)
 
@@ -99,7 +99,7 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     IncrementalMediaDedup.processBatch(
       Seq(checker(9L, invertBottom = false)).toDF(), "image", indexDir,
       pairsDir, 1L)
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((9L, 1L, 0L)))
   }
@@ -111,7 +111,7 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     val index = IncrementalDedup.BucketedIndex(tbl, 8, key = "key")
     try {
       def pairs(): Set[(Long, Long)] =
-        spark.read.parquet(pairsDir).collect()
+        readStateTable(pairsDir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       IncrementalMediaDedup.processBatch(
         Seq(item(1L, 7L), item(2L, 99L)).toDF(), "image", index, pairsDir, 0L)
@@ -149,13 +149,13 @@ class IncrementalMediaDedupSpec extends SparkSpec {
     IncrementalMediaDedup.processBatch(
       Seq(item(1L, 7L), item(2L, 99L), item(3L, 7L)).toDF(),
       "image", indexDir, pairsDir, 0L)
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)),
       "same-batch dup items must pair, oriented new > corpus")
     IncrementalMediaDedup.processBatch(
       Seq(item(9L, 7L)).toDF(), "image", indexDir, pairsDir, 1L)
-    val got2 = spark.read.parquet(pairsDir).collect()
+    val got2 = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
     // Downstream consumers off the pair table: one hamming cluster

@@ -31,7 +31,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
     try {
       def pairs(): Set[(Long, Long, Long)] =
         if (new java.io.File(pairsDir).exists())
-          spark.read.parquet(pairsDir).collect()
+          readStateTable(pairsDir).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         else Set.empty
 
@@ -40,7 +40,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
       q.processAllAvailable()
       assert(pairs().isEmpty)
       // 4 OR-amplified table rows per vector, 2 vectors.
-      val idx = spark.read.parquet(indexDir)
+      val idx = readStateTable(indexDir)
       assert(idx.select("vec_id").distinct().count() == 2)
       assert(idx.count() == 8)
 
@@ -84,7 +84,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
         emb.filter(col("vec_id") % 3 === b), indexDir, pairsDir, b.toLong)
     }
     def norm(a: Long, b: Long): (Long, Long) = (math.min(a, b), math.max(a, b))
-    val streamed = spark.read.parquet(pairsDir)
+    val streamed = readStateTable(pairsDir)
       .select("new_vec", "corpus_vec").collect()
       .map(r => norm(r.getLong(0), r.getLong(1))).toSet
     val batchMulti = graft.SparkEntry.queries("embedding_near_dup_multi")(spark, dir)
@@ -128,7 +128,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
     val index = IncrementalDedup.BucketedIndex(tbl, 8, key = "bucket")
     try {
       def pairs(): Set[(Long, Long)] =
-        spark.read.parquet(pairsDir).collect()
+        readStateTable(pairsDir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       // Same three-batch script as the directory-layout tests.
       IncrementalSemDedup.processBatch(
@@ -178,7 +178,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
     }
     input.addData((1L, base), (2L, far))
     run()
-    val rowsAfter1 = spark.read.parquet(indexDir).count()
+    val rowsAfter1 = readStateTable(indexDir).count()
     assert(rowsAfter1 == 8, "4 table rows per vector, 2 vectors")
     // Restart with one new duplicate: batch 1's offsets are recovered
     // (its rows are NOT re-appended — the epoch partition overwrite
@@ -186,10 +186,10 @@ class IncrementalSemDedupSpec extends SparkSpec {
     // and the new vector dedups against the standing state.
     input.addData((20L, scaledDup))
     run()
-    assert(spark.read.parquet(indexDir)
+    assert(readStateTable(indexDir)
       .filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
       .count() == 4, "vec 1's table rows must appear exactly once")
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((20L, 1L, 1000000L)))
   }
@@ -202,14 +202,14 @@ class IncrementalSemDedupSpec extends SparkSpec {
       Seq((1L, base), (2L, far), (3L, scaledDup))
         .toDF("vec_id", "embedding"),
       indexDir, pairsDir, 0L)
-    val got = spark.read.parquet(pairsDir).collect()
+    val got = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 1L)),
       "same-batch near-dups must pair, oriented new > corpus")
     // The next batch still pairs with both through the standing index.
     IncrementalSemDedup.processBatch(
       Seq((9L, base)).toDF("vec_id", "embedding"), indexDir, pairsDir, 1L)
-    val got2 = spark.read.parquet(pairsDir).collect()
+    val got2 = readStateTable(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((3L, 1L), (9L, 1L), (9L, 3L)))
   }
@@ -225,17 +225,26 @@ class IncrementalSemDedupSpec extends SparkSpec {
       .bucketRowsOf(Seq((1L, base), (2L, far)).toDF("vec_id", "embedding"))
       .withColumn("batch_id", lit(0L))
       .write.partitionBy("batch_id").parquet(indexDir)
-    assert(spark.read.parquet(indexDir)
+    assert(readStateTable(indexDir)
       .agg(max(col("bucket"))).collect()(0).getLong(0) < 256L,
       "fixture must be the raw single-table bucket range")
     // Restarting the upgraded loop over it must stop, not silently
     // serve ~1-table recall to every pre-upgrade vector forever —
     // and a RESUMED checkpoint never passes through batch 0, so the
-    // guard must fire on the first batch whatever its id.
-    val e = intercept[IllegalStateException] {
+    // guard must fire on the first batch whatever its id. (Under the
+    // DEFAULT snapshot layout the dir is refused even earlier, as a
+    // legacy directory index; through DirIndex — the layout the
+    // fixture belongs to — the single-table guard is what fires.)
+    val layoutRefusal = intercept[IllegalStateException] {
       IncrementalSemDedup.processBatch(
         Seq((3L, scaledDup)).toDF("vec_id", "embedding"),
         indexDir, pairsDir, 7L)
+    }
+    assert(layoutRefusal.getMessage.contains("DirIndex"))
+    val e = intercept[IllegalStateException] {
+      IncrementalSemDedup.processBatch(
+        Seq((3L, scaledDup)).toDF("vec_id", "embedding"),
+        IncrementalDedup.DirIndex(indexDir), pairsDir, 7L)
     }
     assert(e.getMessage.contains("single-table"))
     assert(e.getMessage.contains("Rebuild"))
