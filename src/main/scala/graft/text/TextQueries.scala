@@ -128,25 +128,29 @@ object TextQueries {
     * (ties resolve in model order). One narrow projection of integer
     * arithmetic, zero shuffle, linear scans per trigram — the same
     * scan-bound posture as `token_count` at 100 TB. */
+  /** DuckDB mirror of [[langScored]] (scores + argmax, no order) —
+    * shared by `lang_id` and the `lang_id_confusion` audit. */
+  private def sqlLangScoredSelect: String = {
+    val scores = LangModel.map { case (lang, grams) =>
+      grams.map { case (g, w) =>
+        val lit = g.replace("'", "''")
+        s"$w * CAST((length(text) - length(replace(text, '$lit', ''))) // ${g.length} AS BIGINT)"
+      }.mkString(" + ") + s" AS s_$lang"
+    }.mkString(",\n         ")
+    """SELECT doc_id, s_en, s_fr, s_es, s_de,
+      |       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+      |            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |            WHEN s_es >= s_de THEN 'es'
+      |            ELSE 'de' END AS pred_lang
+      |FROM (
+      |  SELECT doc_id,
+      |         """.stripMargin + scores + """
+      |  FROM documents
+      |)""".stripMargin
+  }
+
   private val langId = Q(
-    "lang_id", {
-      val scores = LangModel.map { case (lang, grams) =>
-        grams.map { case (g, w) =>
-          val lit = g.replace("'", "''")
-          s"$w * CAST((length(text) - length(replace(text, '$lit', ''))) // ${g.length} AS BIGINT)"
-        }.mkString(" + ") + s" AS s_$lang"
-      }.mkString(",\n         ")
-      """SELECT doc_id, s_en, s_fr, s_es, s_de,
-        |       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-        |            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-        |            WHEN s_es >= s_de THEN 'es'
-        |            ELSE 'de' END AS pred_lang
-        |FROM (
-        |  SELECT doc_id,
-        |         """.stripMargin + scores + """
-        |  FROM documents
-        |) ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+    "lang_id", s"$sqlLangScoredSelect ORDER BY doc_id") { (s, dir) =>
     langScored(Tables(s, dir).documents).orderBy("doc_id")
   }
 
@@ -1159,7 +1163,9 @@ object TextQueries {
     col("doc_id").cast("string"), lit("; track();</script>"),
     lit("<style>.main { margin: "), (col("doc_id") % 7).cast("string"),
     lit("px; }</style></head><body>"),
-    lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+    lit("<nav><a href=\"/home\">home</a> <a href=\"/d/"),
+    ((col("doc_id") * 7) % 101).cast("string"),
+    lit("\">rel</a> <a href=\"/about\">about</a></nav>"),
     lit("<div id=\"main\"><h1>"), col("source"), lit(" "),
     col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
     lit("</p></div><footer>(c) corpus "), col("lang"),
@@ -1179,24 +1185,36 @@ object TextQueries {
       HtmlStripPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " ")),
       " +", " "))
 
+  /** DuckDB mirror of [[htmlTwin]] as a CTE `h(doc_id, html)` — shared
+    * by `text_html_extract` and `text_html_links` so the two oracles
+    * cannot drift from one planted twin. */
+  private[text] val sqlHtmlTwinCte: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |      || '</title><script type="text/javascript">var docId = '
+      |      || CAST(doc_id AS VARCHAR) || '; track();</script>'
+      |      || '<style>.main { margin: ' || CAST(doc_id % 7 AS VARCHAR)
+      |      || 'px; }</style></head><body>'
+      |      || '<nav><a href="/home">home</a> <a href="/d/'
+      |      || CAST((doc_id * 7) % 101 AS VARCHAR)
+      |      || '">rel</a> <a href="/about">about</a></nav>'
+      |      || '<div id="main"><h1>' || source || ' '
+      |      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+      |      || '</p></div><footer>(c) corpus ' || lang
+      |      || '</footer></body></html>' AS html
+      |  FROM documents
+      |)""".stripMargin
+
   private val textHtmlExtract = Q(
     "text_html_extract", {
       val stripped = HtmlStripPatterns.foldLeft("html")((c, p) =>
         s"regexp_replace($c, '$p', ' ', 'g')")
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-         |      || '</title><script type="text/javascript">var docId = '
-         |      || CAST(doc_id AS VARCHAR) || '; track();</script>'
-         |      || '<style>.main { margin: ' || CAST(doc_id % 7 AS VARCHAR)
-         |      || 'px; }</style></head><body>'
-         |      || '<nav><a href="/home">home</a> <a href="/about">about</a></nav>'
-         |      || '<div id="main"><h1>' || source || ' '
-         |      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-         |      || '</p></div><footer>(c) corpus ' || lang
-         |      || '</footer></body></html>' AS html
-         |  FROM documents
-         |), x AS (
+      // Concatenated AFTER each part's own stripMargin: interpolating
+      // the already-stripped CTE into a string that strips again would
+      // mangle its `||` concatenations (stripMargin eats up to the
+      // first `|` of a continuation line).
+      sqlHtmlTwinCte + s""", x AS (
          |  SELECT doc_id, html,
          |         trim(regexp_replace($stripped, ' +', ' ', 'g'))
          |           AS main_text
@@ -1219,6 +1237,183 @@ object TextQueries {
         (col("html_chars") - col("text_chars")).cast("double") /
           col("html_chars").cast("double"))
       .orderBy("doc_id")
+  }
+
+  /** Outlink extraction over the planted HTML twin — the link-graph
+    * stage of a web corpus (crawl frontier, link-based quality, URL
+    * dedup all start from exactly this edge list). Extracts every
+    * href, explodes to (doc, target) edges, and aggregates per-target
+    * in-degree with the smallest referencing doc — the twin plants
+    * two global chrome targets (every doc) and a doc-dependent
+    * `/d/(7·doc_id mod 101)` target so the in-degree distribution has
+    * both a head and a tail. Scale: one regex pass + one explode
+    * (map-side) + one partial-agg shuffle on the target key; edges are
+    * metadata-sized (3 per doc). */
+  private val textHtmlLinks = Q(
+    "text_html_links",
+    sqlHtmlTwinCte + """, e AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+       |           AS target
+       |  FROM h
+       |)
+       |SELECT target,
+       |       CAST(count(*) AS BIGINT) AS in_degree,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS min_doc
+       |FROM e GROUP BY target ORDER BY target""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), htmlTwin.as("html"))
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)"))
+        .as("target"))
+      .groupBy(col("target"))
+      .agg(
+        count(lit(1)).as("in_degree"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("target")
+  }
+
+  /** URL canonicalization + exact URL dedup — the CommonCrawl-family
+    * first pass: the same page arrives under casing variants, default
+    * ports, `www.` prefixes, tracking parameters, fragments, and
+    * trailing slashes, and a corpus must collapse them BEFORE content
+    * dedup ever runs. Input is a planted raw-URL twin of `documents`
+    * (deterministic, collision-bearing by construction: scheme casing
+    * varies with doc_id%2, host variant with %4, `:443` with %5,
+    * utm/ref query with %3, fragment with %7 — so several raw forms
+    * map to one canonical page). Canonicalization, all shared-subset
+    * regex + list ops: lowercase scheme and host, strip the default
+    * `:443` port and the `www.` prefix, drop the fragment, drop
+    * `utm_*` tracking params (keeping the rest of the query), strip
+    * trailing path slashes. Output: one row per canonical URL with
+    * its duplicate count, distinct raw-form count, and min-doc
+    * survivor. Scale: one narrow projection + one partial-agg shuffle
+    * on the canonical key. */
+  private val textUrlCanonicalize = Q(
+    "text_url_canonicalize",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+      |      || '://'
+      |      || (CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+      |                          WHEN 1 THEN 'www.example.com'
+      |                          WHEN 2 THEN 'example.com'
+      |                          ELSE 'Example.Com' END)
+      |      || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |      || '/' || source || '/item-' || CAST(doc_id % 40 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+      |      || (CASE doc_id % 3
+      |            WHEN 0 THEN '?utm_source=feed&utm_campaign=c'
+      |                        || CAST(doc_id % 7 AS VARCHAR)
+      |            WHEN 1 THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR)
+      |                        || '&utm_medium=social'
+      |            ELSE '' END)
+      |      || (CASE WHEN doc_id % 7 = 0
+      |               THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      |           AS raw_url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, raw_url,
+      |         lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |         regexp_replace(regexp_replace(
+      |           lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |           ':443$', ''), '^www\.', '') AS host,
+      |         regexp_replace(
+      |           regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      |           '/+$', '') AS path,
+      |         coalesce(array_to_string(list_filter(
+      |           string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_')), '&'), '')
+      |           AS q
+      |  FROM u
+      |), canon AS (
+      |  SELECT doc_id, raw_url,
+      |         scheme || '://' || host ||
+      |         (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |         (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |  FROM parts
+      |)
+      |SELECT canonical_url,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+      |       min(doc_id) AS survivor_doc
+      |FROM canon GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+    val rawUrl = concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+      lit("://"),
+      when(col("doc_id") % 4 === 0, "WWW.Example.COM")
+        .when(col("doc_id") % 4 === 1, "www.example.com")
+        .when(col("doc_id") % 4 === 2, "example.com")
+        .otherwise("Example.Com"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      lit("/"), col("source"), lit("/item-"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 6 === 0, "/").otherwise(""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?ref="), (col("doc_id") % 2).cast("string"),
+            lit("&utm_medium=social")))
+        .otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("#sec-"), col("doc_id").cast("string"))).otherwise(""))
+    val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":443$", ""), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val q = array_join(filter(
+      split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_")), "&")
+    Tables(s, dir).documents
+      .select(col("doc_id"), rawUrl.as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        concat(scheme, lit("://"), host,
+          when(path === "", "/").otherwise(path),
+          when(q === "", "").otherwise(concat(lit("?"), q)))
+          .as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("doc_id")).as("survivor_doc"))
+      .orderBy("canonical_url")
+  }
+
+  /** Language-ID CONFUSION audit — the evidence query behind `lang_id`
+    * (the `er_quality` discipline applied to the classifier): cross the
+    * model's prediction with the corpus's planted `lang` label and
+    * report the confusion matrix plus per-cell hit flags. The corpus
+    * plants five labels while the pinned model knows four, so the audit
+    * honestly shows where `zh` lands (forced mispredictions) and what
+    * the per-language accuracy actually is — what an operator reads
+    * before trusting lang-ID-based filtering at corpus scale. One
+    * narrow scoring pass + one tiny groupBy; matrix-sized output. */
+  private val langIdConfusion = Q(
+    "lang_id_confusion",
+    s"""WITH scored AS ($sqlLangScoredSelect)
+       |SELECT d.lang AS true_lang, s.pred_lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(CASE WHEN d.lang = s.pred_lang THEN 1 ELSE 0 END
+       |            AS INTEGER) AS hit
+       |FROM documents d JOIN scored s USING (doc_id)
+       |GROUP BY d.lang, s.pred_lang
+       |ORDER BY true_lang, pred_lang""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(langScored(docs).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        when(col("true_lang") === col("pred_lang"), 1).otherwise(0)
+          .cast("int").as("hit"))
+      .orderBy("true_lang", "pred_lang")
   }
 
   /** Per-document unigram-LM cross-entropy — the CCNet-family quality
@@ -1689,7 +1884,7 @@ object TextQueries {
       sampleStratified, sampleDomainMix, textCollocations,
       packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
-      textHtmlExtract,
+      textHtmlExtract, textHtmlLinks, textUrlCanonicalize, langIdConfusion,
       textPerplexityBits, textBigramBits, sampleUniformHash,
       textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance,
       splitDriftReport)

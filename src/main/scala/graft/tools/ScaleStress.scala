@@ -53,7 +53,8 @@ object ScaleStress {
     // this cell MEASURES the exactness price as the corpus grows)
     "dedup_prefix_join",
     // r14
-    "text_html_extract")
+    "text_html_extract", "text_html_links", "text_url_canonicalize",
+    "lang_id_confusion")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",

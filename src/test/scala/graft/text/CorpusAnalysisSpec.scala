@@ -199,4 +199,62 @@ class CorpusAnalysisSpec extends SparkSpec {
       col("text_chars") =!= length(col("main_text")) ||
         col("text_chars") >= col("html_chars")).count() == 0)
   }
+
+  test("text_html_links: every doc contributes exactly its three planted " +
+      "links; chrome targets reach full in-degree") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("text_html_links")(spark, sf).collect()
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    assert(out.map(_.getLong(1)).sum == 3 * nDocs,
+      "3 hrefs per doc, so total in-degree = 3x corpus")
+    val chrome = out.filter(r => Set("/home", "/about")(r.getString(0)))
+    assert(chrome.length == 2 && chrome.forall(_.getLong(1) == nDocs),
+      "chrome links are referenced by every document")
+    out.filter(_.getString(0).startsWith("/d/")).foreach { r =>
+      val k = r.getString(0).stripPrefix("/d/").toLong
+      assert(k >= 0 && k < 101, s"planted target out of range: $r")
+    }
+  }
+
+  test("text_url_canonicalize: raw variants genuinely collapse and " +
+      "nothing is lost or double-counted") {
+    val out = SparkEntry.queries("text_url_canonicalize")(spark, sf)
+      .collect()
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    assert(out.map(_.getLong(1)).sum == nDocs,
+      "every document's URL lands in exactly one canonical group")
+    assert(out.length < nDocs / 2,
+      "the planted variants must actually collapse (dedup volume real)")
+    // The collisions are REAL canonicalization work, not accidental
+    // byte-equality: some group must merge several distinct raw forms.
+    assert(out.exists(_.getLong(2) > 1),
+      "at least one canonical group merges distinct raw forms")
+    out.foreach { r =>
+      val url = r.getString(0)
+      assert(url.startsWith("https://example.com/"), s"bad canonical: $url")
+      assert(!url.contains("utm_") && !url.contains("#") &&
+        !url.contains(":443") && !url.contains("www."),
+        s"canonicalization left tracking/port/fragment residue: $url")
+      assert(r.getLong(2) <= r.getLong(1),
+        "distinct raw forms cannot exceed member docs")
+    }
+  }
+
+  test("lang_id_confusion: marginals reconcile with the corpus; the " +
+      "unknown label (zh) can never score a hit") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("lang_id_confusion")(spark, sf).collect()
+    val byLang = graft.Tables(spark, sf).documents
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val marginals = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(marginals == byLang,
+      "per-true-lang row sums must equal the corpus label counts")
+    out.filter(_.getString(0) == "zh").foreach(r =>
+      assert(r.getInt(3) == 0, "the 4-lang model cannot predict zh"))
+    out.foreach(r => assert(
+      (r.getInt(3) == 1) == (r.getString(0) == r.getString(1)),
+      s"hit flag must equal the diagonal test: $r"))
+  }
 }
