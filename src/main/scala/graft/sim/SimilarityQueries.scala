@@ -1859,7 +1859,14 @@ object SimilarityQueries {
     * machine in the repo (all-pairs ≤ [[MaxBucketPairVecs]] per cell,
     * star edges to the cell representative beyond), so a giant cell
     * costs O(m), never O(m²). */
-  private def semDedupPairsOf(assign: DataFrame): DataFrame = {
+  private def semDedupPairsOf(assign: DataFrame): DataFrame =
+    semDedupPairsWithin(assign, NearDupSimE6)
+
+  /** The [[semDedupPairsOf]] body with the similarity floor
+    * parametrized — the threshold sweep scores ONCE at its widest
+    * bound and views the frame per τ. */
+  private def semDedupPairsWithin(
+      assign: DataFrame, minSimE6: Long): DataFrame = {
     val byCell = Window.partitionBy(col("cell"))
     val ranked = assign
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -1881,13 +1888,15 @@ object SimilarityQueries {
       .select(col("h.vec_id").as("vec_a"), col("t.vec_id").as("vec_b"),
         col("t.cell").as("cell"),
         simE6(col("h.embedding"), col("t.embedding")).as("sim_e6"))
-    headPairs.union(tailPairs).filter(col("sim_e6") >= NearDupSimE6)
+    headPairs.union(tailPairs).filter(col("sim_e6") >= minSimE6)
   }
 
   /** CTE chain ending in `sempairs(vec_a, vec_b, cell, sim_e6)` — the
     * DuckDB mirror of [[semDedupPairsOf]] over the 2-round-Lloyd
     * assignment, capped identically. */
-  private def sqlSemPairsCte: String =
+  private def sqlSemPairsCte: String = sqlSemPairsCteAt(NearDupSimE6)
+
+  private def sqlSemPairsCteAt(minSimE6: Long): String =
     s"""WITH seeds AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  ORDER BY $sqlSeedOrder LIMIT $NCells
@@ -1915,7 +1924,7 @@ object SimilarityQueries {
        |    ON t.cell = h.cell AND h.rk = 1
        |  WHERE t.m > 1 AND t.rk > $MaxBucketPairVecs
        |), sempairs AS (
-       |  SELECT * FROM cpairs WHERE sim_e6 >= $NearDupSimE6
+       |  SELECT * FROM cpairs WHERE sim_e6 >= $minSimE6
        |)""".stripMargin
 
   /** SemDeDup candidate pairs: cosine near-dups WITHIN trained k-means
@@ -1931,6 +1940,72 @@ object SimilarityQueries {
     * pinned for the static oracle (see [[DefaultPlanes]]' note);
     * production derives cell count from corpus size exactly like
     * `planesFor`. */
+  /** SemDeDup THRESHOLD selector — the `er_threshold_select` /
+    * `dedup_banding_select` evidence discipline applied to the
+    * semantic-dedup knob: score the capped within-cell candidates ONCE
+    * at the widest floor, then view the frame at each candidate τ and
+    * report what that τ would do to the corpus — pair count, removed
+    * vectors (distinct greater-id members: min-id survivorship means
+    * exactly those leave), survivors, and the removal fraction in
+    * exact e3. Selection rule: the LOWEST τ (most aggressive dedup)
+    * whose removal stays within the 20% budget — SemDeDup's dedup
+    * budget made an explicit measured choice instead of a pinned
+    * constant (the declared family's 0.15 floor is one of the swept
+    * points, so the table prices the default against its neighbors).
+    * Cost: one wide verify over the SAME bounded candidate frame +
+    * a 5-row aggregate; nothing new is quadratic. */
+  private val semdedupThresholdSelect = Q(
+    "semdedup_threshold_select", {
+      val taus = Seq(100000L, 150000L, 200000L, 300000L, 500000L)
+      s"""${sqlSemPairsCteAt(taus.min)}, th AS (
+         |  SELECT unnest([${taus.mkString(", ")}]) AS tau
+         |), agg AS (
+         |  SELECT th.tau,
+         |         CAST(count(p.vec_a) AS BIGINT) AS n_pairs,
+         |         CAST(count(DISTINCT p.vec_b) AS BIGINT) AS n_removed
+         |  FROM th LEFT JOIN sempairs p ON p.sim_e6 >= th.tau
+         |  GROUP BY th.tau
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |)
+         |SELECT CAST(tau AS BIGINT) AS tau_e6, n_pairs, n_removed,
+         |       n - n_removed AS n_survivors,
+         |       CAST(n_removed * 1000 // n AS BIGINT) AS removed_e3,
+         |       CAST(CASE WHEN n_removed * 1000 // n <= 200
+         |            THEN 1 ELSE 0 END AS INTEGER) AS qualifies,
+         |       CAST(CASE WHEN n_removed * 1000 // n <= 200 AND tau =
+         |              min(CASE WHEN n_removed * 1000 // n <= 200
+         |                  THEN tau END) OVER ()
+         |            THEN 1 ELSE 0 END AS INTEGER) AS selected
+         |FROM agg CROSS JOIN tot
+         |ORDER BY tau_e6""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val taus = Seq(100000L, 150000L, 200000L, 300000L, 500000L)
+    val wide = semDedupPairsWithin(trainedIvf(Tables(s, dir))._1, taus.min)
+      .cut(false)
+    val agg = taus.toDF("tau")
+      .join(wide, col("sim_e6") >= col("tau"), "left")
+      .groupBy(col("tau"))
+      .agg(count(col("vec_a")).as("n_pairs"),
+        countDistinct(col("vec_b")).as("n_removed"))
+    val tot = Tables(s, dir).embeddings.agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    agg.crossJoin(broadcast(tot))
+      .withColumn("removed_e3", expr("n_removed * 1000 DIV n"))
+      .withColumn("qualifies",
+        when(col("removed_e3") <= 200, 1).otherwise(0).cast("int"))
+      .withColumn("best",
+        min(when(col("qualifies") === 1, col("tau"))).over(wAll))
+      .select(
+        col("tau").as("tau_e6"), col("n_pairs"), col("n_removed"),
+        (col("n") - col("n_removed")).as("n_survivors"),
+        col("removed_e3"), col("qualifies"),
+        when(col("qualifies") === 1 && col("tau") === col("best"), 1)
+          .otherwise(0).cast("int").as("selected"))
+      .orderBy("tau_e6")
+  }
+
   private val semdedupPairs = Q(
     "semdedup_pairs",
     s"""$sqlSemPairsCte
@@ -2845,7 +2920,7 @@ object SimilarityQueries {
       similarityMutualKnn, knnLabelConsistency,
       embeddingComponents, embeddingSurvivors,
       embeddingDimStats, semdedupPairs, semdedupCellStats,
-      semdedupSurvivors, searchHybrid,
+      semdedupSurvivors, semdedupThresholdSelect, searchHybrid,
       embeddingRecallEval, embeddingNearDupMulti,
       embeddingIncrementalComponents, embeddingIncrementalComponentsMulti,
       similarityIvfScaled, similarityGraphSearch, graphSearchRecallEval,

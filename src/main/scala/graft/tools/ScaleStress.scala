@@ -63,7 +63,8 @@ object ScaleStress {
     "sim_pq_adc", "similarity_knn_graph", "knn_label_consistency",
     "embedding_components",
     "embedding_dim_stats", "semdedup_pairs", "semdedup_cell_stats",
-    "semdedup_survivors", "similarity_graph_search",
+    "semdedup_survivors", "semdedup_threshold_select",
+    "similarity_graph_search",
     "contrastive_triplets")
 
   /** Round-12 continuation: the market/CDC families read events/orders,

@@ -423,4 +423,36 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("sim_e6") == 1000000L),
       s"planted exact dup must pair in the scaled path: ${scaled.length} pairs")
   }
+
+  test("semdedup_threshold_select: monotone sweep, exact accounting, " +
+      "min-qualifying selection, declared default priced in-table") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("semdedup_threshold_select")(spark, sf)
+      .collect()
+    val n = graft.Tables(spark, sf).embeddings.count()
+    assert(rows.length == 5)
+    // Raising tau can only shrink the pair and removal sets.
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1) && lo.getLong(2) >= hi.getLong(2),
+        s"sweep must be monotone in tau: $lo vs $hi")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == n,
+        "removed + survivors must account for every vector")
+      assert(r.getLong(4) == r.getLong(2) * 1000 / n)
+      assert((r.getInt(5) == 1) == (r.getLong(4) <= 200))
+    }
+    val qualifying = rows.filter(_.getInt(5) == 1).map(_.getLong(0))
+    val selected = rows.filter(_.getInt(6) == 1).map(_.getLong(0))
+    assert(selected.toSeq ==
+      (if (qualifying.isEmpty) Seq.empty else Seq(qualifying.min)),
+      "selected = the most aggressive tau within the removal budget")
+    // The declared family's pinned 0.15 floor is one of the swept
+    // points, so its row prices the default against its neighbors:
+    // its pair count must equal semdedup_pairs' cardinality.
+    val defRow = rows.find(_.getLong(0) == 150000L).get
+    val nPairs = graft.SparkEntry.queries("semdedup_pairs")(spark, sf).count()
+    assert(defRow.getLong(1) == nPairs,
+      "the 0.15 sweep row must reproduce the declared pair count")
+  }
 }
