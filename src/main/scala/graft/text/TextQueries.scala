@@ -155,15 +155,19 @@ object TextQueries {
   }
 
   /** [[LangModel]] scoring + argmax over any (doc_id, text) frame —
-    * the `lang_id` body, factored so specs can plant texts. */
-  private[text] def langScored(docs: DataFrame): DataFrame = {
+    * the `lang_id` body, factored so specs can plant texts. `keep`
+    * names extra input columns to carry through (the confusion audit
+    * rides the planted label along instead of self-joining the corpus
+    * back on doc_id — one scan, no corpus-sized join). */
+  private[text] def langScored(
+      docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     def score(grams: Seq[(String, Int)]): Column =
       grams.map { case (g, w) =>
         (length(col("text")) - length(replace(col("text"), lit(g), lit(""))))
           .divide(lit(g.length)).cast("long") * lit(w.toLong)
       }.reduce(_ + _)
     docs
-      .select(col("doc_id") +:
+      .select(col("doc_id") +: keep.map(col) ++:
         LangModel.map { case (lang, grams) => score(grams).as(s"s_$lang") }: _*)
       .withColumn(
         "pred_lang",
@@ -1405,10 +1409,8 @@ object TextQueries {
        |FROM documents d JOIN scored s USING (doc_id)
        |GROUP BY d.lang, s.pred_lang
        |ORDER BY true_lang, pred_lang""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir).documents
-    docs.select(col("doc_id"), col("lang").as("true_lang"))
-      .join(langScored(docs).select(col("doc_id"), col("pred_lang")),
-        Seq("doc_id"))
+    langScored(Tables(s, dir).documents, keep = Seq("lang"))
+      .select(col("lang").as("true_lang"), col("pred_lang"))
       .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         when(col("true_lang") === col("pred_lang"), 1).otherwise(0)

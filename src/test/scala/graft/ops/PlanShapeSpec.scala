@@ -573,4 +573,39 @@ class PlanShapeSpec extends SparkSpec {
           s"a SinglePartition exchange must consume an aggregate:\n$plan")
     }
   }
+
+  test("text_html_extract: one narrow codegen projection — the ONLY " +
+      "exchange is the final sort") {
+    val plan = planOf("text_html_extract")
+    assert(countOf(plan, "Exchange") == 1,
+      s"extraction must not shuffle before the order:\n$plan")
+    assert(plan.contains("rangepartitioning(doc_id"),
+      s"the one exchange is the output sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"a pure per-row transform must not aggregate or join:\n$plan")
+  }
+
+  test("lang_id_confusion rides the label through the scoring pass — " +
+      "no corpus self-join") {
+    val plan = planOf("lang_id_confusion")
+    assert(!plan.contains("Join"),
+      s"the confusion matrix must not self-join the corpus:\n$plan")
+    // One partial-agg shuffle on the matrix key + the output sort.
+    assert(countOf(plan, "Exchange") == 2, s"plan grew an exchange:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"matrix counts must map-side combine:\n$plan")
+  }
+
+  test("text_url_canonicalize / text_html_links: map-side combined " +
+      "aggregation on the canonical/target key, corpus never joined") {
+    for (q <- Seq("text_url_canonicalize", "text_html_links")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"$q must map-side combine:\n$plan")
+      // distinct-count rewrite (two-phase) + final sort: ≤ 3 exchanges,
+      // every one over the already-aggregated metadata frame.
+      assert(countOf(plan, "Exchange") <= 3, s"$q plan grew:\n$plan")
+    }
+  }
 }
