@@ -821,6 +821,61 @@ object RelationalQueries {
       .orderBy("window_id")
   }
 
+  /** INTERVAL-OVERLAP join [EXT] — two interval sets, every pair that
+    * overlaps (the genomics/session-overlap shape; `join_range` is the
+    * point-in-window special case). The naive form is a cross join
+    * with a range predicate — Spark plans it as
+    * BroadcastNestedLoopJoin and it dies quadratically at scale. This
+    * runs the standard BUCKETED decomposition: each interval explodes
+    * into the hour buckets it covers (bounded ≤ 4 by the planted
+    * max-3h lengths; a production caller picks the bucket width near
+    * the max interval length), the join is an EQUI-join on the bucket,
+    * the exact overlap predicate filters the collision frame, and a
+    * distinct collapses pairs that share several buckets. Cost: one
+    * shuffle per side on the bucket key + a pair-sized distinct —
+    * never |A|·|B|. The two sets are deterministic sparse twins of
+    * `events` (moduli 13/17 with 2h/3h max lengths), so both engines
+    * construct identical inputs; overlap duration is exact integer
+    * seconds of the clamped intersection. */
+  private val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    """WITH a AS (
+      |  SELECT event_id AS a_id, ts AS a_start,
+      |         ts + INTERVAL 1 MINUTE * (1 + event_id % 120) AS a_end
+      |  FROM events WHERE event_id % 13 = 0
+      |), b AS (
+      |  SELECT event_id AS b_id, ts AS b_start,
+      |         ts + INTERVAL 1 MINUTE * (1 + event_id % 180) AS b_end
+      |  FROM events WHERE event_id % 17 = 1
+      |)
+      |SELECT a_id, b_id,
+      |       (epoch_us(CAST(least(a_end, b_end) AS TIMESTAMP))
+      |        - epoch_us(CAST(greatest(a_start, b_start) AS TIMESTAMP)))
+      |         // 1000000 AS overlap_sec
+      |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    def side(mod: Int, rem: Int, maxLen: Int,
+        p: String): org.apache.spark.sql.DataFrame =
+      ev.filter(pmod(col("event_id"), lit(mod)) === rem)
+        .select(
+          col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_start"),
+          expr(s"timestampadd(MINUTE, CAST(1 + event_id % $maxLen AS INT), ts)")
+            .as(s"${p}_end"))
+        .withColumn("bucket", explode(expr(
+          s"sequence(date_trunc('HOUR', ${p}_start)," +
+            s" date_trunc('HOUR', ${p}_end), interval 1 hour)")))
+    side(13, 0, 120, "a")
+      .join(side(17, 1, 180, "b"), Seq("bucket"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("a_id"), col("b_id"),
+        expr("(unix_micros(least(a_end, b_end)) -" +
+          " unix_micros(greatest(a_start, b_start))) div 1000000")
+          .as("overlap_sec"))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** As-of join — the time-series operator Spark lacks natively (the
     * (a)-tier compose-existing-ops rung of the custom-op ladder): for
     * each event, the user's most recent order at or before the event
@@ -2393,7 +2448,7 @@ object RelationalQueries {
     joinSortmerge, joinAnti, joinSemi, topkPerGroup, distinctUsers,
     approxDistinct, aggApproxTopk, aggQuantilesApprox, topk, setOps,
     windowLagReturn, windowMovingAvg, windowTumbling, windowSession,
-    aggSalted, joinSalted, joinSkewAqe, joinSkewSalted, aggQuantiles, aggPivot, joinRange, joinAsof,
+    aggSalted, joinSalted, joinSkewAqe, joinSkewSalted, aggQuantiles, aggPivot, joinRange, joinIntervalOverlap, joinAsof,
     joinAsofForward, joinAsofTolerance, joinPointInTime,
     aggHistogram, mergeUpsert, funnelSteps, retentionCohorts,
     graphPagerank, scd2Intervals, q10ReturnedItems, windowRankSuite,

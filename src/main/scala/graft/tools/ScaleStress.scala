@@ -83,7 +83,8 @@ object ScaleStress {
     "timeseries_drawdown", "timeseries_rsi",
     "timeseries_returns_corr", "timeseries_beta",
     "cdc_apply", "cdc_batch_stats", "cdc_scd2", "cdc_apply_idempotent",
-    "join_point_in_time", "agg_mode", "agg_listagg", "compaction_plan",
+    "join_point_in_time", "join_interval_overlap",
+    "agg_mode", "agg_listagg", "compaction_plan",
     // r13: ER through the capped pairing path
     "er_candidates", "er_matches", "er_quality", "er_incremental",
     "er_incremental_scaled",

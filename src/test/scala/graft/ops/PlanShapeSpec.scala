@@ -596,6 +596,20 @@ class PlanShapeSpec extends SparkSpec {
       s"matrix counts must map-side combine:\n$plan")
   }
 
+  test("join_interval_overlap: the bucketed decomposition — an EQUI " +
+      "join on the hour bucket, never a nested-loop range join") {
+    val plan = planOf("join_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the overlap predicate must ride the bucket equi-join:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") + countOf(plan, "BroadcastHashJoin")
+      == 1, s"exactly one join, keyed on the bucket:\n$plan")
+    val joinLine = plan.linesIterator.find(_.contains("Join")).get
+    assert(joinLine.contains("bucket"),
+      s"the equi-join key must be the bucket:\n$joinLine")
+  }
+
   test("text_url_canonicalize / text_html_links: map-side combined " +
       "aggregation on the canonical/target key, corpus never joined") {
     for (q <- Seq("text_url_canonicalize", "text_html_links")) {
