@@ -1295,10 +1295,13 @@ object TextQueries {
     * its duplicate count, distinct raw-form count, and min-doc
     * survivor. Scale: one narrow projection + one partial-agg shuffle
     * on the canonical key. */
-  private val textUrlCanonicalize = Q(
-    "text_url_canonicalize",
+  /** DuckDB CTE chain ending in `canon(doc_id, text, raw_url,
+    * canonical_url)` — the planted raw-URL twin plus its
+    * canonicalization, shared by `text_url_canonicalize` and the
+    * `corpus_dedup_funnel` composition so the two cannot drift. */
+  private[text] val sqlCanonCte: String =
     """WITH u AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text,
       |         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
       |      || '://'
       |      || (CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
@@ -1319,7 +1322,7 @@ object TextQueries {
       |           AS raw_url
       |  FROM documents
       |), parts AS (
-      |  SELECT doc_id, raw_url,
+      |  SELECT doc_id, text, raw_url,
       |         lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
       |         regexp_replace(regexp_replace(
       |           lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
@@ -1333,18 +1336,16 @@ object TextQueries {
       |           AS q
       |  FROM u
       |), canon AS (
-      |  SELECT doc_id, raw_url,
+      |  SELECT doc_id, text, raw_url,
       |         scheme || '://' || host ||
       |         (CASE WHEN path = '' THEN '/' ELSE path END) ||
       |         (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
       |  FROM parts
-      |)
-      |SELECT canonical_url,
-      |       CAST(count(*) AS BIGINT) AS n_docs,
-      |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
-      |       min(doc_id) AS survivor_doc
-      |FROM canon GROUP BY canonical_url
-      |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      |)""".stripMargin
+
+  /** The Spark twin of [[sqlCanonCte]]: documents →
+    * (doc_id, text, raw_url, canonical_url). */
+  private[text] def canonicalUrls(docs: DataFrame): DataFrame = {
     val rawUrl = concat(
       when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
       lit("://"),
@@ -1375,19 +1376,79 @@ object TextQueries {
     val q = array_join(filter(
       split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_")), "&")
-    Tables(s, dir).documents
-      .select(col("doc_id"), rawUrl.as("raw_url"))
-      .select(col("doc_id"), col("raw_url"),
+    docs
+      .select(col("doc_id"), col("text"), rawUrl.as("raw_url"))
+      .select(col("doc_id"), col("text"), col("raw_url"),
         concat(scheme, lit("://"), host,
           when(path === "", "/").otherwise(path),
           when(q === "", "").otherwise(concat(lit("?"), q)))
           .as("canonical_url"))
+  }
+
+  private val textUrlCanonicalize = Q(
+    "text_url_canonicalize",
+    sqlCanonCte + """
+      |SELECT canonical_url,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+      |       min(doc_id) AS survivor_doc
+      |FROM canon GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+    canonicalUrls(Tables(s, dir).documents)
       .groupBy(col("canonical_url"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("raw_url")).as("n_raw_forms"),
         min(col("doc_id")).as("survivor_doc"))
       .orderBy("canonical_url")
+  }
+
+  /** The DEDUP FUNNEL — the pipeline-order composition report: URL
+    * dedup FIRST (cheap metadata equality on the canonical page key),
+    * exact content dedup SECOND on the URL survivors (md5 of the
+    * text) — the order every web corpus runs, because a page's
+    * thousand tracking-parameter aliases should never reach content
+    * hashing. One row per stage with docs in, docs out, and removed —
+    * the table a corpus owner reads to see where volume actually
+    * dies. Survivorship is min-doc per key at both stages (the
+    * family's rule). Scale: stage 1 is one partial-agg shuffle on the
+    * canonical key; stage 2 hashes only the SURVIVOR frame (the
+    * composition is the point: content hashing runs on the
+    * already-URL-deduped corpus); the report is 2 rows. */
+  private val corpusDedupFunnel = Q(
+    "corpus_dedup_funnel",
+    sqlCanonCte + """, surv AS (
+      |  SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+      |), s1 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_url
+      |  FROM canon
+      |), s2 AS (
+      |  SELECT CAST(count(DISTINCT md5(c.text)) AS BIGINT) AS n_content
+      |  FROM canon c JOIN surv USING (doc_id)
+      |)
+      |SELECT stage, n_in, n_out, n_in - n_out AS n_removed FROM (
+      |  SELECT '1_url_exact' AS stage, n_docs AS n_in, n_url AS n_out
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT '2_content_exact', n_url, n_content FROM s1 CROSS JOIN s2
+      |) ORDER BY stage""".stripMargin) { (s, dir) =>
+    val canon = canonicalUrls(Tables(s, dir).documents)
+    val surv = canon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s1 = canon.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("canonical_url")).as("n_url"))
+    val s2 = canon.join(surv, Seq("doc_id"), "left_semi")
+      .agg(countDistinct(md5(col("text"))).as("n_content"))
+    val both = s1.crossJoin(broadcast(s2))
+    both.select(lit("1_url_exact").as("stage"),
+        col("n_docs").as("n_in"), col("n_url").as("n_out"))
+      .unionByName(both.select(lit("2_content_exact").as("stage"),
+        col("n_url").as("n_in"), col("n_content").as("n_out")))
+      .withColumn("n_removed", col("n_in") - col("n_out"))
+      .orderBy("stage")
   }
 
   /** Language-ID CONFUSION audit — the evidence query behind `lang_id`
@@ -1887,6 +1948,7 @@ object TextQueries {
       packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textHtmlExtract, textHtmlLinks, textUrlCanonicalize, langIdConfusion,
+      corpusDedupFunnel,
       textPerplexityBits, textBigramBits, sampleUniformHash,
       textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance,
       splitDriftReport)

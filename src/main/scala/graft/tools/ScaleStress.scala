@@ -54,7 +54,7 @@ object ScaleStress {
     "dedup_prefix_join",
     // r14
     "text_html_extract", "text_html_links", "text_url_canonicalize",
-    "lang_id_confusion")
+    "lang_id_confusion", "corpus_dedup_funnel")
   private val EmbQueries = Seq(
     "similarity_topk", "similarity_ann_lsh", "similarity_ivf",
     "similarity_ivf_scaled",

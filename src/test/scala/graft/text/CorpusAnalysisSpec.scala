@@ -240,6 +240,27 @@ class CorpusAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("corpus_dedup_funnel: stages chain and reconcile with the " +
+      "canonical-URL table") {
+    val rows = SparkEntry.queries("corpus_dedup_funnel")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_url_exact", "2_content_exact"))
+    val Array(urlStage, contentStage) = rows
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    val nCanon = SparkEntry.queries("text_url_canonicalize")(spark, sf)
+      .count()
+    assert(urlStage.getLong(1) == nDocs,
+      "stage 1 consumes the whole corpus")
+    assert(urlStage.getLong(2) == nCanon,
+      "stage 1 output = the canonical-URL table's cardinality")
+    assert(contentStage.getLong(1) == urlStage.getLong(2),
+      "stage 2 consumes exactly stage 1's survivors")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2) && r.getLong(3) >= 0)
+    }
+  }
+
   test("lang_id_confusion: marginals reconcile with the corpus; the " +
       "unknown label (zh) can never score a hit") {
     import org.apache.spark.sql.functions._
