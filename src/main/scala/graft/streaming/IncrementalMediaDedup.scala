@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.mm.{Multimodal, MultimodalQueries}
 import graft.ops.Checkpoints.CheckpointOps
-import graft.etl.Sinks
 
 /** Streaming MEDIA near-dedup: the fingerprint twin of
   * [[IncrementalDedup]] (text bands) and [[IncrementalSemDedup]]

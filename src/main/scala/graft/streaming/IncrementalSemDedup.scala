@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.sim.SimilarityQueries
 import graft.ops.Checkpoints.CheckpointOps
-import graft.etl.Sinks
 
 /** Streaming SEMANTIC near-dedup: the embedding twin of
   * [[IncrementalDedup]] — a continuous day-N+1 loop where each
