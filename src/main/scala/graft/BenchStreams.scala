@@ -62,6 +62,30 @@ object BenchStreams {
       streaming.IncrementalBars.bars(spark, s"$dir/bars")
         .write.format("noop").mode("overwrite").save()
     },
+    "snapshot_maintenance_loop" -> { (spark, sfDir, dir) =>
+      // The maintenance pair every snapshot-committed state table needs
+      // on a cadence now that the loops land per-epoch manifests
+      // (round 14): 3 epoch commits of bar partials, then COMPACT
+      // (fold the small epoch files into one), EXPIRE past the
+      // reader-grace window (keepLast=1, age 0 — the stop-the-world
+      // test posture; production keeps a grace window), and a pinned
+      // read of the maintained head. Prices the full
+      // commit→fold→GC→read lifecycle so a regression in the metadata
+      // plane (manifest churn, footer counting, GC sweeps) is a
+      // flagged cell, not a silent drift.
+      val trades = Tables(spark, sfDir).events
+        .select("event_type", "ts", "event_id", "value")
+      for (b <- 0L to 2L)
+        streaming.IncrementalBars.processBatch(
+          trades.filter(col("event_id") % 3 === b), s"$dir/bars", b)
+      etl.SnapshotTable.compact(spark, s"$dir/bars")
+      val (m, f) = etl.SnapshotTable.expire(
+        spark, s"$dir/bars", keepLast = 1, minAgeMs = 0)
+      require(m >= 3 && f >= 3,
+        s"maintenance must fold and sweep the epoch commits ($m, $f)")
+      streaming.IncrementalBars.bars(spark, s"$dir/bars")
+        .write.format("noop").mode("overwrite").save()
+    },
     "bpe_train_loop" -> { (spark, sfDir, _) =>
       // COLD BPE training priced under the gate (round-13 verdict §4:
       // the declared bpe_train cell measures the memoized emission, so

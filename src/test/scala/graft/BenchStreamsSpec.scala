@@ -68,9 +68,24 @@ class BenchStreamsSpec extends SparkSpec {
     assert(after == before, "scratch dirs must be deleted")
   }
 
-  test("all five cells are declared") {
+  test("all six cells are declared") {
     assert(BenchStreams.cells.map(_._1).sorted ==
-      Seq("bpe_train_loop", "stream_bars_loop", "stream_dedup_loop",
+      Seq("bpe_train_loop", "snapshot_maintenance_loop",
+        "stream_bars_loop", "stream_dedup_loop",
         "stream_media_loop", "stream_semdedup_loop"))
+  }
+
+  test("the maintenance cell folds to one manifest and the merged bars " +
+      "survive the GC unchanged") {
+    val dir = tmpDir("bench-snap-maint")
+    BenchStreams.cells.find(_._1 == "snapshot_maintenance_loop").get
+      ._2(spark, sf, dir)
+    val snaps = graft.etl.SnapshotTable.snapshots(spark, s"$dir/bars")
+    assert(snaps.length == 1 && snaps.head.files.length == 1,
+      s"compact+expire must leave one single-file snapshot: $snaps")
+    val merged = streaming.IncrementalBars.bars(spark, s"$dir/bars").count()
+    val batch = SparkEntry.queries("timeseries_ohlc")(spark, sf).count()
+    assert(merged == batch,
+      "the maintained table must still merge to the exact batch bars")
   }
 }
