@@ -108,11 +108,22 @@ object SnapshotTable {
         new String(out.toByteArray, "UTF-8")
       } finally in.close()
     val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
-    // Optional `batch=` header (streaming effectively-once commits,
-    // [[appendOnce]]) sits between rows= and the file list.
-    val batch = lines.lift(2).filter(_.startsWith("batch="))
+    // Optional headers between rows= and the file list:
+    //  - `batch=`    this commit's streaming epoch ([[appendOnce]] /
+    //                [[replaceBatch]]);
+    //  - `maxBatch=` the table's EPOCH LEDGER as of this snapshot — the
+    //                highest batch id ever committed (-1 = none / reset).
+    //                Carried by every post-round-15 commit so epoch
+    //                idempotence survives [[expire]] dropping the old
+    //                batch-stamped manifests and [[compact]]/[[append]]
+    //                publishing batch-less ones.
+    val extra = lines.drop(2).takeWhile(l =>
+      l.startsWith("batch=") || l.startsWith("maxBatch="))
+    val batch = extra.find(_.startsWith("batch="))
       .flatMap(_.stripPrefix("batch=").toLongOption)
-    val headerLen = if (batch.isDefined) 3 else 2
+    val maxBatch = extra.find(_.startsWith("maxBatch="))
+      .flatMap(_.stripPrefix("maxBatch=").toLongOption)
+    val headerLen = 2 + extra.length
     for {
       head <- lines.headOption
       if head.startsWith("files=")
@@ -120,12 +131,13 @@ object SnapshotTable {
       rows <- lines.lift(1).filter(_.startsWith("rows="))
         .flatMap(_.stripPrefix("rows=").toLongOption)
       if lines.length == n + headerLen + 1 && lines.last == Terminator
-    } yield Manifest(id, lines.slice(headerLen, headerLen + n), rows, batch)
+    } yield Manifest(
+      id, lines.slice(headerLen, headerLen + n), rows, batch, maxBatch)
   }
 
   final case class Manifest(
       id: Long, files: Seq[String], rows: Long,
-      batchId: Option[Long] = None)
+      batchId: Option[Long] = None, maxBatch: Option[Long] = None)
 
   /** The newest VALID snapshot, skipping torn manifests. */
   def currentSnapshot(
@@ -192,7 +204,8 @@ object SnapshotTable {
     * — each loser's next attempt targets a strictly larger id). */
   private def publish(
       fs: FileSystem, tableDir: String, files: Seq[String],
-      rows: Long, batch: Option[Long] = None): Long = {
+      rows: Long, batch: Option[Long] = None,
+      maxBatch: Option[Long] = None): Long = {
     fs.mkdirs(new Path(s"$tableDir/$ManifestDir"))
     var attempt = manifestIds(fs, tableDir).lastOption.getOrElse(-1L) + 1
     while (true) {
@@ -210,7 +223,8 @@ object SnapshotTable {
         case Some(out) =>
           try {
             val header = Seq(s"files=${files.length}", s"rows=$rows") ++
-              batch.map(b => s"batch=$b")
+              batch.map(b => s"batch=$b") ++
+              maxBatch.map(m => s"maxBatch=$m")
             val body = (header ++ files :+ Terminator)
               .mkString("", "\n", "\n")
             out.write(body.getBytes("UTF-8"))
@@ -248,13 +262,57 @@ object SnapshotTable {
     }.sum
   }
 
+  /** The table's EPOCH LEDGER: the highest streaming batch id ever
+    * committed, or -1 if none. Derived from the newest manifest that
+    * carries an explicit `maxBatch=` header (every post-round-15
+    * commit stamps one; [[overwrite]] stamps the -1 RESET), topped up
+    * by any newer legacy `batch=` headers; a fully pre-ledger chain
+    * falls back to the retained batch headers — the old behavior,
+    * with its documented caveat that [[expire]] can forget epochs
+    * until the table's first post-upgrade commit re-stamps the max. */
+  private[etl] def ledgerMax(chain: Seq[Manifest]): Long = {
+    val idx = chain.lastIndexWhere(_.maxBatch.isDefined)
+    if (idx >= 0)
+      (chain(idx).maxBatch.get +: chain.drop(idx + 1).flatMap(_.batchId))
+        .max
+    else chain.flatMap(_.batchId).foldLeft(-1L)(math.max)
+  }
+
+  /** Public ledger read — the highest batch id committed to this
+    * table (-1 if none): survives [[compact]] folding the epoch files
+    * and [[expire]] dropping the old batch-stamped manifests, so
+    * loop sequencing ([[graft.streaming.IncrementalBars]]'s
+    * high-water mark) never wedges or double-counts after
+    * maintenance. */
+  def maxCommittedBatch(spark: SparkSession, tableDir: String): Long =
+    ledgerMax(snapshots(spark, tableDir))
+
+  /** Does this table use the snapshot format at all (a `manifests/`
+    * dir exists, committed or torn)? Distinguishes "snapshot table
+    * whose only commits are torn — readers must see EMPTY, not take a
+    * plain-directory read that chokes on the manifests dir" from a
+    * genuine plain parquet directory. */
+  def isSnapshotFormat(spark: SparkSession, tableDir: String): Boolean = {
+    val fs = fsOf(spark, tableDir)
+    fs.exists(new Path(s"$tableDir/$ManifestDir"))
+  }
+
   /** Commit `df` as a new snapshot REPLACING the table contents.
-    * Returns the snapshot id. */
+    * Returns the snapshot id.
+    *
+    * Overwrite also RESETS the epoch ledger (stamps `maxBatch=-1`):
+    * replacing the contents starts a new epoch sequence, so a
+    * subsequent [[appendOnce]] accepts recycled batch ids from 0 even
+    * while older batch-stamped manifests are still retained — the
+    * fresh-checkpoint fold-to-base recovery
+    * ([[graft.streaming.IncrementalDedup.requireEpochContinuity]])
+    * depends on exactly this. */
   def overwrite(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
     val staged = stage(df, fs, tableDir, "w")
-    publish(fs, tableDir, staged, stagedRows(spark, tableDir, staged))
+    publish(fs, tableDir, staged, stagedRows(spark, tableDir, staged),
+      maxBatch = Some(-1L))
   }
 
   /** Commit `df` as a new snapshot APPENDED to the current head (or
@@ -271,9 +329,11 @@ object SnapshotTable {
     // appends (same as Iceberg's fast-append without a catalog) —
     // single-writer-per-table is this format's write contract,
     // MULTI-READER isolation is its guarantee.
-    val head = currentSnapshot(spark, tableDir)
+    val chain = snapshots(spark, tableDir)
+    val head = chain.lastOption
     publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
-      head.map(_.rows).getOrElse(0L) + added)
+      head.map(_.rows).getOrElse(0L) + added,
+      maxBatch = Some(ledgerMax(chain)))
   }
 
   /** EFFECTIVELY-ONCE append for streaming epochs — the foreachBatch
@@ -285,20 +345,35 @@ object SnapshotTable {
     * returning that snapshot (its orphaned re-staged files, if the
     * crash landed between stage and publish, stay invisible and age
     * out in [[expire]]); otherwise an ordinary [[append]] commit is
-    * published with the batch id in the manifest header. Batch-id
-    * lookups read the same metadata-sized manifest listing every
-    * other operation reads. */
+    * published with the batch id in the manifest header.
+    *
+    * The replay test is the EPOCH LEDGER (`batchId <= `[[ledgerMax]]),
+    * not a scan for a retained `batch=` manifest: streaming epoch ids
+    * are monotone per checkpoint, so "at or below the high-water mark"
+    * IS "already committed", and the test keeps holding after
+    * [[compact]] folds the epoch's files and [[expire]] drops its
+    * manifest — where the old manifest scan silently re-appended
+    * (double count) or, after an [[overwrite]] ledger reset, silently
+    * no-op'd (dropped the restarted epoch). Ledger lookups read the
+    * same metadata-sized manifest listing every other operation
+    * reads. */
   def appendOnce(df: DataFrame, tableDir: String, batchId: Long): Long = {
     val spark = df.sparkSession
-    snapshots(spark, tableDir).find(_.batchId.contains(batchId)) match {
-      case Some(m) => m.id
-      case None =>
-        val fs = fsOf(spark, tableDir)
-        val staged = stage(df, fs, tableDir, s"b$batchId")
-        val added = stagedRows(spark, tableDir, staged)
-        val head = currentSnapshot(spark, tableDir)
-        publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
-          head.map(_.rows).getOrElse(0L) + added, Some(batchId))
+    val chain = snapshots(spark, tableDir)
+    if (chain.nonEmpty && batchId <= ledgerMax(chain))
+      chain.findLast(_.batchId.contains(batchId))
+        .getOrElse(chain.last).id // ledger remembers folded/expired epochs
+    else {
+      val fs = fsOf(spark, tableDir)
+      val staged = stage(df, fs, tableDir, s"b$batchId")
+      val added = stagedRows(spark, tableDir, staged)
+      // Head re-resolved after staging, same as append(): the publish
+      // retry loop is the only concurrency window under the
+      // single-writer-per-table contract.
+      val head = currentSnapshot(spark, tableDir)
+      publish(fs, tableDir, head.map(_.files).getOrElse(Nil) ++ staged,
+        head.map(_.rows).getOrElse(0L) + added, Some(batchId),
+        maxBatch = Some(math.max(ledgerMax(chain), batchId)))
     }
   }
 
@@ -336,24 +411,35 @@ object SnapshotTable {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
     val chain = snapshots(spark, tableDir)
-    require(chain.exists(_.batchId.contains(batchId)),
+    // The epoch is "landed" if the LEDGER has reached it (survives
+    // compact/expire), a retained manifest carries its header
+    // (pre-ledger chains), or the head still holds its stage-tagged
+    // files (pre-ledger chain whose batch manifest expired — the
+    // file names outlive the manifests, and the swap stays
+    // well-defined).
+    val head = chain.lastOption
+    val owned = head.map(_.files.filter(isBatchFile(_, batchId)))
+      .getOrElse(Nil)
+    require(chain.nonEmpty &&
+      (batchId <= ledgerMax(chain) ||
+        chain.exists(_.batchId.contains(batchId)) || owned.nonEmpty),
       s"no committed snapshot of $tableDir carries batch $batchId — " +
         "replaceBatch corrects a landed epoch; use appendOnce to land it")
-    val head = chain.last
-    val owned = head.files.filter(isBatchFile(_, batchId))
+    val newMax = Some(math.max(ledgerMax(chain), batchId))
     val staged = stage(df, fs, tableDir, s"r$batchId")
     val added = stagedRows(spark, tableDir, staged)
     if (owned.nonEmpty) {
       val removed = stagedRows(spark, tableDir, owned)
-      publish(fs, tableDir, head.files.filterNot(owned.toSet) ++ staged,
-        head.rows - removed + added, Some(batchId))
+      publish(fs, tableDir, head.get.files.filterNot(owned.toSet) ++ staged,
+        head.get.rows - removed + added, Some(batchId), newMax)
     } else {
       // No live file carries the epoch's tag: either the epoch landed
       // empty (nothing to remove — plain append) or a compaction
       // folded its rows into untagged files (row-level fallback).
+      val h = head.get
       val live =
-        if (head.files.isEmpty) None
-        else Some(read(spark, tableDir, Some(head.id)))
+        if (h.files.isEmpty) None
+        else Some(read(spark, tableDir, Some(h.id)))
       val folded = live.exists(l => l.columns.contains("batch_id") &&
         !l.filter(org.apache.spark.sql.functions.col("batch_id")
           === batchId).isEmpty)
@@ -362,15 +448,15 @@ object SnapshotTable {
           s"$tableDir carries no batch_id column: epoch ownership is " +
             "untrackable after compaction — stamp epochs with batch_id " +
             "to keep them correctable")
-        publish(fs, tableDir, head.files ++ staged, head.rows + added,
-          Some(batchId))
+        publish(fs, tableDir, h.files ++ staged, h.rows + added,
+          Some(batchId), newMax)
       } else {
         val kept = live.get.filter(
           org.apache.spark.sql.functions.col("batch_id") =!= batchId)
         val keptStaged = stage(kept, fs, tableDir, s"rk$batchId")
         val keptRows = stagedRows(spark, tableDir, keptStaged)
         publish(fs, tableDir, keptStaged ++ staged, keptRows + added,
-          Some(batchId))
+          Some(batchId), newMax)
       }
     }
   }
@@ -384,12 +470,18 @@ object SnapshotTable {
     * snapshot id. */
   def compact(
       spark: SparkSession, tableDir: String, numFiles: Int = 1): Long = {
-    val head = currentSnapshot(spark, tableDir).getOrElse(
+    val chain = snapshots(spark, tableDir)
+    val head = chain.lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tableDir has no committed snapshot to compact"))
     val rows = read(spark, tableDir, Some(head.id)).repartition(numFiles)
     val fs = fsOf(spark, tableDir)
-    publish(fs, tableDir, stage(rows, fs, tableDir, "c"), head.rows)
+    // The folded manifest CARRIES THE LEDGER forward: compaction (and
+    // the expire that usually follows) must not make the table forget
+    // which epochs it already holds — the forgotten-ledger state
+    // double-counted replays and wedged the high-water sequencing.
+    publish(fs, tableDir, stage(rows, fs, tableDir, "c"), head.rows,
+      maxBatch = Some(ledgerMax(chain)))
   }
 
   /** Adopt an existing plain parquet directory table (the
@@ -418,7 +510,8 @@ object SnapshotTable {
     // carry table-relative paths, so expire() GC and pinned reads
     // treat them like any staged file.
     val rows = spark.read.parquet(flat.map(_.toString): _*).count()
-    Some(publish(fs, tableDir, flat.map(_.getName), rows))
+    Some(publish(fs, tableDir, flat.map(_.getName), rows,
+      maxBatch = Some(-1L)))
   }
 
   /** Explicit GC — the only operation that deletes anything. Keeps

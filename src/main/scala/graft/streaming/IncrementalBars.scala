@@ -46,14 +46,16 @@ object IncrementalBars {
         min(col("cents")).as("low_cents"),
         count(lit(1)).as("n_trades"))
 
-  /** Epoch ids already committed, read off the manifest ledger — only
-    * committed snapshots carry a batch header, so a crashed
-    * half-commit of epoch N leaves N out of this set and forces its
-    * replay before N+1 can land (the reader-side torn-manifest skip
-    * does the hiding; this does the sequencing). */
-  private def committedEpochs(
-      spark: org.apache.spark.sql.SparkSession, barsDir: String): Set[Long] =
-    SnapshotTable.snapshots(spark, barsDir).flatMap(_.batchId).toSet
+  /** The epoch high-water mark, read off the manifest ledger
+    * ([[SnapshotTable.maxCommittedBatch]] — carried forward by every
+    * commit including compact, so maintenance cannot wedge the
+    * sequence or forget a landed epoch): -1 when nothing committed.
+    * A crashed half-commit of epoch N leaves the mark at N−1 and
+    * forces N's replay before N+1 can land (the reader-side
+    * torn-manifest skip does the hiding; this does the sequencing). */
+  private def highWater(
+      spark: org.apache.spark.sql.SparkSession, barsDir: String): Long =
+    SnapshotTable.maxCommittedBatch(spark, barsDir)
 
   /** A bars state dir written by the pre-snapshot layout (epoch=N
     * directories) must refuse loudly, not read as empty: treating it
@@ -77,10 +79,9 @@ object IncrementalBars {
       trades: DataFrame, barsDir: String, batchId: Long): Unit = {
     val spark = trades.sparkSession
     requireNotLegacy(spark, barsDir)
-    val existing = committedEpochs(spark, barsDir)
-    val next = if (existing.isEmpty) 0L else existing.max + 1
+    val next = highWater(spark, barsDir) + 1
     require(batchId <= next,
-      s"epoch gap: batch $batchId after ${existing.toSeq.sorted}")
+      s"epoch gap: batch $batchId after high-water mark ${next - 1}")
     // Empty batches COMMIT an empty epoch (zero partial-bar rows, a
     // real batch-stamped manifest): skipping them would never advance
     // the high-water mark, wedging the sequence — every later batch id
@@ -118,7 +119,7 @@ object IncrementalBars {
   private[graft] def reopen(
       trades: DataFrame, barsDir: String, epoch: Long): Unit = {
     val spark = trades.sparkSession
-    require(committedEpochs(spark, barsDir).contains(epoch),
+    require(epoch >= 0 && epoch <= highWater(spark, barsDir),
       s"epoch $epoch is not committed under $barsDir — a late-trade " +
         "reopen corrects a landed epoch; use processBatch to land new ones")
     SnapshotTable.replaceBatch(

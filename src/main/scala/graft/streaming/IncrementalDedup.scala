@@ -374,7 +374,13 @@ object IncrementalDedup {
     * into the base partition ([[graft.etl.Sinks.compactEpochPartitions]]
     * with upToExclusive > max epoch) — base rows live at batch_id = −1,
     * below every new epoch, so both the probe and new appends compose
-    * correctly — then delete/rewrite the `_graft_owner` marker. */
+    * correctly — then delete/rewrite the `_graft_owner` marker. On the
+    * snapshot layout the fold is one
+    * [[graft.etl.SnapshotTable.overwrite]] of EACH state table (index
+    * and pairs) rewritten to batch_id = −1: overwrite resets the
+    * manifest epoch ledger, so the restarted sequence's recycled ids
+    * land as new epochs instead of silently no-op'ing as replays (the
+    * recall-loss failure the guard exists to prevent). */
   private[streaming] def requireEpochContinuity(
       index: BandIndex, spark: org.apache.spark.sql.SparkSession,
       batchId: Long, ownerId: Option[String] = None): Unit =
@@ -392,12 +398,15 @@ object IncrementalDedup {
         throw new IllegalStateException(
           "fresh checkpoint over a standing index with epochs > 0: " +
             "recycled batch ids would overwrite prior epochs and hide " +
-            "the index from the probe. Fold the index (and pairs table) " +
-            "to the base epoch first — directory layout: " +
+            "the index from the probe. Fold the index AND its pairs " +
+            "table to the base epoch first — directory layout: " +
             "Sinks.compactEpochPartitions(spark, dir, maxEpoch + 1); " +
             "snapshot layout: SnapshotTable.overwrite(read(dir)" +
-            ".withColumn(\"batch_id\", lit(-1L)), dir) — then remove " +
-            "the _graft_owner marker.")
+            ".withColumn(\"batch_id\", lit(-1L)), dir) on BOTH dirs " +
+            "(the overwrite commit resets the manifest epoch ledger, " +
+            "so the restarted sequence's recycled ids land instead of " +
+            "no-op'ing as replays) — then remove the _graft_owner " +
+            "marker.")
     }
 
   /** First-write ownership stamp: records which checkpoint drives this

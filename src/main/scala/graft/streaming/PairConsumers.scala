@@ -33,17 +33,24 @@ private[streaming] object PairConsumers {
       spark: org.apache.spark.sql.SparkSession, pairsDir: String,
       aCol: String, bCol: String, keyName: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsDir)
+    def emptyGraph = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          keyName, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "component", org.apache.spark.sql.types.LongType))))
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            keyName, org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField(
-            "component", org.apache.spark.sql.types.LongType))))
+      return emptyGraph
     val pairs =
       if (graft.etl.SnapshotTable.currentSnapshot(spark, pairsDir).nonEmpty)
         graft.etl.SnapshotTable.read(spark, pairsDir)
+      else if (graft.etl.SnapshotTable.isSnapshotFormat(spark, pairsDir))
+        // A snapshot-format table whose only commit is TORN (writer
+        // crashed mid-first-publish): the crashed half-commit must be
+        // invisible — the table is EMPTY, not a plain directory (that
+        // read path would choke on the manifests/ dir).
+        return emptyGraph
       else spark.read.parquet(pairsDir)
     graft.dedup.DedupQueries.componentLabelsOf(
       pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))

@@ -248,4 +248,100 @@ class SnapshotTableSpec extends SparkSpec {
       "expire must sweep legacy data/ files once unreferenced")
     assert(ids(dir) == Set(40L))
   }
+
+  test("epoch ledger survives compact + expire: replays no-op, the " +
+    "sequence is not wedged, corrections stay possible") {
+    val dir = tmpDir("snaptab-ledger") + "/t"
+    for (b <- 0 to 2)
+      SnapshotTable.appendOnce(rows(1, from = 10 * b), dir, batchId = b)
+    // The maintenance posture that used to forget the ledger: fold all
+    // epoch files (header-less manifest pre-fix), then keep ONLY it.
+    SnapshotTable.compact(spark, dir)
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
+    assert(SnapshotTable.snapshots(spark, dir).length == 1)
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == 2L,
+      "compact must carry the epoch ledger into its manifest")
+    // A replayed old epoch must NO-OP (pre-fix: re-appended its rows
+    // on top of the folded copy — double count) …
+    SnapshotTable.appendOnce(rows(1), dir, batchId = 0L)
+    SnapshotTable.appendOnce(rows(1, from = 20), dir, batchId = 2L)
+    assert(ids(dir) == Set(0L, 10L, 20L))
+    // … and the NEXT real epoch must land (pre-fix: committedEpochs
+    // read empty, so the loop's high-water sequencing wedged).
+    SnapshotTable.appendOnce(rows(1, from = 30), dir, batchId = 3L)
+    assert(ids(dir) == Set(0L, 10L, 20L, 30L))
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == 3L)
+    // A late correction of a post-maintenance epoch is still accepted:
+    // the ledger (not a retained batch manifest) proves it landed.
+    SnapshotTable.replaceBatch(rows(1, from = 40), dir,
+      batchId = 3L) // epoch 3's files carry the b3- tag: fast-path swap
+    assert(ids(dir) == Set(0L, 10L, 20L, 40L))
+  }
+
+  test("overwrite resets the epoch ledger: a folded-to-base table " +
+    "accepts recycled batch ids even with old batch manifests retained") {
+    val dir = tmpDir("snaptab-reset") + "/t"
+    SnapshotTable.appendOnce(rows(2), dir, batchId = 0L)
+    SnapshotTable.appendOnce(rows(2, from = 10), dir, batchId = 1L)
+    // The fresh-checkpoint recovery fold: one overwrite commit, with
+    // the old batch-stamped manifests STILL in the retained window.
+    SnapshotTable.overwrite(
+      SnapshotTable.read(spark, dir), dir)
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == -1L,
+      "overwrite must reset the ledger — it starts a new epoch sequence")
+    // Recycled ids now LAND instead of silently no-op'ing off the old
+    // manifests (the round-14 recovery hole: restarted epochs' rows
+    // never entered the table).
+    SnapshotTable.appendOnce(rows(1, from = 50), dir, batchId = 0L)
+    assert(ids(dir) == Set(0L, 1L, 10L, 11L, 50L))
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == 0L)
+    SnapshotTable.appendOnce(rows(1, from = 60), dir, batchId = 1L)
+    assert(ids(dir) == Set(0L, 1L, 10L, 11L, 50L, 60L))
+    // And the replay contract holds within the NEW sequence.
+    SnapshotTable.appendOnce(rows(1, from = 60), dir, batchId = 1L)
+    assert(SnapshotTable.read(spark, dir).count() == 6)
+  }
+
+  test("pre-ledger manifests parse and keep their semantics; " +
+    "replaceBatch falls back to file-tag ownership after expiry") {
+    val dir = tmpDir("snaptab-preledger") + "/t"
+    SnapshotTable.appendOnce(rows(2), dir, batchId = 0L)
+    SnapshotTable.appendOnce(rows(2, from = 10), dir, batchId = 1L)
+    // Rewrite both manifests WITHOUT maxBatch headers — the exact
+    // bytes a pre-round-15 build committed.
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val snaps = SnapshotTable.snapshots(spark, dir)
+    snaps.foreach { m =>
+      val p = new Path(s"$dir/manifests/snap-" + f"${m.id}%08d.manifest")
+      fs.delete(p, false)
+      val w = fs.create(p, false)
+      w.write((Seq(s"files=${m.files.length}", s"rows=${m.rows}",
+        s"batch=${m.batchId.get}") ++ m.files :+ "commit")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      w.close()
+    }
+    assert(SnapshotTable.snapshots(spark, dir).flatMap(_.maxBatch).isEmpty)
+    // Legacy fallback: the ledger derives from retained batch headers.
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == 1L)
+    SnapshotTable.appendOnce(rows(1), dir, batchId = 0L) // replay: no-op
+    assert(ids(dir) == Set(0L, 1L, 10L, 11L))
+    // Worst legacy posture: expire drops epoch 0's manifest AND the
+    // kept head is a header-less manifest (what a pre-ledger compact
+    // published) — no retained header mentions ANY epoch.
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
+    val kept = SnapshotTable.snapshots(spark, dir).last
+    val hp = new Path(s"$dir/manifests/snap-" + f"${kept.id}%08d.manifest")
+    fs.delete(hp, false)
+    val hw = fs.create(hp, false)
+    hw.write((Seq(s"files=${kept.files.length}", s"rows=${kept.rows}") ++
+      kept.files :+ "commit").mkString("", "\n", "\n").getBytes("UTF-8"))
+    hw.close()
+    assert(SnapshotTable.maxCommittedBatch(spark, dir) == -1L)
+    // Epoch 0's manifests are all gone but its b0- files live in the
+    // head: the correction must be ACCEPTED via file-tag ownership
+    // (pre-fix it was refused — "no committed snapshot carries batch
+    // 0" — blocking a legitimate late-data correction).
+    SnapshotTable.replaceBatch(rows(1, from = 70), dir, batchId = 0L)
+    assert(ids(dir) == Set(70L, 10L, 11L))
+  }
 }

@@ -168,29 +168,109 @@ class SnapshotLoopSpec extends SparkSpec {
   }
 
   test("snapshot index: fresh checkpoint refused; the snapshot-layout " +
-      "fold-to-base recovery unlocks it") {
+      "fold-to-base recovery lands restarted epochs in BOTH state tables") {
     import spark.implicits._
     val indexDir = tmpDir("snap-fresh") + "/bands"
     val pairsDir = tmpDir("snap-fresh-pairs") + "/pairs"
     val index = IncrementalDedup.SnapIndex(indexDir)
+    // Epoch 0 carries an intra-batch dup so the PAIRS table commits a
+    // batch-0 manifest too — the recovery must expunge that ledger as
+    // well, or the restarted epoch 0's pairs silently no-op.
     IncrementalDedup.processBatch(
-      Seq((1L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"),
+      index, pairsDir, 0L)
     IncrementalDedup.processBatch(
-      Seq((2L, far)).toDF("doc_id", "text"), index, pairsDir, 1L)
+      Seq((4L, far)).toDF("doc_id", "text"), index, pairsDir, 1L)
     val e = intercept[IllegalStateException] {
       IncrementalDedup.processBatch(
         Seq((3L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
     }
     assert(e.getMessage.contains("fresh checkpoint"))
-    // The prescribed snapshot-layout recovery: fold everything to the
-    // base epoch (batch_id = -1) in one overwrite commit.
-    SnapshotTable.overwrite(
-      SnapshotTable.read(spark, indexDir)
-        .withColumn("batch_id", lit(-1L)), indexDir)
+    // The prescribed snapshot-layout recovery: fold BOTH state tables
+    // to the base epoch (batch_id = -1), one overwrite commit each —
+    // overwrite resets each table's manifest epoch ledger.
+    for (d <- Seq(indexDir, pairsDir))
+      SnapshotTable.overwrite(
+        SnapshotTable.read(spark, d).withColumn("batch_id", lit(-1L)), d)
+    val indexBefore = readStateTable(indexDir).count()
     IncrementalDedup.processBatch(
       Seq((3L, base)).toDF("doc_id", "text"), index, pairsDir, 0L)
-    assert(readStateTable(pairsDir).select("new_doc", "corpus_doc")
+    // The restarted epoch's PAIRS landed — into a table whose OLD
+    // sequence already carried batch 0 (pre-fix: appendOnce saw the
+    // stale batch-0 manifest and dropped them).
+    assert(readStateTable(pairsDir)
+      .filter(col("batch_id") === 0L).select("new_doc", "corpus_doc")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
-      Set((3L, 1L)), "the restarted epoch must probe the folded base")
+      Set((3L, 1L), (3L, 2L)),
+      "the restarted epoch must probe the folded base and land its " +
+        "pairs past the old sequence's batch-0 manifest")
+    // And its BANDS entered the standing index (pre-fix: silently
+    // dropped, so later epochs never dedup'd against doc 3) …
+    assert(readStateTable(indexDir).count() > indexBefore,
+      "the restarted epoch's bands must land in the standing index")
+    // … proven end-to-end: the NEXT epoch's duplicate of doc 3 pairs
+    // against it.
+    IncrementalDedup.processBatch(
+      Seq((9L, base)).toDF("doc_id", "text"), index, pairsDir, 1L)
+    assert(readStateTable(pairsDir)
+      .filter(col("batch_id") === 1L).select("new_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((9L, 3L)),
+      "post-recovery epochs must dedup against restarted-epoch docs")
+  }
+
+  test("bars loop: compact + expire maintenance neither wedges the " +
+      "epoch sequence nor double-counts a replay; merge stays exact") {
+    val sf = "/root/testdata/sf0.001"
+    val trades = graft.Tables(spark, sf).events
+      .select("event_type", "ts", "event_id", "value")
+    val dir = tmpDir("snap-bars-maint") + "/bars"
+    for (b <- 0L to 2L)
+      IncrementalBars.processBatch(
+        trades.filter(col("event_id") % 4 === b), dir, b)
+    // Steady-state maintenance: fold the epoch files, keep ONLY the
+    // folded manifest — the posture that used to erase the ledger.
+    SnapshotTable.compact(spark, dir)
+    SnapshotTable.expire(spark, dir, keepLast = 1, minAgeMs = 0)
+    // A replayed epoch must no-op (pre-fix: appendOnce had forgotten
+    // batch 1 and re-appended its partials — double-counted bars) …
+    IncrementalBars.processBatch(
+      trades.filter(col("event_id") % 4 === 1), dir, 1L)
+    // … and the next real epoch must land (pre-fix: the high-water
+    // mark read empty, so epoch 3 was refused as a gap — loop wedged).
+    IncrementalBars.processBatch(
+      trades.filter(col("event_id") % 4 === 3), dir, 3L)
+    val merged = IncrementalBars.bars(spark, dir)
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"))
+      .orderBy("event_type", "hour").collect().map(_.toSeq.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("timeseries_ohlc")(spark, sf)
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(merged == batch,
+      "post-maintenance merge must equal the batch OHLC over the feed")
+  }
+
+  test("pairs consumers: a crashed FIRST pairs commit (torn manifest, " +
+      "no valid snapshot) reads as the empty graph, not a failure") {
+    val pairsDir = tmpDir("snap-torn-first") + "/pairs"
+    val fs = new Path(pairsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = fs.create(
+      new Path(s"$pairsDir/manifests/snap-00000000.manifest"), false)
+    torn.write("files=1\nrows=3\n_data/b0-dead-0.parquet\n"
+      .getBytes("UTF-8"))
+    torn.close() // no terminator: torn
+    val orphan = fs.create(new Path(s"$pairsDir/_data/b0-dead-0.parquet"),
+      false)
+    orphan.write(Array[Byte](1, 2, 3)); orphan.close()
+    // Pre-fix this took the plain-directory read path and crashed
+    // trying to parse manifests/snap-*.manifest as parquet.
+    assert(IncrementalDedup.components(spark, pairsDir).isEmpty,
+      "a table with only a torn commit must read as empty")
+    val corpus = spark.range(3).select(col("id").as("doc_id"))
+    assert(IncrementalDedup.survivors(corpus, pairsDir).count() == 3,
+      "survivors over an all-torn pairs table must keep every row")
   }
 }
