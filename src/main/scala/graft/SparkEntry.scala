@@ -20,6 +20,7 @@ object SparkEntry {
       ops.TpchBreadthQueries.queries ++
       ops.StorageQueries.queries ++
       text.TextQueries.queries ++
+      text.QualityQueries.queries ++
       text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++

@@ -2422,6 +2422,209 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact must be affordable within this factor of banded's verify
+    * volume to stay selected — the dial a table owner turns when
+    * exactness is worth more (or less) than 4× the candidate cost. */
+  private[dedup] final val ExactAffordFactor = 4L
+
+  /** EXACT-vs-BANDED POLICY SELECTOR — the decision the engine never
+    * made for its caller: `dedup_prefix_join` is exact but its verify
+    * volume is super-linear by construction (~n^1.7 measured at the
+    * 30× stress leg — prefix collisions grow with the corpus), while
+    * the capped LSH family is near-linear but misses pairs the
+    * banding's S-curve drops. This query PRICES both policies on the
+    * caller's actual corpus and selects one, mechanically:
+    *
+    *  - `n_verify`: the candidate pairs each policy would verify —
+    *    the exact PPJoin's prefix-collision candidates (after its
+    *    length + positional bounds, the real volume the exact join
+    *    pays) vs the production capped LSH candidates;
+    *  - `n_true`: true τ-pairs among them (exact's candidates contain
+    *    ALL true pairs — the PPJoin bounds only drop pairs
+    *    verification would reject — so its n_true IS the reference);
+    *  - `recall_ppm`: against that reference;
+    *  - `selected`: banded iff its recall clears the family's floor
+    *    ([[BandTargetRecallPpm]]) AND exact's verify volume exceeds
+    *    [[ExactAffordFactor]]× banded's — i.e. pay for exactness
+    *    while it is affordable, switch when the super-linear term
+    *    actually bites, never switch into a banding that fails recall.
+    *
+    * At the driver SFs exact stays affordable and selected; the
+    * planted duplicate-heavy corpus in DedupPolicySpec pushes the
+    * exact volume past the factor and flips the selection — the
+    * crossover is MEASURED, not a scaladoc note. Scale: both candidate
+    * generations are existing near-linear machinery (prefix frame +
+    * capped buckets); verification joins are candidate-sized. */
+  private val dedupPolicySelect = Q(
+    "dedup_policy_select", {
+      val tau = RecallTauE6
+      s"""$sqlCandCte, psh AS (
+         |  SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents
+         |), shn AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, sh
+         |  FROM psh WHERE len(sh) > 0
+         |), pe AS (
+         |  SELECT doc_id, n, unnest(sh) AS s FROM shn
+         |), pfreq AS (
+         |  SELECT s, CAST(count(*) AS BIGINT) AS f FROM pe GROUP BY s
+         |), ppre AS (
+         |  SELECT doc_id, n, s,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY f, s)
+         |           AS rn
+         |  FROM pe JOIN pfreq USING (s)
+         |), pref AS (
+         |  SELECT doc_id, n, s, rn FROM ppre
+         |  WHERE rn <= n - (($tau * n + 999999) // 1000000) + 1
+         |), ecand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE a.n * $tau <= b.n * 1000000
+         |    AND b.n * $tau <= a.n * 1000000
+         |    AND (1 + least(a.n - a.rn, b.n - b.rn)) * (1000000 + $tau)
+         |        >= $tau * (a.n + b.n)
+         |), allc AS (
+         |  SELECT 'exact_prefix_join' AS policy, doc_a, doc_b FROM ecand
+         |  UNION ALL
+         |  SELECT 'banded_lsh', doc_a, doc_b FROM cand
+         |), pjj AS (
+         |  SELECT policy,
+         |         CASE WHEN CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+         |                   * 1000000
+         |                   >= $tau * (a.n + b.n
+         |                      - CAST(len(list_intersect(a.sh, b.sh))
+         |                             AS BIGINT))
+         |              THEN 1 ELSE 0 END AS is_true
+         |  FROM allc
+         |  JOIN shn a ON allc.doc_a = a.doc_id
+         |  JOIN shn b ON allc.doc_b = b.doc_id
+         |), pagg AS (
+         |  SELECT policy, CAST(count(*) AS BIGINT) AS n_verify,
+         |         CAST(sum(is_true) AS BIGINT) AS n_true
+         |  FROM pjj GROUP BY policy
+         |), pol AS (
+         |  SELECT 'banded_lsh' AS policy
+         |  UNION ALL SELECT 'exact_prefix_join'
+         |), aggf AS (
+         |  SELECT pol.policy, coalesce(pagg.n_verify, 0) AS n_verify,
+         |         coalesce(pagg.n_true, 0) AS n_true
+         |  FROM pol LEFT JOIN pagg USING (policy)
+         |), pref2 AS (
+         |  SELECT n_true AS n_ref FROM aggf
+         |  WHERE policy = 'exact_prefix_join'
+         |), pscored AS (
+         |  SELECT policy, n_verify, n_true,
+         |         CAST(n_true * 1000000 // greatest(n_ref, 1) AS BIGINT)
+         |           AS recall_ppm
+         |  FROM aggf CROSS JOIN pref2
+         |), selp AS (
+         |  SELECT CASE WHEN
+         |      max(CASE WHEN policy = 'banded_lsh' THEN recall_ppm END)
+         |        >= $BandTargetRecallPpm
+         |      AND max(CASE WHEN policy = 'exact_prefix_join'
+         |              THEN n_verify END)
+         |        > max(CASE WHEN policy = 'banded_lsh' THEN n_verify END)
+         |          * $ExactAffordFactor
+         |    THEN 'banded_lsh' ELSE 'exact_prefix_join' END AS sel_policy
+         |  FROM pscored
+         |)
+         |SELECT policy, n_verify, n_true, recall_ppm,
+         |       CAST(CASE WHEN policy = sel_policy THEN 1 ELSE 0 END
+         |            AS BIGINT) AS selected
+         |FROM pscored CROSS JOIN selp
+         |ORDER BY policy""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val tau = RecallTauE6
+    val sh = tokenized(t)
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("toks"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cut(false)
+    val e = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+    val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("s"))
+    val shufflePartitions =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Same explicit-width pins as dedup_prefix_join: bytes-small,
+    // work-heavy frames that AQE would fold into one task.
+    val prefix = e.join(freq, Seq("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("n") - expr(s"($tau * n + 999999) DIV 1000000") + 1)
+      .select(col("s"), col("doc_id"), col("n"), col("rn"))
+      .repartition(shufflePartitions, col("s"))
+      .cut(false)
+    val needTimes = lit(1000000L + tau)
+    val exactCand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tau <= col("b.n") * 1000000L &&
+          col("b.n") * tau <= col("a.n") * 1000000L &&
+          (lit(1L) + least(col("a.n") - col("a.rn"),
+            col("b.n") - col("b.rn"))) * needTimes >=
+            lit(tau) * (col("a.n") + col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
+      .distinct()
+    val allc = exactCand
+      .select(lit("exact_prefix_join").as("policy"),
+        col("doc_a"), col("doc_b"))
+      .unionByName(candidatePairs(t)
+        .select(lit("banded_lsh").as("policy"),
+          col("doc_a"), col("doc_b")))
+      .cut()
+    val candIds = allc
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val vsh = sh.join(candIds, Seq("doc_id"), "left_semi").cut()
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    val agg = allc
+      .join(vsh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(vsh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("policy"), inter.as("ni"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"))
+      .select(col("policy"),
+        when(expr(s"ni * 1000000 >= $tau * (na + nb - ni)"), 1L)
+          .otherwise(0L).as("is_true"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_verify"), sum(col("is_true")).as("n_true"))
+    val aggf = s.createDataFrame(Seq(
+        Tuple1("banded_lsh"), Tuple1("exact_prefix_join")))
+      .toDF("policy")
+      .join(agg, Seq("policy"), "left")
+      .select(col("policy"),
+        coalesce(col("n_verify"), lit(0L)).as("n_verify"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+      .cut(false)
+    val ref = aggf.filter(col("policy") === "exact_prefix_join")
+      .select(col("n_true").as("n_ref"))
+    val scored = aggf.crossJoin(broadcast(ref))
+      .select(col("policy"), col("n_verify"), col("n_true"),
+        expr("n_true * 1000000 DIV greatest(n_ref, 1)").as("recall_ppm"))
+      .cut(false)
+    val sel = scored.agg(
+        max(when(col("policy") === "banded_lsh", col("recall_ppm")))
+          .as("b_recall"),
+        max(when(col("policy") === "banded_lsh", col("n_verify")))
+          .as("b_verify"),
+        max(when(col("policy") === "exact_prefix_join", col("n_verify")))
+          .as("e_verify"))
+      .select(
+        when(col("b_recall") >= BandTargetRecallPpm &&
+          col("e_verify") > col("b_verify") * ExactAffordFactor,
+          "banded_lsh").otherwise("exact_prefix_join").as("sel_policy"))
+    scored.crossJoin(broadcast(sel))
+      .withColumn("selected",
+        (col("policy") === col("sel_policy")).cast("long"))
+      .select(col("policy"), col("n_verify"), col("n_true"),
+        col("recall_ppm"), col("selected"))
+      .orderBy("policy")
+  }
+
   val queries: Seq[Q] =
     Seq(splitLeakage, dedupJaccardEst, dedupIncremental,
       dedupIncrementalComponents, dedupEditDistance,
@@ -2432,5 +2635,5 @@ object DedupQueries {
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
       dedupRecallEval, dedupContainment, textDecontaminateFuzzy,
-      dedupPrefixJoin)
+      dedupPrefixJoin, dedupPolicySelect)
 }

@@ -86,7 +86,10 @@ object ErQueries {
 
   /** Records CTE shared by every oracle: clean ∪ dirty with the pass-1
     * block key attached. */
-  private val sqlRecCte =
+  /** The bare `rec` CTE (standing records: clean + dirty twin) —
+    * shared by the fixed-k chain below and the scaled-k incremental
+    * oracle, which block on different key widths. */
+  private val sqlRecOnly =
     s"""WITH rec AS (
       |  SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_id,
       |         c_name AS name,
@@ -105,7 +108,10 @@ object ErQueries {
       |         ${Det.sqlUnits("c_acctbal", 100)}
       |           + CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END
       |  FROM customer
-      |), blocked AS (
+      |)""".stripMargin
+
+  private val sqlRecCte =
+    s"""$sqlRecOnly, blocked AS (
       |  SELECT rec_id, entity_id, name, bal_cents,
       |         right(name, 3) AS blk
       |  FROM rec
@@ -520,33 +526,68 @@ object ErQueries {
     * positions 10–14 of an 18-char name) makes right-4 the widest
     * deletion-stable suffix — past that a production system widens by
     * blocking on a SECOND field instead, which is exactly what
-    * [[matchesOf]]'s balance pass demonstrates. */
+    * [[matchesOf]]'s balance pass demonstrates. Under the [3, 4]
+    * clamp the ceil-log10 collapses to ONE exact integer comparison —
+    * k = 4 iff 2n/16 > 10³ iff 2n > 16000 — which is how both engines
+    * compute it (no libm, no float edge at the power-of-ten
+    * boundary). */
   private[graft] def incrementalScaled(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val n = t.customer.count().toDouble
-    val k = math.min(4, math.max(3, math.ceil(
-      math.log10(math.max(1.0, 2.0 * n / 16))).toInt))
+    val n = t.customer.count()
+    val k = if (2 * n > 16000) 4 else 3
     incrementalProbe(t, k)
   }
 
   /** The DECLARED scale form of the incremental probe — the
-    * `similarity_ivf_scaled` pattern: [[incrementalScaled]] as a
-    * first-class query key, no-oracle BY DESIGN (the block-key width
-    * is corpus-derived — k = ⌈log10(2n/16)⌉ clamped to [3, 4] — so a
-    * static SQL mirror cannot replay the plan the engine actually
-    * runs at an arbitrary SF; DuckDB has no analog of the two-step
-    * count-then-plan). Correctness is spec-bounded instead
-    * (ErQueriesSpec: routing recall vs the planted truth ≥ the fixed-k
-    * probe's, fan-in ≤ the fixed-k probe's at every SF where they
-    * diverge). This is the production loader: the fixed-k
-    * `er_incremental` pins keyLen = 3 for its static oracle and its
-    * probe fan-in grows LINEARLY with the corpus on the fixed
-    * 10³-suffix block space (measured 6.8× wall at 10×-sf0.1) — the
-    * scaled key keeps the expected block at the policy size, measured
-    * 1.6 at 10× in ScaleStress. */
-  private val erIncrementalScaled =
-    Q.noOracle("er_incremental_scaled")(incrementalScaled)
+    * production loader: the fixed-k `er_incremental` pins keyLen = 3
+    * for a static plan and its probe fan-in grows LINEARLY with the
+    * corpus on the fixed 10³-suffix block space (measured 6.8× wall
+    * at 10×-sf0.1) — the scaled key keeps the expected block at the
+    * policy size, measured 1.6 at 10× in ScaleStress. Oracled since
+    * round 15: the count-then-plan step IS SQL-expressible because the
+    * clamped key rule is one integer comparison — the oracle derives
+    * k from `count(*)` in a 1-row CTE and blocks both sides with
+    * `right(name, k)` through a scalar subquery, replaying the exact
+    * plan the engine picks at ANY SF (the round-14 no-oracle
+    * rationale — "DuckDB has no analog of the two-step
+    * count-then-plan" — was wrong for this family). ErQueriesSpec
+    * keeps the cross-SF recall/fan-in bounds as defense in depth. */
+  private val erIncrementalScaled = Q(
+    "er_incremental_scaled",
+    s"""$sqlRecOnly, kk AS (
+       |  SELECT CASE WHEN 2 * count(*) > 16000 THEN 4 ELSE 3 END AS k
+       |  FROM customer
+       |), blockedk AS (
+       |  SELECT rec_id, entity_id, name,
+       |         right(name, (SELECT k FROM kk)) AS blk
+       |  FROM rec
+       |), nb AS (
+       |  SELECT -(c_custkey + 1) AS new_id, c_custkey AS entity_id,
+       |         concat(substr(c_name, 1, 10 + c_custkey % 4),
+       |                substr(c_name, 12 + c_custkey % 4)) AS name
+       |  FROM customer WHERE c_custkey % 2 = 0
+       |), nbk AS (
+       |  SELECT new_id, entity_id, name,
+       |         right(name, (SELECT k FROM kk)) AS blk
+       |  FROM nb
+       |), probe AS (
+       |  SELECT n.new_id, n.entity_id AS new_ent, b.rec_id,
+       |         b.entity_id AS std_ent,
+       |         CAST(levenshtein(n.name, b.name) AS BIGINT) AS lev_dist,
+       |         CAST(count(*) OVER (PARTITION BY n.new_id) AS BIGINT)
+       |           AS n_candidates
+       |  FROM nbk n JOIN blockedk b ON n.blk = b.blk
+       |), best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY new_id
+       |             ORDER BY lev_dist, rec_id) AS r
+       |  FROM probe
+       |)
+       |SELECT new_id, rec_id AS matched_rec, lev_dist, n_candidates,
+       |       CAST(CASE WHEN new_ent = std_ent THEN 1 ELSE 0 END
+       |            AS INTEGER) AS same_entity
+       |FROM best WHERE r = 1 AND lev_dist <= 2
+       |ORDER BY new_id""".stripMargin)(incrementalScaled)
 
   /** Block-key width selector — the `dedup_banding_select` discipline
     * applied to ER: evaluate right-k blocking for k ∈ {2, 3, 4} on the

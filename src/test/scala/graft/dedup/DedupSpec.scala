@@ -509,4 +509,58 @@ class DedupSpec extends SparkSpec {
     assert(exact.size >= viaLsh.size,
       "the exact join can never find fewer pairs than the banded index")
   }
+
+  test("dedup_policy_select: exact stays selected while affordable " +
+      "(planted near-dup corpus); the reference row is exact by " +
+      "construction") {
+    val rows = SparkEntry.queries("dedup_policy_select")(spark, dir)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    assert(rows.size == 2)
+    val ex = rows("exact_prefix_join")
+    assert(ex.getAs[Long]("recall_ppm") == 1000000L,
+      "exact IS the reference: recall 1.0 by definition")
+    assert(ex.getAs[Long]("selected") == 1L &&
+      rows("banded_lsh").getAs[Long]("selected") == 0L,
+      "tiny corpus: exact verify volume is affordable, exact wins")
+    assert(ex.getAs[Long]("n_verify") <=
+      rows("banded_lsh").getAs[Long]("n_verify") * DedupQueries.ExactAffordFactor)
+  }
+
+  test("dedup_policy_select: a prefix-collision-heavy corpus flips the " +
+      "selection to banded once exact's verify volume crosses the " +
+      "afford factor with banded recall intact") {
+    import spark.implicits._
+    // P×Q grid: doc(i, j) = X_i half + Y_j half. Same-i (and same-j)
+    // docs share half their shingles — enough to collide in the
+    // PPJoin prefix, not enough to be true τ=0.5 near-dups — so the
+    // exact join's verify volume grows with P·C(Q,2) while the banded
+    // S-curve drops J≈0.3 pairs. The 30 planted identical pairs are
+    // the true duplicates BOTH policies must catch (banded recall
+    // stays 100%, so the selector's switch is purely the cost term —
+    // the same crossover the driver corpus shows organically between
+    // sf0.01, exact selected at 27 vs 25 candidates, and sf0.1,
+    // banded selected at 124979 vs 261).
+    val grid = for (i <- 0 until 15; j <- 0 until 15) yield
+      (0 until 20).map(k => s"x${i}w$k").mkString(" ") + " " +
+        (0 until 20).map(k => s"y${j}v$k").mkString(" ")
+    val dups = (0 until 30).flatMap { p =>
+      val t = (0 until 25).map(k => s"d${p}u$k").mkString(" ")
+      Seq(t, t)
+    }
+    val docs = (grid ++ dups).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir("dedup-policy-flip")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("dedup_policy_select")(spark, d)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    val banded = rows("banded_lsh")
+    assert(banded.getAs[Long]("selected") == 1L,
+      s"banded must win the blow-up corpus: $rows")
+    assert(banded.getAs[Long]("recall_ppm") >= DedupQueries.BandTargetRecallPpm,
+      "the switch is only legal with recall intact")
+    assert(rows("exact_prefix_join").getAs[Long]("n_verify") >
+      banded.getAs[Long]("n_verify") * DedupQueries.ExactAffordFactor,
+      "the flip must be driven by the measured verify-volume gap")
+  }
 }
