@@ -27,6 +27,10 @@ object BenchOne {
         }
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Host-health stamp (same probe Bench adjudicates flags with):
+    // compare against steady_states.json's host_cpu_ms before trusting
+    // any minimum from this window.
+    println(f"[benchone] host_cpu_ms: ${graft.Bench.cpuProbeMillis()}%.1f")
     for (q <- name.split(',').map(_.trim).filter(_.nonEmpty)) {
       // Stream cells (BenchStreams) run by the same name scheme as
       // declared queries; their wall time includes their own writes.

@@ -9,17 +9,35 @@ class BenchStreamsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("dedup cell runs the full corpus through 3 epochs and emits pairs") {
+  /** The round-15 bounded-metadata contract: the mid-lifecycle
+    * maintenance leg (compact + expire after epoch 1) leaves each
+    * state table with at most the folded head + epoch 2's commit. */
+  private def assertMaintained(dir: String): Unit =
+    for (t <- Seq("index", "pairs")) {
+      val p = s"$dir/$t"
+      if (graft.etl.SnapshotTable.currentSnapshot(spark, p).nonEmpty) {
+        val snaps = graft.etl.SnapshotTable.snapshots(spark, p)
+        assert(snaps.length <= 2,
+          s"$p must retain <= 2 manifests after maintenance: $snaps")
+      }
+    }
+
+  test("dedup cell runs the full corpus through 3 epochs, maintains " +
+      "mid-lifecycle, and emits pairs") {
     val dir = tmpDir("bench-stream-spec")
     val cell = BenchStreams.cells.find(_._1 == "stream_dedup_loop").get
     cell._2(spark, sf, dir)
     val idx = readStateTable(s"$dir/index")
-    // Every doc banded exactly once, across the three epoch commits.
+    // Every doc banded exactly once, across the three epoch commits —
+    // the compact+expire between epochs 1 and 2 must lose none of
+    // them and must not block epoch 2 (the ledger carries the
+    // high-water mark through the fold).
     assert(idx.select("doc_id").distinct().count() == 500)
     assert(idx.select("batch_id").distinct().count() == 3)
     // The planted duplicates in the corpus cross epochs, so the loop
     // must have emitted pairs.
     assert(readStateTable(s"$dir/pairs").count() > 0)
+    assertMaintained(dir)
   }
 
   test("semantic and media cells run the full corpus through 3 epochs") {
@@ -30,6 +48,7 @@ class BenchStreamsSpec extends SparkSpec {
     assert(semIdx.select("batch_id").distinct().count() == 3)
     // 4 OR-amplified table rows per vector.
     assert(semIdx.count() == 4 * 500)
+    assertMaintained(semDir)
 
     val mmDir = tmpDir("bench-stream-mm")
     BenchStreams.cells.find(_._1 == "stream_media_loop").get._2(spark, sf, mmDir)
@@ -38,6 +57,7 @@ class BenchStreamsSpec extends SparkSpec {
     assert(nImages > 0)
     assert(mmIdx.select("item_id").distinct().count() == nImages)
     assert(mmIdx.select("batch_id").distinct().count() == 3)
+    assertMaintained(mmDir)
   }
 
   test("the cold-training cell re-trains every attempt (no memo hit)") {
