@@ -334,6 +334,29 @@ object QualityQueries {
       .orderBy("tau_fx")
   }
 
+  /** `quality_uncertainty_sample` — the ACTIVE-LEARNING batch: the 50
+    * docs closest to the trained decision boundary (smallest |score|,
+    * doc_id tie-break), i.e. the docs whose human labels would improve
+    * the classifier most per label bought (uncertainty sampling,
+    * Lewis & Gale 1994). At 100 TB this is a TakeOrderedAndProject
+    * over the scored corpus — per-partition top-k then one k-sized
+    * merge, never a global sort. The planted label rides along as the
+    * audit column (in production it is what the annotator fills in). */
+  private val qualityUncertaintySample = Q(
+    "quality_uncertainty_sample",
+    s"""$sqlQualityCtes
+       |SELECT doc_id, score_fx, abs(score_fx) AS abs_fx, label, split
+       |FROM scored
+       |ORDER BY abs_fx, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+    scoredFrame(Tables(s, dir))
+      .withColumn("abs_fx", abs(col("score_fx")))
+      .select(col("doc_id"), col("score_fx"), col("abs_fx"),
+        col("label"), col("split"))
+      .orderBy(col("abs_fx"), col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Seq[Q] =
-    Seq(qualityTrain, qualityScore, qualityThresholdSelect)
+    Seq(qualityTrain, qualityScore, qualityThresholdSelect,
+      qualityUncertaintySample)
 }

@@ -610,6 +610,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the equi-join key must be the bucket:\n$joinLine")
   }
 
+  test("quality_train: the corpus is never joined — training is the " +
+      "bucket aggregate; every join in the plan is metadata-sized") {
+    val plan = planOf("quality_train")
+    assert(!plan.contains("CartesianProduct"))
+    // The only equi-joins are the 64-row bucket-domain fills on b; the
+    // token stream reaches them only as an aggregate. A doc_id join
+    // here would mean training started shuffling the corpus.
+    plan.linesIterator.filter(_.contains("SortMergeJoin")).foreach(l =>
+      assert(l.contains("[b#"), s"unexpected non-bucket join:\n$l"))
+    assert(!plan.contains("Join [doc_id"),
+      s"training must never join on the doc key:\n$plan")
+  }
+
+  test("quality_score: the 65-row model BROADCASTS onto the token " +
+      "stream; the only corpus-sized join is the per-doc score attach") {
+    val plan = planOf("quality_score")
+    assert(!plan.contains("CartesianProduct"))
+    // Model weights reach the exploded token stream as a broadcast
+    // hash join on the bucket key — the 100 TB contract: the corpus
+    // shuffles once (the per-doc sum), never for the model.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("[b#")),
+      s"the weight model must broadcast onto the token stream:\n$plan")
+    val docJoins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") && l.contains("doc_id"))
+    assert(docJoins == 1,
+      s"exactly one corpus-keyed join (scores onto labels), got $docJoins:\n$plan")
+    // The class-prior / totals scalars ride 1-row broadcast cross
+    // joins — the enrich pattern, never a shuffle.
+    assert(countOf(plan, "BroadcastNestedLoopJoin") <= 2, plan)
+  }
+
   test("text_url_canonicalize / text_html_links: map-side combined " +
       "aggregation on the canonical/target key, corpus never joined") {
     for (q <- Seq("text_url_canonicalize", "text_html_links")) {

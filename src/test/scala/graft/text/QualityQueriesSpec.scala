@@ -71,6 +71,23 @@ class QualityQueriesSpec extends SparkSpec {
     assert(n.length == 1, s"every row sweeps the same val docs: $n")
   }
 
+  test("quality_uncertainty_sample: 50 boundary docs via " +
+      "TakeOrderedAndProject — no global sort; scores straddle zero") {
+    val q = SparkEntry.queries("quality_uncertainty_sample")(spark, sf)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "the top-k cut must be per-partition + k-merge, not a global sort")
+    val rows = q.collect()
+    assert(rows.length == 50)
+    val abses = rows.map(_.getAs[Long]("abs_fx"))
+    assert(abses.sameElements(abses.sorted),
+      "ordered by distance to the boundary")
+    // The boundary batch mixes both predicted classes — that is what
+    // makes it the informative label purchase.
+    assert(rows.map(r => r.getAs[Long]("score_fx") > 0).distinct.length == 2,
+      "boundary docs must straddle the decision boundary")
+  }
+
   test("the trained gate composes: filtering at the chosen threshold " +
       "yields a survivor pool cleaner than the rejects") {
     val scored = SparkEntry.queries("quality_score")(spark, sf)
