@@ -130,14 +130,21 @@ object OrganicGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    val winMicros = 30L * 86400L * 1000000L
+    // The 30-day offset is COMPOSED from two draws (seconds + micros):
+    // the md5 hash is 32-bit, so a single pmod by the 2.59e12-micro
+    // window would never wrap and every event would land in the first
+    // ~72 minutes (caught in round-15 review — the bars families would
+    // measure ~2 distinct hours instead of ~720).
+    val winSeconds = 30L * 86400L
     spark.range(nEvents).select(col("id").as("event_id"))
       .select(
         col("event_id"),
         timestamp_micros(lit(
           java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
-          + h(key(lit("e"), col("event_id"), lit("ts")), winMicros))
+          + h(key(lit("e"), col("event_id"), lit("tss")), winSeconds)
+            * 1000000L
+          + h(key(lit("e"), col("event_id"), lit("tsu")), 1000000L))
           .as("ts"),
         h(key(lit("e"), col("event_id"), lit("u")), 1500L).as("user_id"),
         element_at(
@@ -164,17 +171,18 @@ object OrganicGen {
     "stream_dedup_loop", "stream_semdedup_loop", "stream_bars_loop",
     "stream_media_loop")
 
-  private val overrides
-      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("semdedup_pairs" -> graft.sim.SimilarityQueries.semDedupScaled)
-
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double =
       graft.BenchStreams.cells.find(_._1 == name) match {
-        case Some(cell) => graft.BenchStreams.runCell(spark, dir, cell)
+        case Some(cell) =>
+          val w = graft.BenchStreams.runCell(spark, dir, cell)
+          // runCell swallows cell exceptions into -1: a broken cell
+          // must fail the leg loudly, never print as a measurement.
+          require(w >= 0, s"stream cell $name FAILED on $dir")
+          w
         case None =>
           val t0 = System.nanoTime()
-          overrides.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
+          graft.SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
       }
@@ -187,10 +195,27 @@ object OrganicGen {
     val spark = Sessions.local(Sessions.cpusFromEnv)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
-      println(s"[organic] generating ${scale}x corpus under $out")
+    // Reuse only a corpus generated at the SAME scale by the SAME
+    // generator version — a stale or differently-scaled dir would
+    // silently mislabel every timed row.
+    val marker = new org.apache.hadoop.fs.Path(s"$out/_organic_scale")
+    val want = s"v2:$scale"
+    val have =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      println(s"[organic] generating ${scale}x corpus under $out" +
+        have.fold("")(h => s" (replacing stale '$h')"))
+      fs.delete(new org.apache.hadoop.fs.Path(out), true): Unit
       generate(spark, out, scale)
-    } else println(s"[organic] reusing corpus under $out")
+      val w = fs.create(marker, true)
+      try w.write(want.getBytes("UTF-8")) finally w.close()
+    } else println(s"[organic] reusing ${scale}x corpus under $out")
     val filter = if (args.length > 2) args(2).split(',').toSet else Set.empty[String]
     for (q <- Families if filter.isEmpty || filter(q)) {
       val t1 = time(spark, q, "/root/testdata/sf0.1")
