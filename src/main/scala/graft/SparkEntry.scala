@@ -21,6 +21,7 @@ object SparkEntry {
       ops.StorageQueries.queries ++
       text.TextQueries.queries ++
       text.QualityQueries.queries ++
+      text.DomainQueries.queries ++
       text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++

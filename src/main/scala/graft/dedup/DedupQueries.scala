@@ -1296,6 +1296,75 @@ object DedupQueries {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
+  /** SOFT dedup — weight, don't drop (the down-weighting alternative
+    * to survivor selection: duplication signals usefulness as well as
+    * redundancy, so instead of keeping one copy at weight 1, keep one
+    * copy at a SUBLINEAR weight of its cluster size — here √n, between
+    * hard dedup's 1 and no-dedup's n). Every `dedup_survivors` row
+    * gains `weight_e6 = 10^6·√cluster_size` computed EXACTLY
+    * ([[graft.util.Det.isqrt]] — the ±1-fixed integer sqrt, no
+    * floating accumulation) and `effective_tokens` — the survivor's
+    * token count billed at that weight, the number a mixture planner
+    * consumes downstream. Singletons weigh exactly 1.0. Same scale
+    * shape as `dedup_survivors`: labels are dup-graph-sized, ONE gated
+    * left join annotates the corpus, weighting is a narrow
+    * projection. */
+  private val dedupSoftWeights = Q(
+    "dedup_soft_weights", {
+      val w = graft.util.Det.sqlIsqrt(
+        "coalesce(z.cluster_size, 1) * 1000000000000")
+      s"""WITH RECURSIVE ${sqlCandCte.stripPrefix("WITH ")}, nodes AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand)
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach(s, t) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION SELECT a, b FROM edges
+         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+         |), comp AS (
+         |  SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+         |), sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY component
+         |), surv AS (
+         |  SELECT d.doc_id,
+         |         CAST(coalesce(z.cluster_size, 1) AS BIGINT)
+         |           AS cluster_size,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |           AS n_tokens,
+         |         CAST($w AS BIGINT) AS weight_e6
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |  LEFT JOIN sizes z ON z.component = c.component
+         |  WHERE c.doc_id IS NULL OR c.component = d.doc_id
+         |)
+         |SELECT doc_id, cluster_size, n_tokens, weight_e6,
+         |       n_tokens * weight_e6 // 1000000 AS effective_tokens
+         |FROM surv ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val t = Tables(s, dir)
+    val labels = componentLabels(t)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val annotated = labels.join(sizes, "component")
+    graft.ops.ScaleGates.annotateWithLabels(
+      t.documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      annotated, labels.count(), "doc_id")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("n_tokens"))
+      .withColumn("weight_e6",
+        graft.util.Det.isqrt(col("cluster_size") * 1000000000000L))
+      .withColumn("effective_tokens",
+        expr("n_tokens * weight_e6 DIV 1000000"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level near-dedup: the MinHash pipeline applied at the
     * granularity LLM training pipelines actually dedup at — overlapping
     * token windows ([[graft.text.TextQueries.ChunkSize]]/
@@ -2631,7 +2700,8 @@ object DedupQueries {
       dedupExact, dedupMinhashLsh, dedupMinhashLshMulti,
       dedupBandingTradeoff, dedupBandingSelect, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupComponents, dedupComponentStats,
-      dedupSurvivors, dedupSurvivorsQuality, splitAssignDedup,
+      dedupSurvivors, dedupSurvivorsQuality, dedupSoftWeights,
+      splitAssignDedup,
       dedupChunkLsh, dedupChunkDocEdges, graphTriangles,
       dedupSubstring, dedupSubstringStats, dedupChunkSurvivors,
       dedupRecallEval, dedupContainment, textDecontaminateFuzzy,

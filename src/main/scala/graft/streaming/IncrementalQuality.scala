@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.SnapshotTable
+import graft.text.QualityQueries
+
+/** Incremental quality-classifier training + scoring — the streaming
+  * twin of the `quality_train`/`quality_score` pair, built on the same
+  * property the bars loop exploits: Naive Bayes' sufficient statistics
+  * (per-bucket class token counts + doc-level class counts) are a
+  * MERGEABLE aggregate, so each epoch appends only its 65-row count
+  * partial and the read-side sum reconstructs EXACTLY the model a
+  * from-scratch training run over every landed doc would produce
+  * (spec-pinned in IncrementalQualitySpec). No gradient state, no
+  * approximation drift: the standing model is always the batch model
+  * of the union.
+  *
+  * Per epoch: (1) the batch's train-split count partial lands as a
+  * [[SnapshotTable]] commit on the counts table (effectively once off
+  * the manifest ledger, epoch gaps refused — the loop discipline);
+  * (2) the batch's docs are scored against the STANDING model (counts
+  * summed over every committed epoch INCLUDING this one — so a replay
+  * of a crashed scores commit re-derives the identical frame) and land
+  * on the scores table under the same batch id. State grows with
+  * 65 × epochs on the counts side — compaction can fold epochs freely
+  * because the merge is associative — and with docs on the scores side
+  * (the loop's product).
+  *
+  * Scale posture at 100 TB: the count partial is ONE 64-bucket
+  * partial aggregate over the batch (the `quality_train` shape); the
+  * standing model read is manifest-metadata-sized (65 rows × epochs,
+  * folded by maintenance); scoring broadcasts the 65-row model onto
+  * the batch token stream with one map-side-combining per-doc groupBy.
+  * Nothing corpus-sized ever sits in driver state.
+  */
+object IncrementalQuality {
+
+  /** Same legacy-layout refusal as the other loops: a pre-snapshot
+    * epoch-directory state dir must fail loud, not read as empty. */
+  private def requireNotLegacy(spark: SparkSession, dir: String): Unit =
+    if (SnapshotTable.currentSnapshot(spark, dir).isEmpty &&
+        IncrementalDedup.hasLegacyContent(spark, dir))
+      throw new IllegalStateException(
+        s"$dir holds the pre-snapshot epoch=N directory layout: replay " +
+          "its epochs into a fresh snapshot-committed dir (count " +
+          "partials are derived state) before continuing the loop.")
+
+  /** One epoch's 65-row count partial: the 64 filled buckets plus the
+    * doc-level class counts at b = −1 (the prior's numerators). */
+  private[streaming] def countPartial(docs: DataFrame): DataFrame = {
+    val lab = QualityQueries.labeledDocs(docs)
+    val bc = QualityQueries.bucketCounts(QualityQueries.tokenBuckets(lab))
+    val cc = QualityQueries.classCounts(lab)
+      .select(lit(-1L).as("b"), coalesce(col("dg"), lit(0L)).as("ng"),
+        coalesce(col("db"), lit(0L)).as("nb"))
+    bc.unionByName(cc)
+  }
+
+  /** The standing model off the counts table: (weights 64 rows, prior
+    * 1 row) from the summed committed partials — exactly the
+    * from-scratch model over every landed doc. */
+  private[streaming] def standingModel(
+      spark: SparkSession, countsDir: String): (DataFrame, DataFrame) = {
+    val summed = SnapshotTable.read(spark, countsDir)
+      .groupBy(col("b"))
+      .agg(sum(col("ng")).as("ng"), sum(col("nb")).as("nb"))
+    val w = QualityQueries.weightsFromCounts(summed.filter(col("b") >= 0))
+    val pri = QualityQueries.priorFromCounts(
+      summed.filter(col("b") === -1L)
+        .select(col("ng").as("dg"), col("nb").as("db")))
+    (w, pri)
+  }
+
+  /** The standing 65-row model table (the `quality_train` layout:
+    * bucket, n_good, n_bad, w_fx with the prior at bucket = −1) —
+    * what a consumer exports to serve the filter. */
+  def model(spark: SparkSession, countsDir: String): DataFrame = {
+    val (w, pri) = standingModel(spark, countsDir)
+    w.select(col("b").as("bucket"), col("ng").as("n_good"),
+        col("nb").as("n_bad"), col("w_fx"))
+      .unionByName(pri.select(lit(-1L).as("bucket"), col("dg").as("n_good"),
+        col("db").as("n_bad"), col("prior_fx").as("w_fx")))
+  }
+
+  /** Land one epoch: commit the count partial, then score the batch
+    * against the standing model (which now includes this epoch — a
+    * replay whose scores commit crashed re-derives the identical
+    * frame) and commit the scores under the same batch id. Both
+    * commits are effectively-once off their manifest ledgers; epoch
+    * gaps are refused by [[SnapshotTable.appendOnce]]'s sequencing. */
+  def processBatch(docs: DataFrame, countsDir: String, scoresDir: String,
+      batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    requireNotLegacy(spark, countsDir)
+    requireNotLegacy(spark, scoresDir)
+    val next = SnapshotTable.maxCommittedBatch(spark, countsDir) + 1
+    require(batchId <= next,
+      s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    SnapshotTable.appendOnce(
+      countPartial(docs).withColumn("batch_id", lit(batchId)),
+      countsDir, batchId): Unit
+    val (w, pri) = standingModel(spark, countsDir)
+    val scored = QualityQueries
+      .scoreAgainst(QualityQueries.labeledDocs(docs), w, pri)
+      .withColumn("pred", (col("score_fx") > 0L).cast("long"))
+      .withColumn("batch_id", lit(batchId))
+    SnapshotTable.appendOnce(scored, scoresDir, batchId): Unit
+  }
+
+  /** Every landed score row, from the pinned head snapshot. */
+  def scores(spark: SparkSession, scoresDir: String): DataFrame = {
+    requireNotLegacy(spark, scoresDir)
+    require(SnapshotTable.currentSnapshot(spark, scoresDir).nonEmpty,
+      s"no committed epochs under $scoresDir")
+    SnapshotTable.read(spark, scoresDir)
+  }
+}

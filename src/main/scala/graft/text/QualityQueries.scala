@@ -154,8 +154,13 @@ object QualityQueries {
   /** The labeled per-doc frame: (doc_id, n_tokens, label, split, ts).
     * Label and split are NARROW per-row expressions — no join attaches
     * them, so the token re-explode below carries them for free. */
-  private def labeled(t: Tables): DataFrame =
-    t.documents
+  private def labeled(t: Tables): DataFrame = labeledDocs(t.documents)
+
+  /** The labeling projection over an arbitrary (doc_id, text) frame —
+    * the streaming loop labels its batch with the same expressions the
+    * batch trainer uses. */
+  private[graft] def labeledDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("ts"))
       .withColumn("n_tokens", size(col("ts")).cast("long"))
       .withColumn("label",
@@ -165,23 +170,32 @@ object QualityQueries {
       .withColumn("split", Hashes.splitOf(col("doc_id")))
 
   /** (doc_id, label, split, b): the hashed token stream. */
-  private def tokenBuckets(lab: DataFrame): DataFrame =
+  private[graft] def tokenBuckets(lab: DataFrame): DataFrame =
     lab.select(col("doc_id"), col("label"), col("split"),
         explode(col("ts")).as("term"))
       .withColumn("b", pmod(Hashes.tokHash(col("term")), lit(QBuckets)))
       .drop("term")
 
-  /** The trained model: 64 weight rows (bucket, n_good, n_bad, w_fx). */
-  private def weights(tb: DataFrame): DataFrame = {
+  /** Per-bucket class token counts over the train split, bucket domain
+    * filled: (b, ng, nb). These are NB's sufficient statistics and a
+    * MONOID under per-bucket addition — the streaming loop lands one
+    * such frame per epoch and derives the standing model from their
+    * sum, which is exactly the from-scratch model over the union. */
+  private[graft] def bucketCounts(tb: DataFrame): DataFrame = {
     val spark = tb.sparkSession
     val bc = tb.filter(col("split") === "train")
       .groupBy(col("b"))
       .agg(sum((col("label") === 1).cast("long")).as("ng"),
         sum((col("label") === 0).cast("long")).as("nb"))
-    val bcf = spark.range(0, QBuckets).select(col("id").as("b"))
+    spark.range(0, QBuckets).select(col("id").as("b"))
       .join(bc, Seq("b"), "left")
       .select(col("b"), coalesce(col("ng"), lit(0L)).as("ng"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+  }
+
+  /** Weights off a (b, ng, nb) counts frame (domain already filled):
+    * the add-one-smoothed fixed-point LLR algebra. */
+  private[graft] def weightsFromCounts(bcf: DataFrame): DataFrame = {
     val tot = bcf.agg(sum(col("ng")).as("tg"), sum(col("nb")).as("tb0"))
     bcf.crossJoin(broadcast(tot))
       .withColumn("w_fx",
@@ -191,12 +205,43 @@ object QualityQueries {
       .select(col("b"), col("ng"), col("nb"), col("w_fx"))
   }
 
-  /** The class prior: 1 row (dg, db, prior_fx). */
-  private def prior(lab: DataFrame): DataFrame =
+  /** The trained model: 64 weight rows (bucket, n_good, n_bad, w_fx). */
+  private def weights(tb: DataFrame): DataFrame =
+    weightsFromCounts(bucketCounts(tb))
+
+  /** Doc-level class counts over the train split: 1 row (dg, db) —
+    * the prior's sufficient statistics, additive like
+    * [[bucketCounts]]. */
+  private[graft] def classCounts(lab: DataFrame): DataFrame =
     lab.filter(col("split") === "train")
       .agg(sum(col("label")).as("dg"), sum(lit(1L) - col("label")).as("db"))
-      .withColumn("prior_fx",
-        expr(s"${sparkL("dg + 1")} - ${sparkL("db + 1")}").cast("long"))
+
+  /** The class prior off a (dg, db) counts frame: adds prior_fx. */
+  private[graft] def priorFromCounts(cc: DataFrame): DataFrame =
+    cc.withColumn("prior_fx",
+      expr(s"${sparkL("dg + 1")} - ${sparkL("db + 1")}").cast("long"))
+
+  /** The class prior: 1 row (dg, db, prior_fx). */
+  private def prior(lab: DataFrame): DataFrame =
+    priorFromCounts(classCounts(lab))
+
+  /** Score a labeled frame against an externally-held model (the
+    * streaming loop's standing weights + prior): (doc_id, n_tokens,
+    * label, split, score_fx). Same broadcast/aggregate shape as
+    * [[scoredFrame]]. */
+  private[graft] def scoreAgainst(
+      lab: DataFrame, w: DataFrame, pri: DataFrame): DataFrame = {
+    val sc = tokenBuckets(lab)
+      .join(broadcast(w.select(col("b"), col("w_fx"))), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_fx")).cast("long").as("sw"))
+    lab.drop("ts")
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(pri.select(col("prior_fx"))))
+      .select(col("doc_id"), col("n_tokens"), col("label"), col("split"),
+        (col("prior_fx") + coalesce(col("sw"), lit(0L))).cast("long")
+          .as("score_fx"))
+  }
 
   /** Per-doc NB scores: (doc_id, n_tokens, label, split, score_fx).
     * The 65-row model broadcasts; the per-doc sum is one map-side-

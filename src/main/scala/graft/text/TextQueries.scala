@@ -1769,6 +1769,62 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens")))
   }
 
+  /** TEMPERATURE-resampled mixture (the multilingual α-sampling rule,
+    * Conneau & Lample 2019 / XLM-R: sample source i proportional to
+    * p_i^α with α < 1, boosting tails and flattening heads so
+    * low-resource slices aren't drowned). α = 1/2, integerized
+    * exactly: the √-weight is `isqrt(n_tokens·10^6)` — the ±1-fixed
+    * integer sqrt ([[graft.util.Det.isqrt]], = 10^3·√n_tokens), so
+    * shares come out of exact BIGINT sums (no floating Σ over a
+    * nondeterministic row order; exact while per-source tokens stay
+    * under 2^63/10^6 ≈ 9.2·10^12 — far above any real source). Per
+    * source: raw share, temperature share, and the boost ratio the
+    * resampling applies (tail sources read boost_e6 > 10^6, heads
+    * < 10^6). Same single-pass shape as `mixture_plan`: one partial
+    * agg on source, 1-row broadcast totals, output is
+    * source-cardinality metadata. */
+  private val mixtureTemperature = Q(
+    "mixture_temperature", {
+      val w = graft.util.Det.sqlIsqrt("n_tokens * 1000000")
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY source
+         |), wts AS (
+         |  SELECT source, n_docs, n_tokens,
+         |         CAST($w AS BIGINT) AS w
+         |  FROM per
+         |), tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(w) AS BIGINT) AS tot_w
+         |  FROM wts
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |       CAST(n_tokens * 1000000 // tot_tokens AS BIGINT)
+         |         AS share_e6,
+         |       CAST(w * 1000000 // tot_w AS BIGINT) AS temp_share_e6,
+         |       CAST((w * 1000000 // tot_w) * 1000000
+         |            // (n_tokens * 1000000 // tot_tokens) AS BIGINT)
+         |         AS boost_e6
+         |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    val per = Tables(s, dir).documents
+      .select(col("source"), size(toks).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      .withColumn("w", graft.util.Det.isqrt(col("n_tokens") * 1000000L))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w")).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 DIV tot_tokens").as("share_e6"),
+        expr("w * 1000000 DIV tot_w").as("temp_share_e6"),
+        expr("(w * 1000000 DIV tot_w) * 1000000 " +
+          "DIV (n_tokens * 1000000 DIV tot_tokens)").as("boost_e6"))
+      .orderBy("source")
+  }
+
   /** Hashed-feature buckets for the importance scorer. Small enough
     * that both model frames stay broadcast-metadata, large enough that
     * bucket collisions average out (DSIR's own hashing argument). */
@@ -1950,7 +2006,8 @@ object TextQueries {
       textHtmlExtract, textHtmlLinks, textUrlCanonicalize, langIdConfusion,
       corpusDedupFunnel,
       textPerplexityBits, textBigramBits, sampleUniformHash,
-      textQualityTiers, mixturePlan, mixturePlanBpe, dsirImportance,
+      textQualityTiers, mixturePlan, mixturePlanBpe, mixtureTemperature,
+      dsirImportance,
       splitDriftReport)
 }
 

@@ -169,7 +169,12 @@ object OrganicGen {
     "er_incremental_scaled", "er_matches",
     "semdedup_threshold_select", "quality_train", "quality_score",
     "stream_dedup_loop", "stream_semdedup_loop", "stream_bars_loop",
-    "stream_media_loop")
+    "stream_media_loop",
+    // r15 additions: the domain plane (stats feed the filter; the
+    // reputation graph's 101-page target universe is scale-invariant),
+    // √-weighted dedup (rides the labels frame), and the quality loop.
+    "domain_reputation", "domain_filter", "dedup_soft_weights",
+    "stream_quality_loop")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double =

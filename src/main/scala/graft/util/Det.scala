@@ -49,4 +49,28 @@ object Det {
     * dialect-neutrality as [[sqlDsum]]. */
   def sqlDavg(expr: String, scale: Long = 1000000L): String =
     s"(CAST(sum(${sqlUnits(expr, scale)}) AS DOUBLE) / $scale.0) / count(*)"
+
+  /** EXACT integer square root of a non-negative int64 column. The
+    * correctly-rounded IEEE double sqrt puts floor(sqrt(x)) within ±1
+    * of the true isqrt for every x < 2^62 (for x beyond 2^52 the
+    * double representation of x itself is off by ≤2^10, moving sqrt
+    * by ≪1), and one integer fixup in exact int64 comparisons makes
+    * the result engine-independent regardless of either engine's
+    * sqrt/floor behavior. Used to integerize √-weighting (soft-dedup
+    * weights, α=0.5 temperature sampling) without floating sums. */
+  def isqrt(c: Column): Column = {
+    val s0 = floor(sqrt(c.cast("double"))).cast("long")
+    when(s0 * s0 > c, s0 - 1L)
+      .when((s0 + 1L) * (s0 + 1L) <= c, s0 + 1L)
+      .otherwise(s0)
+  }
+
+  /** SQL fragment mirroring [[isqrt]] — CASE/CAST/floor/sqrt only, so
+    * the text runs verbatim on BOTH engines. */
+  def sqlIsqrt(expr: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($expr) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN $s0 * $s0 > ($expr) THEN $s0 - 1 " +
+      s"WHEN ($s0 + 1) * ($s0 + 1) <= ($expr) THEN $s0 + 1 " +
+      s"ELSE $s0 END)"
+  }
 }

@@ -642,6 +642,70 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "BroadcastNestedLoopJoin") <= 2, plan)
   }
 
+  test("domain_extract: a pure per-row parse over the hosting union — " +
+      "the only exchange is the output sort") {
+    val plan = planOf("domain_extract")
+    assert(countOf(plan, "Exchange") == 1,
+      s"extraction must not shuffle before the order:\n$plan")
+    assert(plan.contains("rangepartitioning(fetch_seq"),
+      s"the one exchange is the output sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"a per-row parse must not aggregate or join:\n$plan")
+  }
+
+  test("domain_stats: corpus never joined; the canonical window " +
+      "shuffles digests, not document bytes") {
+    val plan = planOf("domain_stats")
+    assert(!plan.contains("Join"), s"stats must not join:\n$plan")
+    assert(countOf(plan, "Window") == 1,
+      s"exactly the first-seen-wins window:\n$plan")
+    // Token counts are projected below the window, so the md5 exchange
+    // carries (digest, tk, keys) — `text` is consumed inside the scan
+    // branch projections and never crosses a shuffle.
+    assert(plan.contains("hashpartitioning(text_key"),
+      s"the window must partition on the digest key:\n$plan")
+    // md5 window + distinct expand + final agg + output sort.
+    assert(countOf(plan, "Exchange") <= 4, s"plan grew an exchange:\n$plan")
+  }
+
+  test("domain_reputation: the 101-page target map BROADCASTS onto " +
+      "the corpus; the rank loop never goes cartesian") {
+    // The loop runs off a lineage cut, so the corpus-side shape is
+    // pinned on the pre-cut edge frame directly.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edgePlan =
+      try graft.text.DomainQueries.linkEdgesFor(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        threshold)
+    assert(edgePlan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("tgt")),
+      s"the page→domain map must broadcast onto the corpus:\n$edgePlan")
+    assert(countOf(edgePlan, "SortMergeJoin") +
+      countOf(edgePlan, "ShuffledHashJoin") == 0,
+      s"no shuffled join may touch the corpus:\n$edgePlan")
+    val plan = planOf("domain_reputation")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the rank loop joins stay keyed:\n$plan")
+  }
+
+  test("mixture_temperature: one corpus aggregate; totals ride a " +
+      "1-row broadcast cross join (the mixture_plan enrich shape)") {
+    val plan = planOf("mixture_temperature")
+    assert(countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") == 0,
+      s"totals must broadcast, never shuffle:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 1,
+      s"exactly the 1-row totals cross join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the source aggregate must map-side combine:\n$plan")
+    // Per-source agg + its re-aggregate on the 1-row totals branch +
+    // the single-partition totals + BroadcastExchange + output sort.
+    assert(countOf(plan, "Exchange") <= 5, s"plan grew an exchange:\n$plan")
+  }
+
   test("text_url_canonicalize / text_html_links: map-side combined " +
       "aggregation on the canonical/target key, corpus never joined") {
     for (q <- Seq("text_url_canonicalize", "text_html_links")) {
