@@ -141,8 +141,7 @@ object BenchStreams {
         if (b == 1L) maintain(spark, s"$dir/counts", s"$dir/scores")
       }
       requireBoundedMeta(spark, s"$dir/counts", s"$dir/scores")
-      streaming.IncrementalQuality.scores(spark, s"$dir/scores")
-        .groupBy(col("pred")).count()
+      streaming.IncrementalQuality.accuracyByEpoch(spark, s"$dir/scores")
         .write.format("noop").mode("overwrite").save()
     },
     "bpe_train_loop" -> { (spark, sfDir, _) =>

@@ -115,4 +115,21 @@ object IncrementalQuality {
       s"no committed epochs under $scoresDir")
     SnapshotTable.read(spark, scoresDir)
   }
+
+  /** The loop's DRIFT AUDIT — per-epoch accuracy of the decisions the
+    * loop actually shipped (each epoch was scored with the model as it
+    * stood THEN, so this is the honest online record, not a
+    * retrospective re-score): docs, MAP-good count, agreement with the
+    * planted labels in e6. The cold epochs read low and the curve
+    * recovers as the standing counts grow — the evidence a loop
+    * operator watches for model drift. Metadata-sized output (one row
+    * per epoch). */
+  def accuracyByEpoch(spark: SparkSession, scoresDir: String): DataFrame =
+    scores(spark, scoresDir)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred")).as("n_pred_good"),
+        sum((col("pred") === col("label")).cast("long")).as("n_agree"))
+      .select(col("batch_id"), col("n_docs"), col("n_pred_good"),
+        expr("n_agree * 1000000 DIV n_docs").as("accuracy_e6"))
 }

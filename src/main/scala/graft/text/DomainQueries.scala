@@ -486,6 +486,65 @@ object DomainQueries {
       .orderBy("registrable_domain")
   }
 
+  /** DOMAIN-grain audit of the TRAINED quality classifier — the
+    * composition that closes the two round-15 families into one
+    * table: which registrable domains does the trained filter
+    * actually like? Per doc the full `quality_score` pipeline runs
+    * (training replayed end to end — the `quality_train` CTEs); per
+    * PRIMARY domain (the origin site, source-keyed) the table reports
+    * mean trained score, the MAP-good fraction, and the planted-label
+    * good fraction beside it — the evidence a corpus owner reads
+    * before turning `domain_filter`'s floors into a quality floor.
+    * Scale: the scoring pipeline's own shape (model broadcast, one
+    * per-doc combine) plus ONE corpus-keyed join attaching the
+    * 20-row domain map to the scored frame; output is
+    * domain-cardinality metadata. */
+  private val domainQuality = Q(
+    "domain_quality",
+    QualityQueries.sqlQualityCtes + """, dom AS (
+      |  SELECT doc_id,
+      |         'site-' || CAST(CAST(substr(source, 4) AS BIGINT)
+      |                         AS VARCHAR) || '.' ||
+      |           (CASE CAST(substr(source, 4) AS BIGINT) % 3
+      |              WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |              ELSE 'co.uk' END) AS registrable_domain
+      |  FROM documents
+      |), j AS (
+      |  SELECT d.registrable_domain, s.score_fx, s.label,
+      |         CASE WHEN s.score_fx > 0 THEN 1 ELSE 0 END AS pred
+      |  FROM scored s JOIN dom d USING (doc_id)
+      |)
+      |SELECT registrable_domain,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(score_fx) // count(*) AS BIGINT) AS mean_score_fx,
+      |       CAST(sum(pred) * 1000000 // count(*) AS BIGINT)
+      |         AS good_frac_e6,
+      |       CAST(sum(label) * 1000000 // count(*) AS BIGINT)
+      |         AS label_good_frac_e6
+      |FROM j GROUP BY registrable_domain
+      |ORDER BY registrable_domain""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val sn = expr("CAST(substring(source, 4, 8) AS BIGINT)")
+    val dom = t.documents.select(col("doc_id"),
+      concat(lit("site-"), sn.cast("string"), lit("."),
+        when(sn % 3 === 0, "com").when(sn % 3 === 1, "org")
+          .otherwise("co.uk")).as("registrable_domain"))
+    QualityQueries.scoredFrame(t)
+      .withColumn("pred", (col("score_fx") > 0L).cast("long"))
+      .join(dom, "doc_id")
+      .groupBy(col("registrable_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_fx")).as("ssum"),
+        sum(col("pred")).as("np"),
+        sum(col("label")).as("nl"))
+      .select(col("registrable_domain"), col("n_docs"),
+        expr("ssum DIV n_docs").as("mean_score_fx"),
+        expr("np * 1000000 DIV n_docs").as("good_frac_e6"),
+        expr("nl * 1000000 DIV n_docs").as("label_good_frac_e6"))
+      .orderBy("registrable_domain")
+  }
+
   def queries: Seq[Q] =
-    Seq(domainExtract, domainStats, domainReputation, domainFilter)
+    Seq(domainExtract, domainStats, domainReputation, domainFilter,
+      domainQuality)
 }

@@ -96,7 +96,7 @@ object QualityQueries {
     * three declared queries project off it, so the training algebra
     * is written once and the oracle replays it end to end (the
     * `bpe_train` discipline). */
-  private def sqlQualityCtes: String = {
+  private[text] def sqlQualityCtes: String = {
     s"""WITH base AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
        |), lab AS (

@@ -76,6 +76,16 @@ class IncrementalQualitySpec extends SparkSpec {
       assert(perEpoch(b) ==
         docs.filter(col("doc_id") % 3 === b).count(),
         s"every epoch-$b doc must land exactly one score row")
+    // The drift audit reads one row per epoch off the same snapshot,
+    // and its accuracy column reflects the decisions as SHIPPED (the
+    // online record): the mature epoch must beat chance clearly.
+    val audit = IncrementalQuality.accuracyByEpoch(spark, s"$dir/scores")
+      .orderBy("batch_id").collect()
+    assert(audit.length == 3)
+    assert(audit.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf).documents.count())
+    assert(audit.last.getAs[Long]("accuracy_e6") > 700000L,
+      "the epoch scored with the full standing model must beat chance")
   }
 
   test("replaying an epoch no-ops on both tables; maintenance folds " +

@@ -156,6 +156,27 @@ class DomainQueriesSpec extends SparkSpec {
       "sqrt-weights sit between one-per-cluster and one-per-doc mass")
   }
 
+  test("domain_quality: the domain table reconciles exactly with the " +
+      "corpus-level trained scorer") {
+    val dq = SparkEntry.queries("domain_quality")(spark, sf).collect()
+    assert(dq.length == 20, "one row per primary domain")
+    val qs = SparkEntry.queries("quality_score")(spark, sf).collect()
+    // Doc accounting: every doc lands in exactly one domain row.
+    assert(dq.map(_.getAs[Long]("n_docs")).sum == qs.length)
+    // The domain-weighted MAP-good count reconciles with the corpus
+    // tally (floor-division slack bounded by one per domain).
+    val corpusGood = qs.count(_.getAs[Long]("pred") == 1L)
+    val approxGood = dq.map(r => r.getAs[Long]("good_frac_e6") *
+      r.getAs[Long]("n_docs")).sum / 1000000L
+    assert(math.abs(approxGood - corpusGood) <= dq.length,
+      s"$approxGood vs $corpusGood")
+    // The trained filter must discriminate BETWEEN domains (the
+    // evidence the table exists to show): spread, not a constant.
+    val fracs = dq.map(_.getAs[Long]("good_frac_e6"))
+    assert(fracs.max - fracs.min > 100000L,
+      "domains must differ by >10pp in trained-good fraction")
+  }
+
   test("mixture_temperature: alpha=1/2 flattens the mixture — boosts " +
       "tail sources, shrinks heads, and preserves the share order") {
     val m = SparkEntry.queries("mixture_temperature")(spark, sf).collect()
