@@ -46,12 +46,14 @@ object IncrementalQuality {
           "its epochs into a fresh snapshot-committed dir (count " +
           "partials are derived state) before continuing the loop.")
 
-  /** One epoch's 65-row count partial: the 64 filled buckets plus the
-    * doc-level class counts at b = −1 (the prior's numerators). */
-  private[streaming] def countPartial(docs: DataFrame): DataFrame = {
-    val lab = QualityQueries.labeledDocs(docs)
-    val bc = QualityQueries.bucketCounts(QualityQueries.tokenBuckets(lab))
-    val cc = QualityQueries.classCounts(lab)
+  /** One epoch's 65-row count partial off the collapsed per-(doc,
+    * bucket) frame: the 64 filled buckets plus the doc-level class
+    * counts at b = −1 (the prior's numerators). */
+  private[streaming] def countPartial(db: DataFrame): DataFrame = {
+    val bc = QualityQueries.bucketCountsFromPairs(db)
+    val cc = db.select(col("doc_id"), col("label"), col("split")).distinct()
+      .filter(col("split") === "train")
+      .agg(sum(col("label")).as("dg"), sum(lit(1L) - col("label")).as("db"))
       .select(lit(-1L).as("b"), coalesce(col("dg"), lit(0L)).as("ng"),
         coalesce(col("db"), lit(0L)).as("nb"))
     bc.unionByName(cc)
@@ -83,26 +85,41 @@ object IncrementalQuality {
         col("db").as("n_bad"), col("prior_fx").as("w_fx")))
   }
 
-  /** Land one epoch: commit the count partial, then score the batch
-    * against the standing model (which now includes this epoch — a
-    * replay whose scores commit crashed re-derives the identical
-    * frame) and commit the scores under the same batch id. Both
-    * commits are effectively-once off their manifest ledgers; epoch
-    * gaps are refused by [[SnapshotTable.appendOnce]]'s sequencing. */
+  /** Land one epoch: collapse the batch's token stream ONCE into
+    * per-(doc, bucket) counts (lineage-cut — the single corpus-scale
+    * pass of the epoch), commit the count partial derived from it,
+    * then score the same frame against the standing model (which now
+    * includes this epoch — a replay whose scores commit crashed
+    * re-derives the identical frame) and commit the scores under the
+    * same batch id. Both commits are effectively-once off their
+    * manifest ledgers; epoch gaps are refused. The score is
+    * `prior + Σ_b c·w_fx(b)` — the exact integer sum the raw token
+    * stream would produce (IncrementalQualitySpec pins bit-equality
+    * with the batch scorer). */
   def processBatch(docs: DataFrame, countsDir: String, scoresDir: String,
       batchId: Long): Unit = {
+    import graft.ops.Checkpoints.CheckpointOps
     val spark = docs.sparkSession
     requireNotLegacy(spark, countsDir)
     requireNotLegacy(spark, scoresDir)
     val next = SnapshotTable.maxCommittedBatch(spark, countsDir) + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    val db = QualityQueries
+      .docBucketCounts(QualityQueries.labeledDocs(docs)).cut()
     SnapshotTable.appendOnce(
-      countPartial(docs).withColumn("batch_id", lit(batchId)),
+      countPartial(db).withColumn("batch_id", lit(batchId)),
       countsDir, batchId): Unit
     val (w, pri) = standingModel(spark, countsDir)
-    val scored = QualityQueries
-      .scoreAgainst(QualityQueries.labeledDocs(docs), w, pri)
+    val scored = db
+      .join(broadcast(w.select(col("b"), col("w_fx"))), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w_fx")).as("sw"),
+        sum(col("c")).as("n_tokens"),
+        max(col("label")).as("label"), max(col("split")).as("split"))
+      .crossJoin(broadcast(pri.select(col("prior_fx"))))
+      .select(col("doc_id"), col("n_tokens"), col("label"), col("split"),
+        (col("prior_fx") + col("sw")).cast("long").as("score_fx"))
       .withColumn("pred", (col("score_fx") > 0L).cast("long"))
       .withColumn("batch_id", lit(batchId))
     SnapshotTable.appendOnce(scored, scoresDir, batchId): Unit

@@ -225,22 +225,29 @@ object QualityQueries {
   private def prior(lab: DataFrame): DataFrame =
     priorFromCounts(classCounts(lab))
 
-  /** Score a labeled frame against an externally-held model (the
-    * streaming loop's standing weights + prior): (doc_id, n_tokens,
-    * label, split, score_fx). Same broadcast/aggregate shape as
-    * [[scoredFrame]]. */
-  private[graft] def scoreAgainst(
-      lab: DataFrame, w: DataFrame, pri: DataFrame): DataFrame = {
-    val sc = tokenBuckets(lab)
-      .join(broadcast(w.select(col("b"), col("w_fx"))), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("w_fx")).cast("long").as("sw"))
-    lab.drop("ts")
-      .join(sc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(pri.select(col("prior_fx"))))
-      .select(col("doc_id"), col("n_tokens"), col("label"), col("split"),
-        (col("prior_fx") + coalesce(col("sw"), lit(0L))).cast("long")
-          .as("score_fx"))
+  /** The token stream collapsed ONCE into per-(doc, bucket) counts —
+    * the frame the streaming loop derives BOTH its commits from, so
+    * an epoch pays a single token pass: (doc_id, label, split, b, c).
+    * `sum(c)` per doc is exactly the doc's token count (split never
+    * yields an empty array), and the NB score is `Σ_b c·w_fx(b)` —
+    * the same integer sum the raw token stream produces. */
+  private[graft] def docBucketCounts(lab: DataFrame): DataFrame =
+    tokenBuckets(lab)
+      .groupBy(col("doc_id"), col("label"), col("split"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** [[bucketCounts]] off the collapsed frame — identical algebra
+    * (token counts per class per bucket, domain filled). */
+  private[graft] def bucketCountsFromPairs(db: DataFrame): DataFrame = {
+    val spark = db.sparkSession
+    val bc = db.filter(col("split") === "train")
+      .groupBy(col("b"))
+      .agg(sum(when(col("label") === 1, col("c")).otherwise(0L)).as("ng"),
+        sum(when(col("label") === 0, col("c")).otherwise(0L)).as("nb"))
+    spark.range(0, QBuckets).select(col("id").as("b"))
+      .join(bc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ng"), lit(0L)).as("ng"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
   }
 
   /** Per-doc NB scores: (doc_id, n_tokens, label, split, score_fx).

@@ -174,7 +174,7 @@ object OrganicGen {
     // reputation graph's 101-page target universe is scale-invariant),
     // √-weighted dedup (rides the labels frame), and the quality loop.
     "domain_reputation", "domain_filter", "dedup_soft_weights",
-    "stream_quality_loop")
+    "stream_quality_loop", "domain_quality")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double =

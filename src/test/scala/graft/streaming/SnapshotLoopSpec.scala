@@ -252,6 +252,42 @@ class SnapshotLoopSpec extends SparkSpec {
       "post-maintenance merge must equal the batch OHLC over the feed")
   }
 
+  test("quality loop: a reader racing an epoch keeps its pinned scores; " +
+      "a torn commit on both tables is invisible and unblocking") {
+    import spark.implicits._
+    val countsDir = tmpDir("snap-qual") + "/counts"
+    val scoresDir = tmpDir("snap-qual-scores") + "/scores"
+    IncrementalQuality.processBatch(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"),
+      countsDir, scoresDir, 0L)
+    // The racing consumer resolves the scores head NOW …
+    val pinned = SnapshotTable.read(spark, scoresDir)
+    // … a crashed half-commit lands in both state tables …
+    plantTornCommit(countsDir)
+    plantTornCommit(scoresDir)
+    // … and epoch 1 commits new counts + scores underneath it.
+    IncrementalQuality.processBatch(
+      Seq((9L, base)).toDF("doc_id", "text"), countsDir, scoresDir, 1L)
+    assert(pinned.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L),
+      "the pinned consumer must keep exactly its resolved epoch-0 view")
+    assert(IncrementalQuality.scores(spark, scoresDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 9L),
+      "a fresh consumer reads through the torn manifest to the new head")
+    // The standing model summed through the torn junk stays the union
+    // model: a replay of epoch 1 must no-op on both ledgers.
+    val model = IncrementalQuality.model(spark, countsDir)
+      .collect().map(_.toSeq.toSeq).toSeq
+    IncrementalQuality.processBatch(
+      Seq((9L, base)).toDF("doc_id", "text"), countsDir, scoresDir, 1L)
+    assert(IncrementalQuality.model(spark, countsDir)
+      .collect().map(_.toSeq.toSeq).toSeq == model,
+      "replay over a torn commit must converge on the counts ledger")
+    assert(IncrementalQuality.scores(spark, scoresDir).count() == 3,
+      "replay must not re-land score rows")
+  }
+
   test("pairs consumers: a crashed FIRST pairs commit (torn manifest, " +
       "no valid snapshot) reads as the empty graph, not a failure") {
     val pairsDir = tmpDir("snap-torn-first") + "/pairs"
