@@ -194,6 +194,160 @@ object CdcQueries {
       .orderBy("pk")
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE — the materialized-aggregate delta
+    * path every warehouse needs once a view is too big to recompute:
+    * maintain a per-customer order aggregate (n_orders, total_cents)
+    * through a change batch by applying per-key CONTRIBUTION DELTAS
+    * (final − base per changed primary key, summed per group key)
+    * instead of re-aggregating the fact table. The change batch
+    * extends the family's planted log with true inserts:
+    * UPDATE orderkey % 7 = 0 (price + 500 cents), DELETE
+    * orderkey % 13 = 0 (delete wins over update on % 91 keys — the
+    * log's seq order), INSERT a clone of every % 11 = 0 order under
+    * key + 2·10^9 at price + 777 cents. Customers whose last order is
+    * deleted leave the view (n = 0 rows dropped — the delete-cascade
+    * rule).
+    *
+    * THE ORACLE IS THE FROM-SCRATCH RECOMPUTE over the applied table,
+    * so a green hash IS the IVM correctness proof (delta-maintained ≡
+    * recomputed), replayed cross-engine. Scale: at 100 TB the base
+    * view is a stored (bucketed) table and the fact table is never
+    * re-read — the delta path touches only changed keys (here
+    * modulus-planted, in production the CDC batch): one delta-sized
+    * shuffle on the group key + one view-keyed join (zero Exchange on
+    * a bucketed base). This query derives the base view inline only
+    * because the driver corpus has no stored views. */
+  private val cdcViewMaintain = Q(
+    "cdc_view_maintain", {
+      val cents = sqlCents("o_totalprice")
+      s"""WITH applied AS (
+         |  SELECT o_custkey,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN $cents + 500
+         |              ELSE $cents END AS price_cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT o_custkey, $cents + 777
+         |  FROM orders WHERE o_orderkey % 11 = 0
+         |)
+         |SELECT o_custkey,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM applied GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin
+    }) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val cents = Det.toUnits(col("o_totalprice"), 100L).cast("long")
+    // The base view — in production a stored table, never re-derived.
+    val base = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n0"), sum(cents).as("s0"))
+    // Contribution deltas for CHANGED keys only (delta-sized): final
+    // minus base per primary key, before any aggregation.
+    val changed = o
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+      .select(col("o_custkey"),
+        when(col("o_orderkey") % 13 === 0, -1L).otherwise(0L).as("dn"),
+        when(col("o_orderkey") % 13 === 0, -cents)
+          .otherwise(lit(500L)).as("ds"))
+    val inserted = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_custkey"), lit(1L).as("dn"),
+        (cents + lit(777L)).as("ds"))
+    val delta = changed.unionByName(inserted)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    base.join(delta, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (col("s0") + coalesce(col("ds"), lit(0L))).as("total_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_custkey")
+  }
+
+  /** IVM for the NON-INVERTIBLE aggregate — the textbook hard case a
+    * SUM/COUNT delta path cannot cover: a per-customer MIN view, where
+    * a delete or raise of the current minimum forgets what the new
+    * minimum is and only a rescan of that group can recover it. The
+    * maintained path bounds the damage: a group rescans IFF some
+    * changed row TIES its stored minimum (deletes and +500 updates can
+    * only hurt the min through the min itself; inserts merge with one
+    * `least()`). Every other group keeps its stored value. The
+    * `rescanned` audit column is the point — at 100 TB it shows the
+    * recompute touched a bounded set of groups, not the view.
+    *
+    * Same planted change batch as `cdc_view_maintain`; the oracle
+    * recomputes every group's min from scratch over the applied table
+    * AND replays the rescan decision, so a green hash proves both the
+    * maintained values and the bounded-rescan rule cross-engine.
+    * Scale: the tie check is a view-keyed join of the delta rows; the
+    * rescan path semi-joins the fact table to the affected group list
+    * (delta-bounded); the unaffected path never reads facts. */
+  private val cdcViewMinmax = Q(
+    "cdc_view_minmax", {
+      val cents = sqlCents("o_totalprice")
+      s"""WITH base AS (
+         |  SELECT o_custkey, CAST(min($cents) AS BIGINT) AS m0
+         |  FROM orders GROUP BY o_custkey
+         |), affected AS (
+         |  SELECT DISTINCT o.o_custkey
+         |  FROM orders o JOIN base b ON o.o_custkey = b.o_custkey
+         |  WHERE (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
+         |    AND $cents = b.m0
+         |), applied AS (
+         |  SELECT o_custkey,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN $cents + 500
+         |              ELSE $cents END AS price_cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT o_custkey, $cents + 777
+         |  FROM orders WHERE o_orderkey % 11 = 0
+         |)
+         |SELECT a.o_custkey,
+         |       CAST(min(a.price_cents) AS BIGINT) AS min_cents,
+         |       CAST(CASE WHEN f.o_custkey IS NULL THEN 0 ELSE 1 END
+         |            AS BIGINT) AS rescanned
+         |FROM applied a LEFT JOIN affected f ON a.o_custkey = f.o_custkey
+         |GROUP BY a.o_custkey, f.o_custkey
+         |ORDER BY a.o_custkey""".stripMargin
+    }) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val cents = Det.toUnits(col("o_totalprice"), 100L).cast("long")
+    val base = o.groupBy(col("o_custkey")).agg(min(cents).as("m0"))
+    // Groups whose stored min is TOUCHED by an update or delete.
+    val affected = o
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+      .select(col("o_custkey"), cents.as("c"))
+      .join(base, "o_custkey")
+      .filter(col("c") === col("m0"))
+      .select(col("o_custkey")).distinct()
+    val inserted = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_custkey"), (cents + lit(777L)).as("price_cents"))
+    // RESCAN path: affected groups recompute from the applied facts.
+    val appliedRows = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, cents + lit(500L))
+          .otherwise(cents).as("price_cents"))
+      .unionByName(inserted)
+    val rescanned = appliedRows
+      .join(affected, Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("price_cents")).as("min_cents"))
+      .withColumn("rescanned", lit(1L))
+    // UNAFFECTED path: stored min merged with this batch's inserts —
+    // the fact table is never read.
+    val minIns = inserted.groupBy(col("o_custkey"))
+      .agg(min(col("price_cents")).as("mi"))
+    val kept = base
+      .join(affected.withColumn("hit", lit(1)), Seq("o_custkey"), "left")
+      .filter(col("hit").isNull)
+      .join(minIns, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        least(col("m0"), coalesce(col("mi"), col("m0"))).as("min_cents"),
+        lit(0L).as("rescanned"))
+    rescanned.select(col("o_custkey"), col("min_cents"), col("rescanned"))
+      .unionByName(kept)
+      .orderBy("o_custkey")
+  }
+
   val queries: Seq[Q] =
-    Seq(cdcApply, cdcBatchStats, cdcScd2, cdcApplyIdempotent)
+    Seq(cdcApply, cdcBatchStats, cdcScd2, cdcApplyIdempotent,
+      cdcViewMaintain, cdcViewMinmax)
 }

@@ -327,7 +327,7 @@ object DomainQueries {
   private[graft] def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
     linkEdges(extractedDocs(Tables(s, dir).documents))
 
-  private def ranksFrom(spark: SparkSession, ext: DataFrame): DataFrame = {
+  private def ranksFrom(ext: DataFrame): DataFrame = {
     import graft.ops.Checkpoints.CheckpointOps
     val edges = linkEdges(ext)
     val nodes = ext.select(col("registrable_domain").as("node")).distinct()
@@ -422,7 +422,7 @@ object DomainQueries {
     sqlUrlsCte + sqlExtractCte + sqlRanksCte + """
       |SELECT registrable_domain, out_w, in_w, rank_e6
       |FROM ranked ORDER BY registrable_domain""".stripMargin) { (s, dir) =>
-    ranksFrom(s, extractedDocs(Tables(s, dir).documents))
+    ranksFrom(extractedDocs(Tables(s, dir).documents))
       .orderBy("registrable_domain")
   }
 
@@ -469,7 +469,7 @@ object DomainQueries {
       |FROM dec ORDER BY registrable_domain""".stripMargin) { (s, dir) =>
     val ext = extractedDocs(Tables(s, dir).documents)
     val stats = statsFrom(ext)
-    val ranked = ranksFrom(s, ext)
+    val ranked = ranksFrom(ext)
       .select(col("registrable_domain"), col("rank_e6"))
     stats.join(ranked, "registrable_domain")
       .select(col("registrable_domain"), col("n_hosted"), col("n_docs"),

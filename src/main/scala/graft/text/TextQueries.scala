@@ -1825,6 +1825,126 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Tokenizer FERTILITY audit — the multilingual-fairness table
+    * (Ács 2019 / the XLM-R tokenizer literature): how many subword
+    * tokens the pinned BPE spends per whitespace word, per language.
+    * A language with high fertility pays more sequence length for the
+    * same text — the signal that drives vocab rebalancing and the
+    * α-sampling `mixture_temperature` applies. Per lang: docs,
+    * whitespace words, BPE tokens (the exact pinned-merge kernel the
+    * billing queries share), fertility in e3 (BPE per word) and
+    * chars-per-BPE-token in e3 — all exact integer ratios. Plan: one
+    * narrow pass, both token counts ride the same projection into one
+    * partial agg on lang; output is language-cardinality metadata. */
+  private val tokenFertility = Q(
+    "token_fertility", {
+      val bpe = Bpe.sqlCountFromMerged(s"(${Bpe.sqlMergedSymbols("text")})")
+      s"""WITH per AS (
+         |  SELECT lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         |         CAST($bpe AS BIGINT) AS bpe,
+         |         CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ws) AS BIGINT) AS n_words,
+         |       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(bpe) * 1000 // sum(ws) AS BIGINT)
+         |         AS fertility_e3,
+         |       CAST(sum(chars) * 1000 // sum(bpe) AS BIGINT)
+         |         AS chars_per_token_e3
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("lang"),
+        size(toks).cast("long").as("ws"),
+        Bpe.tokenCountNative(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("chars")).as("sc"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000 DIV n_words").as("fertility_e3"),
+        expr("sc * 1000 DIV n_bpe_tokens").as("chars_per_token_e3"))
+      .orderBy("lang")
+  }
+
+  /** PII COMPLIANCE report — the per-source accounting a data-release
+    * review reads before `text_pii_redact` ever rewrites a byte: how
+    * many documents carry emails/phones, total hit counts, and the
+    * affected-doc rate per source (e6). The driver corpus carries no
+    * organic PII (the redactor's spec plants its own fixtures), so the
+    * report runs over a planted PII twin — the dirty-twin discipline:
+    * every 9th doc gains a deterministic contact email, every 17th a
+    * phone, both matching the redactor's pinned patterns exactly, so
+    * the report measures real per-source rate variation. Plan: one
+    * regex projection into one partial agg on source. */
+  private val piiReport = Q(
+    "pii_report",
+    s"""WITH aug AS (
+       |  SELECT source,
+       |         text ||
+       |         (CASE WHEN doc_id % 9 = 2
+       |               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |                    || '@ex-' || CAST(doc_id % 5 AS VARCHAR)
+       |                    || '.com' ELSE '' END) ||
+       |         (CASE WHEN doc_id % 17 = 4
+       |               THEN ' tel 555-123-'
+       |                    || CAST(1000 + doc_id % 9000 AS VARCHAR)
+       |               ELSE '' END) AS text
+       |  FROM documents
+       |), per AS (
+       |  SELECT source,
+       |         CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+       |           AS ne,
+       |         CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+       |           AS np
+       |  FROM aug
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS docs_with_email,
+       |       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS docs_with_phone,
+       |       CAST(sum(ne) AS BIGINT) AS n_emails,
+       |       CAST(sum(np) AS BIGINT) AS n_phones,
+       |       CAST(sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS pii_doc_rate_e6
+       |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val aug = concat(col("text"),
+      when(col("doc_id") % 9 === 2,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@ex-"), (col("doc_id") % 5).cast("string"), lit(".com")))
+        .otherwise(""),
+      when(col("doc_id") % 17 === 4,
+        concat(lit(" tel 555-123-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")))
+        .otherwise(""))
+    Tables(s, dir).documents
+      .select(col("source"), aug.as("text"))
+      .select(col("source"),
+        // functions-API patterns (no SQL-literal escape pass — the
+        // regexes carry backslashes the SQL parser would eat).
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("ne") > 0).cast("long")).as("docs_with_email"),
+        sum((col("np") > 0).cast("long")).as("docs_with_phone"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum((col("ne") > 0 || col("np") > 0).cast("long")).as("hit"))
+      .select(col("source"), col("n_docs"), col("docs_with_email"),
+        col("docs_with_phone"), col("n_emails"), col("n_phones"),
+        expr("hit * 1000000 DIV n_docs").as("pii_doc_rate_e6"))
+      .orderBy("source")
+  }
+
   /** Hashed-feature buckets for the importance scorer. Small enough
     * that both model frames stay broadcast-metadata, large enough that
     * bucket collisions average out (DSIR's own hashing argument). */
@@ -2004,7 +2124,7 @@ object TextQueries {
       packSequences, packSequencesBpe, textDecontaminate,
       textLineDedup, textTfidf, textVocab, searchBm25, corpusFilterReport,
       textHtmlExtract, textHtmlLinks, textUrlCanonicalize, langIdConfusion,
-      corpusDedupFunnel,
+      corpusDedupFunnel, tokenFertility, piiReport,
       textPerplexityBits, textBigramBits, sampleUniformHash,
       textQualityTiers, mixturePlan, mixturePlanBpe, mixtureTemperature,
       dsirImportance,

@@ -706,6 +706,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Exchange") <= 5, s"plan grew an exchange:\n$plan")
   }
 
+  test("cdc_view_maintain: the delta path — one view-keyed join, " +
+      "delta aggregated before it ever meets the view") {
+    val plan = planOf("cdc_view_maintain")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // Exactly ONE join in the whole plan: maintained = view ⋈ deltas.
+    // A second join would mean the delta path started re-reading facts
+    // per group instead of summing contribution deltas.
+    assert(countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") +
+      countOf(plan, "BroadcastHashJoin") == 1,
+      s"the delta path is one view-keyed join:\n$plan")
+    // Both sides pre-aggregate (map-side combine) on the group key
+    // before the join.
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"base and delta must combine map-side:\n$plan")
+  }
+
+  test("cdc_view_minmax: the bounded-rescan shape — affected groups " +
+      "reach the facts through a LEFT SEMI, everything stays keyed") {
+    val plan = planOf("cdc_view_minmax")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"),
+      s"the rescan must semi-join the affected-group list:\n$plan")
+    // Every join is keyed on the group key (custkey) — the rescan is
+    // group-bounded, never a row-level fact-to-fact join.
+    plan.linesIterator.filter(_.contains("Join")).foreach(l =>
+      assert(l.contains("o_custkey"), s"non-group-keyed join:\n$l"))
+  }
+
   test("text_url_canonicalize / text_html_links: map-side combined " +
       "aggregation on the canonical/target key, corpus never joined") {
     for (q <- Seq("text_url_canonicalize", "text_html_links")) {
