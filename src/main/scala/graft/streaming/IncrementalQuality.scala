@@ -105,6 +105,22 @@ object IncrementalQuality {
     val next = SnapshotTable.maxCommittedBatch(spark, countsDir) + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    // Lockstep invariant: the scores ledger trails the counts ledger by
+    // at most the one epoch a crash between the two commits leaves open.
+    // Checked on ENTRY so the misuse "crash landed counts N without
+    // scores N, caller resumes at N+1" fails loud here instead of
+    // silently losing epoch N's score rows (the counts-side appendOnce
+    // would no-op the replay and nothing downstream would ever error).
+    val scoresNext = SnapshotTable.maxCommittedBatch(spark, scoresDir) + 1
+    require(scoresNext == next || scoresNext == next - 1,
+      s"counts/scores ledgers out of lockstep: counts high-water " +
+        s"${next - 1}, scores high-water ${scoresNext - 1} — the pair " +
+        "must only ever be advanced through processBatch")
+    require(batchId <= scoresNext,
+      s"epoch gap on the scores ledger: batch $batchId after scores " +
+        s"high-water mark ${scoresNext - 1} — replay epoch $scoresNext " +
+        "first (its counts partial already landed; appendOnce skips it " +
+        "and only the missing scores commit runs)")
     val db = QualityQueries
       .docBucketCounts(QualityQueries.labeledDocs(docs)).cut()
     SnapshotTable.appendOnce(

@@ -1777,7 +1777,13 @@ object TextQueries {
     * integer sqrt ([[graft.util.Det.isqrt]], = 10^3·√n_tokens), so
     * shares come out of exact BIGINT sums (no floating Σ over a
     * nondeterministic row order; exact while per-source tokens stay
-    * under 2^63/10^6 ≈ 9.2·10^12 — far above any real source). Per
+    * under 2^62/10^6 ≈ 4.6·10^12 — [[graft.util.Det.isqrt]]'s single
+    * ±1 fixup and its overflow-free (s0+1)² probe are only guaranteed
+    * below 2^62; still far above any real source). A source holding
+    * < 1 ppm of total tokens floors share_e6 to 0, so boost_e6 guards
+    * the denominator with greatest(·,1) on BOTH engines — Spark DIV
+    * would return NULL where DuckDB // raises, and the guard keeps
+    * degenerate tails identical cross-engine. Per
     * source: raw share, temperature share, and the boost ratio the
     * resampling applies (tail sources read boost_e6 > 10^6, heads
     * < 10^6). Same single-pass shape as `mixture_plan`: one partial
@@ -1805,7 +1811,8 @@ object TextQueries {
          |         AS share_e6,
          |       CAST(w * 1000000 // tot_w AS BIGINT) AS temp_share_e6,
          |       CAST((w * 1000000 // tot_w) * 1000000
-         |            // (n_tokens * 1000000 // tot_tokens) AS BIGINT)
+         |            // greatest(n_tokens * 1000000 // tot_tokens, 1)
+         |            AS BIGINT)
          |         AS boost_e6
          |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin
     }) { (s, dir) =>
@@ -1821,7 +1828,8 @@ object TextQueries {
         expr("n_tokens * 1000000 DIV tot_tokens").as("share_e6"),
         expr("w * 1000000 DIV tot_w").as("temp_share_e6"),
         expr("(w * 1000000 DIV tot_w) * 1000000 " +
-          "DIV (n_tokens * 1000000 DIV tot_tokens)").as("boost_e6"))
+          "DIV greatest(n_tokens * 1000000 DIV tot_tokens, 1)")
+          .as("boost_e6"))
       .orderBy("source")
   }
 

@@ -115,4 +115,38 @@ class IncrementalQualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("epoch gap"))
   }
+
+  test("a crash between the counts and scores commits must be REPLAYED, " +
+      "not skipped: resuming at N+1 fails loud on the scores ledger") {
+    val dir = tmpDir("iq-lockstep")
+    runLoop(dir)
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    // Simulate the crash: counts partial for epoch 3 lands, the scores
+    // commit never runs (clone epoch 2's partial under batch_id 3 —
+    // the ledger only cares that the batch id advanced).
+    SnapshotTable.appendOnce(
+      SnapshotTable.read(spark, s"$dir/counts")
+        .filter(col("batch_id") === 2L).withColumn("batch_id", lit(3L)),
+      s"$dir/counts", 3L)
+    // The misuse ADVICE flagged: resume at 4 instead of replaying 3 —
+    // previously a silent scores gap, now a loud entry-time failure.
+    val e = intercept[IllegalArgumentException] {
+      IncrementalQuality.processBatch(
+        docs.filter(col("doc_id") % 3 === 1),
+        s"$dir/counts", s"$dir/scores", 4L)
+    }
+    assert(e.getMessage.contains("scores"),
+      s"expected the scores-ledger gap message, got: ${e.getMessage}")
+    // The correct move — replay epoch 3 — heals: counts no-ops off its
+    // ledger, the missing scores commit lands, lockstep restores.
+    IncrementalQuality.processBatch(
+      docs.filter(col("doc_id") % 3 === 0),
+      s"$dir/counts", s"$dir/scores", 3L)
+    assert(SnapshotTable.maxCommittedBatch(spark, s"$dir/scores") == 3L)
+    IncrementalQuality.processBatch(
+      docs.filter(col("doc_id") % 3 === 1),
+      s"$dir/counts", s"$dir/scores", 4L)
+    assert(SnapshotTable.maxCommittedBatch(spark, s"$dir/counts") == 4L &&
+      SnapshotTable.maxCommittedBatch(spark, s"$dir/scores") == 4L)
+  }
 }
