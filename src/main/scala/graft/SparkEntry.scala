@@ -22,6 +22,7 @@ object SparkEntry {
       text.TextQueries.queries ++
       text.QualityQueries.queries ++
       text.DomainQueries.queries ++
+      text.CurationQueries.queries ++
       text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++

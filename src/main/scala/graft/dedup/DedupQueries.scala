@@ -255,6 +255,13 @@ object DedupQueries {
     * not just ones where no bucket reaches the cap. */
   private def sqlCandCte: String = sqlCandCteBR(B, R)
 
+  /** [[sqlCandCte]] with every CTE name prefixed — for composers
+    * (the curation pipeline) that splice the candidate chain into a
+    * larger WITH block where the bare names (`sig`, `bands`, `ranked`,
+    * `cand`) would collide. */
+  private[graft] def sqlCandCtePrefixed(p: String): String =
+    sqlCandCteBR(B, R, p)
+
   private def sqlCandCteBR(bb: Int, rr: Int, p: String = ""): String =
     s"""${sqlBandsCteBR(bb, rr, p)}, ${p}ranked AS (
        |  SELECT doc_id, band, bh,
@@ -855,7 +862,7 @@ object DedupQueries {
     * component) for every doc that appears in a candidate pair. Shared
     * by dedup_components (the labels themselves) and dedup_survivors
     * (labels composed back onto the corpus). */
-  private[dedup] def componentLabels(t: Tables): DataFrame =
+  private[graft] def componentLabels(t: Tables): DataFrame =
     componentLabelsOf(candidatePairs(t))
 
   /** Min-label propagation over an arbitrary (doc_a, doc_b) edge

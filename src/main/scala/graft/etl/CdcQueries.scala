@@ -347,7 +347,90 @@ object CdcQueries {
       .orderBy("o_custkey")
   }
 
+  /** IVM for the DISTINCT-COUNT view — the third textbook case: a
+    * per-customer count of distinct price BUCKETS (price_cents div
+    * 10^5, i.e. $1000 bands). COUNT(DISTINCT) is neither invertible
+    * nor tie-bounded, but it IS exactly maintainable through a stored
+    * COUNT-MAP (per-(group, value) multiplicity — the classic
+    * multiset-semantics IVM form): a delete decrements its value's
+    * multiplicity and the distinct count drops exactly when a
+    * multiplicity hits zero; an update is a (−1 old bucket, +1 new
+    * bucket) pair that cancels when the +500 stays inside the band;
+    * an insert may mint a band the map has never seen (the FULL outer
+    * merge). Same planted change batch as `cdc_view_maintain`.
+    *
+    * THE ORACLE IS THE FROM-SCRATCH COUNT(DISTINCT) over the applied
+    * table, so a green hash proves map-maintained ≡ recomputed.
+    * CdcViewSpec additionally pins that the driver batch contains a
+    * delete that forces a multiplicity to ZERO on a surviving
+    * customer — the decrement case an insert-only "values seen" view
+    * gets wrong.
+    *
+    * Scale posture at 100 TB: the count map is the stored state, keyed
+    * (group, value) and sharded like any fact table; the delta path
+    * touches only changed keys (one delta-sized shuffle + one
+    * map-keyed merge join), and the distinct count is a partial-agg
+    * over map rows with positive multiplicity. The map stays EXACT
+    * because deletions require true multiplicities — a mergeable
+    * sketch (HLL) cannot decrement, so the approximate swap is valid
+    * only for insert-only streams; under churn the exact sharded map
+    * IS the 100 TB form (its size is value-cardinality, not fact
+    * cardinality). */
+  private val cdcViewDistinct = Q(
+    "cdc_view_distinct", {
+      val cents = sqlCents("o_totalprice")
+      s"""WITH applied AS (
+         |  SELECT o_custkey,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN $cents + 500
+         |              ELSE $cents END AS price_cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT o_custkey, $cents + 777
+         |  FROM orders WHERE o_orderkey % 11 = 0
+         |)
+         |SELECT o_custkey,
+         |       CAST(count(DISTINCT price_cents // 100000) AS BIGINT)
+         |         AS n_distinct_buckets,
+         |       CAST(count(*) AS BIGINT) AS n_rows
+         |FROM applied GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin
+    }) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val cents = Det.toUnits(col("o_totalprice"), 100L).cast("long")
+    def bkt(c: org.apache.spark.sql.Column) = c.divide(100000L).cast("long")
+    // The stored count map — in production a sharded table, never
+    // re-derived. One row per (customer, band) with its multiplicity.
+    val baseMap = o.groupBy(col("o_custkey"), bkt(cents).as("bkt"))
+      .agg(count(lit(1)).as("n0"))
+    // Delta rows per changed primary key (delete wins over update on
+    // % 91 keys, the log's seq order — same rule as cdc_view_maintain).
+    val deleted = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_custkey"), bkt(cents).as("bkt"), lit(-1L).as("dm"))
+    val updated = o
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+    val updDelta = updated
+      .select(col("o_custkey"), bkt(cents).as("bkt"), lit(-1L).as("dm"))
+      .unionByName(updated.select(col("o_custkey"),
+        bkt(cents + 500L).as("bkt"), lit(1L).as("dm")))
+    val insDelta = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_custkey"), bkt(cents + 777L).as("bkt"),
+        lit(1L).as("dm"))
+    val deltaMap = deleted.unionByName(updDelta).unionByName(insDelta)
+      .groupBy(col("o_custkey"), col("bkt"))
+      .agg(sum(col("dm")).as("dm"))
+    // FULL outer merge: inserts can mint bands the map has never seen.
+    baseMap.join(deltaMap, Seq("o_custkey", "bkt"), "full")
+      .select(col("o_custkey"), col("bkt"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+          .as("m"))
+      .filter(col("m") > 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_distinct_buckets"),
+        sum(col("m")).as("n_rows"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Seq[Q] =
     Seq(cdcApply, cdcBatchStats, cdcScd2, cdcApplyIdempotent,
-      cdcViewMaintain, cdcViewMinmax)
+      cdcViewMaintain, cdcViewMinmax, cdcViewDistinct)
 }

@@ -77,6 +77,47 @@ object Sinks {
     t.spark.read.parquet(outDir).count()
   }
 
+  /** Materialize the CURATED corpus — the write path of the full
+    * curation pipeline (`corpus_curation_pipeline`,
+    * [[graft.text.CurationQueries]]): final survivors of the six-stage
+    * chain joined back to their full document payloads and written as
+    * a source-partitioned parquet table, each row carrying its
+    * whitespace token count and (nullable) near-dup component as
+    * provenance. The per-stage provenance lands alongside as
+    * `outDir/_funnel` — the six reconciling (stage, n_in, n_out,
+    * n_removed) rows, so a reader of the curated table can audit
+    * exactly what each gate removed without replaying the chain.
+    * Payloads enter only the final key join (flags/scores/verdicts
+    * shuffle narrow projections, never document bytes). Returns the
+    * survivor row count; asserts it equals the funnel's stage-6 n_out
+    * (the table and its provenance cannot drift). */
+  def materializeCuratedCorpus(
+      spark: SparkSession, sfDir: String, outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Checkpoints.CheckpointOps
+    val fl = graft.text.CurationQueries.flagsFrame(spark, sfDir)
+    val surv = graft.text.CurationQueries.survivorsFrame(spark, sfDir, fl)
+      .cut(false) // read by the payload join AND the funnel count
+    val curated = graft.Tables(spark, sfDir).documents
+      .join(surv.select(col("doc_id"), col("tk"), col("component")),
+        Seq("doc_id"))
+    curated.write.mode("overwrite").partitionBy("source")
+      .parquet(s"$outDir/docs")
+    // Provenance off the SAME flags frame the survivors came from (the
+    // flags frame is lineage-cut, so this replays no classifier/rank
+    // subtree) — only the dup-graph stage-6 branch runs twice.
+    graft.text.CurationQueries.funnelFrame(fl, surv)
+      .write.mode("overwrite").parquet(s"$outDir/_funnel")
+    val written = spark.read.parquet(s"$outDir/docs").count()
+    val n6 = spark.read.parquet(s"$outDir/_funnel")
+      .filter(col("stage") === "6_near_dedup")
+      .select(col("n_out")).collect()(0).getLong(0)
+    require(written == n6,
+      s"curated table ($written rows) drifted from its funnel " +
+        s"provenance (stage-6 n_out $n6)")
+    written
+  }
+
   /** Materialize the DEDUPED MEDIA corpus — the multimodal twin of
     * [[materializeDedupedCorpus]], closing the candidates → components
     * → survivors pipeline for all three fingerprint modalities with

@@ -1,0 +1,306 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The END-TO-END CURATION PIPELINE — the capstone composition every
+  * stage family below it builds toward (the engine twin of the
+  * reference's wired DAG, bpi_etl_bigquery.py:293-298: discrete
+  * validated stages chained into one production run). One declared
+  * run chains, in production order:
+  *
+  *   1. URL canonicalization + exact-URL dedup (`text_url_canonicalize`
+  *      rule: min-doc survivor per canonical URL),
+  *   2. HTML main-text extraction (`text_html_extract` strip; the gate
+  *      drops BOILERPLATE-DOMINATED pages — markup fraction over 9/10,
+  *      i.e. the extracted main text under a tenth of the raw HTML, in
+  *      exact integer arithmetic; the driver corpora pass whole (their
+  *      shortest doc sits at ~0.82) while near-empty pages wrapped in
+  *      full chrome fire it, spec-pinned on a planted corpus),
+  *   3. language-ID gate (`lang_id`'s pinned trigram argmax must AGREE
+  *      with the declared metadata lang — the CCNet "LID confidence"
+  *      gate reduced to exact algebra; drops all zh docs, whose lang
+  *      the pinned model does not cover, plus misclassified tails),
+  *   4. TRAINED quality gate (`quality_score`'s MAP decision: the NB
+  *      classifier trained in-engine on the full-corpus train split,
+  *      score_fx > 0 — the standing model, trained upstream of the
+  *      pipeline, exactly as production serves a frozen classifier),
+  *   5. domain verdict gate (`domain_filter`'s blocked flag computed
+  *      over the FULL hosting twin — standing per-domain verdicts,
+  *      domain-cardinality metadata — applied per doc through its
+  *      PRIMARY registrable domain),
+  *   6. near-dup survivor selection (`dedup_survivors`' MinHash-LSH
+  *      component labels over the full corpus — the standing dedup
+  *      index — with the representative re-chosen AMONG PIPELINE
+  *      SURVIVORS: min doc_id of each component's surviving members,
+  *      so a cluster whose canonical representative died at an earlier
+  *      gate still keeps exactly one member).
+  *
+  * `corpus_curation_pipeline` reports the funnel: one row per stage
+  * with n_in / n_out / n_removed, reconciling EXACTLY (stage k+1's
+  * n_in is stage k's n_out — the `corpus_dedup_funnel` discipline over
+  * the whole chain). `corpus_curation_accounting` closes the chain
+  * with the per-source doc/token bill of the final survivors — the
+  * frame a mixture planner consumes. Both oracle-replay the ENTIRE
+  * chain end to end in one SQL statement (URL regexes, HTML strip,
+  * trigram LID, NB training algebra, domain stats + 3-iteration rank
+  * loop, banded MinHash + connected components) — the widest oracle in
+  * the repo, which is the point: the stages cannot drift from their
+  * declared singles because those singles' fragments ARE the oracle.
+  *
+  * Scale posture at 100 TB: stages 1-3 are NARROW per-row expressions
+  * over one corpus scan (the canonical-URL survivor rule is one
+  * window on the canonical key — high-cardinality, no hot partition);
+  * stage 4 joins the per-doc score frame (itself one token-explode
+  * partial agg + a 65-row broadcast model) back on doc_id — the one
+  * corpus-sized join, unavoidable because scoring must read tokens;
+  * stage 5 probes a BROADCAST domain-verdict table (domain-cardinality
+  * metadata); stage 6 annotates with the dup-graph-sized label frame
+  * through the measured broadcast gate and re-picks representatives
+  * with a dup-graph-sized aggregate. The funnel output is 6 rows; the
+  * accounting is source-cardinality. One lineage cut pins the flags
+  * frame so the funnel aggregate and the survivor branch share the
+  * chain instead of replaying the classifier/rank subtrees. */
+object CurationQueries {
+
+  private final val Stage1 = "1_url_canonical"
+  private final val Stage2 = "2_html_extract"
+  private final val Stage3 = "3_lang_gate"
+  private final val Stage4 = "4_quality_gate"
+  private final val Stage5 = "5_domain_gate"
+  private final val Stage6 = "6_near_dedup"
+
+  /** The shared DuckDB CTE chain ending in `fl` (per-doc stage flags),
+    * `surv` (final survivors with per-doc token counts) — every
+    * fragment is the exact text its declared single query runs, spliced
+    * under collision-free names (`dcanon` on the domain side, `dd*` on
+    * the dedup side). */
+  private def sqlPipelineCtes: String = {
+    val stripped = TextQueries.HtmlStripPatterns.foldLeft("html")((c, p) =>
+      s"regexp_replace($c, '$p', ' ', 'g')")
+    "WITH RECURSIVE " +
+      TextQueries.sqlCanonCte.stripPrefix("WITH ") +            // u, parts, canon
+      ", " + TextQueries.sqlHtmlTwinCte.stripPrefix("WITH ") +  // h
+      s""", hx AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace($stripped, ' +', ' ', 'g'))
+         |           AS main_text
+         |  FROM h
+         |), langp AS (
+         |${TextQueries.sqlLangScoredSelect}
+         |), """.stripMargin +
+      QualityQueries.sqlQualityCtes.stripPrefix("WITH ") +      // ... scored
+      ", " + DomainQueries.sqlUrlsCte.stripPrefix("WITH ") +    // src, named, urls
+      DomainQueries.sqlExtractCte +                             // hosts, ext
+      DomainQueries.sqlStatsCte +                               // dcanon, stats
+      DomainQueries.sqlRanksCte +                               // pages..ranked
+      s""", dver AS (
+         |  SELECT s.registrable_domain,
+         |         CAST(CASE WHEN (s.n_hosted - s.n_canonical) * 1000000
+         |                          // s.n_hosted
+         |                        > ${DomainQueries.NonCanonicalFloorE6}
+         |                     OR r.rank_e6 < ${DomainQueries.RankFloorE6}
+         |                     OR s.n_tokens // s.n_hosted
+         |                        < ${DomainQueries.MinMeanTokens}
+         |                   THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         |  FROM stats s JOIN ranked r USING (registrable_domain)
+         |), """.stripMargin +
+      graft.dedup.DedupQueries.sqlCandCtePrefixed("dd")
+        .stripPrefix("WITH ") +                                 // ddsig/ddbands/ddranked/ddcand
+      """, pnodes AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM ddcand
+        |    UNION ALL SELECT doc_b FROM ddcand)
+        |), pedges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM ddcand
+        |  UNION SELECT doc_b, doc_a FROM ddcand
+        |), preach(ps, pt) AS (
+        |  SELECT doc_id, doc_id FROM pnodes
+        |  UNION SELECT a, b FROM pedges
+        |  UNION SELECT r.ps, e.b FROM preach r JOIN pedges e ON r.pt = e.a
+        |), pcomp AS (
+        |  SELECT ps AS doc_id, min(pt) AS component FROM preach GROUP BY ps
+        |), uwin AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id = min(doc_id)
+        |                OVER (PARTITION BY canonical_url)
+        |              THEN 1 ELSE 0 END AS f_url
+        |  FROM canon
+        |), fl AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tk,
+        |         u.f_url,
+        |         CASE WHEN (length(h.html) - length(x.main_text)) * 10
+        |                   <= length(h.html) * 9
+        |              THEN 1 ELSE 0 END AS f_html,
+        |         CASE WHEN lp.pred_lang = d.lang THEN 1 ELSE 0 END
+        |           AS f_lang,
+        |         CASE WHEN sq.score_fx > 0 THEN 1 ELSE 0 END AS f_qual,
+        |         1 - dv.blocked AS f_dom
+        |  FROM documents d
+        |  JOIN uwin u USING (doc_id)
+        |  JOIN h USING (doc_id)
+        |  JOIN hx x USING (doc_id)
+        |  JOIN langp lp USING (doc_id)
+        |  JOIN scored sq USING (doc_id)
+        |  JOIN named nm USING (doc_id)
+        |  JOIN dver dv ON dv.registrable_domain = nm.reg
+        |), a5 AS (
+        |  SELECT fl.*, pcomp.component FROM fl LEFT JOIN pcomp USING (doc_id)
+        |  WHERE f_url = 1 AND f_html = 1 AND f_lang = 1
+        |    AND f_qual = 1 AND f_dom = 1
+        |), reps AS (
+        |  SELECT component, min(doc_id) AS rep
+        |  FROM a5 WHERE component IS NOT NULL GROUP BY component
+        |), surv AS (
+        |  SELECT a5.doc_id, a5.source, a5.tk, a5.component
+        |  FROM a5 LEFT JOIN reps USING (component)
+        |  WHERE a5.component IS NULL OR a5.doc_id = reps.rep
+        |)""".stripMargin
+  }
+
+  /** The per-doc flags frame: (doc_id, source, tk, f_url, f_html,
+    * f_lang, f_qual, f_dom) — stages 1-5 as cumulative-AND flags over
+    * ONE corpus scan (narrow expressions + one canonical-key window)
+    * joined with the per-doc quality scores and the broadcast domain
+    * verdicts. Lineage-cut: both the funnel aggregate and the survivor
+    * branch read it. */
+  private[graft] def flagsFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Checkpoints.CheckpointOps
+    val t = Tables(s, dir)
+    val docs = t.documents
+    // Stages 1-3 ride one projection: canonical URL (kept lang/source),
+    // then the trigram LID scores, then every narrow flag at once.
+    val base = TextQueries.canonicalUrls(docs, keep = Seq("lang", "source"))
+    val scoredLang = TextQueries.langScored(base,
+      keep = Seq("lang", "source", "text", "canonical_url"))
+    val narrow = scoredLang.select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("tk"),
+      (col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(col("canonical_url"))))
+        .cast("long").as("f_url"),
+      ((length(TextQueries.htmlTwin).cast("long")
+        - length(TextQueries.htmlMainText(TextQueries.htmlTwin))
+          .cast("long")) * 10L
+        <= length(TextQueries.htmlTwin).cast("long") * 9L)
+        .cast("long").as("f_html"),
+      (col("pred_lang") === col("lang")).cast("long").as("f_lang"))
+    // Stage 4: the standing classifier's per-doc MAP decision.
+    val qual = QualityQueries.scoredFrame(t)
+      .select(col("doc_id"), (col("score_fx") > 0L).cast("long").as("f_qual"))
+    // Stage 5: standing per-domain verdicts (domain-cardinality
+    // metadata), probed through each doc's primary registrable domain.
+    val ext = DomainQueries.extractedDocs(docs)
+    val dver = DomainQueries.statsFrom(ext)
+      .join(DomainQueries.ranksFrom(ext)
+        .select(col("registrable_domain"), col("rank_e6")),
+        "registrable_domain")
+      .select(col("registrable_domain").as("reg"),
+        (!(col("non_canonical_e6") > DomainQueries.NonCanonicalFloorE6 ||
+          col("rank_e6") < DomainQueries.RankFloorE6 ||
+          col("mean_tokens") < DomainQueries.MinMeanTokens))
+          .cast("long").as("f_dom"))
+    narrow
+      .join(qual, "doc_id")
+      .withColumn("reg", DomainQueries.primaryReg)
+      .join(broadcast(dver), Seq("reg"))
+      .drop("reg")
+      .cut()
+  }
+
+  /** Final survivors: (doc_id, source, tk, component) — stage-6 output.
+    * Component labels are the standing full-corpus dedup index; the
+    * representative is re-chosen among surviving members (min doc_id)
+    * with a dup-graph-sized aggregate, never a corpus-wide window (a
+    * null-component window partition would be corpus-sized). */
+  private[graft] def survivorsFrame(
+      s: SparkSession, dir: String, fl: DataFrame): DataFrame = {
+    import graft.ops.Checkpoints.CheckpointOps
+    val a5base = fl.filter(col("f_url") === 1 && col("f_html") === 1 &&
+      col("f_lang") === 1 && col("f_qual") === 1 && col("f_dom") === 1)
+      .select(col("doc_id"), col("source"), col("tk"))
+    val labels = graft.dedup.DedupQueries.componentLabels(Tables(s, dir))
+      .cut(false)
+    val a5 = graft.ops.ScaleGates.annotateWithLabels(
+      a5base, labels, labels.count(), "doc_id")
+    val reps = a5.filter(col("component").isNotNull)
+      .groupBy(col("component")).agg(min(col("doc_id")).as("rep"))
+    a5.join(reps, Seq("component"), "left")
+      .filter(col("component").isNull || col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("source"), col("tk"), col("component"))
+  }
+
+  private val curationPipeline = Q(
+    "corpus_curation_pipeline",
+    sqlPipelineCtes + """, st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n0,
+      |         CAST(sum(f_url) AS BIGINT) AS n1,
+      |         CAST(sum(f_url * f_html) AS BIGINT) AS n2,
+      |         CAST(sum(f_url * f_html * f_lang) AS BIGINT) AS n3,
+      |         CAST(sum(f_url * f_html * f_lang * f_qual) AS BIGINT)
+      |           AS n4,
+      |         CAST(sum(f_url * f_html * f_lang * f_qual * f_dom)
+      |              AS BIGINT) AS n5
+      |  FROM fl
+      |), s6 AS (SELECT CAST(count(*) AS BIGINT) AS n6 FROM surv)
+      |SELECT stage, n_in, n_out, n_in - n_out AS n_removed FROM (
+      |  SELECT '1_url_canonical' AS stage, n0 AS n_in, n1 AS n_out FROM st
+      |  UNION ALL SELECT '2_html_extract', n1, n2 FROM st
+      |  UNION ALL SELECT '3_lang_gate', n2, n3 FROM st
+      |  UNION ALL SELECT '4_quality_gate', n3, n4 FROM st
+      |  UNION ALL SELECT '5_domain_gate', n4, n5 FROM st
+      |  UNION ALL SELECT '6_near_dedup', n5, n6 FROM st CROSS JOIN s6
+      |) ORDER BY stage""".stripMargin) { (s, dir) =>
+    val fl = flagsFrame(s, dir)
+    funnelFrame(fl, survivorsFrame(s, dir, fl))
+  }
+
+  /** The six reconciling funnel rows off a flags frame and its
+    * survivor set — shared by the declared query and the sink's
+    * provenance write (one chain, never two). */
+  private[graft] def funnelFrame(fl: DataFrame, surv: DataFrame)
+      : DataFrame = {
+    val st = fl.agg(
+      count(lit(1)).as("n0"),
+      sum(col("f_url")).as("n1"),
+      sum(col("f_url") * col("f_html")).as("n2"),
+      sum(col("f_url") * col("f_html") * col("f_lang")).as("n3"),
+      sum(col("f_url") * col("f_html") * col("f_lang") * col("f_qual"))
+        .as("n4"),
+      sum(col("f_url") * col("f_html") * col("f_lang") * col("f_qual")
+        * col("f_dom")).as("n5"))
+    val s6 = surv.agg(count(lit(1)).as("n6"))
+    val both = st.crossJoin(broadcast(s6))
+    def stage(name: String, in: String, out: String): DataFrame =
+      both.select(lit(name).as("stage"), col(in).as("n_in"),
+        col(out).as("n_out"))
+    stage(Stage1, "n0", "n1")
+      .unionByName(stage(Stage2, "n1", "n2"))
+      .unionByName(stage(Stage3, "n2", "n3"))
+      .unionByName(stage(Stage4, "n3", "n4"))
+      .unionByName(stage(Stage5, "n4", "n5"))
+      .unionByName(stage(Stage6, "n5", "n6"))
+      .withColumn("n_removed", col("n_in") - col("n_out"))
+      .orderBy("stage")
+  }
+
+  /** The per-source bill of the final survivors — what the curated
+    * corpus actually costs and yields per source, the frame a mixture
+    * planner (`mixture_plan` family) consumes downstream. */
+  private val curationAccounting = Q(
+    "corpus_curation_accounting",
+    sqlPipelineCtes + """
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tk) AS BIGINT) AS n_tokens
+      |FROM surv GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    survivorsFrame(s, dir, flagsFrame(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[Q] = Seq(curationPipeline, curationAccounting)
+}

@@ -85,16 +85,24 @@ object DomainQueries {
   private val RegistrablePattern =
     s"([^.]+\\.(?:${TwoLevelSuffixes.mkString("|")}|[a-z]+))$$"
 
+  /** The PRIMARY registrable domain of a doc (the planted source-keyed
+    * site), as a column over any frame carrying `source` — the per-doc
+    * key the curation pipeline joins domain verdicts on (the SQL twin
+    * is the `named` CTE's `reg`). */
+  private[text] def primaryReg: Column = {
+    val sn = expr("CAST(substring(source, 4, 8) AS BIGINT)")
+    concat(lit("site-"), sn.cast("string"), lit("."),
+      when(sn % 3 === 0, "com").when(sn % 3 === 1, "org")
+        .otherwise("co.uk"))
+  }
+
   /** The planted hosting twin: documents → one row per (doc, host):
     * (doc_id, text, lang, reg, raw_host, fetch_seq). `reg` is the TRUE
     * registrable domain (spec-pinned against extraction); `fetch_seq`
     * is the globally-unique first-seen crawl sequence (primary =
     * doc_id, mirror = +10M, hub = +20M). */
   private[text] def domainUrls(docs: DataFrame): DataFrame = {
-    val sn = expr("CAST(substring(source, 4, 8) AS BIGINT)")
-    val reg = concat(lit("site-"), sn.cast("string"), lit("."),
-      when(sn % 3 === 0, "com").when(sn % 3 === 1, "org")
-        .otherwise("co.uk"))
+    val reg = primaryReg
     // Variant moduli are COPRIME with 20: the generator keys `source`
     // as doc_id mod 20, so any 20-divisor modulus would be constant
     // within a domain and the variants would never vary per site.
@@ -181,7 +189,7 @@ object DomainQueries {
   /** SQL twin of [[extracted]]: a CTE `ext` adding host (lowercased)
     * and registrable_domain to every hosted row (patterns shared
     * verbatim with the Spark side). */
-  private val sqlExtractCte: String =
+  private[text] val sqlExtractCte: String =
     s""", hosts AS (
        |  SELECT doc_id, text, lang, reg, raw_host, fetch_seq,
        |         lower(raw_host) AS host
@@ -221,7 +229,7 @@ object DomainQueries {
     * subdomain). Stats/filter group off the EXTRACTED key (the
     * composition is the point; the spec pins it equal to the planted
     * `reg`). */
-  private def extractedDocs(docs: DataFrame): DataFrame = {
+  private[text] def extractedDocs(docs: DataFrame): DataFrame = {
     val withHost = domainUrls(docs)
       .withColumn("host", lower(col("raw_host")))
     val (reg, _, sub) = extracted(col("host"))
@@ -235,7 +243,7 @@ object DomainQueries {
     * the md5 key), then one partial-agg shuffle on the domain key.
     * Token counts are projected BEFORE the window so the md5 exchange
     * carries a 32-char digest per row, never the document bytes. */
-  private def statsFrom(ext: DataFrame): DataFrame =
+  private[text] def statsFrom(ext: DataFrame): DataFrame =
     ext
       .select(col("registrable_domain"), col("subdomain"), col("lang"),
         col("doc_id"), col("fetch_seq"),
@@ -260,9 +268,12 @@ object DomainQueries {
         expr("n_tokens DIV n_hosted").as("mean_tokens"))
 
   /** SQL twin of [[statsFrom]] as a CTE `stats(...)` (appended after
-    * [[sqlExtractCte]]). */
-  private val sqlStatsCte: String =
-    """, canon AS (
+    * [[sqlExtractCte]]). The canonicality CTE is named `dcanon`, not
+    * `canon`: the curation pipeline composes this fragment with
+    * TextQueries' URL-canonicalization chain, whose final CTE owns the
+    * `canon` name. */
+  private[text] val sqlStatsCte: String =
+    """, dcanon AS (
       |  SELECT registrable_domain, doc_id, lang, text, subdomain,
       |         CASE WHEN fetch_seq = min(fetch_seq)
       |                OVER (PARTITION BY md5(text))
@@ -283,7 +294,7 @@ object DomainQueries {
       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
       |           AS n_tokens,
       |         CAST(sum(canon) AS BIGINT) AS n_canonical
-      |  FROM canon GROUP BY registrable_domain
+      |  FROM dcanon GROUP BY registrable_domain
       |)""".stripMargin
 
   private val domainStats = Q(
@@ -327,7 +338,7 @@ object DomainQueries {
   private[graft] def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
     linkEdges(extractedDocs(Tables(s, dir).documents))
 
-  private def ranksFrom(ext: DataFrame): DataFrame = {
+  private[text] def ranksFrom(ext: DataFrame): DataFrame = {
     import graft.ops.Checkpoints.CheckpointOps
     val edges = linkEdges(ext)
     val nodes = ext.select(col("registrable_domain").as("node")).distinct()
@@ -376,7 +387,7 @@ object DomainQueries {
     * [[sqlExtractCte]]); the 3 damped iterations are unrolled, each a
     * weighted contribution join + LEFT JOIN back onto the node list so
     * in-linkless domains hold the exact damping base. */
-  private val sqlRanksCte: String = {
+  private[text] val sqlRanksCte: String = {
     def it(k: Int) =
       s""", r$k AS (
          |  SELECT n.node AS node_id,
@@ -434,9 +445,9 @@ object DomainQueries {
     * damping base; primary domains measure ~1.0e6), or when its mean
     * hosted copy is under 20 whitespace tokens (hub teasers are 5 by
     * construction, corpus docs ~50). */
-  private final val NonCanonicalFloorE6 = 500000L
-  private final val RankFloorE6 = 500000L
-  private final val MinMeanTokens = 20L
+  private[text] final val NonCanonicalFloorE6 = 500000L
+  private[text] final val RankFloorE6 = 500000L
+  private[text] final val MinMeanTokens = 20L
 
   private val domainFilter = Q(
     "domain_filter",
@@ -541,9 +552,19 @@ object DomainQueries {
         |       suffix, matched_rule
         |FROM resolved ORDER BY fetch_seq""".stripMargin
     }) { (s, dir) =>
+    pslExtract(s, Tables(s, dir).documents, SuffixRows)
+  }
+
+  /** The table path over an arbitrary suffix list — the declared query
+    * runs it with the pinned 6 rows (oracle parity); the real-width
+    * spec runs it with [[fullPslFixture]] (~9.1k rows) and pins
+    * bit-equality with the regex path on every hosted row. */
+  private[text] def pslExtract(
+      s: SparkSession, docs: DataFrame,
+      suffixRows: Seq[(String, Int)]): DataFrame = {
     import s.implicits._
-    val psl = SuffixRows.toDF("sfx", "depth")
-    val cand = domainUrls(Tables(s, dir).documents)
+    val psl = suffixRows.toDF("sfx", "depth")
+    val cand = domainUrls(docs)
       .select(col("fetch_seq"), col("doc_id"), col("raw_host"),
         lower(col("raw_host")).as("host"))
       .withColumn("last2",
@@ -573,6 +594,29 @@ object DomainQueries {
           lit("."), col("suffix")).as("registrable_domain"),
         col("suffix"), col("matched_rule"))
       .orderBy("fetch_seq")
+  }
+
+  /** A REAL-WIDTH public-suffix fixture (~9.1k entries, the published
+    * PSL's scale): every two-letter country code crossed with the
+    * common second-level registries (co/com/org/net/gov/ac/edu/mil/
+    * ne/or/sch/id — the co.uk family generalized), the country codes
+    * themselves, the classic gTLDs, and a synthetic new-gTLD tail.
+    * Zero-egress container, so the list is generated to the published
+    * list's SHAPE rather than copied from it; it strictly contains the
+    * pinned [[SuffixRows]], so the table path under this list must be
+    * bit-equal to the regex path on every hosted row (spec-pinned) —
+    * the claim `domain_extract_psl`'s scaladoc makes, proven at the
+    * width it claims. */
+  private[text] def fullPslFixture: Seq[(String, Int)] = {
+    val cc = for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b"
+    val registries = Seq("co", "com", "org", "net", "gov", "ac",
+      "edu", "mil", "ne", "or", "sch", "id")
+    val depth2 = for (c <- cc; r <- registries) yield (s"$r.$c", 2)
+    val depth1 = cc.map(c => (c, 1)) ++
+      Seq("com", "org", "net", "info", "biz", "edu", "gov", "mil",
+        "int", "arpa").map((_, 1)) ++
+      (0 until 300).map(i => (f"ngtld$i%03d", 1))
+    (depth2 ++ depth1).toSeq
   }
 
   /** DOMAIN-grain audit of the TRAINED quality classifier — the

@@ -130,7 +130,7 @@ object TextQueries {
     * scan-bound posture as `token_count` at 100 TB. */
   /** DuckDB mirror of [[langScored]] (scores + argmax, no order) —
     * shared by `lang_id` and the `lang_id_confusion` audit. */
-  private def sqlLangScoredSelect: String = {
+  private[text] def sqlLangScoredSelect: String = {
     val scores = LangModel.map { case (lang, grams) =>
       grams.map { case (g, w) =>
         val lit = g.replace("'", "''")
@@ -1344,8 +1344,11 @@ object TextQueries {
       |)""".stripMargin
 
   /** The Spark twin of [[sqlCanonCte]]: documents →
-    * (doc_id, text, raw_url, canonical_url). */
-  private[text] def canonicalUrls(docs: DataFrame): DataFrame = {
+    * (doc_id, text, raw_url, canonical_url). `keep` names extra input
+    * columns to carry through (the curation pipeline rides lang/source
+    * along instead of joining the corpus back on doc_id). */
+  private[text] def canonicalUrls(
+      docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val rawUrl = concat(
       when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
       lit("://"),
@@ -1377,12 +1380,14 @@ object TextQueries {
       split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_")), "&")
     docs
-      .select(col("doc_id"), col("text"), rawUrl.as("raw_url"))
-      .select(col("doc_id"), col("text"), col("raw_url"),
+      .select(col("doc_id") +: keep.map(col) :+ col("text")
+        :+ rawUrl.as("raw_url"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ col("text")
+        :+ col("raw_url") :+
         concat(scheme, lit("://"), host,
           when(path === "", "/").otherwise(path),
           when(q === "", "").otherwise(concat(lit("?"), q)))
-          .as("canonical_url"))
+          .as("canonical_url"): _*)
   }
 
   private val textUrlCanonicalize = Q(

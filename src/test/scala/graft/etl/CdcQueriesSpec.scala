@@ -89,4 +89,51 @@ class CdcQueriesSpec extends SparkSpec {
       SparkEntry.queries("cdc_apply")(spark, sf).count(),
       "final live count equals the snapshot size")
   }
+
+  test("cdc_view_distinct: the count-map path equals a from-scratch " +
+      "recompute, and the batch forces a multiplicity to ZERO on a " +
+      "surviving customer") {
+    val orders = Tables(spark, sf).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    // Plain-Scala mirror of the applied table's distinct-bucket view.
+    val applied =
+      orders.filter(_._1 % 13 != 0).map { case (k, c, p) =>
+        (c, (if (k % 7 == 0) p + 500 else p) / 100000)
+      } ++
+        orders.filter(_._1 % 11 == 0).map { case (_, c, p) =>
+          (c, (p + 777) / 100000)
+        }
+    val want = applied.groupBy(_._1).map { case (c, rows) =>
+      c -> ((rows.map(_._2).distinct.length.toLong, rows.length.toLong))
+    }
+    val got = SparkEntry.queries("cdc_view_distinct")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, "map-maintained view drifted from recompute")
+    // The decrement case an insert-only "values seen" view gets wrong:
+    // some surviving customer must have a (customer, band) multiplicity
+    // driven to exactly zero by a delete — its distinct count DROPS.
+    val baseMap = orders.groupBy(o => (o._2, o._3 / 100000))
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val deltaMap = applied.groupBy(identity)
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val appliedBands = applied.groupBy(_._1)
+      .map { case (c, rows) => c -> rows.map(_._2).toSet }
+    val zeroed = baseMap.keys.filter { case (c, b) =>
+      deltaMap.getOrElse((c, b), 0L) == 0L && got.contains(c) &&
+        // strict loser: the customer minted no new bands, so the view's
+        // distinct count must be strictly below the base view's
+        appliedBands(c).subsetOf(
+          orders.filter(_._2 == c).map(_._3 / 100000).toSet)
+    }
+    assert(zeroed.nonEmpty,
+      "the planted batch must exercise the multiplicity-to-zero case")
+    zeroed.take(3).foreach { case (c, _) =>
+      assert(got(c)._1 <
+        orders.filter(_._2 == c).map(_._3 / 100000).distinct.length,
+        s"customer $c lost a band, so its distinct count must drop")
+    }
+  }
 }

@@ -724,6 +724,21 @@ class PlanShapeSpec extends SparkSpec {
       s"base and delta must combine map-side:\n$plan")
   }
 
+  test("cdc_view_distinct: the count-map merge — exactly one FULL " +
+      "outer join on the map key, both sides pre-aggregated") {
+    val plan = planOf("cdc_view_distinct")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") +
+      countOf(plan, "BroadcastHashJoin") == 1,
+      s"the map merge is one join:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"inserts mint unseen bands, so the merge must be FULL outer:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the stored map and the delta map must combine map-side:\n$plan")
+  }
+
   test("cdc_view_minmax: the bounded-rescan shape — affected groups " +
       "reach the facts through a LEFT SEMI, everything stays keyed") {
     val plan = planOf("cdc_view_minmax")

@@ -184,6 +184,44 @@ class DomainQueriesSpec extends SparkSpec {
     assert(got.getString(0) == "service.xyz" && got.getString(1) == "xyz")
   }
 
+  test("domain_extract_psl at REAL PSL width: the ~9k-entry fixture " +
+      "list broadcasts and stays bit-equal to the regex path on every " +
+      "hosted row") {
+    val psl = DomainQueries.fullPslFixture
+    assert(psl.size >= 9000, s"fixture must be PSL-width, got ${psl.size}")
+    assert(psl.map(_._1).distinct.size == psl.size, "duplicate suffixes")
+    // The fixture strictly contains the pinned subset the regex path
+    // compiles, so the two strategies must still agree.
+    assert(Set("co.uk", "com.au", "co.jp")
+      .subsetOf(psl.filter(_._2 == 2).map(_._1).toSet))
+    assert(Set("com", "org", "net")
+      .subsetOf(psl.filter(_._2 == 1).map(_._1).toSet))
+    val docs = graft.Tables(spark, sf).documents
+    val wide = DomainQueries.pslExtract(spark, docs, psl)
+    // Plan pin: the 9k-row suffix policy reaches the corpus as
+    // BROADCAST metadata (both depth probes), never a shuffled join.
+    val plan = wide.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"suffix probes must broadcast at full width:\n$plan")
+    val rx = SparkEntry.queries("domain_extract")(spark, sf)
+      .select(col("fetch_seq"), col("registrable_domain"), col("suffix"))
+    val j = rx.join(
+      wide.select(col("fetch_seq"),
+        col("registrable_domain").as("r2"), col("suffix").as("s2")),
+      "fetch_seq")
+    assert(j.count() == rx.count())
+    assert(j.filter(col("registrable_domain") =!= col("r2") ||
+      col("suffix") =!= col("s2")).count() == 0,
+      "full-width table path drifted from the regex path")
+    // Depth-2 preference survives the width: co.uk hosts must resolve
+    // through the listed-2 rule even though 'uk' is also listed at
+    // depth 1 (the real PSL lists both).
+    import spark.implicits._
+    val rules = wide.filter(col("suffix") === "co.uk")
+      .select("matched_rule").distinct().as[String].collect().toSeq
+    assert(rules == Seq("listed-2"))
+  }
+
   test("domain_quality: the domain table reconciles exactly with the " +
       "corpus-level trained scorer") {
     val dq = SparkEntry.queries("domain_quality")(spark, sf).collect()
