@@ -144,6 +144,25 @@ object BenchStreams {
       streaming.IncrementalQuality.accuracyByEpoch(spark, s"$dir/scores")
         .write.format("noop").mode("overwrite").save()
     },
+    "stream_domain_loop" -> { (spark, sfDir, dir) =>
+      // The standing domain plane (round 16): per epoch, land the
+      // count-map partial (every additive + multiset stat in one
+      // mergeable table) and the first-seen canonicality argmin
+      // partial; maintenance folds both chains mid-lifecycle like the
+      // other loops. Consumer: the standing domain_stats read — what
+      // the domain gate consumes (spec-pinned bit-equal to batch).
+      val docs = Tables(spark, sfDir).documents
+      for (b <- 0L to 2L) {
+        streaming.IncrementalDomain.processBatch(
+          docs.filter(col("doc_id") % 3 === b),
+          s"$dir/maps", s"$dir/mins", b)
+        if (b == 1L) maintain(spark, s"$dir/maps", s"$dir/mins")
+      }
+      requireBoundedMeta(spark, s"$dir/maps", s"$dir/mins")
+      streaming.IncrementalDomain
+        .standingStats(spark, s"$dir/maps", s"$dir/mins")
+        .write.format("noop").mode("overwrite").save()
+    },
     "bpe_train_loop" -> { (spark, sfDir, _) =>
       // COLD BPE training priced under the gate (round-13 verdict §4:
       // the declared bpe_train cell measures the memoized emission, so

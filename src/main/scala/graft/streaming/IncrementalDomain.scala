@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.SnapshotTable
+import graft.text.DomainQueries
+
+/** The STANDING DOMAIN PLANE — `domain_stats` maintained incrementally
+  * (the round-15 verdict's item 3): a crawl lands in batches, and the
+  * per-domain curation table must stay current without re-reading the
+  * corpus. Two state tables, both landed through [[SnapshotTable]]
+  * commits under the loop discipline (effectively-once off the
+  * manifest ledger, epoch gaps refused, lockstep enforced):
+  *
+  *  - `maps` — ONE count-map table (domain, kind, key, m) covering
+  *    every additive and multiset statistic at once: kind `hosted`
+  *    (m = hosted copies), `tok` (m = whitespace tokens), and the
+  *    `cdc_view_distinct` count-map form for the three distinct
+  *    counts — `doc`/`sub`/`lang` rows keyed by the counted value.
+  *    All rows are SUM-mergeable per (domain, kind, key), so the
+  *    epoch partials form a monoid and compaction folds freely.
+  *  - `mins` — the canonicality state: per text digest, the current
+  *    FIRST-SEEN hosted copy (argmin fetch_seq → holding domain).
+  *    First-seen-wins is the MIN view — non-invertible under
+  *    retractions (`cdc_view_minmax`'s bounded-rescan case) — but a
+  *    crawl only GROWS, and under insert-only streams MIN is exactly
+  *    mergeable: each epoch's batch-local argmin merges with the
+  *    stored holder by one more argmin, touching only the text keys
+  *    the batch carries (the bounded-maintenance property, with the
+  *    bound = the batch itself). A retracting source would need the
+  *    minmax rescan pattern; the scaladoc'd contract here is
+  *    append-only.
+  *
+  * The read side ([[standingStats]]) reduces both tables and must be
+  * BIT-EQUAL to the batch `domain_stats` over every landed doc at any
+  * epoch boundary — through replays and maintenance folds
+  * (IncrementalDomainSpec pins all of it). Scale posture at 100 TB:
+  * an epoch pays one narrow projection of the batch's hosting rows
+  * exploded into 5 (kind, key) structs and ONE partial-agg shuffle
+  * (the map partial), plus one batch-keyed argmin (the mins partial);
+  * the standing read is a sum-merge over the maps table (count-map
+  * sized: bounded by hosted rows for `doc` rows, domain-cardinality
+  * for the rest) and one argmin over the mins table (text-digest
+  * cardinality). The corpus itself is never re-read. */
+object IncrementalDomain {
+
+  private def requireNotLegacy(spark: SparkSession, dir: String): Unit =
+    if (SnapshotTable.currentSnapshot(spark, dir).isEmpty &&
+        IncrementalDedup.hasLegacyContent(spark, dir))
+      throw new IllegalStateException(
+        s"$dir holds the pre-snapshot epoch=N directory layout: replay " +
+          "its epochs into a fresh snapshot-committed dir before " +
+          "continuing the loop.")
+
+  /** One epoch's count-map partial off the batch's extracted hosting
+    * rows: (domain, kind, key, m), one shuffle. */
+  private[streaming] def mapPartial(ext: DataFrame): DataFrame =
+    ext
+      .select(col("registrable_domain").as("domain"), explode(array(
+        struct(lit("hosted").as("kind"), lit("").as("key"),
+          lit(1L).as("m")),
+        struct(lit("tok").as("kind"), lit("").as("key"),
+          size(split(col("text"), " ")).cast("long").as("m")),
+        struct(lit("doc").as("kind"), col("doc_id").cast("string")
+          .as("key"), lit(1L).as("m")),
+        struct(lit("sub").as("kind"), col("subdomain").as("key"),
+          lit(1L).as("m")),
+        struct(lit("lang").as("kind"), col("lang").as("key"),
+          lit(1L).as("m")))).as("s"))
+      .select(col("domain"), col("s.kind").as("kind"),
+        col("s.key").as("key"), col("s.m").as("m"))
+      .groupBy(col("domain"), col("kind"), col("key"))
+      .agg(sum(col("m")).as("m"))
+
+  /** One epoch's canonicality partial: the batch-local first-seen
+    * hosted copy per text digest. fetch_seq is globally unique, so the
+    * argmin is deterministic; the (fetch_seq, domain) struct min IS
+    * the argmin. */
+  private[streaming] def minPartial(ext: DataFrame): DataFrame =
+    ext
+      .select(md5(col("text")).as("text_key"),
+        struct(col("fetch_seq"), col("registrable_domain").as("domain"))
+          .as("s"))
+      .groupBy(col("text_key"))
+      .agg(min(col("s")).as("s"))
+      .select(col("text_key"), col("s.fetch_seq").as("fetch_seq"),
+        col("s.domain").as("domain"))
+
+  /** Land one epoch: extract the batch's hosting rows ONCE
+    * (lineage-cut — the single batch-scale pass), commit the count-map
+    * partial and the canonicality partial under the same batch id.
+    * Ledger discipline mirrors [[IncrementalQuality]]: gaps refused on
+    * BOTH tables, lockstep asserted on entry so a crash between the
+    * two commits must be replayed, never skipped. */
+  def processBatch(docs: DataFrame, mapsDir: String, minsDir: String,
+      batchId: Long): Unit = {
+    import graft.ops.Checkpoints.CheckpointOps
+    val spark = docs.sparkSession
+    requireNotLegacy(spark, mapsDir)
+    requireNotLegacy(spark, minsDir)
+    val next = SnapshotTable.maxCommittedBatch(spark, mapsDir) + 1
+    require(batchId <= next,
+      s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    val minsNext = SnapshotTable.maxCommittedBatch(spark, minsDir) + 1
+    require(minsNext == next || minsNext == next - 1,
+      s"maps/mins ledgers out of lockstep: maps high-water ${next - 1}, " +
+        s"mins high-water ${minsNext - 1} — the pair must only ever be " +
+        "advanced through processBatch")
+    require(batchId <= minsNext,
+      s"epoch gap on the mins ledger: batch $batchId after mins " +
+        s"high-water mark ${minsNext - 1} — replay epoch $minsNext first")
+    val ext = DomainQueries.extractedDocs(docs)
+      .select(col("doc_id"), col("text"), col("lang"), col("fetch_seq"),
+        col("registrable_domain"), col("subdomain"))
+      .cut()
+    SnapshotTable.appendOnce(
+      mapPartial(ext).withColumn("batch_id", lit(batchId)),
+      mapsDir, batchId): Unit
+    SnapshotTable.appendOnce(
+      minPartial(ext).withColumn("batch_id", lit(batchId)),
+      minsDir, batchId): Unit
+  }
+
+  /** The standing `domain_stats` table off the two state tables —
+    * bit-equal to the batch query over every landed doc. Count maps
+    * sum-merge per (domain, kind, key); the canonical holder is one
+    * more argmin over the landed partials; both reduce to
+    * domain-cardinality metadata before the final join. */
+  def standingStats(spark: SparkSession, mapsDir: String,
+      minsDir: String): DataFrame = {
+    requireNotLegacy(spark, mapsDir)
+    requireNotLegacy(spark, minsDir)
+    val merged = SnapshotTable.read(spark, mapsDir)
+      .groupBy(col("domain"), col("kind"), col("key"))
+      .agg(sum(col("m")).as("m"))
+    val byDomain = merged
+      .groupBy(col("domain"))
+      .agg(
+        sum(when(col("kind") === "hosted", col("m")).otherwise(0L))
+          .as("n_hosted"),
+        sum(when(col("kind") === "tok", col("m")).otherwise(0L))
+          .as("n_tokens"),
+        sum(when(col("kind") === "doc", 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("kind") === "sub", 1L).otherwise(0L))
+          .as("n_subdomains"),
+        sum(when(col("kind") === "lang", 1L).otherwise(0L)).as("n_langs"))
+    val canon = SnapshotTable.read(spark, minsDir)
+      .select(col("text_key"),
+        struct(col("fetch_seq"), col("domain")).as("s"))
+      .groupBy(col("text_key"))
+      .agg(min(col("s")).as("s"))
+      .groupBy(col("s.domain").as("domain"))
+      .agg(count(lit(1)).as("n_canonical"))
+    byDomain
+      .join(canon, Seq("domain"), "left")
+      .select(col("domain").as("registrable_domain"), col("n_hosted"),
+        col("n_docs"), col("n_subdomains"), col("n_langs"),
+        col("n_tokens"),
+        coalesce(col("n_canonical"), lit(0L)).as("n_canonical"))
+      .withColumn("non_canonical_e6",
+        expr("(n_hosted - n_canonical) * 1000000 DIV n_hosted"))
+      .withColumn("mean_tokens", expr("n_tokens DIV n_hosted"))
+  }
+}

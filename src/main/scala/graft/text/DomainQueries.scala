@@ -229,7 +229,7 @@ object DomainQueries {
     * subdomain). Stats/filter group off the EXTRACTED key (the
     * composition is the point; the spec pins it equal to the planted
     * `reg`). */
-  private[text] def extractedDocs(docs: DataFrame): DataFrame = {
+  private[graft] def extractedDocs(docs: DataFrame): DataFrame = {
     val withHost = domainUrls(docs)
       .withColumn("host", lower(col("raw_host")))
     val (reg, _, sub) = extracted(col("host"))

@@ -88,12 +88,12 @@ class BenchStreamsSpec extends SparkSpec {
     assert(after == before, "scratch dirs must be deleted")
   }
 
-  test("all seven cells are declared") {
+  test("all eight cells are declared") {
     assert(BenchStreams.cells.map(_._1).sorted ==
       Seq("bpe_train_loop", "snapshot_maintenance_loop",
         "stream_bars_loop", "stream_dedup_loop",
-        "stream_media_loop", "stream_quality_loop",
-        "stream_semdedup_loop"))
+        "stream_domain_loop", "stream_media_loop",
+        "stream_quality_loop", "stream_semdedup_loop"))
   }
 
   test("the maintenance cell folds to one manifest and the merged bars " +
