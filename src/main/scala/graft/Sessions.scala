@@ -36,6 +36,14 @@ object Sessions {
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Snapshot tables are read as manifest-listed EXACT file paths;
+      // above 32 paths the default would launch a parallel-listing JOB
+      // per read — pure scheduling overhead on a local fs where a
+      // driver-side getFileStatus sweep is microseconds. 512 keeps
+      // every manifest-sized listing driver-side; a real object-store
+      // deployment would tune this back down for its listing latency.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -172,7 +172,34 @@ object SnapshotTable {
     if (m.files.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${m.id} of $tableDir is empty")
-    spark.read.parquet(m.files.map(f => s"$tableDir/$f"): _*)
+    val paths = m.files.map(f => s"$tableDir/$f")
+    // Explicit schema from ONE footer read driver-side: the default
+    // spark.read.parquet schema inference submits 1-2 Spark JOBS per
+    // call, and the loops call read() every epoch — a measurable slice
+    // of their job floor (the round-15 verdict's stream_quality_loop
+    // item). A snapshot table's schema is stable by construction
+    // (every epoch partial, compaction rewrite, and replaceBatch
+    // restage is produced by the same frame code), so one footer is
+    // authoritative.
+    spark.read.schema(footerSchema(spark, new Path(paths.head)))
+      .parquet(paths: _*)
+  }
+
+  /** The Spark schema of one parquet file, read driver-side (footer
+    * only — no Spark job), converted with the same session-configured
+    * converter the datasource itself uses. */
+  private def footerSchema(
+      spark: SparkSession, path: Path): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(path, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    // The SQLConf constructor, not the Configuration one: the latter
+    // expects the datasource-task keys the scan execution plants, which
+    // a bare session hadoopConf does not carry.
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
   }
 
   /** Stage `df` as immutable uniquely-named data files under `data/`
