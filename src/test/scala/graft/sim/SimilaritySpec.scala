@@ -207,6 +207,27 @@ class SimilaritySpec extends SparkSpec {
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
   }
 
+  test("HNSW layers: the descent entry + selective search scores FEWER " +
+      "candidates than the retired bucket-seeded flood at equal-or-" +
+      "better recall") {
+    // Pinned at sf0.01 (the verdict's acceptance corpus — measured
+    // 420 vs 432 scored at 98% recall both; at sf0.1 the gap widens to
+    // 904 vs 921 at 94% vs 90%). The sf0.001 corpus sits on the Pareto
+    // knee where neither strategy dominates (flood 429/95 vs descent
+    // 419/93 or 440/97) — small-corpus noise, not the scale story.
+    val t = graft.Tables(spark, "/root/testdata/sf0.01")
+    val (newScored, newRecall) =
+      SimilarityQueries.gsProbeStats(t, useDescent = true)
+    val (oldScored, oldRecall) =
+      SimilarityQueries.gsProbeStats(t, useDescent = false)
+    assert(newRecall >= oldRecall,
+      s"descent recall $newRecall must not trail the flood's $oldRecall")
+    assert(newScored < oldScored,
+      s"descent must score fewer candidates per probe: " +
+        s"$newScored vs $oldScored")
+    assert(newRecall >= 90.0, s"descent mean recall too low: $newRecall")
+  }
+
   test("graph search audit: mean recall >= 90% over the probe batch") {
     // The multi-probe audit over the two-round NN-descent navigable
     // graph (deterministic end to end, so these are pinned values,
