@@ -87,7 +87,7 @@ object SimilarityQueries {
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine integerized to 1e-6 units (exact long on both engines). */
-  private def simE6(a: Column, b: Column): Column =
+  private[graft] def simE6(a: Column, b: Column): Column =
     floor(dot(a, b) / (norm(a) * norm(b)) * lit(1e6) + lit(0.5)).cast("long")
 
   /** Sign-LSH bucket id: bit p = [dot(v, plane_p) > 0]. */
@@ -178,7 +178,8 @@ object SimilarityQueries {
     * bucket-collision frame, so per-batch cost follows collisions,
     * never the index. */
   private[graft] def incrementalSemPairsBetween(
-      newRows: DataFrame, corpusRows: DataFrame): DataFrame = {
+      newRows: DataFrame, corpusRows: DataFrame,
+      minSimE6: Long = NearDupSimE6): DataFrame = {
     val newSide = newRows.select(col("vec_id").as("new_vec"),
       col("bucket").as("nb"), col("embedding").as("nemb"))
     val bucketKeys = newSide.select(col("nb").as("bucket")).distinct()
@@ -195,7 +196,7 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("new_vec"))
       .select(col("new_vec"), col("vec_id").as("corpus_vec"),
         simE6(col("nemb"), col("embedding")).as("sim_e6"))
-      .filter(col("sim_e6") >= NearDupSimE6)
+      .filter(col("sim_e6") >= minSimE6)
       .distinct()
   }
 
@@ -1260,23 +1261,63 @@ object SimilarityQueries {
   /** Out-degree of the search graph: [[KnnK]] per-table neighbors can
     * all share one bucket, so the navigable graph keeps a few more —
     * room for edges from DIFFERENT tables (the long-range links). */
-  private val GsDegree = 8
+  private[graft] val GsDegree = 8
   /** NN-descent refinement rounds over the LSH seed edges (each adds
     * ≤ [[GsDegree]] exact-scored local edges per vertex). Two rounds:
     * one round measured mean recall 85% @ sf0.01, the second buys
     * margin over the audit floor at build-time-only cost (the graph
     * is a write-once layout). */
-  private val GsDescentRounds = 2
+  private[graft] val GsDescentRounds = 2
 
-  /** HNSW hierarchy (round 16): vertex v sits on layer 1 iff
-    * h(v) mod 4 = 0 and on layer 2 iff h(v) mod 16 = 0 (h =
-    * [[Hashes.tokHash]] of the id — the geometric level rule of HNSW
-    * made DETERMINISTIC, nested by construction). Entry descends the
-    * sparse upper layers greedily before the layer-0 beam search —
-    * replacing the bucket-seeded entry, so the expensive wide beam
-    * starts next to the query instead of wherever the probe's LSH
-    * bucket happens to sit. */
-  private val GsLayerMod = 16L
+  /** HNSW hierarchy (measured depth since round 17): vertex v sits on
+    * layer ℓ iff h(v) mod 4^ℓ = 0 (h = [[Hashes.tokHash]] of the id —
+    * the geometric level rule of HNSW made DETERMINISTIC, nested by
+    * construction; branch factor [[GsLayerBranch]]), and the NUMBER of
+    * layers derives from the measured corpus size: layers are added
+    * until the expected top-layer membership is ≤ [[GsTopCap]]
+    * ([[gsDepthOf]] — the `cellsFor` discipline). That kills the r16
+    * weak item: with a CONSTANT depth the top layer grew as n/16 and
+    * its build was quadratic at 100×; with depth ~ log4(n/cap) every
+    * layer is built by the degree-bounded 2-hop-closure rule (linear)
+    * and the top layer is constant-sized by construction. Entry
+    * descends the sparse upper layers greedily before the layer-0
+    * beam search, so the expensive wide beam starts next to the query
+    * instead of wherever the probe's LSH bucket happens to sit. */
+  private val GsLayerBranch = 4L
+  /** Target ceiling for the expected top-layer member count — the
+    * constant the depth rule grows the hierarchy toward. 32 keeps the
+    * sf0.01 hierarchy (n=500 → depth 2, members mod-4/mod-16) BYTE-
+    * compatible with the r16 constant-depth layout that measured 98%
+    * recall, while n=2000 (sf0.1) now gets a third layer. */
+  private val GsTopCap = 32L
+  /** Static unroll bound for the ORACLE's layer CTEs (layers past the
+    * measured depth are gated empty in-SQL): 6 layers cover any corpus
+    * up to cap·4^6 ≈ 131k vectors — every driver SF and the organic
+    * growth legs. The Spark side has no such bound; at true 100-TB
+    * corpora it simply builds deeper than any DuckDB replay. */
+  private val GsMaxLayers = 6
+  /** Measured hierarchy depth: the smallest L ≥ 1 with
+    * n / 4^L ≤ [[GsTopCap]], in EXACT integers via bit length —
+    * L = (bitlen(ceil(n/cap) − 1) + 1) div 2, the same
+    * `length(bin(…))` trick [[gsExpandOf]] uses, so both engines
+    * compute the identical depth (spec-pinned at n = 500 → 2,
+    * 2000 → 3, 60000 → 6). */
+  private[sim] def gsDepthOf(n: Long): Int = {
+    val m = (n + GsTopCap - 1) / GsTopCap
+    if (m <= 1L) 1
+    else {
+      val k = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+      (k + 1) / 2
+    }
+  }
+  /** The depth rule as a one-row CTE both oracle chains share
+    * (DuckDB `bin(0)` = "0", length 1, so m = 1 lands on depth 1
+    * exactly like the Scala guard). */
+  private def sqlGsDepthCte: String =
+    s"""gdepth AS (
+       |  SELECT (length(bin((count(*) + ${GsTopCap - 1}) // $GsTopCap
+       |                     - 1)) + 1) // 2 AS d
+       |  FROM embeddings)""".stripMargin
   /** Greedy rounds per upper layer (fixed, so the descent unrolls
     * into oracle CTEs; a converged walk simply stays put). */
   private val GsGreedyHops = 3
@@ -1325,6 +1366,7 @@ object SimilarityQueries {
          |  SELECT vec_id, nbr_id FROM cand2_$r
          |)""".stripMargin
     }.mkString(", ")
+    val (layers, entryChain) = sqlLayerCtes
     s"""$tables,
        |allp AS MATERIALIZED (
        |  SELECT DISTINCT vec_a, vec_b, sim_e6 FROM (
@@ -1342,58 +1384,107 @@ object SimilarityQueries {
        |  WHERE rnk <= $GsDegree
        |), $rounds, knn AS (
        |  SELECT vec_id, nbr_id FROM knn$GsDescentRounds
-       |), l1m AS MATERIALIZED (
-       |  SELECT vec_id FROM embeddings
-       |  WHERE ${sqlLayerHash("vec_id")} % 4 = 0
-       |), l2m AS MATERIALIZED (
-       |  SELECT vec_id FROM embeddings WHERE ${sqlLayerHash("vec_id")} = 0
-       |), cand1 AS MATERIALIZED (
-       |  SELECT DISTINCT least(vec_id, nbr_id) AS vec_id,
-       |         greatest(vec_id, nbr_id) AS nbr_id
-       |  FROM (
-       |    SELECT k.vec_id, k.nbr_id FROM knn k
-       |    WHERE k.vec_id IN (SELECT vec_id FROM l1m)
-       |      AND k.nbr_id IN (SELECT vec_id FROM l1m)
-       |    UNION ALL
-       |    SELECT a.vec_id, b.nbr_id
-       |    FROM knn a JOIN knn b ON a.nbr_id = b.vec_id
-       |    WHERE a.vec_id <> b.nbr_id
-       |      AND a.vec_id IN (SELECT vec_id FROM l1m)
-       |      AND b.nbr_id IN (SELECT vec_id FROM l1m)
-       |  )
-       |), sc1 AS MATERIALIZED (
-       |  SELECT c.vec_id, c.nbr_id,
-       |         ${sqlSimE6("ev.embedding", "en.embedding")} AS sim_e6
-       |  FROM cand1 c
-       |  JOIN embeddings ev ON ev.vec_id = c.vec_id
-       |  JOIN embeddings en ON en.vec_id = c.nbr_id
-       |), e1 AS MATERIALIZED (
-       |  SELECT vec_id, nbr_id FROM (
-       |    SELECT vec_id, nbr_id,
-       |           row_number() OVER (PARTITION BY vec_id
-       |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
-       |    FROM (SELECT DISTINCT * FROM (
-       |      SELECT vec_id, nbr_id, sim_e6 FROM sc1
-       |      UNION ALL
-       |      SELECT nbr_id, vec_id, sim_e6 FROM sc1)))
-       |  WHERE rnk <= $GsDegree
-       |), sc2 AS MATERIALIZED (
-       |  SELECT a.vec_id, b.vec_id AS nbr_id,
-       |         ${sqlSimE6("ea.embedding", "eb.embedding")} AS sim_e6
-       |  FROM l2m a JOIN l2m b ON a.vec_id < b.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-       |), e2 AS MATERIALIZED (
-       |  SELECT vec_id, nbr_id FROM (
-       |    SELECT vec_id, nbr_id,
-       |           row_number() OVER (PARTITION BY vec_id
-       |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
-       |    FROM (SELECT DISTINCT * FROM (
-       |      SELECT vec_id, nbr_id, sim_e6 FROM sc2
-       |      UNION ALL
-       |      SELECT nbr_id, vec_id, sim_e6 FROM sc2)))
-       |  WHERE rnk <= $GsDegree
-       |), gentry AS (SELECT min(vec_id) AS vec_id FROM l2m)""".stripMargin
+       |), $sqlGsDepthCte, $layers,
+       |gentry AS (SELECT coalesce($entryChain) AS vec_id)""".stripMargin
+  }
+
+  /** The per-layer build CTEs, layers 1..[[GsMaxLayers]], each gated
+    * on the measured depth (`gdepth`; a gated-off layer is EMPTY, so
+    * its closure, scoring, and descent rounds all no-op): every
+    * NON-TOP layer is built by the 2-/3-HOP-CLOSURE rule over the layer
+    * below (a member's surviving edges plus its neighbors' neighbors
+    * and their neighbors, restricted to members) — degree³-bounded
+    * per vertex, and the
+    * member count shrinks 4× per layer, so that path is LINEAR in
+    * corpus size. Only the layer AT the measured depth adds all-pairs
+    * among its members, and the depth rule makes that member set
+    * constant-sized (expected ≤ [[GsTopCap]]) — the standard HNSW
+    * entry-level cost, unlike the r16 constant-depth top whose n/16
+    * membership made the same step quadratic at 100×. All candidates
+    * are exact-scored once per unordered pair, mirrored,
+    * top-[[GsDegree]] per member. `gentry` coalesces from the deepest
+    * layer down to the global min vec_id, so an empty hash-sampled
+    * member set can never strand the entry (ADVICE r16). */
+  private def sqlLayerCtes: (String, String) = {
+    val layers = (1 to GsMaxLayers).map { l =>
+      val prev = if (l == 1) "knn" else s"e${l - 1}"
+      s"""l${l}m AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE ${sqlLayerMember("vec_id", l)}
+         |    AND $l <= (SELECT d FROM gdepth)
+         |), cand$l AS MATERIALIZED (
+         |  SELECT DISTINCT least(vec_id, nbr_id) AS vec_id,
+         |         greatest(vec_id, nbr_id) AS nbr_id
+         |  FROM (
+         |    SELECT k.vec_id, k.nbr_id FROM $prev k
+         |    WHERE k.vec_id IN (SELECT vec_id FROM l${l}m)
+         |      AND k.nbr_id IN (SELECT vec_id FROM l${l}m)
+         |    UNION ALL
+         |    SELECT a.vec_id, b.nbr_id
+         |    FROM $prev a JOIN $prev b ON a.nbr_id = b.vec_id
+         |    WHERE a.vec_id <> b.nbr_id
+         |      AND a.vec_id IN (SELECT vec_id FROM l${l}m)
+         |      AND b.nbr_id IN (SELECT vec_id FROM l${l}m)
+         |    UNION ALL
+         |    SELECT a.vec_id, c.nbr_id
+         |    FROM $prev a JOIN $prev b ON a.nbr_id = b.vec_id
+         |                 JOIN $prev c ON b.nbr_id = c.vec_id
+         |    WHERE a.vec_id <> c.nbr_id
+         |      AND a.vec_id IN (SELECT vec_id FROM l${l}m)
+         |      AND c.nbr_id IN (SELECT vec_id FROM l${l}m)
+         |    UNION ALL
+         |    SELECT a.vec_id, b.vec_id AS nbr_id
+         |    FROM l${l}m a JOIN l${l}m b ON a.vec_id < b.vec_id
+         |    WHERE $l = (SELECT d FROM gdepth)
+         |  )
+         |), sc$l AS MATERIALIZED (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         ${sqlSimE6("ev.embedding", "en.embedding")} AS sim_e6
+         |  FROM cand$l c
+         |  JOIN embeddings ev ON ev.vec_id = c.vec_id
+         |  JOIN embeddings en ON en.vec_id = c.nbr_id
+         |), e$l AS MATERIALIZED (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim_e6 DESC, nbr_id) AS rnk
+         |    FROM (SELECT DISTINCT * FROM (
+         |      SELECT vec_id, nbr_id, sim_e6 FROM sc$l
+         |      UNION ALL
+         |      SELECT nbr_id, vec_id, sim_e6 FROM sc$l)))
+         |  WHERE rnk <= $GsDegree
+         |)""".stripMargin
+    }.mkString(", ")
+    val entryChain = ((GsMaxLayers to 1 by -1)
+      .map(l => s"(SELECT min(vec_id) FROM l${l}m)") :+
+      "(SELECT min(vec_id) FROM embeddings)").mkString(", ")
+    (layers, entryChain)
+  }
+
+  /** The descent chain's previous cell: layer l hop k reads hop k−1;
+    * each layer's hop 1 reads the layer ABOVE's final hop, and the
+    * top unrolled layer's hop 1 reads the entry cell c{Max}x0.
+    * Layers past the measured depth have empty edge sets, so their
+    * rounds pass the entry through unchanged. */
+  private def gsPrevCell(l: Int, k: Int): String =
+    if (k > 1) s"c${l}x${k - 1}"
+    else if (l == GsMaxLayers) s"c${GsMaxLayers}x0"
+    else s"c${l + 1}x$GsGreedyHops"
+
+  /** The global entry vertex: min vec_id on the deepest non-empty
+    * layer, coalescing down through the hierarchy to the global min
+    * (a hash-sampled member set can be empty on a small corpus —
+    * probability (1−4^−L)^n — which NPE'd the r16 entry; ADVICE r16).
+    * ONE job: per-layer conditional mins in a single aggregate,
+    * mirroring the oracle's `gentry` coalesce chain. */
+  private[graft] def gsEntryPointOf(emb: DataFrame, depth: Int): Long = {
+    val aggs = (depth to 1 by -1).map(l =>
+      min(when(layerMember(col("vec_id"), l), col("vec_id")))
+        .as(s"m$l")) :+ min(col("vec_id")).as("m0")
+    val r = emb.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (0 until r.length).collectFirst {
+      case i if !r.isNullAt(i) => r.getLong(i)
+    }.get
   }
 
   /** Rewrite a nav-graph oracle to scan the embeddings parquet ONCE:
@@ -1401,12 +1492,26 @@ object SimilarityQueries {
     * from ~40 scan sites, and DuckDB opens the file per scan instance —
     * enough to blow the process fd limit. One MATERIALIZED `embx` CTE
     * up front, every reference retargeted. */
-  private def withEmbx(sql: String): String =
-    sql
+  private def withEmbx(sql: String): String = {
+    // Literal-substring rewrite, so FAIL LOUD at query-build time on
+    // any shape it would silently half-rewrite (ADVICE r16): the SQL
+    // must be a plain WITH chain (not WITH RECURSIVE — the prepend
+    // would corrupt it), and after the two replaces no `embeddings`
+    // table reference may survive (a comma-separated FROM list or odd
+    // spacing would, and would still open the file per scan site —
+    // the fd-limit problem this function exists to fix).
+    require(sql.startsWith("WITH ") && !sql.startsWith("WITH RECURSIVE"),
+      "withEmbx requires a plain WITH-prefixed oracle")
+    val body = sql
       .replace("FROM embeddings", "FROM embx")
       .replace("JOIN embeddings", "JOIN embx")
-      .replaceFirst("WITH ",
-        "WITH embx AS MATERIALIZED (SELECT * FROM embeddings),\n")
+    val missed = "(?i)\\bembeddings\\b".r.findFirstIn(body)
+    require(missed.isEmpty,
+      "withEmbx missed an embeddings reference (unsupported spacing " +
+        "or FROM-list form) — the rewrite would be silently partial")
+    body.replaceFirst("WITH ",
+      "WITH embx AS MATERIALIZED (SELECT * FROM embeddings),\n")
+  }
 
   /** BUILD the navigable graph: multi-table candidate union, top-
     * [[GsDegree]] out-edges per vector, then [[GsDescentRounds]]
@@ -1483,36 +1588,54 @@ object SimilarityQueries {
     knn
   }
 
-  /** Layer hash for the HNSW hierarchy (both engines replay it). */
-  private def layerHash(id: Column): Column =
-    pmod(graft.util.Hashes.tokHash(id.cast("string")), lit(GsLayerMod))
-  private def sqlLayerHash(expr: String): String =
+  /** 4^ℓ — the membership modulus of layer ℓ. */
+  private def layerMod(l: Int): Long = 1L << (2 * l)
+  /** Layer-ℓ membership predicate (both engines replay it): vertex v
+    * is on layer ℓ iff h(v) mod 4^ℓ = 0 — nested by construction. */
+  private def layerMember(id: Column, l: Int): Column =
+    pmod(graft.util.Hashes.tokHash(id.cast("string")),
+      lit(layerMod(l))) === 0
+  private def sqlLayerMember(expr: String, l: Int): String =
     s"(${graft.util.Hashes.sqlTokHash(s"CAST($expr AS VARCHAR)")}" +
-      s" % $GsLayerMod)"
+      s" % ${layerMod(l)}) = 0"
 
   /** The HNSW LAYER EDGES over the layer-0 graph: one frame
     * (vec_id, nbr_id, layer) holding layer 0 (the NN-descent graph)
-    * plus the two sparse upper layers.
+    * plus [[gsDepthOf]](measured N) sparse upper layers — the depth
+    * GROWS with the corpus so the top layer's expected membership
+    * stays ≤ [[GsTopCap]] (constant).
     *
-    *  - LAYER 1 (≈ n/4 members): candidate edges are the layer-0
-    *    edges with both ends on the layer plus the 2-HOP CLOSURE of
-    *    layer-0 restricted to members (a member's neighbors'
-    *    neighbors — how HNSW members stay reachable when the vertices
-    *    between them dropped out of the layer); exact-scored once per
-    *    unordered pair, mirrored, top-[[GsDegree]] per member. The
-    *    closure is degree²-bounded per vertex — linear in corpus
-    *    size, never all-pairs.
-    *  - LAYER 2 (≈ n/16 members): exact all-pairs among members —
-    *    the TOP layer is small by construction (a real deployment
-    *    adds layers until the top is thousands of vertices; its
-    *    all-pairs build is the standard HNSW entry-level cost). The
-    *    deeper layers would reuse the layer-1 closure rule.
+    * Every NON-TOP layer ℓ (≈ n/4^ℓ members) is built by the same
+    * rule: candidate edges are the layer-(ℓ−1) edges with both ends
+    * on the layer plus the 2-/3-HOP CLOSURE of layer ℓ−1 restricted
+    * to members (a member's neighbors' neighbors and THEIR neighbors
+    * — how HNSW members stay reachable when the vertices between
+    * them dropped out of the layer); exact-scored once per unordered
+    * pair, mirrored, top-[[GsDegree]] per member. The closure is
+    * degree³-bounded per
+    * vertex and membership shrinks 4× per layer — linear in corpus
+    * size. The TOP layer (ℓ = measured depth) additionally takes
+    * all-pairs among its members, constant-sized by the depth rule
+    * (expected ≤ [[GsTopCap]]): the standard HNSW entry-level cost.
+    * The r16 CONSTANT-depth top (n/16 members, all-pairs quadratic at
+    * 100×) is gone — at 100× the corpus the hierarchy gets DEEPER,
+    * not a bigger top.
     *
     * Deterministic end to end (integer sims, id tie-breaks, hash
-    * membership), so the oracle rebuilds the same hierarchy. */
-  private[sim] def layeredGraphFrame(t: Tables): DataFrame = {
-    val knn0 = navigableGraphFrame(t)
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    * membership, integer depth rule), so the oracle rebuilds the same
+    * hierarchy. */
+  private[sim] def layeredGraphFrame(t: Tables): DataFrame =
+    layersFrom(t.embeddings.select(col("vec_id"), col("embedding")),
+      navigableGraphFrame(t))
+
+  /** The hierarchy build over an ARBITRARY (vec_id, embedding) corpus
+    * frame and its layer-0 edges — shared by the batch layout build
+    * above and the standing incremental-ANN read
+    * ([[graft.streaming.IncrementalAnn]]), so the streaming graph
+    * folds through exactly the batch layer rule. */
+  private[graft] def layersFrom(emb: DataFrame, knn0: DataFrame)
+      : DataFrame = {
+    val depth = gsDepthOf(emb.count())
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim_e6").desc, col("nbr_id"))
     def topMirrored(cand: DataFrame): DataFrame = {
@@ -1531,31 +1654,53 @@ object SimilarityQueries {
         .filter(col("rnk") <= GsDegree)
         .select("vec_id", "nbr_id")
     }
-    val m1 = emb.select(col("vec_id"))
-      .filter(layerHash(col("vec_id")) % 4 === 0)
-    val onL1 = knn0
-      .join(m1, Seq("vec_id"), "left_semi")
-      .join(m1.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
-        "left_semi")
-    val hop2 = knn0.as("a")
-      .join(knn0.as("b"), col("a.nbr_id") === col("b.vec_id"))
-      .filter(col("a.vec_id") =!= col("b.nbr_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
-      .join(m1, Seq("vec_id"), "left_semi")
-      .join(m1.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
-        "left_semi")
-    val cand1 = onL1.unionByName(hop2)
-      .select(least(col("vec_id"), col("nbr_id")).as("vec_id"),
-        greatest(col("vec_id"), col("nbr_id")).as("nbr_id"))
-      .distinct()
-    val m2 = emb.select(col("vec_id"))
-      .filter(layerHash(col("vec_id")) === 0)
-    val cand2 = m2.as("a")
-      .join(m2.select(col("vec_id").as("nbr_id")).as("b"),
-        col("vec_id") < col("nbr_id"))
-    knn0.withColumn("layer", lit(0L))
-      .unionByName(topMirrored(cand1).withColumn("layer", lit(1L)))
-      .unionByName(topMirrored(cand2).withColumn("layer", lit(2L)))
+    // Each layer's edges feed BOTH sides of the next layer's 2-hop
+    // self-join plus the output union — pin per layer (edge-frame-
+    // sized, shrinking 4× per level).
+    var prev = knn0
+    var out = knn0.withColumn("layer", lit(0L))
+    for (l <- 1 to depth) {
+      val m = emb.select(col("vec_id"))
+        .filter(layerMember(col("vec_id"), l))
+      val onL = prev
+        .join(m, Seq("vec_id"), "left_semi")
+        .join(m.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+          "left_semi")
+      // Closure arms: restrict the SOURCE end to members first (the
+      // member fraction shrinks 4× per layer), expand along the
+      // layer-below edges, then restrict the target end.
+      val fromM = prev.join(m, Seq("vec_id"), "left_semi")
+      val hop2 = fromM.as("a")
+        .join(prev.as("b"), col("a.nbr_id") === col("b.vec_id"))
+        .filter(col("a.vec_id") =!= col("b.nbr_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+        .join(m.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+          "left_semi")
+      val hop3 = fromM.as("a")
+        .join(prev.as("b"), col("a.nbr_id") === col("b.vec_id"))
+        .join(prev.as("c"), col("b.nbr_id") === col("c.vec_id"))
+        .filter(col("a.vec_id") =!= col("c.nbr_id"))
+        .select(col("a.vec_id").as("vec_id"), col("c.nbr_id").as("nbr_id"))
+        .join(m.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+          "left_semi")
+      // The TOP layer additionally takes all-pairs among its members
+      // — constant-sized by the depth rule (expected ≤ GsTopCap), the
+      // standard HNSW entry-level cost; every other layer is closure-
+      // only (the linear path).
+      val base = if (l < depth) onL.unionByName(hop2).unionByName(hop3)
+      else onL.unionByName(hop2).unionByName(hop3).unionByName(
+        m.as("a").join(m.select(col("vec_id").as("nbr_id")).as("b"),
+          col("vec_id") < col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id")))
+      val cand = base
+        .select(least(col("vec_id"), col("nbr_id")).as("vec_id"),
+          greatest(col("vec_id"), col("nbr_id")).as("nbr_id"))
+        .distinct()
+      val eL = topMirrored(cand).cut()
+      out = out.unionByName(eL.withColumn("layer", lit(l.toLong)))
+      prev = eL
+    }
+    out
   }
 
   /** The navgraph layout directory for an sfDir. The key hashes the
@@ -1573,7 +1718,7 @@ object SimilarityQueries {
       "graft_navgraph_" + graft.util.Digests.short(
         s"$sfDir:r$GsDescentRounds:d$GsDegree:t$NearDupTables:" +
           s"p$DefaultPlanes:c$MaxBucketPairVecs:" +
-          s"l$GsLayerMod:g$GsGreedyHops")).toString
+          s"b$GsLayerBranch:k$GsTopCap:ap1h3:g$GsGreedyHops")).toString
 
   /** The navigable graph as a WRITE-ONCE layout (the honest HNSW cost
     * model — an ANN index is built once and amortized over every
@@ -1658,13 +1803,14 @@ object SimilarityQueries {
            |  FROM embeddings e JOIN fresh$i USING (vec_id) CROSS JOIN q
            |)""".stripMargin
       }.mkString(", ")
-      val descent = Seq(2, 1).flatMap { l =>
+      val descent = (GsMaxLayers to 1 by -1).flatMap { l =>
         (1 to GsGreedyHops).map { k =>
+          val prev = gsPrevCell(l, k)
           s"""r${l}x$k AS MATERIALIZED (
-             |  SELECT vec_id, sim_e6 FROM c${l}x${k - 1}
+             |  SELECT vec_id, sim_e6 FROM $prev
              |  UNION
              |  SELECT g.nbr_id, ${sqlSimE6("en.embedding", "q_emb")}
-             |  FROM e$l g JOIN c${l}x${k - 1} c ON g.vec_id = c.vec_id
+             |  FROM e$l g JOIN $prev c ON g.vec_id = c.vec_id
              |  JOIN embeddings en ON en.vec_id = g.nbr_id CROSS JOIN q
              |), c${l}x$k AS MATERIALIZED (
              |  SELECT vec_id, sim_e6 FROM r${l}x$k
@@ -1672,17 +1818,17 @@ object SimilarityQueries {
              |)""".stripMargin
         }
       }.mkString(", ")
-      val dvis = (Seq("SELECT vec_id, sim_e6 FROM c2x0") ++
-        Seq(2, 1).flatMap(l => (1 to GsGreedyHops)
+      val dvis = (Seq(s"SELECT vec_id, sim_e6 FROM c${GsMaxLayers}x0") ++
+        (GsMaxLayers to 1 by -1).flatMap(l => (1 to GsGreedyHops)
           .map(k => s"SELECT vec_id, sim_e6 FROM r${l}x$k")))
         .mkString("\n  UNION ")
       val sql = s"""WITH ${sqlNavGraphCte}, q AS (
          |  SELECT embedding AS q_emb
          |  FROM embeddings ORDER BY vec_id LIMIT 1
-         |), c2x0 AS MATERIALIZED (
+         |), c${GsMaxLayers}x0 AS MATERIALIZED (
          |  SELECT e.vec_id, ${sqlSimE6("e.embedding", "q_emb")} AS sim_e6
          |  FROM embeddings e JOIN gentry USING (vec_id) CROSS JOIN q
-         |), ${descent.replace("c1x0", "c2x" + GsGreedyHops)}, dvis AS MATERIALIZED (
+         |), $descent, dvis AS MATERIALIZED (
          |  $dvis
          |), v0 AS MATERIALIZED (
          |  SELECT d.vec_id, e.label, d.sim_e6
@@ -1710,12 +1856,12 @@ object SimilarityQueries {
     // walk stays put — same rule the oracle unrolls), so the wide
     // layer-0 beam starts next to the query instead of at its LSH
     // bucket. Every score paid here stays in the visited pool.
-    val entry = t.embeddings
-      .filter(layerHash(col("vec_id")) === 0)
-      .agg(min(col("vec_id"))).collect()(0).getLong(0)
+    val nVecs = t.embeddings.count()
+    val depth = gsDepthOf(nVecs)
+    val entry = gsEntryPointOf(t.embeddings, depth)
     var visited = scoresOf(Seq(entry))
     var cur = entry
-    for (l <- Seq(2L, 1L)) {
+    for (l <- (depth to 1 by -1).map(_.toLong)) {
       val edges = layered.filter(col("layer") === l)
       for (_ <- 1 to GsGreedyHops) {
         val nbrs = edges.filter(col("vec_id") === cur)
@@ -1732,7 +1878,7 @@ object SimilarityQueries {
     // fresh vertices ride a single key-lookup join (graph traversal
     // pays its latency in sequential rounds, so each round is ONE
     // driver round-trip, not two).
-    val expand = gsExpandOf(t.embeddings.count())
+    val expand = gsExpandOf(nVecs)
     var expanded: Set[Long] = Set.empty
     for (_ <- 1 to GsHops) {
       val toExpand = visited.toSeq
@@ -1795,13 +1941,14 @@ object SimilarityQueries {
            |    ON s.qid = f.qid AND s.vec_id = f.vec_id
            |)""".stripMargin
       }.mkString(", ")
-      val descent = Seq(2, 1).flatMap { l =>
+      val descent = (GsMaxLayers to 1 by -1).flatMap { l =>
         (1 to GsGreedyHops).map { k =>
+          val prev = gsPrevCell(l, k)
           s"""r${l}x$k AS MATERIALIZED (
-             |  SELECT qid, vec_id, sim FROM c${l}x${k - 1}
+             |  SELECT qid, vec_id, sim FROM $prev
              |  UNION
              |  SELECT c.qid, g.nbr_id, s.sim
-             |  FROM e$l g JOIN c${l}x${k - 1} c ON g.vec_id = c.vec_id
+             |  FROM e$l g JOIN $prev c ON g.vec_id = c.vec_id
              |  JOIN scored s ON s.qid = c.qid AND s.vec_id = g.nbr_id
              |), c${l}x$k AS MATERIALIZED (
              |  SELECT qid, vec_id, sim FROM (
@@ -1811,9 +1958,9 @@ object SimilarityQueries {
              |    FROM r${l}x$k) WHERE rk = 1
              |)""".stripMargin
         }
-      }.mkString(", ").replace("c1x0", "c2x" + GsGreedyHops)
-      val dvis = (Seq("SELECT qid, vec_id, sim FROM c2x0") ++
-        Seq(2, 1).flatMap(l => (1 to GsGreedyHops)
+      }.mkString(", ")
+      val dvis = (Seq(s"SELECT qid, vec_id, sim FROM c${GsMaxLayers}x0") ++
+        (GsMaxLayers to 1 by -1).flatMap(l => (1 to GsGreedyHops)
           .map(k => s"SELECT qid, vec_id, sim FROM r${l}x$k")))
         .mkString("\n  UNION ")
       val sql = s"""WITH $sqlNavGraphCte,
@@ -1830,7 +1977,7 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY qid
          |                              ORDER BY sim DESC, vec_id) AS rk
          |    FROM scored) WHERE rk <= 10
-         |), c2x0 AS MATERIALIZED (
+         |), c${GsMaxLayers}x0 AS MATERIALIZED (
          |  SELECT s.qid, s.vec_id, s.sim
          |  FROM scored s JOIN gentry g ON s.vec_id = g.vec_id
          |), $descent, v0 AS MATERIALIZED (
@@ -1877,12 +2024,17 @@ object SimilarityQueries {
     * entry on the same layer-0 graph (kept only so the spec can pin
     * that the descent scores FEWER candidates at equal-or-better
     * recall — the round-15 verdict's acceptance bar for the layers). */
-  private[sim] def multiProbeVisited(
+  private[graft] def multiProbeVisited(
       t: Tables, useDescent: Boolean = true,
-      hops: Int = GsHops, beam: Int = 0)
+      hops: Int = GsHops, beam: Int = 0,
+      layeredOver: Option[DataFrame] = None)
       : (Seq[Long], Map[(Long, Long), Long], DataFrame) = {
     import t.spark.implicits._
-    val layered = navigableGraph(t)
+    // `layeredOver` swaps in a STANDING layered graph (the
+    // incremental-ANN read) for the batch write-once layout — the
+    // walk, entry rule, and scoring are shared verbatim, which is the
+    // equivalence the IncrementalAnn spec pins.
+    val layered = layeredOver.getOrElse(navigableGraph(t))
     val graph = layered.filter(col("layer") === 0L).drop("layer")
     val qs = t.embeddings.orderBy("vec_id").limit(NEvalQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
@@ -1908,12 +2060,11 @@ object SimilarityQueries {
       // probes share each round's edge lookup (one key-filtered fetch
       // of the distinct current vertices). Descent scores stay in the
       // pool.
-      val entry = t.embeddings
-        .filter(layerHash(col("vec_id")) === 0)
-        .agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val depth = gsDepthOf(t.embeddings.count())
+      val entry = gsEntryPointOf(t.embeddings, depth)
       visited = lookup(qids.map(_ -> entry))
       var cur: Map[Long, Long] = qids.map(_ -> entry).toMap
-      for (l <- Seq(2L, 1L); _ <- 1 to GsGreedyHops) {
+      for (l <- (depth to 1 by -1).map(_.toLong); _ <- 1 to GsGreedyHops) {
         val curIds = cur.values.toSeq.distinct
         val nbrsOf: Map[Long, Seq[Long]] = layered
           .filter(col("layer") === l && col("vec_id").isin(curIds: _*))
@@ -2009,8 +2160,10 @@ object SimilarityQueries {
     * either entry strategy — the spec's comparison surface. */
   private[graft] def gsProbeStats(
       t: Tables, useDescent: Boolean,
-      hops: Int = GsHops, beam: Int = 0): (Double, Double) = {
-    val (qids, visited, scored) = multiProbeVisited(t, useDescent, hops, beam)
+      hops: Int = GsHops, beam: Int = 0,
+      layeredOver: Option[DataFrame] = None): (Double, Double) = {
+    val (qids, visited, scored) =
+      multiProbeVisited(t, useDescent, hops, beam, layeredOver)
     val exact = topKPerQuery(
       scored.select(col("qid"), col("vec_id"), col("sim").as("sim_e6")), 10)
       .select("qid", "vec_id").collect()

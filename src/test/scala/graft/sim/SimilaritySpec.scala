@@ -207,6 +207,30 @@ class SimilaritySpec extends SparkSpec {
       s"graph search ($overlap) must not trail its LSH entry ($lshOverlap)")
   }
 
+  test("HNSW depth derives from measured corpus size, and the built " +
+      "hierarchy carries exactly that many layers at two corpus sizes") {
+    // The depth rule (r17, clearing the r16 weak): L = smallest depth
+    // with n/4^L <= 32 — computed via the same integer bit-length
+    // formula on both engines. Pinned across the regime boundaries:
+    for ((n, d) <- Seq(1L -> 1, 32L -> 1, 128L -> 1, 129L -> 2,
+        500L -> 2, 512L -> 2, 2000L -> 3, 2048L -> 3, 8192L -> 4,
+        60000L -> 6, 131072L -> 6))
+      assert(SimilarityQueries.gsDepthOf(n) == d,
+        s"gsDepthOf($n) must be $d")
+    // And the BUILT hierarchy at two corpus sizes: the persisted
+    // navgraph layout's deepest layer must equal the rule's depth
+    // (n=500 -> 2 at sf0.001; n=2000 -> 3 at sf0.1). The sf0.1 layout
+    // is the same write-once artifact the bench and oracle runs use.
+    for ((dir, d) <- Seq(sf -> 2, "/root/testdata/sf0.1" -> 3)) {
+      SparkEntry.queries("similarity_graph_search")(spark, dir).collect()
+      val maxLayer = spark.read
+        .parquet(SimilarityQueries.navGraphDir(dir))
+        .agg(org.apache.spark.sql.functions.max("layer"))
+        .collect()(0).getLong(0)
+      assert(maxLayer == d, s"$dir hierarchy depth $maxLayer != $d")
+    }
+  }
+
   test("HNSW layers: the descent entry + selective search scores FEWER " +
       "candidates than the retired bucket-seeded flood at equal-or-" +
       "better recall") {
