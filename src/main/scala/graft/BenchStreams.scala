@@ -163,6 +163,59 @@ object BenchStreams {
         .standingStats(spark, s"$dir/maps", s"$dir/mins")
         .write.format("noop").mode("overwrite").save()
     },
+    "stream_curation_loop" -> { (spark, sfDir, dir) =>
+      // Streaming curation (round 17): the six-stage funnel per epoch
+      // against standing planes. The frozen classifier counts and the
+      // domain verdicts seed ONCE (production: trained upstream on
+      // their own cadences); epochs split by doc_id RANGE — the loop's
+      // insert-only monotone-id contract (a crawl assigns increasing
+      // ids), under which the per-epoch funnel is EXACT vs batch.
+      // Consumer: the standing funnel (stage-6 survivor fold included).
+      val docs = Tables(spark, sfDir).documents
+      val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .collect()(0).getLong(0)
+      streaming.IncrementalQuality.processBatch(
+        docs, s"$dir/qcounts", s"$dir/qscores", 0L)
+      streaming.IncrementalCuration.seedVerdicts(docs, s"$dir/dver")
+      for (b <- 0L to 2L) {
+        val lo = (maxId + 1) * b / 3
+        val hi = if (b == 2L) maxId + 1 else (maxId + 1) * (b + 1) / 3
+        val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        streaming.IncrementalDedup.processBatch(
+          batch.select("doc_id", "text"), s"$dir/index", s"$dir/pairs", b)
+        streaming.IncrementalCuration.processBatch(
+          batch, s"$dir/urls", s"$dir/a5", s"$dir/funnel",
+          s"$dir/qcounts", s"$dir/dver", b)
+        if (b == 1L)
+          maintain(spark, s"$dir/urls", s"$dir/a5", s"$dir/funnel",
+            s"$dir/index", s"$dir/pairs")
+      }
+      requireBoundedMeta(spark, s"$dir/urls", s"$dir/a5", s"$dir/funnel")
+      streaming.IncrementalCuration
+        .standingFunnel(spark, s"$dir/funnel", s"$dir/a5", s"$dir/pairs")
+        .write.format("noop").mode("overwrite").save()
+    },
+    "stream_ann_loop" -> { (spark, sfDir, dir) =>
+      // Incremental ANN maintenance (round 17): per epoch, the batch
+      // LSH-probes the standing bucket index for un-thresholded
+      // candidate edges, NN-descent-refreshes locally around the
+      // insertions, and lands both tables under the loop discipline.
+      // Consumer: the standing LAYERED graph read (layer-0 fold +
+      // measured-depth closure) — what the serving search walks
+      // (spec-pinned recall-equal to the rebuilt layout).
+      val vecs = Tables(spark, sfDir).embeddings
+        .select("vec_id", "embedding")
+      for (b <- 0L to 2L) {
+        streaming.IncrementalAnn.processBatch(
+          vecs.filter(col("vec_id") % 3 === b),
+          s"$dir/index", s"$dir/cands", b)
+        if (b == 1L) maintain(spark, s"$dir/index", s"$dir/cands")
+      }
+      requireBoundedMeta(spark, s"$dir/index", s"$dir/cands")
+      streaming.IncrementalAnn
+        .standingLayered(spark, s"$dir/index", s"$dir/cands")
+        .write.format("noop").mode("overwrite").save()
+    },
     "bpe_train_loop" -> { (spark, sfDir, _) =>
       // COLD BPE training priced under the gate (round-13 verdict §4:
       // the declared bpe_train cell measures the memoized emission, so

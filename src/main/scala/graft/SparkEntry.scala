@@ -23,6 +23,7 @@ object SparkEntry {
       text.QualityQueries.queries ++
       text.DomainQueries.queries ++
       text.CurationQueries.queries ++
+      text.TrainingShardQueries.queries ++
       text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       sim.SimilarityQueries.queries ++

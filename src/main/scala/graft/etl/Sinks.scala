@@ -118,6 +118,44 @@ object Sinks {
     written
   }
 
+  /** Materialize the TRAINING SHARDS — the engine's final artifact
+    * (the twin of the reference's LOAD into its serving store,
+    * bpi_etl_bigquery.py:268-291): the packed training manifest
+    * ([[graft.text.TrainingShardQueries]] — curated survivors through
+    * the temperature-mixture gate, leakage-safe splits, BPE-billed
+    * [[graft.text.PackSequences]] offsets) joined back to its full
+    * document payloads and written SPLIT-partitioned (a trainer reads
+    * exactly its split's directory), each row carrying its source,
+    * token bill, and sequence span as provenance. The per-(source,
+    * split) accounting — including the per-source curated baseline and
+    * the applied keep rate — lands alongside as `outDir/_accounting`,
+    * so a reader can audit the mixture against the curation funnel
+    * without replaying the chain. Payloads enter only the final key
+    * join. Returns the manifest row count; asserts it reconciles with
+    * the accounting's doc total (the table and its provenance cannot
+    * drift). */
+  def materializeTrainingShards(
+      spark: SparkSession, sfDir: String, outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val manifest = graft.text.TrainingShardQueries
+      .manifestFrame(spark, sfDir)
+    val shards = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+      .join(manifest, Seq("doc_id"))
+    shards.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/shards")
+    graft.SparkEntry.queries("training_shards_accounting")(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/_accounting")
+    val written = spark.read.parquet(s"$outDir/shards").count()
+    val billed = spark.read.parquet(s"$outDir/_accounting")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+      .collect()(0).getLong(0)
+    require(written == billed,
+      s"training shards ($written rows) drifted from their accounting " +
+        s"provenance ($billed docs)")
+    written
+  }
+
   /** Materialize the DEDUPED MEDIA corpus — the multimodal twin of
     * [[materializeDedupedCorpus]], closing the candidates → components
     * → survivors pipeline for all three fingerprint modalities with

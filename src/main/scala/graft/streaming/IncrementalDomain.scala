@@ -69,6 +69,13 @@ object IncrementalDomain {
           lit(1L).as("m")))).as("s"))
       .select(col("domain"), col("s.kind").as("kind"),
         col("s.key").as("key"), col("s.m").as("m"))
+      // The count-map EXCLUDES NULL keys, exactly like the batch
+      // side's COUNT(DISTINCT): a NULL subdomain/lang from extraction
+      // must not land as a NULL-keyed map row (it would inflate the
+      // standing n_subdomains/n_langs by one vs batch). Today
+      // extraction always yields non-null ('' for no subdomain), so
+      // this is contract, not behavior change (ADVICE r16).
+      .filter(col("key").isNotNull)
       .groupBy(col("domain"), col("kind"), col("key"))
       .agg(sum(col("m")).as("m"))
 

@@ -92,6 +92,27 @@ object IncrementalQuality {
         col("db").as("n_bad"), col("prior_fx").as("w_fx")))
   }
 
+  /** Score a doc batch against the STANDING model, frozen for this
+    * call — (doc_id, score_fx) through the same one-broadcast b = −1
+    * pseudo-bucket path [[processBatch]] uses (so the number is
+    * bit-equal to the batch scorer whenever the counts cover the same
+    * corpus — the equivalence IncrementalQualitySpec pins). The
+    * streaming curation gate reads this; it never advances the counts
+    * ledger. */
+  def scoreAgainst(docs: DataFrame, countsDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val db = QualityQueries
+      .docBucketCounts(QualityQueries.labeledDocs(docs))
+    val m65 = model(spark, countsDir)
+      .select(col("bucket").as("b"), col("w_fx"))
+    db.select(col("doc_id"), col("b"), col("c"))
+      .unionByName(db.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+      .join(broadcast(m65), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w_fx")).cast("long").as("score_fx"))
+  }
+
   /** Land one epoch: collapse the batch's token stream ONCE into
     * per-(doc, bucket) counts (lineage-cut — the single corpus-scale
     * pass of the epoch), commit the count partial derived from it,

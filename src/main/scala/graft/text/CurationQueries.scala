@@ -77,7 +77,7 @@ object CurationQueries {
     * fragment is the exact text its declared single query runs, spliced
     * under collision-free names (`dcanon` on the domain side, `dd*` on
     * the dedup side). */
-  private def sqlPipelineCtes: String = {
+  private[text] def sqlPipelineCtes: String = {
     val stripped = TextQueries.HtmlStripPatterns.foldLeft("html")((c, p) =>
       s"regexp_replace($c, '$p', ' ', 'g')")
     "WITH RECURSIVE " +
@@ -171,30 +171,49 @@ object CurationQueries {
     import graft.ops.Checkpoints.CheckpointOps
     val t = Tables(s, dir)
     val docs = t.documents
-    // Stages 1-3 ride one projection: canonical URL (kept lang/source),
-    // then the trigram LID scores, then every narrow flag at once.
+    val narrow = narrowFlags(docs)
+      .withColumn("f_url", (col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(col("canonical_url"))))
+        .cast("long"))
+      .drop("canonical_url")
+    // Stage 4: the standing classifier's per-doc MAP decision.
+    val qual = QualityQueries.scoredFrame(t)
+      .select(col("doc_id"), (col("score_fx") > 0L).cast("long").as("f_qual"))
+    withDomainFlag(narrow.join(qual, "doc_id"), domainVerdicts(docs))
+      .cut()
+  }
+
+  /** Stages 1-3's narrow per-doc columns WITHOUT the corpus-wide URL
+    * window: (doc_id, source, tk, canonical_url, f_html, f_lang) off
+    * one projection (canonical URL → trigram LID → flags). Shared by
+    * the batch [[flagsFrame]] (which adds the full-corpus min-doc URL
+    * window) and the streaming loop
+    * ([[graft.streaming.IncrementalCuration]], which replaces that
+    * window with the standing-URL first-seen rule). */
+  private[graft] def narrowFlags(docs: DataFrame): DataFrame = {
     val base = TextQueries.canonicalUrls(docs, keep = Seq("lang", "source"))
     val scoredLang = TextQueries.langScored(base,
       keep = Seq("lang", "source", "text", "canonical_url"))
-    val narrow = scoredLang.select(
+    scoredLang.select(
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("tk"),
-      (col("doc_id") === min(col("doc_id"))
-        .over(Window.partitionBy(col("canonical_url"))))
-        .cast("long").as("f_url"),
+      col("canonical_url"),
       ((length(TextQueries.htmlTwin).cast("long")
         - length(TextQueries.htmlMainText(TextQueries.htmlTwin))
           .cast("long")) * 10L
         <= length(TextQueries.htmlTwin).cast("long") * 9L)
         .cast("long").as("f_html"),
       (col("pred_lang") === col("lang")).cast("long").as("f_lang"))
-    // Stage 4: the standing classifier's per-doc MAP decision.
-    val qual = QualityQueries.scoredFrame(t)
-      .select(col("doc_id"), (col("score_fx") > 0L).cast("long").as("f_qual"))
-    // Stage 5: standing per-domain verdicts (domain-cardinality
-    // metadata), probed through each doc's primary registrable domain.
+  }
+
+  /** Stage 5's standing per-domain verdict table (reg, f_dom) off a
+    * hosted corpus — domain-cardinality metadata (stats + 3-iteration
+    * rank against the pinned floors). The batch pipeline computes it
+    * inline; the streaming loop seeds/refreshes it on its own cadence
+    * and probes the SnapshotTable copy. */
+  private[graft] def domainVerdicts(docs: DataFrame): DataFrame = {
     val ext = DomainQueries.extractedDocs(docs)
-    val dver = DomainQueries.statsFrom(ext)
+    DomainQueries.statsFrom(ext)
       .join(DomainQueries.ranksFrom(ext)
         .select(col("registrable_domain"), col("rank_e6")),
         "registrable_domain")
@@ -203,13 +222,17 @@ object CurationQueries {
           col("rank_e6") < DomainQueries.RankFloorE6 ||
           col("mean_tokens") < DomainQueries.MinMeanTokens))
           .cast("long").as("f_dom"))
-    narrow
-      .join(qual, "doc_id")
-      .withColumn("reg", DomainQueries.primaryReg)
+  }
+
+  /** Attach stage 5's verdict flag to a frame carrying `source` — the
+    * primary-registrable-domain probe against a broadcast verdict
+    * table (reg, f_dom). Shared by the batch chain and the streaming
+    * loop so the gate rule cannot fork. */
+  private[graft] def withDomainFlag(
+      fl: DataFrame, dver: DataFrame): DataFrame =
+    fl.withColumn("reg", DomainQueries.primaryReg)
       .join(broadcast(dver), Seq("reg"))
       .drop("reg")
-      .cut()
-  }
 
   /** Final survivors: (doc_id, source, tk, component) — stage-6 output.
     * Component labels are the standing full-corpus dedup index; the
