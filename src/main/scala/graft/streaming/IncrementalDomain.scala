@@ -27,9 +27,10 @@ import graft.text.DomainQueries
   *    mergeable: each epoch's batch-local argmin merges with the
   *    stored holder by one more argmin, touching only the text keys
   *    the batch carries (the bounded-maintenance property, with the
-  *    bound = the batch itself). A retracting source would need the
-  *    minmax rescan pattern; the scaladoc'd contract here is
-  *    append-only.
+  *    bound = the batch itself). A retracting source goes through
+  *    [[processRetractions]] — the `cdc_view_minmax` bounded rescan
+  *    (tombstones + affected-key replacement partials) — while this
+  *    insert-only fast path stays untouched.
   *
   * The read side ([[standingStats]]) reduces both tables and must be
   * BIT-EQUAL to the batch `domain_stats` over every landed doc at any
@@ -91,7 +92,7 @@ object IncrementalDomain {
       .groupBy(col("text_key"))
       .agg(min(col("s")).as("s"))
       .select(col("text_key"), col("s.fetch_seq").as("fetch_seq"),
-        col("s.domain").as("domain"))
+        col("s.domain").as("domain"), lit(0L).as("retract"))
 
   /** Land one epoch: extract the batch's hosting rows ONCE
     * (lineage-cut — the single batch-scale pass), commit the count-map
@@ -128,11 +129,75 @@ object IncrementalDomain {
       minsDir, batchId): Unit
   }
 
+  /** A RETRACTING epoch (the round-16 verdict's missing item 5 — a
+    * page removed, a domain re-assigned): the `cdc_view_minmax`
+    * bounded-rescan pattern applied at domain grain, while the
+    * insert-only fast path ([[processBatch]]) stays untouched.
+    *
+    *  - maps: the count-map is INVERTIBLE — the retraction lands the
+    *    batch's map partial NEGATED; multiset kinds whose multiplicity
+    *    hits zero drop out of the standing read's row count (the
+    *    `cdc_view_distinct` delete-to-zero rule, enforced by the
+    *    read's m > 0 filter on multiset kinds).
+    *  - mins: first-seen-wins is NON-invertible (deleting the current
+    *    holder needs the runner-up, which per-epoch argmin partials do
+    *    not keep). The bounded rescan: land one TOMBSTONE row per
+    *    retracted hosted copy (text_key, fetch_seq, retract = 1 —
+    *    fetch_seq is globally unique, so the anti-join removes exactly
+    *    the dead holders) plus a REPLACEMENT argmin partial for the
+    *    affected text keys recomputed from the SURVIVING corpus pruned
+    *    to those keys (a broadcast semi-join on the retraction-sized
+    *    key set — the rescan reads affected keys only, never the
+    *    corpus: `cdc_view_minmax`'s bound, with the bound = the
+    *    retraction).
+    *
+    * Same ledger discipline as [[processBatch]] (gaps refused,
+    * lockstep, replays no-op via appendOnce). `surviving` is the
+    * landed corpus MINUS the retracted docs — the fact table a real
+    * deployment key-prunes. */
+  def processRetractions(
+      retracted: DataFrame, surviving: DataFrame,
+      mapsDir: String, minsDir: String, batchId: Long): Unit = {
+    val spark = retracted.sparkSession
+    requireNotLegacy(spark, mapsDir)
+    requireNotLegacy(spark, minsDir)
+    val next = SnapshotTable.maxCommittedBatch(spark, mapsDir) + 1
+    require(batchId <= next,
+      s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    if (retracted.isEmpty) return
+    import graft.ops.Checkpoints.CheckpointOps
+    val extR = DomainQueries.extractedDocs(retracted)
+      .select(col("doc_id"), col("text"), col("lang"), col("fetch_seq"),
+        col("registrable_domain"), col("subdomain"))
+      .cut()
+    SnapshotTable.appendOnce(
+      mapPartial(extR).withColumn("m", -col("m"))
+        .withColumn("batch_id", lit(batchId)),
+      mapsDir, batchId): Unit
+    val tombstones = extR
+      .select(md5(col("text")).as("text_key"), col("fetch_seq"),
+        col("registrable_domain").as("domain"), lit(1L).as("retract"))
+      .distinct()
+    val affected = tombstones.select(col("text_key")).distinct()
+    val prunedSurviving = surviving
+      .join(broadcast(affected),
+        md5(col("text")) === col("text_key"), "left_semi")
+    val rescan = minPartial(DomainQueries.extractedDocs(prunedSurviving)
+      .select(col("text"), col("fetch_seq"),
+        col("registrable_domain")))
+    SnapshotTable.appendOnce(
+      tombstones.unionByName(rescan)
+        .withColumn("batch_id", lit(batchId)),
+      minsDir, batchId): Unit
+  }
+
   /** The standing `domain_stats` table off the two state tables —
     * bit-equal to the batch query over every landed doc. Count maps
     * sum-merge per (domain, kind, key); the canonical holder is one
-    * more argmin over the landed partials; both reduce to
-    * domain-cardinality metadata before the final join. */
+    * more argmin over the landed partials (tombstoned holders
+    * excluded); both reduce to domain-cardinality metadata before the
+    * final join. Domains whose hosted copies all retracted drop out,
+    * exactly like the batch query over the surviving corpus. */
   def standingStats(spark: SparkSession, mapsDir: String,
       minsDir: String): DataFrame = {
     requireNotLegacy(spark, mapsDir)
@@ -140,6 +205,10 @@ object IncrementalDomain {
     val merged = SnapshotTable.read(spark, mapsDir)
       .groupBy(col("domain"), col("kind"), col("key"))
       .agg(sum(col("m")).as("m"))
+      // Multiset kinds count ROWS, so a retraction-zeroed multiplicity
+      // must drop its row (the cdc_view_distinct delete-to-zero rule);
+      // additive kinds sum through zero naturally.
+      .filter(col("kind").isin("hosted", "tok") || col("m") > 0)
     val byDomain = merged
       .groupBy(col("domain"))
       .agg(
@@ -151,7 +220,19 @@ object IncrementalDomain {
         sum(when(col("kind") === "sub", 1L).otherwise(0L))
           .as("n_subdomains"),
         sum(when(col("kind") === "lang", 1L).otherwise(0L)).as("n_langs"))
-    val canon = SnapshotTable.read(spark, minsDir)
+    // Tombstoned holders (retracted copies) leave the argmin before it
+    // folds; their keys' replacement partials landed with the same
+    // retraction epoch, so a key with survivors keeps a correct min
+    // and a fully-retracted key vanishes.
+    val minsAll = SnapshotTable.read(spark, minsDir)
+    val live =
+      if (minsAll.columns.contains("retract")) {
+        val tomb = minsAll.filter(col("retract") === 1L)
+          .select(col("text_key"), col("fetch_seq"))
+        minsAll.filter(col("retract") === 0L)
+          .join(tomb, Seq("text_key", "fetch_seq"), "left_anti")
+      } else minsAll // pre-retraction state layout: nothing tombstoned
+    val canon = live
       .select(col("text_key"),
         struct(col("fetch_seq"), col("domain")).as("s"))
       .groupBy(col("text_key"))
@@ -159,6 +240,7 @@ object IncrementalDomain {
       .groupBy(col("s.domain").as("domain"))
       .agg(count(lit(1)).as("n_canonical"))
     byDomain
+      .filter(col("n_hosted") > 0)
       .join(canon, Seq("domain"), "left")
       .select(col("domain").as("registrable_domain"), col("n_hosted"),
         col("n_docs"), col("n_subdomains"), col("n_langs"),

@@ -136,4 +136,49 @@ class CdcQueriesSpec extends SparkSpec {
         s"customer $c lost a band, so its distinct count must drop")
     }
   }
+
+  test("cdc_view_distinct_hll: the mergeable sketch form tracks the " +
+      "exact insert-only distinct (sparse-regime exactness) and the " +
+      "two-partial merge equals the one-shot sketch") {
+    val got = SparkEntry.queries("cdc_view_distinct_hll")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Exact insert-only reference: the base stream plus the % 11
+    // insert delta, per-customer COUNT(DISTINCT band) and row count.
+    val o = Tables(spark, sf).orders
+    val cents = graft.util.Det.toUnits(col("o_totalprice"), 100L)
+      .cast("long")
+    val applied = o
+      .select(col("o_custkey"), (cents.divide(100000L)).cast("long")
+        .as("bkt"))
+      .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_custkey"),
+          ((cents + 777L).divide(100000L)).cast("long").as("bkt")))
+    val exact = applied.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("bkt")).as("nd"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, (nd, n)) =>
+      val (est, rows) = got(k)
+      assert(rows == n, s"customer $k row bill $rows != exact $n")
+      // Driver cardinalities sit in the DataSketches sparse regime,
+      // where the estimate is exact; the 2% bound is the declared
+      // contract for larger domains.
+      val slack = math.max(1L, math.ceil(nd * 0.02).toLong)
+      assert(math.abs(est - nd) <= slack,
+        s"customer $k estimate $est outside $nd +- $slack")
+    }
+    // Associativity: the two-partial union-merge must estimate exactly
+    // what a single-pass sketch over the applied stream estimates --
+    // the monoid property that makes per-epoch partials foldable.
+    val oneShot = applied.groupBy(col("o_custkey"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("bkt")))
+        .as("n_distinct_est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, (est, _)) =>
+      assert(est == oneShot(k),
+        s"customer $k merged estimate $est != one-shot ${oneShot(k)}")
+    }
+  }
 }

@@ -96,6 +96,74 @@ class IncrementalDomainSpec extends SparkSpec {
     assert(e.getMessage.contains("epoch gap"))
   }
 
+  test("a retracting epoch: negated count-map + tombstoned argmin + " +
+      "bounded rescan keep the standing read bit-equal to batch stats " +
+      "over the surviving corpus; retraction replays no-op") {
+    val dir = tmpDir("idom-retract")
+    runLoop(dir)
+    val docs = Tables(spark, sf).documents
+    val retracted = docs.filter(col("doc_id") % 5 === 0)
+    val surviving = docs.filter(col("doc_id") % 5 =!= 0)
+    IncrementalDomain.processRetractions(
+      retracted, surviving, s"$dir/maps", s"$dir/mins", 3L)
+    val survDir = tmpDir("idom-surv")
+    surviving.write.mode("overwrite")
+      .parquet(s"$survDir/documents.parquet")
+    assert(standing(dir) ==
+      rowsOf(SparkEntry.queries("domain_stats")(spark, survDir)),
+      "standing read after retraction drifted from batch over survivors")
+    val before = (readStateTable(s"$dir/maps").count(),
+      readStateTable(s"$dir/mins").count())
+    IncrementalDomain.processRetractions(
+      retracted, surviving, s"$dir/maps", s"$dir/mins", 3L)
+    assert(before == (readStateTable(s"$dir/maps").count(),
+      readStateTable(s"$dir/mins").count()),
+      "a replayed retraction epoch must no-op on both tables")
+  }
+
+  test("retraction promotes the RUNNER-UP holder: when the first-seen " +
+      "copy of a shared text retracts, canonicality moves to the " +
+      "surviving doc's domain (the bounded-rescan case)") {
+    import spark.implicits._
+    // Planted corpus: docs 10 and 401 share their text (one text_key),
+    // so doc 10's primary copy (fetch_seq 10) is first-seen; doc 401's
+    // copies survive the retraction of doc 10 and must take over.
+    val rows = Seq(
+      (10L, "shared body text alpha beta gamma", "en", "src0"),
+      (401L, "shared body text alpha beta gamma", "en", "src1"),
+      (12L, "solo text one two three", "en", "src0"),
+      (403L, "another solo text four five six", "en", "src1"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("idom-promote")
+    IncrementalDomain.processBatch(
+      docs.filter(col("doc_id") < 400), s"$dir/maps", s"$dir/mins", 0L)
+    IncrementalDomain.processBatch(
+      docs.filter(col("doc_id") >= 400), s"$dir/maps", s"$dir/mins", 1L)
+    val retracted = docs.filter(col("doc_id") === 10L)
+    val surviving = docs.filter(col("doc_id") =!= 10L)
+    IncrementalDomain.processRetractions(
+      retracted, surviving, s"$dir/maps", s"$dir/mins", 2L)
+    val survDir = tmpDir("idom-promote-surv")
+    surviving.write.mode("overwrite")
+      .parquet(s"$survDir/documents.parquet")
+    assert(standing(dir) ==
+      rowsOf(SparkEntry.queries("domain_stats")(spark, survDir)),
+      "runner-up promotion drifted from the batch recompute")
+    // The promoted holder is doc 401's primary domain: its canonical
+    // count must now include the shared text.
+    val stats = IncrementalDomain
+      .standingStats(spark, s"$dir/maps", s"$dir/mins")
+      .collect()
+      .map(r => r.getAs[String]("registrable_domain") ->
+        r.getAs[Long]("n_canonical")).toMap
+    val promotedReg = stats.keys.find(_ == "site-1.org")
+      .getOrElse(fail(s"promoted domain missing from $stats"))
+    assert(stats(promotedReg) == 2L,
+      s"doc 401's domain must hold both its texts' canonical copies: " +
+        s"$stats")
+  }
+
   test("a crash between the maps and mins commits must be replayed: " +
       "resuming at N+1 fails loud on the mins ledger") {
     val dir = tmpDir("idom-lockstep")
