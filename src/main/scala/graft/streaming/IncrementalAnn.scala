@@ -96,16 +96,45 @@ object IncrementalAnn {
     else vecs.select(col("vec_id"), col("embedding")))
       .distinct()
       .cut(false)
-    val standing = committedCands(spark, candsDir, batchId)
+    val standing = committedCands(spark, candsDir, batchId).cut()
     val batchIds = vecs.select(col("vec_id")).cut(false)
+    // MEASURED locality gate (the ScaleGates discipline, free off the
+    // manifest's rows= header): the ripple restriction only pays when
+    // the standing candidate table dwarfs the batch — on a toy corpus
+    // (or the cold first epochs) the whole-table window is cheaper
+    // than computing the ripple, and both are exact.
+    val standingRows = graft.etl.SnapshotTable
+      .currentSnapshot(spark, candsDir).map(_.rows).getOrElse(0L)
+    val batchN = vecs.count()
+    val useRipple = standingRows > batchN * 64L
     // 2. Local NN-descent: rounds over the CURRENT standing+fresh
     // graph, 2-hop candidates restricted to sources in the affected
     // set (batch + its neighbors), each scored pair landed with its
-    // round as generation.
+    // round as generation. The per-round top-K fold is computed ONLY
+    // over the batch's RIPPLE (vertices within 3 hops of an insertion
+    // along the unranked candidate adjacency — a superset of the
+    // graph's own reach, so every needed source keeps its COMPLETE
+    // out-candidate set and its rank is exact): at 100 TB the window
+    // runs over |batch|·degree³ rows, never the standing table.
     var newEdges = probePairs
     for (r <- 1 to SimilarityQueries.GsDescentRounds) {
       val all = standing.unionByName(newEdges)
-      val g = genTopK(all).cut(false)
+      val sources =
+        if (!useRipple) None
+        else {
+          val adj = all
+            .select(col("vec_id"), col("nbr_id"))
+            .unionByName(all.select(col("nbr_id").as("vec_id"),
+              col("vec_id").as("nbr_id")))
+            .cut(false)
+          var ripple = batchIds
+          for (_ <- 1 to 3)
+            ripple = ripple.unionByName(
+              adj.join(ripple, Seq("vec_id"), "left_semi")
+                .select(col("nbr_id").as("vec_id"))).distinct()
+          Some(ripple.cut(false))
+        }
+      val g = genTopK(all, sources).cut(false)
       // Affected set: the batch, its neighbors, and THEIR neighbors —
       // the 2-hop ripple an insertion perturbs (still |batch|·degree²
       // vertices, never the corpus). One hop was measured one probe-
@@ -158,13 +187,20 @@ object IncrementalAnn {
     * (bucket edges ∪ per-descent-round edges), which is what makes the
     * landed table MERGEABLE: appends only ever add candidates, the
     * rank re-folds. */
-  private def genTopK(pairs: DataFrame): DataFrame = {
+  private def genTopK(
+      pairs: DataFrame, sources: Option[DataFrame] = None): DataFrame = {
     val directed = pairs
       .select(col("vec_id"), col("nbr_id"), col("sim_e6"), col("gen"))
       .unionByName(pairs.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id"), col("sim_e6"), col("gen")))
       .distinct()
-    directed
+    // Restricting to a SOURCE set keeps every kept source's complete
+    // out-candidate row set, so its per-(vertex, gen) rank is exactly
+    // the unrestricted one — the batch-ripple locality the epoch step
+    // exploits.
+    val scoped = sources.fold(directed)(s =>
+      directed.join(s, Seq("vec_id"), "left_semi"))
+    scoped
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id"), col("gen"))
           .orderBy(col("sim_e6").desc, col("nbr_id"))))

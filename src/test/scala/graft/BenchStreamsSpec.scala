@@ -88,11 +88,11 @@ class BenchStreamsSpec extends SparkSpec {
     assert(after == before, "scratch dirs must be deleted")
   }
 
-  test("all eight cells are declared") {
+  test("all ten cells are declared") {
     assert(BenchStreams.cells.map(_._1).sorted ==
       Seq("bpe_train_loop", "snapshot_maintenance_loop",
-        "stream_bars_loop", "stream_dedup_loop",
-        "stream_domain_loop", "stream_media_loop",
+        "stream_ann_loop", "stream_bars_loop", "stream_curation_loop",
+        "stream_dedup_loop", "stream_domain_loop", "stream_media_loop",
         "stream_quality_loop", "stream_semdedup_loop"))
   }
 
