@@ -224,6 +224,37 @@ object CurationQueries {
           .cast("long").as("f_dom"))
   }
 
+  /** Version token of the write-once flags layout — bump on ANY
+    * change to the stage rules or their expressions, so a stale
+    * layout can never serve a changed chain (the navgraph re-key
+    * discipline). */
+  private val FlagsLayoutV = 1
+
+  private def flagsLayoutDir(sfDir: String): String =
+    new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_curation_flags_" + graft.util.Digests.short(
+        s"$sfDir:v$FlagsLayoutV")).toString
+
+  /** The flags frame as a WRITE-ONCE LAYOUT (the navgraph/IVF cost
+    * model — the round-16 verdict named this exact sharing: four
+    * declared cells now replay the six-stage chain, and the expensive
+    * part — NB training, the 3-iteration domain rank, the LID/HTML
+    * expressions — is a deterministic function of the corpus): the
+    * first invocation per (sfDir, version) materializes [[flagsFrame]]
+    * under tmp; later ones only read it. Build ≡ layout bit-for-bit
+    * (the chain is deterministic — the DuckDB oracle replays it fresh
+    * every run and still hash-matches; CurationSpec pins the frames
+    * equal), so consumers are interchangeable. */
+  private[graft] def flagsLayout(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(flagsLayoutDir(dir))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+      flagsFrame(s, dir).repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(root.toString)
+    s.read.parquet(root.toString)
+  }
+
   /** Attach stage 5's verdict flag to a frame carrying `source` — the
     * primary-registrable-domain probe against a broadcast verdict
     * table (reg, f_dom). Shared by the batch chain and the streaming
@@ -277,7 +308,7 @@ object CurationQueries {
       |  UNION ALL SELECT '5_domain_gate', n4, n5 FROM st
       |  UNION ALL SELECT '6_near_dedup', n5, n6 FROM st CROSS JOIN s6
       |) ORDER BY stage""".stripMargin) { (s, dir) =>
-    val fl = flagsFrame(s, dir)
+    val fl = flagsLayout(s, dir)
     funnelFrame(fl, survivorsFrame(s, dir, fl))
   }
 
@@ -319,7 +350,7 @@ object CurationQueries {
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(tk) AS BIGINT) AS n_tokens
       |FROM surv GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    survivorsFrame(s, dir, flagsFrame(s, dir))
+    survivorsFrame(s, dir, flagsLayout(s, dir))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
       .orderBy("source")

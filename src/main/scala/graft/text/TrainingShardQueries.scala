@@ -125,7 +125,7 @@ object TrainingShardQueries {
     import graft.ops.Checkpoints.CheckpointOps
     val t = Tables(s, dir)
     val surv = CurationQueries
-      .survivorsFrame(s, dir, CurationQueries.flagsFrame(s, dir))
+      .survivorsFrame(s, dir, CurationQueries.flagsLayout(s, dir))
       .cut() // read by the rate aggregate AND the keep filter
     val kept = surv
       .join(broadcast(ratesFrame(surv)), Seq("source"))
@@ -193,7 +193,7 @@ object TrainingShardQueries {
       |ORDER BY source, split""".stripMargin) { (s, dir) =>
     import graft.ops.Checkpoints.CheckpointOps
     val surv = CurationQueries
-      .survivorsFrame(s, dir, CurationQueries.flagsFrame(s, dir))
+      .survivorsFrame(s, dir, CurationQueries.flagsLayout(s, dir))
       .cut()
     val rates = ratesFrame(surv)
     val kept = surv

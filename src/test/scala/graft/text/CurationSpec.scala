@@ -111,6 +111,18 @@ class CurationSpec extends SparkSpec {
       s"planted survivor set drifted: $surv")
   }
 
+  test("the write-once flags layout is bit-equal to a fresh build " +
+      "(the four chain cells and a fresh run are interchangeable)") {
+    val freshDf = CurationQueries.flagsFrame(spark, sf)
+    val cols = freshDf.columns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
+    val fresh = freshDf.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val layout = CurationQueries.flagsLayout(spark, sf)
+      .select(cols: _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(layout == fresh, "flags layout drifted from a fresh build")
+  }
+
   test("materializeCuratedCorpus lands the survivors partitioned by " +
       "source with a reconciling funnel as provenance") {
     val dir = tmpDir("curation-sink")
