@@ -174,7 +174,18 @@ object OrganicGen {
     // reputation graph's 101-page target universe is scale-invariant),
     // √-weighted dedup (rides the labels frame), and the quality loop.
     "domain_reputation", "domain_filter", "dedup_soft_weights",
-    "stream_quality_loop", "domain_quality")
+    "stream_quality_loop", "domain_quality",
+    // r17 additions: the full curation chain + its shard consumers
+    // (flags-layout keyed per dir; min-of-2 prices the WARM serving
+    // read — the build's growth is the sum of its composed singles,
+    // each already growth-pinned above), the measured-depth HNSW pair
+    // (the organic 10x corpus crosses a DEPTH BOUNDARY — 20k vectors
+    // build five layers vs sf0.1's three, stressing the rule itself),
+    // and the three new loops (fresh scratch per attempt — full cost).
+    "corpus_curation_pipeline", "training_shards",
+    "training_shards_accounting", "similarity_graph_search",
+    "graph_search_recall_eval", "stream_ann_loop",
+    "stream_curation_loop", "stream_domain_loop")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once: Double =

@@ -764,4 +764,39 @@ class PlanShapeSpec extends SparkSpec {
       assert(countOf(plan, "Exchange") <= 3, s"$q plan grew:\n$plan")
     }
   }
+
+  test("cdc_view_distinct_hll: mergeable sketch partials — no join " +
+      "wider than the group-keyed union merge, both partials " +
+      "map-side combined") {
+    val plan = planOf("cdc_view_distinct_hll")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"the sketch form merges by UNION + re-aggregate, never a join:\n$plan")
+    assert(plan.contains("partial_hll_sketch_agg") ||
+      plan.contains("partial_hllsketchagg") ||
+      plan.toLowerCase.contains("hll"),
+      s"sketch partials must combine map-side:\n$plan")
+  }
+
+  test("training_shards: rates and totals broadcast; the only wide " +
+      "machinery is the curation chain, the billing key join, and " +
+      "the packer's range exchange") {
+    val plan = planOf("training_shards")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // The mixture math joins through BROADCASTS (source-cardinality
+    // rates, 1-row totals) — a shuffled join on source would put the
+    // whole corpus through a low-cardinality key at 100 TB.
+    assert(countOf(plan, "BroadcastExchange") >= 2,
+      s"rates + totals must broadcast:\n$plan")
+    // The packer's range sort is the declared distributed prefix-sum
+    // shape — no per-split single-task window may appear.
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"),
+      s"the packer's range exchange must survive:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition funnel in the shard manifest:\n$plan")
+  }
 }
