@@ -21,7 +21,7 @@ import graft.util.{Det, Hashes}
   *      `corpus_curation_accounting`).
   *   2. MIXTURE — `mixture_temperature`'s α=1/2 resampling turned into
   *      a deterministic PER-DOC keep decision: per source,
-  *      w = isqrt(curated_tokens·10^6); the token budget (half the
+  *      w = floor(1000·√curated_tokens); the token budget (half the
   *      curated corpus — `mixture_plan`'s declared budget rule) is
   *      allocated ∝ w; rate_e6 = min(10^6, target·10^6/tokens); a doc
   *      is kept iff tokHash(source:doc_id) mod 10^6 < rate_e6 (the
@@ -62,12 +62,20 @@ object TrainingShardQueries {
 
   /** Per-source mixture rates off the curated survivor bill:
     * (source, curated_docs, curated_tokens, rate_e6). Source-
-    * cardinality metadata; the total is a 1-row broadcast. */
+    * cardinality metadata; the total is a 1-row broadcast.
+    *
+    * Overflow posture: w = floor(1000·√tokens) is computed by
+    * [[Det.isqrtScaled1000]] WITHOUT materializing tokens·10^6 (which
+    * would overflow int64 at ~9.2e12 tokens in one source — plausible
+    * at 100 TB). The remaining products ((tot÷2)·w and target·10^6)
+    * stay within int64 until the CORPUS total approaches ~10^19
+    * tokens (~400 PB of text); past that they fail LOUD — ANSI mode is
+    * on and DuckDB checks overflow — never wrap. */
   private[text] def ratesFrame(surv: DataFrame): DataFrame = {
     val per = surv.groupBy(col("source"))
       .agg(count(lit(1)).as("curated_docs"),
         sum(col("tk")).as("curated_tokens"))
-      .withColumn("w", Det.isqrt(col("curated_tokens") * 1000000L))
+      .withColumn("w", Det.isqrtScaled1000(col("curated_tokens")))
     val tot = per.agg(sum(col("curated_tokens")).as("tot_tokens"),
       sum(col("w")).as("tot_w"))
     per.crossJoin(broadcast(tot))
@@ -82,7 +90,7 @@ object TrainingShardQueries {
     * `rates`, `kept` (hash-gated survivors with their split
     * representative), `bill` (BPE-billed, split-assigned). */
   private def sqlShardCtes: String = {
-    val w = Det.sqlIsqrt("curated_tokens * 1000000")
+    val w = Det.sqlIsqrtScaled1000("curated_tokens")
     val bpe = Bpe.sqlCountFromMerged(s"(${Bpe.sqlMergedSymbols("d.text")})")
     val gate = Hashes.sqlTokHash(
       "s.source || ':' || CAST(s.doc_id AS VARCHAR)")
@@ -121,7 +129,7 @@ object TrainingShardQueries {
   /** The Spark bill frame: kept survivors with (doc_id, source, tk,
     * n_tokens BPE, split). Lineage-cut survivors feed both the rate
     * aggregate and the keep filter. */
-  private[text] def billFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def billFrame(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Checkpoints.CheckpointOps
     val t = Tables(s, dir)
     val surv = CurationQueries

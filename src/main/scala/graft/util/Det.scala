@@ -73,4 +73,45 @@ object Det {
       s"WHEN ($s0 + 1) * ($s0 + 1) <= ($expr) THEN $s0 + 1 " +
       s"ELSE $s0 END)"
   }
+
+  /** EXACT floor(1000·√x) for a non-negative int64 column — the value
+    * `isqrt(x * 1000000)` WITHOUT ever materializing `x·10^6`, which
+    * overflows int64 (loudly, under ANSI) once x exceeds ~9.2e12 —
+    * plausible for a single source's token count at the 100 TB
+    * posture. The double seed s0 = floor(1000·sqrt(x)) is within ±1 of
+    * the truth for every int64 x (x ≤ 2^63 is representable to ≤2^10
+    * ulp; sqrt halves the relative error; ×1000 is exact in double up
+    * to 2^53), and the fixup comparison s² ≤ 10^6·x is evaluated
+    * overflow-free by the split s = 1000q + r:
+    *   s² ≤ 10^6·x  ⟺  10^6·(x − q²) ≥ 2000·q·r + r²
+    * where |x − q²| ≤ 2q+2 keeps every product ≤ ~6e15. */
+  def isqrtScaled1000(c: Column): Column = {
+    def le(s: Column): Column = {
+      // Integral s DIV 1000 via double divide + truncate: exact for
+      // non-negative s < 2^53 (the quotient's rounding error ~5e-10
+      // never crosses an integer boundary for an integer-valued s).
+      val q = (s / lit(1000L)).cast("long")
+      val r = s - q * 1000L
+      lit(1000000L) * (c - q * q) >= lit(2000L) * q * r + r * r
+    }
+    val s0 = floor(lit(1000.0) * sqrt(c.cast("double"))).cast("long")
+    when(!le(s0), s0 - 1L)
+      .when(le(s0 + 1L), s0 + 1L)
+      .otherwise(s0)
+  }
+
+  /** DuckDB-dialect SQL fragment mirroring [[isqrtScaled1000]] (`//`
+    * and `%` are DuckDB integral div/mod — truncating toward zero,
+    * matching the Scala form on the non-negative domain). `expr` must
+    * be a simple column reference (it is repeated). */
+  def sqlIsqrtScaled1000(expr: String): String = {
+    val s0 = s"CAST(floor(1000.0 * sqrt(CAST(($expr) AS DOUBLE))) AS BIGINT)"
+    def le(s: String): String =
+      s"(1000000 * (($expr) - (($s) // 1000) * (($s) // 1000)) >= " +
+        s"2000 * (($s) // 1000) * (($s) % 1000) + " +
+        s"(($s) % 1000) * (($s) % 1000))"
+    s"(CASE WHEN NOT ${le(s0)} THEN $s0 - 1 " +
+      s"WHEN ${le(s"($s0 + 1)")} THEN $s0 + 1 " +
+      s"ELSE $s0 END)"
+  }
 }

@@ -784,15 +784,26 @@ class PlanShapeSpec extends SparkSpec {
   test("training_shards: rates and totals broadcast; the only wide " +
       "machinery is the curation chain, the billing key join, and " +
       "the packer's range exchange") {
-    val plan = planOf("training_shards")
-    assert(!plan.contains("CartesianProduct"), plan)
+    // The manifest frame lineage-cuts `bill` (packer input AND source
+    // join), so its executed plan starts at the cut — the mixture
+    // broadcasts must be asserted on the PRE-cut bill plan.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val billPlan =
+      try graft.text.TrainingShardQueries.billFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(!billPlan.contains("CartesianProduct"), billPlan)
     // The mixture math joins through BROADCASTS (source-cardinality
     // rates, 1-row totals) — a shuffled join on source would put the
     // whole corpus through a low-cardinality key at 100 TB.
-    assert(countOf(plan, "BroadcastExchange") >= 2,
-      s"rates + totals must broadcast:\n$plan")
+    assert(countOf(billPlan, "BroadcastExchange") >= 2,
+      s"rates + totals must broadcast:\n$billPlan")
     // The packer's range sort is the declared distributed prefix-sum
-    // shape — no per-split single-task window may appear.
+    // shape — no per-split single-task window may appear in the
+    // manifest-level plan.
+    val plan = planOf("training_shards")
+    assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("rangepartitioning") ||
       plan.contains("RangePartitioning"),
       s"the packer's range exchange must survive:\n$plan")

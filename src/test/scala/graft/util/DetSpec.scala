@@ -30,6 +30,33 @@ class DetSpec extends SparkSpec {
     }
   }
 
+  test("isqrtScaled1000 == isqrt(x*1e6) below the old overflow ceiling, " +
+      "and exact floor(1000*sqrt(x)) beyond it (BigInt ground truth)") {
+    import spark.implicits._
+    // Sweep: boundary-heavy small values, squares±1, and large values
+    // past the old x*1e6 int64 ceiling (~9.2e12) where only the new
+    // form can run at all.
+    val small = (0L to 2000L) ++
+      (1L to 2000L).flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+    val big = Seq(9223372036854L, 9223372036855L, 1000000000000000L,
+      (1L << 62) - 1, (1L << 62), Long.MaxValue - 1, Long.MaxValue) ++
+      (1L to 50L).map(i => Long.MaxValue / 7 * 3 / (i * i))
+    val xs = (small ++ big).distinct.toDF("x")
+    val got = xs
+      .select(col("x"), Det.isqrtScaled1000(col("x")).as("s"),
+        when(col("x") <= lit(9000000000000L),
+          Det.isqrt(col("x") * 1000000L)).as("old"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getLong(0)
+      val s = r.getLong(1)
+      val truth = BigInt(x).*(1000000).bigInteger.sqrt().longValueExact()
+      assert(s == truth, s"isqrtScaled1000($x) = $s, want $truth")
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) == s, s"old/new disagree at $x")
+    }
+  }
+
   test("plain double sum IS partition-order sensitive on this data (the motivation)") {
     val li = Tables(spark, sf).lineitem
       .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("x"))
