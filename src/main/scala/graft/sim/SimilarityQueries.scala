@@ -1718,7 +1718,12 @@ object SimilarityQueries {
       "graft_navgraph_" + graft.util.Digests.short(
         s"$sfDir:r$GsDescentRounds:d$GsDegree:t$NearDupTables:" +
           s"p$DefaultPlanes:c$MaxBucketPairVecs:" +
-          s"b$GsLayerBranch:k$GsTopCap:ap1h3:g$GsGreedyHops")).toString
+          s"b$GsLayerBranch:k$GsTopCap:ap1h3:g$GsGreedyHops" +
+          // The corpus stamp: an embeddings table rewritten IN PLACE
+          // must rebuild the graph, never serve the old corpus's
+          // neighbors (the BPE-memo contract, r17 verdict item 2).
+          s":s${graft.util.Layouts.tableStamp(sfDir, "embeddings")}"))
+      .toString
 
   /** The navigable graph as a WRITE-ONCE layout (the honest HNSW cost
     * model — an ANN index is built once and amortized over every
@@ -1728,15 +1733,10 @@ object SimilarityQueries {
     * read it. The build is deterministic, so layout and fresh build
     * are interchangeable — the DuckDB oracle rebuilds the same graph
     * relationally every run and still hash-matches. */
-  private def navigableGraph(t: Tables): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(navGraphDir(t.sfDir))
-    val fs = root.getFileSystem(t.spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+  private def navigableGraph(t: Tables): DataFrame =
+    graft.util.Layouts.writeOnce(t.spark, navGraphDir(t.sfDir)) {
       layeredGraphFrame(t).repartition(8, col("vec_id"))
-        .write.mode("overwrite").parquet(root.toString)
     }
-    t.spark.read.parquet(root.toString)
-  }
 
   /** GRAPH-TRAVERSAL ANN — HIERARCHICAL navigable-graph search (HNSW,
     * Malkov & Yashunin 2018, in full layered form since round 16).

@@ -164,6 +164,33 @@ object IncrementalDomain {
     val next = SnapshotTable.maxCommittedBatch(spark, mapsDir) + 1
     require(batchId <= next,
       s"epoch gap: batch $batchId after high-water mark ${next - 1}")
+    // Same ledger discipline as processBatch (ADVICE r17): a crash
+    // between the maps and mins appends must be REPLAYED, never skipped
+    // — without the lockstep check a resume at batchId+1 would pass the
+    // maps gate and land on mins across the hole, silently losing the
+    // crashed epoch's tombstones (the retracted holder stays canonical).
+    val minsNext = SnapshotTable.maxCommittedBatch(spark, minsDir) + 1
+    require(minsNext == next || minsNext == next - 1,
+      s"maps/mins ledgers out of lockstep: maps high-water ${next - 1}, " +
+        s"mins high-water ${minsNext - 1} — the pair must only ever be " +
+        "advanced through processBatch/processRetractions")
+    require(batchId <= minsNext,
+      s"epoch gap on the mins ledger: batch $batchId after mins " +
+        s"high-water mark ${minsNext - 1} — replay epoch $minsNext first")
+    // Schema gate (ADVICE r17): SnapshotTable.read pins the schema from
+    // the manifest head file's footer, so appending 'retract'-bearing
+    // rows to a mins table whose standing files predate the retract
+    // column would SILENTLY DROP the column on read — every tombstone
+    // row would then fold as a live argmin row, reinforcing the
+    // retracted holder. Refuse loudly; the one-time migration is a
+    // replaceBatch restage of the standing mins with retract = 0.
+    if (SnapshotTable.currentSnapshot(spark, minsDir).isDefined)
+      require(SnapshotTable.read(spark, minsDir).columns.contains("retract"),
+        s"$minsDir holds a pre-retraction mins layout (no 'retract' " +
+          "column in the standing footer schema): restage it once with " +
+          "retract = 0 (SnapshotTable.replaceBatch) before landing " +
+          "retraction epochs — appending now would silently drop the " +
+          "tombstones on read.")
     if (retracted.isEmpty) return
     import graft.ops.Checkpoints.CheckpointOps
     val extR = DomainQueries.extractedDocs(retracted)

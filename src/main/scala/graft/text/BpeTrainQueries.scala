@@ -158,16 +158,12 @@ object BpeTrain {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), Seq[Learned]]()
 
   /** Cheap corpus fingerprint: the documents table's file listing
-    * (name, byte length, modification time), order-normalized. */
+    * (name, byte length, modification time), order-normalized.
+    * Hoisted to [[graft.util.Layouts.tableStamp]] in round 18 so the
+    * write-once flags/navgraph layouts key on the same stamp. */
   private[text] def corpusStamp(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(p)) s"$dir#absent"
-    else fs.listStatus(p).toSeq
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(s"$dir#", ";", "")
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.util.Layouts.tableStamp(dir, "documents")
 
   private[text] def trainedMerges(
       s: org.apache.spark.sql.SparkSession, dir: String,

@@ -206,6 +206,13 @@ object CurationQueries {
       (col("pred_lang") === col("lang")).cast("long").as("f_lang"))
   }
 
+  /** (doc_id, canonical_url) only — the cheap narrow projection the
+    * retraction rescan prunes with BEFORE paying the full flag
+    * expressions (LID, HTML twin) on pruned rows. */
+  private[graft] def urlsOf(docs: DataFrame): DataFrame =
+    TextQueries.canonicalUrls(docs, keep = Seq("source"))
+      .select(col("doc_id"), col("canonical_url"))
+
   /** Stage 5's standing per-domain verdict table (reg, f_dom) off a
     * hosted corpus — domain-cardinality metadata (stats + 3-iteration
     * rank against the pinned floors). The batch pipeline computes it
@@ -227,14 +234,22 @@ object CurationQueries {
   /** Version token of the write-once flags layout — bump on ANY
     * change to the stage rules or their expressions, so a stale
     * layout can never serve a changed chain (the navgraph re-key
-    * discipline). */
-  private val FlagsLayoutV = 1
+    * discipline). The key also folds the corpus STAMP (a corpus
+    * rewritten in place must rebuild — the round-14 BPE-memo
+    * contract, extended here per the round-17 verdict) and the
+    * numeric stage floors the chain bakes in. */
+  private val FlagsLayoutV = 2
 
   private def flagsLayoutDir(sfDir: String): String =
     new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       "graft_curation_flags_" + graft.util.Digests.short(
-        s"$sfDir:v$FlagsLayoutV")).toString
+        s"$sfDir:v$FlagsLayoutV" +
+          s":nc${DomainQueries.NonCanonicalFloorE6}" +
+          s":rk${DomainQueries.RankFloorE6}" +
+          s":mt${DomainQueries.MinMeanTokens}" +
+          s":s${graft.util.Layouts.tableStamp(sfDir, "documents")}"))
+      .toString
 
   /** The flags frame as a WRITE-ONCE LAYOUT (the navgraph/IVF cost
     * model — the round-16 verdict named this exact sharing: four
@@ -246,23 +261,27 @@ object CurationQueries {
     * (the chain is deterministic — the DuckDB oracle replays it fresh
     * every run and still hash-matches; CurationSpec pins the frames
     * equal), so consumers are interchangeable. */
-  private[graft] def flagsLayout(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(flagsLayoutDir(dir))
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+  private[graft] def flagsLayout(s: SparkSession, dir: String): DataFrame =
+    graft.util.Layouts.writeOnce(s, flagsLayoutDir(dir)) {
       flagsFrame(s, dir).repartition(8, col("doc_id"))
-        .write.mode("overwrite").parquet(root.toString)
-    s.read.parquet(root.toString)
-  }
+    }
 
   /** Attach stage 5's verdict flag to a frame carrying `source` — the
     * primary-registrable-domain probe against a broadcast verdict
     * table (reg, f_dom). Shared by the batch chain and the streaming
-    * loop so the gate rule cannot fork. */
+    * loop so the gate rule cannot fork. LEFT join with f_dom defaulted
+    * to 0 (ADVICE r17): in the batch chain the verdicts cover every
+    * corpus domain so the default never fires, but the streaming
+    * loop's verdict plane refreshes on its OWN cadence — a doc whose
+    * domain arrived after the last seedVerdicts must FAIL stage 5 and
+    * still count in n0-n4, not silently vanish from the epoch (an
+    * inner join here broke the 'summed partials ≡ batch funnel'
+    * contract whenever the plane lagged the crawl). */
   private[graft] def withDomainFlag(
       fl: DataFrame, dver: DataFrame): DataFrame =
     fl.withColumn("reg", DomainQueries.primaryReg)
-      .join(broadcast(dver), Seq("reg"))
+      .join(broadcast(dver), Seq("reg"), "left")
+      .withColumn("f_dom", coalesce(col("f_dom"), lit(0L)))
       .drop("reg")
 
   /** Final survivors: (doc_id, source, tk, component) — stage-6 output.

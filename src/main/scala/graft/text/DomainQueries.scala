@@ -89,7 +89,7 @@ object DomainQueries {
     * site), as a column over any frame carrying `source` — the per-doc
     * key the curation pipeline joins domain verdicts on (the SQL twin
     * is the `named` CTE's `reg`). */
-  private[text] def primaryReg: Column = {
+  private[graft] def primaryReg: Column = {
     val sn = expr("CAST(substring(source, 4, 8) AS BIGINT)")
     concat(lit("site-"), sn.cast("string"), lit("."),
       when(sn % 3 === 0, "com").when(sn % 3 === 1, "org")

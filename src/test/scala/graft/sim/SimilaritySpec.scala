@@ -185,6 +185,21 @@ class SimilaritySpec extends SparkSpec {
       "graph-build machinery must not survive into the per-query plan")
   }
 
+  test("an embeddings table REWRITTEN in place re-keys the navgraph " +
+      "layout (corpus stamp in the key — r17 verdict item 2)") {
+    val fix = tmpDir("navgraph-restamp")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$fix/embeddings.parquet")
+    val a = SimilarityQueries.navGraphDir(fix)
+    assert(a == SimilarityQueries.navGraphDir(fix),
+      "the key must be stable while the corpus is unchanged")
+    emb.limit(50).write.mode("overwrite")
+      .parquet(s"$fix/embeddings.parquet")
+    val b = SimilarityQueries.navGraphDir(fix)
+    assert(a != b,
+      "an in-place embeddings rewrite must re-key the navgraph layout")
+  }
+
   test("graph search: probe first, beats bucket-only LSH, recall vs exact top-10") {
     val exact10 = SparkEntry.queries("similarity_topk")(spark, sf)
       .collect().take(10).map(_.getAs[Long]("vec_id"))

@@ -164,6 +164,58 @@ class IncrementalDomainSpec extends SparkSpec {
         s"$stats")
   }
 
+  test("a crash between a RETRACTION's maps and mins commits must be " +
+      "replayed: resuming processRetractions at N+1 fails loud on the " +
+      "mins ledger (the processBatch lockstep discipline)") {
+    val dir = tmpDir("idom-retract-lockstep")
+    runLoop(dir)
+    val docs = Tables(spark, sf).documents
+    // Simulate the crash: the retraction's maps partial landed at epoch
+    // 3, the mins append did not.
+    SnapshotTable.appendOnce(
+      SnapshotTable.read(spark, s"$dir/maps")
+        .filter(col("batch_id") === 2L).withColumn("batch_id", lit(3L)),
+      s"$dir/maps", 3L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDomain.processRetractions(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        s"$dir/maps", s"$dir/mins", 4L)
+    }
+    assert(e.getMessage.contains("mins"),
+      s"expected the mins-ledger gap message, got: ${e.getMessage}")
+  }
+
+  test("a pre-retraction mins layout (no 'retract' column in the " +
+      "standing footer schema) is refused loudly by processRetractions " +
+      "— appending would silently drop the tombstones on read") {
+    val dir = tmpDir("idom-legacy-mins")
+    runLoop(dir)
+    // A mins table written by pre-retraction code: same rows, no
+    // 'retract' column in any file footer.
+    val legacy = s"$dir/mins-legacy"
+    for (b <- 0L to 2L)
+      SnapshotTable.appendOnce(
+        SnapshotTable.read(spark, s"$dir/mins")
+          .filter(col("batch_id") === b).drop("retract"),
+        legacy, b)
+    val docs = Tables(spark, sf).documents
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDomain.processRetractions(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        s"$dir/maps", legacy, 3L)
+    }
+    assert(e.getMessage.contains("pre-retraction"),
+      s"expected the legacy-layout refusal, got: ${e.getMessage}")
+    // The insert-only fast path stays open on the legacy layout (its
+    // read branch handles the old schema) — only retractions require
+    // the migration.
+    IncrementalDomain.processBatch(
+      docs.filter(col("doc_id") % 3 === 0), s"$dir/maps", legacy, 3L)
+    assert(SnapshotTable.maxCommittedBatch(spark, legacy) == 3L)
+  }
+
   test("a crash between the maps and mins commits must be replayed: " +
       "resuming at N+1 fails loud on the mins ledger") {
     val dir = tmpDir("idom-lockstep")

@@ -123,6 +123,32 @@ class CurationSpec extends SparkSpec {
     assert(layout == fresh, "flags layout drifted from a fresh build")
   }
 
+  test("a corpus REWRITTEN in place re-keys the flags layout: the " +
+      "write-once artifact follows the corpus stamp, never serves " +
+      "stale flags (the BPE-memo contract, r17 verdict item 2)") {
+    val dir = tmpDir("curation-restamp")
+    plantedCorpus(dir)
+    assert(CurationQueries.flagsLayout(spark, dir).count() == 12L)
+    // Rewrite the SAME path with a smaller corpus — OrganicGen and
+    // ScaleStress do exactly this on a version/scale bump.
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta", "en", "src0"),
+      (2L, "one two three four five six seven", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.Tables.invalidate() // the fixture-rewrite discipline
+    val after = CurationQueries.flagsLayout(spark, dir)
+    assert(after.count() == 2L,
+      "the flags layout served the stale pre-rewrite corpus")
+    // And the re-keyed layout is still bit-equal to a fresh build.
+    val fresh = CurationQueries.flagsFrame(spark, dir)
+    val cols = fresh.columns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
+    assert(after.select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+      .toSeq == fresh.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("materializeCuratedCorpus lands the survivors partitioned by " +
       "source with a reconciling funnel as provenance") {
     val dir = tmpDir("curation-sink")
