@@ -511,6 +511,29 @@ object SnapshotTable {
       maxBatch = Some(ledgerMax(chain)))
   }
 
+  /** ROW-LEVEL maintenance rewrite: publish one snapshot whose data is
+    * exactly `df`, CARRYING THE EPOCH LEDGER forward (unlike
+    * [[overwrite]], which resets it — recycled batch ids would then
+    * silently no-op as replays). The fold-compaction primitive for
+    * mergeable state tables whose read re-derives a fold every call
+    * (the ANN candidate ledger's per-(vertex, generation) top-K): the
+    * caller materializes the fold — provably read-equivalent by ITS
+    * contract, not this one — and this swaps it in atomically. Readers
+    * racing the swap keep their pinned files; a crash leaves the old
+    * head committed. `df` should retain the `batch_id` data column so
+    * [[replaceBatch]]'s folded-layout fallback keeps working. */
+  def rewrite(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val chain = snapshots(spark, tableDir)
+    require(chain.nonEmpty,
+      s"$tableDir has no committed snapshot to rewrite")
+    val fs = fsOf(spark, tableDir)
+    val staged = stage(df, fs, tableDir, "m")
+    val added = stagedRows(spark, tableDir, staged)
+    publish(fs, tableDir, staged, added,
+      maxBatch = Some(ledgerMax(chain)))
+  }
+
   /** Adopt an existing plain parquet directory table (the
     * [[Sinks.appendParquet]] layout) as snapshot 0 — ZERO data
     * movement: the existing files are listed once and published as

