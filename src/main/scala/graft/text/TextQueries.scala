@@ -489,7 +489,7 @@ object TextQueries {
     * any partition count. The DuckDB oracle keeps the windowed SQL form
     * (single-node, where the funnel is irrelevant); both sides describe
     * the same global (split, doc_id) concatenation order. */
-  private[text] val SeqLen = 2048
+  private[graft] val SeqLen = 2048
 
   /** The (doc_id, split, n_tokens) frame both packer forms consume;
     * `nTokens` is the billing column (whitespace estimate for

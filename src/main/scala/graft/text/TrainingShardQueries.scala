@@ -71,7 +71,7 @@ object TrainingShardQueries {
     * stay within int64 until the CORPUS total approaches ~10^19
     * tokens (~400 PB of text); past that they fail LOUD — ANSI mode is
     * on and DuckDB checks overflow — never wrap. */
-  private[text] def ratesFrame(surv: DataFrame): DataFrame = {
+  private[graft] def ratesFrame(surv: DataFrame): DataFrame = {
     val per = surv.groupBy(col("source"))
       .agg(count(lit(1)).as("curated_docs"),
         sum(col("tk")).as("curated_tokens"))
