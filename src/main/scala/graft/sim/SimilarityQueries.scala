@@ -183,14 +183,27 @@ object SimilarityQueries {
     val newSide = newRows.select(col("vec_id").as("new_vec"),
       col("bucket").as("nb"), col("embedding").as("nemb"))
     val bucketKeys = newSide.select(col("nb").as("bucket")).distinct()
-    val corpusRanked = corpusRows
+    val slice = corpusRows
       .join(broadcast(bucketKeys), Seq("bucket"), "left_semi")
-      .select(col("vec_id"), col("bucket"), col("embedding")).distinct()
-      .select(col("vec_id"), col("bucket"), col("embedding"),
+    // Cap-rank on NARROW (vec_id, bucket) keys, payloads re-attached
+    // by a broadcast semi-join (guide-§8 shape: shuffle the proxy,
+    // never the embedding bytes — the old distinct + rank window
+    // shuffled the collision slice's payloads twice per probe). The
+    // key distinct still collapses replayed standing rows before
+    // ranking (at-least-once appends must not consume cap slots);
+    // the ranked key set is ≤ cap × live buckets — broadcast-sized by
+    // construction. A replayed payload row surviving the semi-join
+    // only duplicates a pair, which the final distinct collapses.
+    val rankedKeys = slice
+      .select(col("vec_id"), col("bucket")).distinct()
+      .select(col("vec_id"), col("bucket"),
         row_number().over(
           Window.partitionBy(col("bucket")).orderBy(col("vec_id")))
           .as("rk"))
       .filter(col("rk") <= MaxBucketPairVecs)
+      .select(col("vec_id"), col("bucket"))
+    val corpusRanked = slice
+      .join(broadcast(rankedKeys), Seq("vec_id", "bucket"), "left_semi")
     corpusRanked
       .join(broadcast(newSide), col("bucket") === col("nb"))
       .filter(col("vec_id") =!= col("new_vec"))

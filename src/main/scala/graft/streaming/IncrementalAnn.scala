@@ -67,6 +67,12 @@ object IncrementalAnn {
       s"epoch gap on the candidate ledger: batch $batchId after " +
         s"high-water mark ${next - 1}")
     if (vecs.isEmpty) return
+    // Phase labels (guide §1.5): every job this epoch launches carries
+    // its phase in the UI / listeners, so a slow epoch is attributable
+    // to probe vs descent vs landing without a debugger.
+    def mark(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"ann epoch $batchId: $s")
+    mark("probe")
     val tombs = tombsDir.map(tombstonedIds(spark, _))
     def antiTombs(df: DataFrame, key: String): DataFrame =
       tombs.fold(df)(t => df.join(broadcast(t.withColumnRenamed(
@@ -94,21 +100,26 @@ object IncrementalAnn {
         col("sim_e6"))
       .distinct()
       .withColumn("gen", lit(0L))
-      .cut()
+      .cut(false)
     // Embeddings of every vertex the descent may score — LAZY (no
     // corpus-wide distinct up front): under the ripple gate each round
     // semi-narrows this to its own ripple BEFORE the distinct, so the
     // epoch never shuffles corpus-sized embedding payloads (the r17
-    // verdict's O(standing) touch (a)).
+    // verdict's O(standing) touch (a)). The index stores one row per
+    // (vector, LSH table) with the payload on each; table 0's packed
+    // bucket range (< 2^planes) holds exactly one row per vector, so
+    // filtering to it first cuts the payload bytes any downstream
+    // distinct/shuffle carries by the table count (4×).
     val embAll = (if (index.exists(spark))
       antiTombs(IncrementalDedup.committedBefore(index.read(spark), batchId),
         "vec_id")
+        .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
         .select(col("vec_id"), col("embedding"))
         .unionByName(vecs.select(col("vec_id"), col("embedding")))
     else vecs.select(col("vec_id"), col("embedding")))
     val standing = antiTombs(antiTombs(
       committedCands(spark, candsDir, batchId), "vec_id"), "nbr_id")
-      .cut()
+      .cut(false)
     val batchIds = vecs.select(col("vec_id")).cut(false)
     // MEASURED locality gate (the ScaleGates discipline, free off the
     // manifest's rows= header): the ripple restriction only pays when
@@ -121,6 +132,12 @@ object IncrementalAnn {
     val useRipple = standingRows > batchN * 64L
     val embSmall =
       if (useRipple) None else Some(embAll.distinct().cut(false))
+    // NOTE (r18, measured): running this loop on an AQE-off isolated
+    // session (the componentLabelsOf discipline) was tried and REVERTED
+    // — the loop's joins consume checkpointed leaves whose static stats
+    // are unknown, so without AQE they compile as sort-merge joins
+    // (more exchanges + sorts) instead of the runtime broadcasts AQE
+    // picks; jobs/round fell 40 → 24 but round wall time did not.
     // 2. Local NN-descent: rounds over the CURRENT standing+fresh
     // graph, 2-hop candidates restricted to sources in the affected
     // set (batch + its neighbors), each scored pair landed with its
@@ -141,6 +158,7 @@ object IncrementalAnn {
     // batch-ripple-sized frames.
     var newEdges = probePairs
     for (r <- 1 to SimilarityQueries.GsDescentRounds) {
+      mark(s"descent round $r")
       val all = standing.unionByName(newEdges)
       val sources =
         if (!useRipple) None
@@ -211,12 +229,17 @@ object IncrementalAnn {
         .select(col("vec_id"), col("nbr_id"),
           SimilarityQueries.simE6(col("ea"), col("eb")).as("sim_e6"))
         .withColumn("gen", lit(r.toLong))
-      newEdges = newEdges.unionByName(scored).cut()
+      // Lazy cut: materializes inside the next consumer's job (the
+      // following round's fold, or the landing write) — same lineage
+      // cut, one fewer standalone materialization job per round.
+      newEdges = newEdges.unionByName(scored).cut(false)
     }
     // 3. Land: pairs first, then the index — a crash between replays
     // cleanly (appendOnce no-ops the landed half).
+    mark("land")
     IncrementalDedup.landPairs(newEdges, candsDir, batchId)
     index.append(newRows, batchId)
+    spark.sparkContext.setJobDescription(null)
   }
 
   private def committedCands(
@@ -257,20 +280,35 @@ object IncrementalAnn {
       .select(col("vec_id"), col("nbr_id"), col("sim_e6"), col("gen"))
       .unionByName(base.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id"), col("sim_e6"), col("gen")))
-      .distinct()
     // Restricting to a SOURCE set keeps every kept source's complete
     // out-candidate row set, so its per-(vertex, gen) rank is exactly
     // the unrestricted one — the batch-ripple locality the epoch step
     // exploits.
     val scoped = sources.fold(directed)(s =>
       directed.join(broadcast(s), Seq("vec_id"), "left_semi"))
+    // ONE exchange for the whole fold (was three: a row distinct, the
+    // (vec_id, gen) rank window, and a final edge distinct — each a
+    // full shuffle of the standing-sized candidate table, paid every
+    // descent round): group by vertex and run the per-generation
+    // top-K inside array expressions. collect_set dedupes replayed
+    // rows (the old distinct); array_sort on struct(gen, -sim, nbr)
+    // IS the rank order (sim desc, nbr asc) per generation; the final
+    // array_distinct is the old global edge distinct, exact because
+    // the edge key (vec_id, nbr_id) is grouped by vec_id. Per-vertex
+    // candidate sets are cap-bounded (bucket cap × tables + degree²
+    // per generation), so the aggregation buffer is O(K·gens), never
+    // corpus-sized.
     scoped
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("gen"))
-          .orderBy(col("sim_e6").desc, col("nbr_id"))))
-      .filter(col("rnk") <= SimilarityQueries.GsDegree)
-      .select(col("vec_id"), col("nbr_id"))
-      .distinct()
+      .groupBy(col("vec_id"))
+      .agg(collect_set(struct(col("gen"), (-col("sim_e6")).as("ns"),
+        col("nbr_id"))).as("cs"))
+      .select(col("vec_id"), explode(expr(
+        s"""array_distinct(flatten(transform(
+           |  array_distinct(transform(cs, x -> x.gen)),
+           |  g -> transform(
+           |    slice(array_sort(filter(cs, x -> x.gen = g)),
+           |          1, ${SimilarityQueries.GsDegree}),
+           |    y -> y.nbr_id))))""".stripMargin)).as("nbr_id"))
   }
 
   /** Tombstoned vec_ids (empty frame when the ledger has no commit).
@@ -346,6 +384,7 @@ object IncrementalAnn {
         Seq("vec_id", "nbr_id"), "left_anti")
       .cut(false)
     val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
+      .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
       .select(col("vec_id"), col("embedding"))
     val embA = embAll.join(
       broadcast(repair.select(col("vec_id")).distinct()),
@@ -430,6 +469,7 @@ object IncrementalAnn {
       spark: SparkSession, indexDir: String, candsDir: String,
       tombsDir: Option[String] = None): DataFrame = {
     val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
+      .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
       .select(col("vec_id"), col("embedding"))
     val emb = tombsDir
       .map(d => embAll.join(
