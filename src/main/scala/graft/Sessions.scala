@@ -36,6 +36,21 @@ object Sessions {
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE partition coalescing stays at the STOCK posture
+      // (parallelismFirst=true, advisory 64 MB) — deliberately, and
+      // re-measured this round (r19, guide §1.1 both directions).
+      // parallelismFirst=false ("respect the advisory size", the
+      // documented busy-cluster posture) was tried at advisory 8 MB
+      // and 64 MB: matched-host BenchOne showed the streaming-loop
+      // cells UNCHANGED (their sub-MB shuffles already coalesce to one
+      // task under the stock 1 MB minPartitionSize floor) while the
+      // CPU-dense small-byte cells paid real serialization —
+      // basket_affinity 1.75 → 2.8 s, unpivot_long 2.1 → 3.2 s at
+      // 64 MB (pair explosion / 240k-row sort collapsed to one task
+      // whose per-row cost, not bytes, wants the cores). At cluster
+      // scale the two postures converge (total/parallelism exceeds
+      // the advisory long before 100 TB), so false buys nothing there
+      // either. Full numbers in OPTIMIZATION_r19.md.
       // Snapshot tables are read as manifest-listed EXACT file paths;
       // above 32 paths the default would launch a parallel-listing JOB
       // per read — pure scheduling overhead on a local fs where a

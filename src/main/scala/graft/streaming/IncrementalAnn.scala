@@ -66,12 +66,24 @@ object IncrementalAnn {
     require(batchId <= next,
       s"epoch gap on the candidate ledger: batch $batchId after " +
         s"high-water mark ${next - 1}")
-    if (vecs.isEmpty) return
+    // One action covers both the empty-batch shortcut and the ripple
+    // gate's batch size (was an isEmpty job PLUS a count job per
+    // epoch — guide §1.2, don't pay two passes for one fact).
+    val batchN = vecs.count()
+    if (batchN == 0L) return
     // Phase labels (guide §1.5): every job this epoch launches carries
     // its phase in the UI / listeners, so a slow epoch is attributable
-    // to probe vs descent vs landing without a debugger.
+    // to probe vs descent vs landing without a debugger. ATTRIBUTION
+    // SKEW, documented (r18 ADVICE): the lazy cuts mean a phase's
+    // deferred tail (the final result stage of its last cut) runs
+    // inside the NEXT consumer's first job — AQE still materializes
+    // each cut's shuffle/broadcast stages under the label that built
+    // them, so per-phase job totals are right to within one stage.
+    // try/finally below keeps an epoch failure from leaking the label
+    // onto the caller's unrelated jobs.
     def mark(s: String): Unit =
       spark.sparkContext.setJobDescription(s"ann epoch $batchId: $s")
+    try {
     mark("probe")
     val tombs = tombsDir.map(tombstonedIds(spark, _))
     def antiTombs(df: DataFrame, key: String): DataFrame =
@@ -111,10 +123,9 @@ object IncrementalAnn {
     // filtering to it first cuts the payload bytes any downstream
     // distinct/shuffle carries by the table count (4×).
     val embAll = (if (index.exists(spark))
-      antiTombs(IncrementalDedup.committedBefore(index.read(spark), batchId),
-        "vec_id")
-        .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
-        .select(col("vec_id"), col("embedding"))
+      table0Embeddings(antiTombs(
+        IncrementalDedup.committedBefore(index.read(spark), batchId),
+        "vec_id"))
         .unionByName(vecs.select(col("vec_id"), col("embedding")))
     else vecs.select(col("vec_id"), col("embedding")))
     val standing = antiTombs(antiTombs(
@@ -128,7 +139,6 @@ object IncrementalAnn {
     // than computing the ripple, and both are exact.
     val standingRows = graft.etl.SnapshotTable
       .currentSnapshot(spark, candsDir).map(_.rows).getOrElse(0L)
-    val batchN = vecs.count()
     val useRipple = standingRows > batchN * 64L
     val embSmall =
       if (useRipple) None else Some(embAll.distinct().cut(false))
@@ -163,16 +173,23 @@ object IncrementalAnn {
       val sources =
         if (!useRipple) None
         else {
+          // 3-hop ripple in ONE materialization (r19: was a cut plus
+          // TWO broadcast probes per hop — nine-plus scheduling-floor
+          // jobs per round for metadata-sized frontiers). One directed
+          // adjacency covers both edge orientations, so each hop is a
+          // single frontier semi-probe; the hops stay inside one plan
+          // (exchange reuse dedupes the repeated frontier subtrees)
+          // and cut once at the end. Same fixpoint: neighbors-of-
+          // frontier along directed rows ≡ out ∪ in along undirected.
+          val allDir = all.select(col("vec_id"), col("nbr_id"))
+            .unionByName(all.select(col("nbr_id").as("vec_id"),
+              col("vec_id").as("nbr_id")))
           var ripple = batchIds
           for (_ <- 1 to 3) {
-            val f = broadcast(ripple)
-            val out = all.join(f, Seq("vec_id"), "left_semi")
+            val nxt = allDir
+              .join(broadcast(ripple), Seq("vec_id"), "left_semi")
               .select(col("nbr_id").as("vec_id"))
-            val in = all.join(f.withColumnRenamed("vec_id", "nbr_id"),
-              Seq("nbr_id"), "left_semi")
-              .select(col("vec_id"))
-            ripple = ripple.unionByName(out).unionByName(in).distinct()
-              .cut(false)
+            ripple = ripple.unionByName(nxt).distinct().cut(false)
           }
           Some(ripple)
         }
@@ -203,21 +220,26 @@ object IncrementalAnn {
           Seq("vec_id", "nbr_id"), "left_anti")
       // Embedding sides keyed on the hop-2 PAIR ENDPOINTS (not the
       // ripple — a pair's far endpoint can sit one hop beyond it):
-      // two broadcast semi-probes of the lazy embedding union, each
-      // distinct'd only AFTER the narrowing, so the epoch's embedding
-      // shuffles are hop2-endpoint-sized, never corpus-sized.
+      // one broadcast semi-probe of the lazy embedding union over the
+      // UNION of both endpoint key sets, distinct'd only AFTER the
+      // narrowing, so the epoch's embedding shuffles are
+      // hop2-endpoint-sized, never corpus-sized.
       val scored = (sources match {
         case Some(_) =>
           val h = hop2.cut(false)
-          val embA = embAll.join(
-            broadcast(h.select(col("vec_id")).distinct()),
-            Seq("vec_id"), "left_semi").distinct()
-          val embB = embAll.join(
-            broadcast(h.select(col("nbr_id").as("vec_id")).distinct()),
-            Seq("vec_id"), "left_semi").distinct()
-          h.join(embA.select(col("vec_id"), col("embedding").as("ea")),
+          // ONE key set and ONE semi-probe of the standing embedding
+          // union for both pair endpoints (r19: was two probes — two
+          // full table-0 scans per round; the union of both endpoint
+          // key sets narrows each join side just as exactly, and the
+          // single probed frame is reused by both payload joins).
+          val keys = h.select(col("vec_id"))
+            .unionByName(h.select(col("nbr_id").as("vec_id")))
+            .distinct()
+          val embH = embAll.join(broadcast(keys), Seq("vec_id"),
+            "left_semi").distinct()
+          h.join(embH.select(col("vec_id"), col("embedding").as("ea")),
             Seq("vec_id"))
-            .join(embB.select(col("vec_id").as("nbr_id"),
+            .join(embH.select(col("vec_id").as("nbr_id"),
               col("embedding").as("eb")), Seq("nbr_id"))
         case None =>
           val emb = embSmall.get
@@ -239,8 +261,24 @@ object IncrementalAnn {
     mark("land")
     IncrementalDedup.landPairs(newEdges, candsDir, batchId)
     index.append(newRows, batchId)
-    spark.sparkContext.setJobDescription(null)
+    } finally spark.sparkContext.setJobDescription(null)
   }
+
+  /** One embedding row per vector off the standing index: the index
+    * stores one row per (vector, LSH table) with the payload on each,
+    * and table 0's packed bucket range (< 2^planes) holds exactly one
+    * row per vector. CONTRACT (r18 ADVICE, centralized here from three
+    * inline copies): this module's indexes are built by
+    * [[SimilarityQueries.multiBucketRowsOf]] at
+    * [[SimilarityQueries.DefaultPlanes]] — an index built with a
+    * corpus-scaled plane count (planesFor) would put table-0 buckets
+    * past this cutoff and silently drop vectors, so a scaled deployment
+    * must widen the cutoff together with the builder (one constant,
+    * one place). */
+  private def table0Embeddings(index: DataFrame): DataFrame =
+    index
+      .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
+      .select(col("vec_id"), col("embedding"))
 
   private def committedCands(
       spark: SparkSession, candsDir: String, batchId: Long): DataFrame =
@@ -284,31 +322,61 @@ object IncrementalAnn {
     // out-candidate row set, so its per-(vertex, gen) rank is exactly
     // the unrestricted one — the batch-ripple locality the epoch step
     // exploits.
-    val scoped = sources.fold(directed)(s =>
-      directed.join(broadcast(s), Seq("vec_id"), "left_semi"))
-    // ONE exchange for the whole fold (was three: a row distinct, the
-    // (vec_id, gen) rank window, and a final edge distinct — each a
-    // full shuffle of the standing-sized candidate table, paid every
-    // descent round): group by vertex and run the per-generation
-    // top-K inside array expressions. collect_set dedupes replayed
-    // rows (the old distinct); array_sort on struct(gen, -sim, nbr)
-    // IS the rank order (sim desc, nbr asc) per generation; the final
-    // array_distinct is the old global edge distinct, exact because
-    // the edge key (vec_id, nbr_id) is grouped by vec_id. Per-vertex
-    // candidate sets are cap-bounded (bucket cap × tables + degree²
-    // per generation), so the aggregation buffer is O(K·gens), never
-    // corpus-sized.
-    scoped
-      .groupBy(col("vec_id"))
-      .agg(collect_set(struct(col("gen"), (-col("sim_e6")).as("ns"),
-        col("nbr_id"))).as("cs"))
-      .select(col("vec_id"), explode(expr(
-        s"""array_distinct(flatten(transform(
-           |  array_distinct(transform(cs, x -> x.gen)),
-           |  g -> transform(
-           |    slice(array_sort(filter(cs, x -> x.gen = g)),
-           |          1, ${SimilarityQueries.GsDegree}),
-           |    y -> y.nbr_id))))""".stripMargin)).as("nbr_id"))
+    sources match {
+      case Some(s) =>
+        // Scoped (per-epoch descent / retraction rescan): ONE exchange
+        // for the whole fold (was three: a row distinct, the
+        // (vec_id, gen) rank window, and a final edge distinct — each
+        // a full shuffle, paid every descent round): group by vertex
+        // and run the per-generation top-K inside array expressions.
+        // collect_set dedupes replayed rows (the old distinct);
+        // array_sort on struct(gen, -sim, nbr) IS the rank order
+        // (sim desc, nbr asc) per generation; the final array_distinct
+        // is the old global edge distinct, exact because the edge key
+        // (vec_id, nbr_id) is grouped by vec_id. Buffer bound (r18
+        // ADVICE, corrected): gen is a round ordinal, so a vertex's
+        // per-(vec_id, gen) candidates accumulate ACROSS epochs —
+        // O(K·gens·epochs-since-compaction), re-bounded by
+        // [[maintainCandidates]] on the maintenance cadence; the
+        // ripple scope additionally bounds the grouped row count to
+        // the batch's 3-hop neighborhood. The UNSCOPED standing read
+        // does not get this in-memory fold at all (below).
+        directed.join(broadcast(s), Seq("vec_id"), "left_semi")
+          .groupBy(col("vec_id"))
+          .agg(collect_set(struct(col("gen"), (-col("sim_e6")).as("ns"),
+            col("nbr_id"))).as("cs"))
+          .select(col("vec_id"), explode(expr(
+            s"""array_distinct(flatten(transform(
+               |  array_distinct(transform(cs, x -> x.gen)),
+               |  g -> transform(
+               |    slice(array_sort(filter(cs, x -> x.gen = g)),
+               |          1, ${SimilarityQueries.GsDegree}),
+               |    y -> y.nbr_id))))""".stripMargin)).as("nbr_id"))
+      case None =>
+        // Unscoped (the standing layer-0 read over EVERY generation
+        // ever landed): the collect_set fold would hold each vertex's
+        // full cross-epoch candidate set in one aggregation buffer
+        // with no per-group spill — a hub vertex between compactions
+        // can OOM an executor (r18 ADVICE, medium). The rank window
+        // spills through the external sort, so the corpus-wide fold
+        // stays disk-safe; same output by construction (dedup on the
+        // full row ≡ collect_set's set semantics, the window's
+        // (sim desc, nbr asc) order ≡ the array_sort slice order).
+        // Bonus (plans/r19): Spark 4 plans the rnk<=K filter as a
+        // WindowGroupLimit BELOW the window exchange too, so each map
+        // task ships at most K rows per (vec_id, gen) — the fold's
+        // shuffle is top-K-bounded where the old ObjectHashAggregate
+        // (collect_set is off-codegen object agg) shuffled every
+        // deduped candidate row into one buffer.
+        directed
+          .dropDuplicates("vec_id", "nbr_id", "sim_e6", "gen")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("vec_id"), col("gen"))
+              .orderBy(col("sim_e6").desc, col("nbr_id"))))
+          .filter(col("rnk") <= SimilarityQueries.GsDegree)
+          .select(col("vec_id"), col("nbr_id"))
+          .dropDuplicates("vec_id", "nbr_id")
+    }
   }
 
   /** Tombstoned vec_ids (empty frame when the ledger has no commit).
@@ -383,19 +451,19 @@ object IncrementalAnn {
         .select("vec_id", "nbr_id"),
         Seq("vec_id", "nbr_id"), "left_anti")
       .cut(false)
-    val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
-      .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
-      .select(col("vec_id"), col("embedding"))
-    val embA = embAll.join(
-      broadcast(repair.select(col("vec_id")).distinct()),
-      Seq("vec_id"), "left_semi").distinct()
-    val embB = embAll.join(
-      broadcast(repair.select(col("nbr_id").as("vec_id")).distinct()),
-      Seq("vec_id"), "left_semi").distinct()
+    val embAll =
+      table0Embeddings(graft.etl.SnapshotTable.read(spark, indexDir))
+    // One key set / one semi-probe for both endpoints (the descent's
+    // r19 shape): halves the table-0 scans of the repair scoring.
+    val keys = repair.select(col("vec_id"))
+      .unionByName(repair.select(col("nbr_id").as("vec_id")))
+      .distinct()
+    val embR = embAll.join(broadcast(keys), Seq("vec_id"), "left_semi")
+      .distinct()
     val scored = repair
-      .join(embA.select(col("vec_id"), col("embedding").as("ea")),
+      .join(embR.select(col("vec_id"), col("embedding").as("ea")),
         Seq("vec_id"))
-      .join(embB.select(col("vec_id").as("nbr_id"),
+      .join(embR.select(col("vec_id").as("nbr_id"),
         col("embedding").as("eb")), Seq("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         SimilarityQueries.simE6(col("ea"), col("eb")).as("sim_e6"))
@@ -468,9 +536,8 @@ object IncrementalAnn {
   def standingLayered(
       spark: SparkSession, indexDir: String, candsDir: String,
       tombsDir: Option[String] = None): DataFrame = {
-    val embAll = graft.etl.SnapshotTable.read(spark, indexDir)
-      .filter(col("bucket") < (1L << SimilarityQueries.DefaultPlanes))
-      .select(col("vec_id"), col("embedding"))
+    val embAll =
+      table0Embeddings(graft.etl.SnapshotTable.read(spark, indexDir))
     val emb = tombsDir
       .map(d => embAll.join(
         broadcast(tombstonedIds(spark, d)), Seq("vec_id"), "left_anti"))

@@ -80,7 +80,15 @@ object IncrementalCuration {
     require(batchId <= nexts.min,
       s"epoch gap: batch $batchId after high-water mark ${nexts.min - 1}")
     if (docs.isEmpty) return
-    val nf = CurationQueries.narrowFlags(docs).cut()
+    // Phase labels (guide §1.5) + lazy cuts (r19): the narrow-flags
+    // pass is the epoch's one corpus-scale scan — cutting it lazily
+    // materializes it inside its first consumer instead of a
+    // standalone job (same single pass, one fewer job launch).
+    def mark(s: String): Unit = spark.sparkContext
+      .setJobDescription(s"curation epoch $batchId: $s")
+    try {
+    mark("gates")
+    val nf = CurationQueries.narrowFlags(docs).cut(false)
     // Stage 1: first-seen-wins against the standing URL table, min-doc
     // within the batch (≡ the batch pipeline's global min-doc window
     // under the monotone-id contract).
@@ -116,9 +124,10 @@ object IncrementalCuration {
       .select(col("reg"), col("f_dom"))
     val fl = CurationQueries
       .withDomainFlag(withUrl.join(qual, Seq("doc_id")), dver)
-      .cut()
+      .cut(false)
     // Land: URL mins, stage-5 survivors, funnel partial — all
     // batch-stamped appendOnce commits (replays no-op).
+    mark("land")
     SnapshotTable.appendOnce(
       batchMin.withColumn("batch_id", lit(batchId)),
       urlsDir, batchId): Unit
@@ -139,6 +148,7 @@ object IncrementalCuration {
     SnapshotTable.appendOnce(
       partial.withColumn("batch_id", lit(batchId)),
       funnelDir, batchId): Unit
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   /** Doc tombstones landed so far (empty frame when none). */

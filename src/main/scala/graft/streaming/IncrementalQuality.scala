@@ -149,8 +149,12 @@ object IncrementalQuality {
         s"high-water mark ${scoresNext - 1} — replay epoch $scoresNext " +
         "first (its counts partial already landed; appendOnce skips it " +
         "and only the missing scores commit runs)")
+    // Lazy cut (r19): the per-(doc, bucket) collapse is the epoch's
+    // one corpus-scale pass; materializing it inside the counts-append
+    // job (its first consumer) drops the standalone cut job while the
+    // scoring side still reuses the persisted blocks.
     val db = QualityQueries
-      .docBucketCounts(QualityQueries.labeledDocs(docs)).cut()
+      .docBucketCounts(QualityQueries.labeledDocs(docs)).cut(false)
     val docRows = docRowsOf(db).cut(false)
     SnapshotTable.appendOnce(
       countPartial(db, docRows).withColumn("batch_id", lit(batchId)),

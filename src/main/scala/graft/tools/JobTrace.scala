@@ -20,20 +20,24 @@ object JobTrace {
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val desc = Option(e.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
-          val frames = desc.getOrElse {
-            val lines = e.stageInfos.headOption.map(_.details)
-              .getOrElse("").linesIterator.toSeq
-            val graftFrames = lines.filter(_.contains("graft."))
+          val lines = e.stageInfos.headOption.map(_.details)
+            .getOrElse("").linesIterator.toSeq
+          val graftFrames = lines.filter(_.contains("graft."))
+          val site =
             if (graftFrames.nonEmpty) graftFrames.take(2).mkString(" <- ")
             else lines.take(2).mkString(" <- ")
-          }
+          val frames = desc.fold(site)(d => s"$d || $site")
           starts.put(e.jobId,
             (System.nanoTime(), s"${e.stageInfos.length}st $frames"))
         }
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val (t0, desc) = starts.remove(e.jobId)
-          println(f"[jobtrace] job ${e.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s $desc")
+          // A job-end without a recorded start (listener registered
+          // after the job began, or events dropped under bus pressure)
+          // must not MatchError inside the listener and lose the line.
+          Option(starts.remove(e.jobId)).foreach { case (t0, desc) =>
+            println(f"[jobtrace] job ${e.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s $desc")
+          }
         }
       })
     val cell = graft.BenchStreams.cells.find(_._1 == name)
